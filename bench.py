@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark: run the engine's headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE
+JSON line with per-query wall seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from openaq_lcs_fetch_spark.plans import QUERIES
+from openaq_lcs_fetch_spark.session import get_spark
+
+#: Headline set — one per operator family (keep bench runtime sane while
+#: covering scan/agg, joins, window top-k, unpivot, dedup/similarity,
+#: text analysis, streaming).
+HEADLINE = (
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_revenue",
+    "brand_top_parts",
+    "lineitem_melt_stats",
+    "hourly_rollup",
+    "latest_3_per_user",
+    "dedup_overlapping",
+    "measurand_normalize",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_top",
+    "simhash_docs",
+    "doc_quality",
+    "cosine_topk",
+    "ann_bucket_search",
+    "streaming_hourly",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers outside the timed region
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        q = QUERIES[name]
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).collect()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(per_query.values()), 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,217 @@
+"""Similarity / dedup primitives (north-star: MinHash+LSH, SimHash,
+n-gram Jaccard, embedding cosine — BASELINE.json).
+
+Everything is built on the portable hash from functions.text (md5-hex →
+int64) so a SQL oracle can reproduce results bit-for-bit, and on pure
+Column expressions so the JVM does the work.
+
+Scale notes (the part that matters at 100 TB):
+* MinHash signatures: one explode + one groupBy — the shuffle carries
+  (doc_id, shingle-hash) pairs, not documents.
+* LSH banding: candidate generation is a self-equi-join on (band,
+  band_key) buckets — Catalyst plans a shuffled hash join keyed on the
+  bucket, so comparisons are only within buckets, never all-pairs.
+* Brute-force cosine top-k is the *oracle* path; the LSH/bucketed path
+  is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import HASH_MOD, hmod, tokens, word_shingles
+
+# ---------------------------------------------------------------------------
+# Vector math (arrays of float/double) — pure expressions
+# ---------------------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product via zip_with + aggregate (sequential fold → the same
+    summation order as a scalar loop, so oracles agree to the ulp)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) multipliers for k hash permutations:
+    h_i(x) = (a_i·x + b_i) mod HASH_MOD with small odd a_i so products
+    stay far inside int64 for both engines."""
+    return [(2 * i + 3, 7 * i + 1) for i in range(k)]
+
+
+def shingle_table(
+    docs: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, shingle_hash) rows, distinct per doc — the exploded basis
+    for both MinHash and exact Jaccard."""
+    sh = word_shingles(tokens(F.col(text_col)), shingle_n)
+    return (
+        docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .withColumn("sh", hmod(F.col("shingle")))
+        .select(id_col, "sh")
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """One row per doc with columns mh0..mh{k-1} (int64).
+
+    Single shuffle: explode shingles map-side, then one groupBy computes
+    all k permutation minima as independent aggregates.
+    """
+    sh = shingle_table(docs, id_col, text_col, shingle_n)
+    aggs = [
+        F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(HASH_MOD)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(k))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, k: int, bands: int
+) -> DataFrame:
+    """Band the k-column signature into ``bands`` groups of k/bands rows;
+    docs sharing any band bucket become a candidate pair (id_a < id_b).
+
+    The join is keyed on (band, band_key): an equi-join Catalyst can
+    shuffle-partition — never a cartesian product.
+    """
+    rows = k // bands
+    band_cols = []
+    for bnd in range(bands):
+        cols = [F.col(f"mh{bnd * rows + j}").cast("string") for j in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(bnd).alias("band"), F.concat_ws(",", *cols).alias("band_key"))
+        )
+    buckets = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "bk.band", "bk.band_key")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, on=["band", "band_key"], how="inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def signature_similarity(
+    signatures: DataFrame, pairs: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    """MinHash Jaccard estimate for candidate pairs: fraction of equal
+    signature components."""
+    sig_a = signatures.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)]
+    )
+    sig_b = signatures.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)]
+    )
+    joined = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    )
+    return joined.select(
+        "id_a", "id_b", (matches / F.lit(float(k))).alias("est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (candidate generation by shared shingle)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard over word-n-gram shingle *sets*, computed only for
+    pairs sharing ≥1 shingle (equi-join on shingle hash — the candidate
+    filter that keeps this off O(n²)).
+
+    Output: (id_a, id_b, jaccard) with jaccard ≥ threshold.
+    """
+    sh = shingle_table(docs, id_col, text_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="sh")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit, portable)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per doc from distinct-token portable hashes.
+
+    Two-phase agg: explode tokens → per-doc bit votes (sum ±1 per bit)
+    → reassemble integer. All integer math → oracle-portable.
+    """
+    tok = (
+        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .distinct()
+        .withColumn("th", hmod(F.col("tok")))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*votes)
+    acc = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        acc = acc + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast(
+            "long"
+        )
+    return per_doc.select(F.col(id_col), acc.alias("simhash"))

@@ -1,0 +1,71 @@
+"""Deduplication operators (SURVEY.md A7/A8/T4 + north-star exact dedup).
+
+The reference dedups with first-wins maps (cmu.js:143-166 creates each
+station once across files) and includes() guards (clarity.js:51-56).
+Spark-first: deterministic first-per-key via window (dropDuplicates is
+order-nondeterministic — unacceptable for a reproducible engine), and
+content-hash grouping for corpus-scale exact dedup.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def first_per_key(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[Column]
+) -> DataFrame:
+    """A7: deterministic first-wins dedup (reference upsert-map
+    semantics). ``order_by`` defines which duplicate survives."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dedup_on_append(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """A8: set-semantics distinct on the key columns only."""
+    return df.select(*keys).distinct()
+
+
+def dedup_events(
+    df: DataFrame, keys: Sequence[str], tiebreak: str
+) -> DataFrame:
+    """T4: overlapping micro-batch dedup — keep min(tiebreak) per
+    (entity, ts) key; reference relies on downstream dedup after its
+    2-minute sliding re-reads (habitatmap.js:128-136)."""
+    return first_per_key(df, keys, [F.col(tiebreak).asc()])
+
+
+def exact_dedup_groups(
+    df: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """North-star exact dedup: group by content hash, keep canonical id
+    + duplicate count. Hash-groupBy shuffles digests (16 bytes/row), not
+    documents — at 100 TB the map-side partial agg collapses dup groups
+    before the shuffle.
+
+    Output: (content_hash, keep_id, n_dups).
+    """
+    return (
+        df.select(F.md5(F.col(content_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def drop_exact_dups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep only the canonical (min-id) row of each exact-dup group."""
+    return first_per_key(
+        df.withColumn("_h", F.md5(F.col(content_col))),
+        ["_h"],
+        [F.col(id_col).asc()],
+    ).drop("_h")

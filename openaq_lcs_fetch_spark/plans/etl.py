@@ -1,0 +1,430 @@
+"""ETL-semantics queries over the ``events`` stream table.
+
+``events`` plays the measures stream (ts + value + entity key + typed
+param — FIXTURES.md role mapping); each query re-expresses one family
+from SURVEY.md §2 with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.ids import sensor_id
+from ..operators.aggregates import distinct_count, watermark_bounds
+from ..operators.dedup import dedup_events, first_per_key
+from ..operators.joins import enrich_with_miss_report, semi_filter, union_all
+from ..operators.topk import top_k_per_key
+from .registry import query, sql_exact_sum, t
+
+# ---------------------------------------------------------------------------
+# measurand_normalize — the reference's central dataflow step: broadcast
+# lookup join (J1, measurand.js:89-95) + unit scale (C1, measurand.js:19-28)
+# + whitelist drop-on-miss. event_type plays input_param.
+# ---------------------------------------------------------------------------
+
+_MEASURAND_ROWS = (
+    ("click", "clicks", "count", "count", 1.0),
+    ("view", "views", "count", "count", 1.0),
+    ("purchase", "revenue", "cents", "dollars", 0.01),
+    ("signup", "signups", "count", "count", 1.0),
+    # 'error' intentionally unsupported → dropped by the inner join
+)
+
+_MEASURAND_VALUES_SQL = ", ".join(
+    f"('{ip}', '{p}', '{u}', '{nu}', {s})" for ip, p, u, nu, s in _MEASURAND_ROWS
+)
+
+_NORMALIZE_ORACLE = f"""
+WITH measurands(input_param, parameter, unit, normalized_unit, scale) AS (
+  VALUES {_MEASURAND_VALUES_SQL}
+)
+SELECT
+  e.event_id,
+  'events-' || CAST(e.user_id AS VARCHAR) || '-' || m.parameter AS sensor_id,
+  m.parameter,
+  m.normalized_unit AS unit,
+  CAST(CAST(e.value AS DECIMAL(18,2)) * CAST(m.scale AS DECIMAL(18,6)) AS DOUBLE) AS measure,
+  e.ts
+FROM events e JOIN measurands m ON e.event_type = m.input_param
+"""
+
+
+@query("measurand_normalize", _NORMALIZE_ORACLE)
+def measurand_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        list(_MEASURAND_ROWS),
+        "input_param string, parameter string, unit string, normalized_unit string, scale double",
+    )
+    joined = e.join(
+        F.broadcast(dim), e["event_type"] == dim["input_param"], "inner"
+    )
+    return joined.select(
+        F.col("event_id"),
+        sensor_id(F.lit("events"), F.col("user_id").cast("string"), F.col("parameter")).alias(
+            "sensor_id"
+        ),
+        F.col("parameter"),
+        F.col("normalized_unit").alias("unit"),
+        (F.col("value").cast("decimal(18,2)") * F.col("scale").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("measure"),
+        F.col("ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# time_range_filter — F1 (checkResponseData utils.js:180-209): bounded
+# window + no-future rule. Pure pushed-down predicates.
+# ---------------------------------------------------------------------------
+
+_TIME_RANGE_ORACLE = """
+SELECT event_id, ts, user_id, event_type
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+"""
+
+
+@query("time_range_filter", _TIME_RANGE_ORACLE)
+def time_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.filter(
+        (F.col("ts") >= "2024-01-10 00:00:00") & (F.col("ts") <= "2024-01-20 00:00:00")
+    ).select("event_id", "ts", "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# sentinel_clean — F6+C2: providers emit 'NaN'/'n/a'/'inv'/'' placeholders
+# (cmu.js:171, smartsense.js:110-118, iqair.js:188). We synthesize the raw
+# string column deterministically from value, then clean: sentinel → NULL
+# (never -999 — SURVEY.md §2.11), numeric strings coerced with comma strip.
+# ---------------------------------------------------------------------------
+
+_SENTINEL_ORACLE = """
+WITH raw AS (
+  SELECT event_id,
+         CASE
+           WHEN value > 480 THEN 'inv'
+           WHEN value > 460 THEN 'NaN'
+           WHEN value > 440 THEN 'n/a'
+           WHEN value > 420 THEN ''
+           WHEN value > 400 THEN '1,' || CAST(value AS VARCHAR)
+           ELSE CAST(value AS VARCHAR)
+         END AS raw_value
+  FROM events
+)
+SELECT event_id, raw_value,
+       CASE WHEN raw_value IN ('', 'NaN', 'n/a', 'inv', 'null', 'undefined') THEN NULL
+            WHEN regexp_matches(replace(raw_value, ',', ''), '^-?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$')
+              THEN CAST(replace(raw_value, ',', '') AS DOUBLE)
+            ELSE NULL END AS measure
+FROM raw
+"""
+
+
+@query("sentinel_clean", _SENTINEL_ORACLE)
+def sentinel_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.cleaning import clean_measure
+
+    e = t(spark, sf_dir, "events")
+    raw = (
+        F.when(F.col("value") > 480, F.lit("inv"))
+        .when(F.col("value") > 460, F.lit("NaN"))
+        .when(F.col("value") > 440, F.lit("n/a"))
+        .when(F.col("value") > 420, F.lit(""))
+        .when(F.col("value") > 400, F.concat(F.lit("1,"), F.col("value").cast("string")))
+        .otherwise(F.col("value").cast("string"))
+    )
+    return e.select(
+        "event_id",
+        raw.alias("raw_value"),
+        clean_measure(raw).alias("measure"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# whitelist_semi — F7: supported-parameter whitelist as broadcast semi join
+# (measurand.js:54-59).
+# ---------------------------------------------------------------------------
+
+_WHITELIST_ORACLE = """
+SELECT event_type, COUNT(*) AS n
+FROM events
+WHERE event_type IN ('click', 'view', 'purchase')
+GROUP BY event_type
+"""
+
+
+@query("whitelist_semi", _WHITELIST_ORACLE)
+def whitelist_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    allowed = spark.createDataFrame(
+        [("click",), ("view",), ("purchase",)], "event_type string"
+    )
+    return (
+        semi_filter(e, allowed, "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# latest_3_per_user — A5 (slice(-3) per device, lovemyair.js:127) with an
+# explicit total order.
+# ---------------------------------------------------------------------------
+
+_LATEST3_ORACLE = """
+SELECT user_id, event_id, ts
+FROM (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+@query("latest_3_per_user", _LATEST3_ORACLE)
+def latest_3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return top_k_per_key(e, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()], 3)
+
+
+# ---------------------------------------------------------------------------
+# first_event_per_user — A7 first-wins dedup (cmu.js:143-166 upsert map).
+# ---------------------------------------------------------------------------
+
+_FIRST_ORACLE = """
+SELECT user_id, event_id, ts
+FROM (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@query("first_event_per_user", _FIRST_ORACLE)
+def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return first_per_key(e, ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()])
+
+
+# ---------------------------------------------------------------------------
+# dedup_overlapping — T4: overlapping micro-batch dedup on (entity, ts)
+# (habitatmap's 2-min sliding re-read, habitatmap.js:128-136). We union the
+# events table with a shifted re-read of itself to create real duplicates,
+# then dedup keeping min event_id.
+# ---------------------------------------------------------------------------
+
+_DEDUP_ORACLE = """
+WITH doubled AS (
+  SELECT user_id, ts, event_id FROM events
+  UNION ALL
+  SELECT user_id, ts, event_id + 1000000 AS event_id FROM events WHERE ts >= TIMESTAMP '2024-01-25'
+)
+SELECT user_id, ts, event_id
+FROM (
+  SELECT user_id, ts, event_id,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id ASC) AS rn
+  FROM doubled
+) WHERE rn = 1
+"""
+
+
+@query("dedup_overlapping", _DEDUP_ORACLE)
+def dedup_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    replay = e.filter(F.col("ts") >= "2024-01-25").withColumn(
+        "event_id", F.col("event_id") + F.lit(1000000)
+    )
+    doubled = union_all([e, replay])
+    return dedup_events(doubled, ["user_id", "ts"], "event_id")
+
+
+# ---------------------------------------------------------------------------
+# watermark_summary — A1/A3: per-source run log (from/to/counts,
+# clarity.js:192-208; Measures.push min/max, measure.js:20-28).
+# ---------------------------------------------------------------------------
+
+_WATERMARK_ORACLE = f"""
+SELECT event_type, MIN(ts) AS from_ts, MAX(ts) AS to_ts, COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("watermark_summary", _WATERMARK_ORACLE)
+def watermark_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return watermark_bounds(e, "ts", ["event_type"]).select(
+        "event_type", "from_ts", "to_ts", "n"
+    )
+
+
+# ---------------------------------------------------------------------------
+# distinct_users — A4 (Set().size, aernode.js:115). Exact here; HLL at scale.
+# ---------------------------------------------------------------------------
+
+_DISTINCT_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_user_id
+FROM events GROUP BY event_type
+"""
+
+
+@query("distinct_users", _DISTINCT_ORACLE)
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distinct_count(t(spark, sf_dir, "events"), ["event_type"], "user_id")
+
+
+# ---------------------------------------------------------------------------
+# hourly_rollup — A6/T6 tumbling-hour agg; hour_ending_rollup adds the C7
+# hour-ending relabel (+1h; data354.js:108-110).
+# ---------------------------------------------------------------------------
+
+_HOURLY_ORACLE = f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n,
+       {sql_exact_sum('value', 2)} / CAST(COUNT(*) AS DOUBLE) AS avg_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@query("hourly_rollup", _HOURLY_ORACLE)
+def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(27,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+_HOUR_ENDING_ORACLE = """
+SELECT date_trunc('hour', ts) + INTERVAL 1 HOUR AS hour_ending, COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+@query("hour_ending_rollup", _HOUR_ENDING_ORACLE)
+def hour_ending_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.timestamps import hour_ending
+
+    e = t(spark, sf_dir, "events")
+    return e.groupBy(hour_ending(F.col("ts")).alias("hour_ending")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort_union — J4 fan-in (airqo.js:58-75): two cohort selections unioned
+# then aggregated per day.
+# ---------------------------------------------------------------------------
+
+_UNION_ORACLE = """
+WITH cohorts AS (
+  SELECT ts, 'heavy' AS cohort FROM events WHERE value >= 250
+  UNION ALL
+  SELECT ts, 'light' AS cohort FROM events WHERE value < 250
+)
+SELECT date_trunc('day', ts) AS day, cohort, COUNT(*) AS n
+FROM cohorts GROUP BY 1, 2
+"""
+
+
+@query("cohort_union", _UNION_ORACLE)
+def cohort_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    heavy = e.filter(F.col("value") >= 250).select("ts", F.lit("heavy").alias("cohort"))
+    light = e.filter(F.col("value") < 250).select("ts", F.lit("light").alias("cohort"))
+    return (
+        union_all([heavy, light])
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"), "cohort")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# enrich_misses — J2: broadcast left-join enrich + side-output of unmatched
+# keys (clarity.js:63-108 missing_datasources). Dim restricted to custkey<50
+# so misses exist.
+# ---------------------------------------------------------------------------
+
+_MISSES_ORACLE = """
+SELECT DISTINCT user_id
+FROM events
+WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 50)
+"""
+
+
+@query("enrich_misses", _MISSES_ORACLE)
+def enrich_misses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    dim = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 50)
+        .select(F.col("c_custkey").alias("user_id"), "c_name")
+    )
+    _enriched, misses = enrich_with_miss_report(e, dim, "user_id")
+    return misses
+
+
+# ---------------------------------------------------------------------------
+# tz_daily — C6 timezone conversion: UTC → America/New_York wall clock,
+# then daily counts (cmu.js:183-220 / cpcb.js:144-152 tz handling).
+# ---------------------------------------------------------------------------
+
+_TZ_ORACLE = """
+SELECT date_trunc('day', timezone('America/New_York', timezone('UTC', ts))) AS ny_day,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+@query("tz_daily", _TZ_ORACLE)
+def tz_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    local = F.from_utc_timestamp(F.col("ts"), "America/New_York")
+    return e.groupBy(F.date_trunc("day", local).alias("ny_day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# props_extract — C11 JSON field extraction (JSON.parse, iqair.js:101),
+# regexp-based so both engines share exact semantics, then grouped stats.
+# ---------------------------------------------------------------------------
+
+_PROPS_ORACLE = f"""
+WITH parsed AS (
+  SELECT event_type,
+         CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, COUNT(k) AS n_k, {sql_exact_sum('k', 0)} AS sum_k
+FROM parsed GROUP BY event_type
+"""
+
+
+@query("props_extract", _PROPS_ORACLE)
+def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    k = F.nullif(
+        F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1), F.lit("")
+    ).cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.sum(F.col("k").cast("decimal(27,0)")).cast("double").alias("sum_k"),
+        )
+    )

@@ -1,0 +1,227 @@
+"""North-star similarity-search queries over ``embeddings``.
+
+Two paths per BASELINE.json:
+* brute-force cosine top-k — the correctness baseline (one broadcast of
+  the query vector, a narrow map, then TakeOrderedAndProject);
+* LSH-bucketed ANN — the 100 TB path (bucket assignment is a narrow
+  map; search touches one bucket instead of the corpus).
+
+Cross-engine determinism: bucket math is *integer-quantized* (round
+(x·1000) per component) so Spark and DuckDB agree bit-for-bit; cosine
+uses double folds rounded to 6 places.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.similarity import cosine
+from .registry import query, t
+
+_N_PLANES = 8
+_MULT = 2654435761  # Knuth multiplicative constant — any fixed odd works
+
+
+def _quantized(col):
+    """array<float> → array<long> with components round(x*1000)."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * F.lit(1000.0), 0).cast("long")
+    )
+
+
+def _plane_coeff_sql(j: int) -> str:
+    """Integer hyperplane component for plane j at 1-based index i."""
+    return f"(((i * {j + 1} * {_MULT}) % 1000) - 500)"
+
+
+def _plane_dot(qcol, j: int):
+    """Spark twin of _plane_coeff_sql: exact integer dot product."""
+    prods = F.transform(
+        qcol,
+        lambda x, i: x
+        * (((i + F.lit(1)) * F.lit(j + 1) * F.lit(_MULT)) % F.lit(1000) - F.lit(500)),
+    )
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+# ---------------------------------------------------------------------------
+# cosine_topk — brute-force top-10 neighbours of vec_id 0
+# ---------------------------------------------------------------------------
+
+_COSINE_TOPK_ORACLE = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS cos_sim
+FROM embeddings
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@query("cosine_topk", _COSINE_TOPK_ORACLE)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                cosine(F.col("embedding").cast("array<double>"), F.col("qv")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# ann_lsh_buckets — random-hyperplane LSH bucket per vector (integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def _ann_oracle() -> str:
+    dots = ", ".join(
+        f"list_sum(list_transform(q, (x, i) -> x * {_plane_coeff_sql(j)})) AS d{j}"
+        for j in range(_N_PLANES)
+    )
+    acc = " + ".join(
+        f"CASE WHEN d{j} >= 0 THEN {1 << j} ELSE 0 END" for j in range(_N_PLANES)
+    )
+    return f"""
+WITH qv AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(ROUND(x * 1000.0, 0) AS BIGINT)) AS q
+  FROM embeddings
+),
+dots AS (SELECT vec_id, label, {dots} FROM qv)
+SELECT vec_id, label, CAST({acc} AS BIGINT) AS bucket FROM dots
+"""
+
+
+@query("ann_lsh_buckets", _ann_oracle())
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    qcol = _quantized(F.col("embedding"))
+    df = e.select("vec_id", "label", qcol.alias("q"))
+    bucket = F.lit(0).cast("long")
+    for j in range(_N_PLANES):
+        bucket = bucket + F.when(_plane_dot(F.col("q"), j) >= 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    return df.select("vec_id", "label", bucket.alias("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# ann_bucket_search — the scale path end-to-end: restrict candidate set to
+# the query vector's bucket, then exact cosine top-5 inside it.
+# ---------------------------------------------------------------------------
+
+
+def _ann_search_oracle() -> str:
+    inner = _ann_oracle().strip()
+    return f"""
+WITH buckets AS ({inner}),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+  WHERE b.bucket = (SELECT bucket FROM qb) AND e.vec_id <> 0
+)
+SELECT vec_id, label,
+       ROUND(list_cosine_similarity(v, (SELECT qvec FROM qv)), 6) AS cos_sim
+FROM cand
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 5
+"""
+
+
+@query("ann_bucket_search", _ann_search_oracle())
+def ann_bucket_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    qcol = _quantized(F.col("embedding"))
+    df = e.select("vec_id", "label", "embedding", qcol.alias("q"))
+    bucket = F.lit(0).cast("long")
+    for j in range(_N_PLANES):
+        bucket = bucket + F.when(_plane_dot(F.col("q"), j) >= 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    with_bucket = df.select("vec_id", "label", "embedding", bucket.alias("bucket"))
+    qrow = with_bucket.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+    )
+    cand = (
+        with_bucket.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .filter(F.col("bucket") == F.col("qbucket"))
+    )
+    scored = cand.select(
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("embedding").cast("array<double>"), F.col("qvec")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(5)
+
+
+# ---------------------------------------------------------------------------
+# label_centroids — distributed elementwise vector aggregation, integer-exact
+# (posexplode → groupBy(label, dim) → sum), shuffle carries scalars.
+# ---------------------------------------------------------------------------
+
+_CENTROID_ORACLE = """
+SELECT label, i AS dim, CAST(SUM(qc) AS BIGINT) AS sum_q, COUNT(*) AS n
+FROM (
+  SELECT label,
+         unnest(list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(ROUND(x * 1000.0, 0) AS BIGINT))) AS qc,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+GROUP BY label, i
+"""
+
+
+@query("label_centroids", _CENTROID_ORACLE)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode(_quantized(F.col("embedding"))).alias("pos", "qc")
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.sum("qc").alias("sum_q"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_norms — per-vector L2 norm over quantized components (exact
+# integer dot, then one deterministic sqrt)
+# ---------------------------------------------------------------------------
+
+_NORMS_ORACLE = """
+SELECT vec_id, label,
+       ROUND(SQRT(CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(ROUND(x * 1000.0, 0) AS BIGINT) * CAST(ROUND(x * 1000.0, 0) AS BIGINT))) AS DOUBLE)) / 1000.0, 6) AS l2_norm
+FROM embeddings
+"""
+
+
+@query("embedding_norms", _NORMS_ORACLE)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    q = _quantized(F.col("embedding"))
+    dot_qq = F.aggregate(
+        F.transform(q, lambda x: x * x), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(F.sqrt(dot_qq.cast("double")) / F.lit(1000.0), 6).alias("l2_norm"),
+    )

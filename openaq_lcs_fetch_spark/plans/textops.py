@@ -1,0 +1,339 @@
+"""North-star text-analysis + dedup queries over ``documents``.
+
+Every query is verified against a DuckDB oracle that mirrors the exact
+arithmetic — possible because all hashing goes through the portable
+md5-hex→int64 scheme (functions.text.h60) and all set math is integer.
+
+Scale notes: everything here is explode → hash-partitioned groupBy/join
+on hashes (16-byte keys), never on document bodies; candidate
+generation for near-dup is equi-join-on-bucket, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions import similarity as SIM
+from ..operators.dedup import exact_dedup_groups
+from .registry import query, t
+
+# --- shared SQL fragments (the DuckDB mirror of functions.text) -----------
+
+_SQL_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN [] "
+    "ELSE string_split_regex(trim(text), '\\s+') END"
+)
+
+
+def _sql_hmod(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT % {TX.HASH_MOD})"
+
+
+def _sql_shingles(toks: str, n: int) -> str:
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def _sql_stop_ratio(toks: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"CASE WHEN len({toks}) > 0 THEN "
+        f"CAST(len(list_filter({toks}, x -> list_contains([{lst}], x))) AS DOUBLE)"
+        f" / len({toks}) ELSE CAST(0.0 AS DOUBLE) END"
+    )
+
+
+#: distinct (doc_id, shingle-hash) rows — basis for jaccard/minhash oracles
+_SQL_SHINGLE_TABLE = f"""
+  toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+  shl  AS (SELECT doc_id, {_sql_shingles('toks', 3)} AS shs FROM toks),
+  shx  AS (SELECT doc_id, unnest(shs) AS shingle FROM shl),
+  sh   AS (SELECT DISTINCT doc_id, {_sql_hmod('shingle')} AS sh FROM shx)
+"""
+
+# ---------------------------------------------------------------------------
+# doc_token_stats — token counting (north-star text analysis)
+# ---------------------------------------------------------------------------
+
+_TOKEN_STATS_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct,
+       CASE WHEN len(toks) > 0
+            THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+            ELSE CAST(0.0 AS DOUBLE) END AS avg_token_len
+FROM toks
+"""
+
+
+@query("doc_token_stats", _TOKEN_STATS_ORACLE)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        TX.avg_token_len(toks).alias("avg_token_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_language — stopword-ratio language ID with deterministic argmax
+# ---------------------------------------------------------------------------
+
+
+def _lang_oracle() -> str:
+    scores = {
+        lang: _sql_stop_ratio("toks", words) for lang, words in TX.STOPWORDS.items()
+    }
+    langs = sorted(scores)
+    best = "GREATEST(" + ", ".join(f"{lang}_score" for lang in langs) + ")"
+    case = " ".join(
+        f"WHEN {best} > 0 AND {lang}_score = {best} THEN '{lang}'" for lang in langs
+    )
+    cols = ", ".join(f"{scores[lang]} AS {lang}_score" for lang in langs)
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+scored AS (SELECT doc_id, {cols} FROM toks)
+SELECT doc_id, {', '.join(f'{lang}_score' for lang in langs)},
+       CASE {case} ELSE 'und' END AS predicted_lang
+FROM scored
+"""
+
+
+@query("doc_language", _lang_oracle())
+def doc_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    scores = TX.language_scores(F.col("text"))
+    cols = [scores[lang].alias(f"{lang}_score") for lang in sorted(scores)]
+    return d.select(
+        "doc_id", *cols, TX.predicted_language(F.col("text")).alias("predicted_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_quality — composite quality score (north-star quality scoring)
+# ---------------------------------------------------------------------------
+
+_QUALITY_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(0.4 AS DOUBLE) * (CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END)
+     + CAST(0.3 AS DOUBLE) * {_sql_stop_ratio('toks', TX.STOPWORDS['en'])}
+     + CAST(0.3 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE), CAST(len(toks) AS DOUBLE) / CAST(64.0 AS DOUBLE))
+       AS quality
+FROM toks
+"""
+
+
+@query("doc_quality", _QUALITY_ORACLE)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# doc_fingerprint — min portable hash over 3-gram shingles (winnowing-style
+# global minimum fingerprint)
+# ---------------------------------------------------------------------------
+
+_FINGERPRINT_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+shl AS (SELECT doc_id, toks, {_sql_shingles('toks', 3)} AS shs FROM toks),
+basis AS (SELECT doc_id, CASE WHEN len(shs) > 0 THEN shs ELSE toks END AS basis FROM shl)
+SELECT doc_id,
+       list_aggregate(list_transform(basis, s -> {_sql_hmod('s')}), 'min') AS fingerprint
+FROM basis
+"""
+
+
+@query("doc_fingerprint", _FINGERPRINT_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint(F.col("text"), 3).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact — content-hash exact dedup groups (north-star)
+# ---------------------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+@query("dedup_exact", _EXACT_DEDUP_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# simhash_docs — 32-bit portable SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIM.SIMHASH_BITS)
+    )
+    acc = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(SIM.SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+tokx AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM toks),
+th AS (SELECT doc_id, {_sql_hmod('tok')} AS th FROM tokx),
+votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id)
+SELECT doc_id, {acc} AS simhash FROM votes
+"""
+
+
+@query("simhash_docs", _simhash_oracle())
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.simhash(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# ngram_jaccard_top — exact n-gram Jaccard near-dup pairs (candidates by
+# shared shingle, never all-pairs), top-50 deterministic
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH {_SQL_SHINGLE_TABLE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b,
+         CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM jac
+ORDER BY jaccard DESC, id_a ASC, id_b ASC
+LIMIT 50
+"""
+
+
+@query("ngram_jaccard_top", _JACCARD_ORACLE)
+def ngram_jaccard_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = SIM.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", shingle_n=3, threshold=0.0
+    )
+    return pairs.orderBy(
+        F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# minhash_signatures — k=16 portable MinHash signature per doc
+# ---------------------------------------------------------------------------
+
+_MINHASH_K = 16
+_MINHASH_BANDS = 8  # rows per band = 2
+
+
+def _minhash_sig_sql() -> str:
+    mins = ", ".join(
+        f"MIN(({a} * sh + {b}) % {TX.HASH_MOD}) AS mh{i}"
+        for i, (a, b) in enumerate(SIM.minhash_params(_MINHASH_K))
+    )
+    return f"WITH {_SQL_SHINGLE_TABLE} SELECT doc_id, {mins} FROM sh GROUP BY doc_id"
+
+
+@query("minhash_signatures", _minhash_sig_sql())
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.minhash_signatures(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=_MINHASH_K, shingle_n=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash_lsh_pairs — LSH banding candidates + signature-estimated jaccard
+# ---------------------------------------------------------------------------
+
+
+def _minhash_lsh_sql() -> str:
+    rows = _MINHASH_K // _MINHASH_BANDS
+    band_selects = []
+    for bnd in range(_MINHASH_BANDS):
+        key = " || ',' || ".join(
+            f"CAST(mh{bnd * rows + j} AS VARCHAR)" for j in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {bnd} AS band, {key} AS band_key FROM sigs"
+        )
+    buckets = " UNION ALL ".join(band_selects)
+    eq = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(_MINHASH_K)
+    )
+    mins = ", ".join(
+        f"MIN(({a} * sh + {b}) % {TX.HASH_MOD}) AS mh{i}"
+        for i, (a, b) in enumerate(SIM.minhash_params(_MINHASH_K))
+    )
+    return f"""
+WITH {_SQL_SHINGLE_TABLE},
+sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+buckets AS ({buckets}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b, ({eq}) / CAST({_MINHASH_K} AS DOUBLE) AS est_jaccard
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.id_a
+JOIN sigs sb ON sb.doc_id = p.id_b
+"""
+
+
+@query("minhash_lsh_pairs", _minhash_lsh_sql())
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sigs = SIM.minhash_signatures(docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3)
+    sigs = sigs.cache()
+    pairs = SIM.lsh_candidate_pairs(sigs, "doc_id", k=_MINHASH_K, bands=_MINHASH_BANDS)
+    pairs = pairs.withColumnRenamed("id_a", "id_a").withColumnRenamed("id_b", "id_b")
+    return SIM.signature_similarity(sigs, pairs, "doc_id", k=_MINHASH_K)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_meta — opaque-binary column plumbing: payload bytes + digest
+# (decode/feature-extraction runs as mapInPandas over these payloads; see
+# functions/multimodal.py — the metadata path is fully verifiable)
+# ---------------------------------------------------------------------------
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       'text' AS modality,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS digest
+FROM documents
+"""
+
+
+@query("multimodal_meta", _MULTIMODAL_ORACLE)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.lit("text").alias("modality"),
+        F.length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("digest"),
+    )

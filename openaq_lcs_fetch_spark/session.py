@@ -1,0 +1,67 @@
+"""SparkSession construction + per-session tuning.
+
+The engine is designed for a multi-executor cluster (the 100 TB target);
+local[] is only the test harness. All scale-relevant knobs are set here
+in one place:
+
+* AQE on (runtime re-plan: skew joins, coalesced shuffle partitions);
+* UTC session timezone (the reference mixes unix-seconds / ISO / local
+  timestamps per provider — we normalize to UTC at the boundary, see
+  SURVEY.md §1.2);
+* Arrow enabled for the few pandas-UDF paths (similarity / multimodal).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to *any* session handed to us (the
+#: correctness driver owns its own SparkSession, so these must be
+#: settable post-creation — all of them are).
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet stores TIMESTAMP(NANOS) which Spark won't map to
+    # TimestampType; read as long and convert in tables.load_events.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent, cheap)."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # conf locked down (e.g. static conf on a shared cluster) —
+            # proceed; these are optimizations, not correctness req'ts
+            # except the timezone, which queries also guard via UTC
+            # literals where it matters.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "openaq-lcs-fetch-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or get) a tuned SparkSession.
+
+    ``cpus`` controls local-mode parallelism; on a real cluster the
+    master/executors come from spark-submit and this arg is ignored.
+    """
+    n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
+    builder = SparkSession.builder.appName(app_name)
+    if not os.environ.get("MASTER") and not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{n}]" if n else "local[*]")
+    builder = (
+        builder.config("spark.sql.shuffle.partitions", str(max(32, (n or 32))))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())

@@ -1,0 +1,89 @@
+"""Streaming pipelines over the events stream (SURVEY.md §2.8 T1-T6).
+
+Mapping from the reference's cron+checkpoint model:
+* T1 trigger cadence (EventBridge minute/hour/day) → ``trigger(
+  processingTime=...)`` or ``availableNow`` for bounded replays;
+* T2 high-water mark (MetaDetails, meta.js:22-41) → the streaming
+  checkpoint dir;
+* T3/T4 late + duplicate data (3h re-fetch airgradient.js:137-153,
+  2-min sliding re-read habitatmap.js:128-136) → ``withWatermark`` +
+  ``dropDuplicates`` within the watermark;
+* T6 tumbling windows → ``window(ts, '1 hour')``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import EVENTS
+
+TRIGGER_BY_FREQUENCY = {
+    "minute": "60 seconds",
+    "hour": "1 hour",
+    "day": "1 day",
+}
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (schema fixed — stream
+    sources never infer). The file stores TIMESTAMP(NANOS) → read ts as
+    long (session conf nanosAsLong) and convert, as in tables.load."""
+    raw_schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType(), False)
+            for f in EVENTS.fields
+        ]
+    )
+    # FileStreamSource requires a directory; the testdata table is a
+    # single file → expose it through a symlink directory.
+    link_dir = os.path.join(
+        tempfile.gettempdir(), "spark_graft_stream", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    if not os.path.islink(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(link_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_window_counts(stream: DataFrame) -> DataFrame:
+    """T6: tumbling 1-hour window counts keyed by event_type."""
+    return (
+        stream.withWatermark("ts", "3 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, keys: list[str], delay: str = "3 hours") -> DataFrame:
+    """T3/T4: idempotent re-read handling — dropDuplicates bounded by the
+    watermark so state stays finite."""
+    return stream.withWatermark("ts", delay).dropDuplicates(keys)
+
+
+def run_available_now(result: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Execute a bounded streaming query to a memory sink and return the
+    materialized result as a batch DataFrame (the driver-facing bridge).
+    """
+    name = f"stream_out_{uuid.uuid4().hex[:10]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = result.sparkSession
+    return spark.table(name)
