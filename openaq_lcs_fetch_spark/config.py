@@ -1,0 +1,55 @@
+"""Source-config validation (SURVEY.md §1.3).
+
+Mirrors the reference's JSON-Schema draft-07 contract
+(``schema/v1.json:1-43``; test ``test/source.test.js:10-31``): required
+fields, frequency enum, no additional properties. Implemented directly
+(no jsonschema dependency in this environment) with identical
+accept/reject behavior.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from .schemas import VALID_FREQUENCIES
+
+REQUIRED = ("schema", "provider", "frequency", "active")
+OPTIONAL = ("secretKey", "meta")
+ALLOWED = set(REQUIRED) | set(OPTIONAL)
+
+_TYPES: dict[str, type | tuple[type, ...]] = {
+    "schema": str,
+    "provider": str,
+    "frequency": str,
+    "secretKey": str,
+    "active": bool,
+    "meta": dict,
+}
+
+
+class ConfigError(ValueError):
+    pass
+
+
+def validate_source_config(cfg: dict[str, Any]) -> dict[str, Any]:
+    """Validate and return the config; raise ConfigError with every
+    violation listed (the reference's Ajv errors-all mode)."""
+    errors: list[str] = []
+    for field in REQUIRED:
+        if field not in cfg:
+            errors.append(f"missing required field {field!r}")
+    for field in cfg:
+        if field not in ALLOWED:
+            errors.append(f"unknown field {field!r} (additionalProperties: false)")
+    for field, expected in _TYPES.items():
+        if field in cfg and not isinstance(cfg[field], expected):
+            errors.append(
+                f"field {field!r} expects {getattr(expected, '__name__', expected)}"
+            )
+    if isinstance(cfg.get("frequency"), str) and cfg["frequency"] not in VALID_FREQUENCIES:
+        errors.append(
+            f"frequency {cfg['frequency']!r} not in {VALID_FREQUENCIES}"
+        )
+    if errors:
+        raise ConfigError("; ".join(errors))
+    return cfg

@@ -34,7 +34,13 @@ RUNTIME_CONF: dict[str, str] = {
 
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing session (idempotent, cheap)."""
-    for k, v in RUNTIME_CONF.items():
+    conf = dict(RUNTIME_CONF)
+    # Size the shuffle for the harness: local CPUs, not the 200 default.
+    # (On a real cluster AQE coalescing + explicit repartition in the
+    # pipelines make this a starting point, not a cap.)
+    n = int(os.environ.get("SPARK_GRAFT_CPUS", "32") or 32)
+    conf["spark.sql.shuffle.partitions"] = str(max(8, n))
+    for k, v in conf.items():
         try:
             spark.conf.set(k, v)
         except Exception:

@@ -1,0 +1,89 @@
+"""Measures sinks (SURVEY.md K1/K2).
+
+* K1 v0 CSV: fixed header ``sensor_id,measure,timestamp`` gzipped under
+  ``{root}/measures/{provider}/`` (reference providers.js:141-159 with
+  the header from measure.js:13-17; random object keys give the
+  at-least-once idempotency — here Spark task files do the same job).
+* K2 v0.1 JSON: ``{meta, measures[], locations[]}`` date-partitioned
+  (providers.js:168-185, payload shape clarity.js:177-190). Spark-first:
+  one payload row per (provider, day) assembled with collect_list inside
+  a day-partitioned groupBy, written with partitionBy → partition-pruned
+  reads downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_measures_csv(measures: DataFrame, root: str, provider: str) -> str:
+    """K1: gzipped CSV under measures/{provider}/."""
+    path = f"{root}/measures/{provider}"
+    (
+        measures.select(
+            "sensor_id",
+            "measure",
+            F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timestamp"),
+        )
+        .write.mode("append")
+        .option("header", "true")
+        .option("compression", "gzip")
+        .csv(path)
+    )
+    return path
+
+
+def assemble_v01(
+    measures: DataFrame, locations: DataFrame, source: str
+) -> DataFrame:
+    """Build v0.1 payload rows: one per UTC day, with nested measures[]
+    and locations[] arrays and the fixed meta struct (schema 'v0.1',
+    matching_method 'ingest-id')."""
+    m_day = (
+        measures.withColumn("day", F.date_format("timestamp", "yyyy-MM-dd"))
+        .groupBy("day")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("sensor_id"),
+                    F.col("measure"),
+                    F.date_format(
+                        "timestamp", "yyyy-MM-dd'T'HH:mm:ss'Z'"
+                    ).alias("timestamp"),
+                    F.col("flags") if "flags" in measures.columns else F.lit(None).cast("map<string,string>").alias("flags"),
+                )
+            ).alias("measures")
+        )
+    )
+    locs = locations.agg(
+        F.collect_list(
+            F.struct("location", "label", "ismobile", "lon", "lat")
+        ).alias("locations")
+    )
+    return (
+        m_day.crossJoin(F.broadcast(locs))
+        .withColumn(
+            "meta",
+            F.struct(
+                F.lit("v0.1").alias("schema"),
+                F.lit(source).alias("source"),
+                F.lit("ingest-id").alias("matching_method"),
+            ),
+        )
+        .select("day", "meta", "measures", "locations")
+    )
+
+
+def write_measures_json(payload: DataFrame, root: str, provider: str) -> str:
+    """K2: gzipped JSON partitioned by day → {root}/measures/{provider}/
+    day=YYYY-MM-DD/part-*.json.gz."""
+    path = f"{root}/measures/{provider}"
+    (
+        payload.write.mode("append")
+        .partitionBy("day")
+        .option("compression", "gzip")
+        .option("ignoreNullFields", "true")  # C12 stripNulls at serialize
+        .json(path)
+    )
+    return path

@@ -1,0 +1,77 @@
+"""Per-source high-water-mark checkpoint (SURVEY.md K4/T2).
+
+Re-expresses ``MetaDetails`` (reference fetcher/lib/meta.js:11-43):
+a tiny JSON document per source recording incremental progress, loaded
+before a run to bound the scan and saved after with the new maximum.
+CMU restarts from ``since`` (default 2019-03-01) and saves
+``greatestTimestamp`` (cmu.js:56-61, :109-114).
+
+For Structured Streaming pipelines the Spark checkpoint dir replaces
+this; the batch path uses this store + an incremental filter that
+Catalyst pushes into the scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class CheckpointStore:
+    """Filesystem-backed store: ``{base}/meta/{source}.json``.
+
+    Writes are atomic (tmp file + rename) — the reference gets the
+    equivalent from S3 PUT atomicity.
+    """
+
+    def __init__(self, base: str):
+        self.base = base
+        os.makedirs(os.path.join(base, "meta"), exist_ok=True)
+
+    def _path(self, source: str) -> str:
+        return os.path.join(self.base, "meta", f"{source}.json")
+
+    def load(self, source: str) -> dict[str, Any] | None:
+        try:
+            with open(self._path(source)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def save(self, source: str, payload: dict[str, Any]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self._path(source)))
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f, sort_keys=True)
+        os.replace(tmp, self._path(source))
+
+
+def incremental_predicate(ts: Column, checkpoint: dict | None, default_since: str) -> Column:
+    """Scan-bounding predicate: ``ts > high_water_mark`` (or the
+    configured restart default). A plain comparison → parquet/JDBC
+    pushdown applies."""
+    since = (checkpoint or {}).get("high_water_mark", default_since)
+    return ts > F.lit(since)
+
+
+def high_water_mark(df: DataFrame, ts_col: str) -> str | None:
+    """A2: max timestamp of the processed batch (greatestTimestamp)."""
+    row = df.agg(F.max(ts_col).alias("hwm")).collect()[0]
+    return row["hwm"].isoformat() if row["hwm"] is not None else None
+
+
+def advance(
+    store: CheckpointStore, source: str, df: DataFrame, ts_col: str
+) -> dict[str, Any]:
+    """Save the new high-water mark after a successful run; never moves
+    backwards (late re-reads must not regress the checkpoint)."""
+    prev = store.load(source) or {}
+    hwm = high_water_mark(df, ts_col)
+    if hwm is not None and hwm > prev.get("high_water_mark", ""):
+        prev["high_water_mark"] = hwm
+    store.save(source, prev)
+    return prev

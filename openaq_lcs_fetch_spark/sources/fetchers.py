@@ -1,0 +1,52 @@
+"""Fetcher implementations for the paginated HTTP source.
+
+``synthetic_readings`` is the deterministic offline fetcher used by
+tests (and by provider fixtures); ``http_json`` is the real-network
+generic JSON fetcher (stdlib-only, never exercised in tests).
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+
+def synthetic_readings(options: dict, page: int) -> list[tuple]:
+    """Deterministic fake provider API: ``page_size`` readings per page,
+    wide shape (station, unix_ts, pm25, temperature)."""
+    size = int(options.get("page_size", 10))
+    base_ts = int(options.get("base_ts", 1_700_000_000))
+    rows = []
+    for i in range(size):
+        seq = page * size + i
+        rows.append(
+            (
+                f"st-{seq % 7}",
+                base_ts + 60 * seq,
+                round(5.0 + (seq * 37 % 100) / 10.0, 1),
+                round(15.0 + (seq * 17 % 200) / 10.0, 1),
+            )
+        )
+    return rows
+
+
+def empty_after(options: dict, page: int) -> list[tuple]:
+    """Fetcher that goes dry after ``n_pages`` — exercises the
+    early-exit sequential path."""
+    if page >= int(options.get("n_pages", 3)):
+        return []
+    return synthetic_readings(options, page)
+
+
+def http_json(options: dict, page: int) -> list[tuple]:  # pragma: no cover
+    """Generic offset-paginated JSON GET (S1/S2). ``url`` may contain
+    ``{page}``/``{offset}``; ``fields`` names the record keys to project
+    (P1 source-side projection)."""
+    size = int(options.get("page_size", 100))
+    url = options["url"].format(page=page, offset=page * size)
+    req = urllib.request.Request(url, headers={"Accept": "application/json"})
+    with urllib.request.urlopen(req, timeout=float(options.get("timeout", 30))) as r:
+        body = json.loads(r.read().decode("utf-8"))
+    records = body[options["data_key"]] if options.get("data_key") else body
+    fields = options["fields"].split(",")
+    return [tuple(rec.get(f) for f in fields) for rec in records]

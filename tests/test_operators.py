@@ -1,0 +1,183 @@
+"""Unit tests for operator/function building blocks (SURVEY.md §2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from openaq_lcs_fetch_spark.functions.cleaning import coerce_number
+from openaq_lcs_fetch_spark.functions.ids import to_camel_case, zero_pad
+from openaq_lcs_fetch_spark.functions.timestamps import (
+    days_in_month,
+    from_local,
+    hour_ending,
+    month_sequence,
+)
+from openaq_lcs_fetch_spark.functions.multimodal import (
+    decode_stub,
+    extract_features,
+    frame_sample_plan,
+)
+from openaq_lcs_fetch_spark.measurands import join_and_normalize, measurand_dim
+from openaq_lcs_fetch_spark.operators.filters import coordinate_precision, late_window
+from openaq_lcs_fetch_spark.operators.joins import enrich_with_miss_report
+from openaq_lcs_fetch_spark.operators.reshape import explode_map, melt, nest_stations, zip_arrays
+
+
+def test_coerce_number(spark):
+    df = spark.createDataFrame(
+        [("1,234.5",), ("-3.2e2",), ("abc",), (".5",), ("",)], "raw string"
+    )
+    got = [r[0] for r in df.select(coerce_number(F.col("raw"))).collect()]
+    assert got == [1234.5, -320.0, None, 0.5, None]
+
+
+def test_month_sequence_year_crossover(spark):
+    """The reference's one real unit test (cmu getMonthQuery,
+    test/cmu.test.js:8-39): month enumeration across a year boundary."""
+    df = spark.createDataFrame([("2019-11-15", "2020-02-10")], "a string, b string")
+    months = df.select(
+        month_sequence(F.to_timestamp("a"), F.to_timestamp("b")).alias("m")
+    ).first()["m"]
+    assert [str(m) for m in months] == ["2019-11-01", "2019-12-01", "2020-01-01", "2020-02-01"]
+
+
+def test_timestamp_scalars(spark):
+    df = spark.createDataFrame([("2024-02-11 10:30:00",)], "ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    row = df.select(
+        hour_ending(F.col("ts")).alias("he"),
+        days_in_month(F.col("ts")).alias("dim"),
+    ).first()
+    assert row["he"] == dt.datetime(2024, 2, 11, 11, 0)
+    assert row["dim"] == 29  # leap year
+
+
+def test_from_local_kolkata_shift(spark):
+    """cpcb.js:144-152: Asia/Kolkata local minus 3 h."""
+    df = spark.createDataFrame([("2024-06-01 12:00:00",)], "raw string")
+    got = df.select(
+        from_local(F.col("raw"), "yyyy-MM-dd HH:mm:ss", "Asia/Kolkata", -180).alias("ts")
+    ).first()["ts"]
+    # 12:00 IST = 06:30 UTC, minus 3h = 03:30 UTC
+    assert got == dt.datetime(2024, 6, 1, 3, 30)
+
+
+def test_melt_drops_nulls(spark):
+    df = spark.createDataFrame([(1, 10.0, None)], "id int, a double, b double")
+    out = melt(df, ["id"], ["a", "b"])
+    assert [(r.parameter, r.value) for r in out.collect()] == [("a", 10.0)]
+
+
+def test_explode_map_and_zip(spark):
+    df = spark.createDataFrame([(1, {"x": "1", "y": "2"})], "id int, m map<string,string>")
+    out = explode_map(df, "m")
+    assert sorted((r.parameter, r.value) for r in out.collect()) == [("x", "1"), ("y", "2")]
+
+    zdf = spark.createDataFrame(
+        [(["f1", "f2"], [["a", "b"], ["c", "d"]])],
+        "fields array<string>, data array<array<string>>",
+    )
+    recs = zip_arrays(zdf, "fields", "data").collect()
+    assert [r.record for r in recs] == [{"f1": "a", "f2": "b"}, {"f1": "c", "f2": "d"}]
+
+
+def test_nest_stations(spark):
+    df = spark.createDataFrame(
+        [
+            ("n1", "sys1", "s1", "pm25"),
+            ("n1", "sys1", "s2", "pm10"),
+            ("n1", "sys2", "s3", "co"),
+        ],
+        "node string, sys string, sensor_id string, param string",
+    )
+    out = nest_stations(df, ["node"], "sys", ["sensor_id", "param"]).first()
+    systems = {s["sys"]: s for s in out["sensor_systems"]}
+    assert len(systems) == 2
+    assert len(systems["sys1"]["sensors"]) == 2
+
+
+def test_measurand_normalize_expr(spark):
+    dim = measurand_dim(spark)
+    facts = spark.createDataFrame(
+        [("ozone1", 150.0), ("pressure", 101325.0), ("unsupported", 1.0)],
+        "input_param string, value double",
+    )
+    out = {r.parameter: r.value for r in join_and_normalize(facts, dim).collect()}
+    assert out["ozone"] == pytest.approx(0.15)  # ppb → ppm
+    assert out["pressure"] == pytest.approx(1013.25)  # Pa → hPa
+    assert "unsupported" not in out  # whitelist drop
+
+
+def test_coordinate_precision(spark):
+    df = spark.createDataFrame(
+        [(40.123, -79.456), (40.1, -79.456), (None, -79.456)], "lat double, lon double"
+    )
+    kept = df.filter(coordinate_precision(F.col("lat"), F.col("lon"), 3)).collect()
+    assert [(r.lat, r.lon) for r in kept] == [(40.123, -79.456)]
+
+
+def test_late_window(spark):
+    """airgradient.js:137-159: [now-3h, now-1h) hour-aligned."""
+    now = "2024-06-01 10:30:00"
+    df = spark.createDataFrame(
+        [("2024-06-01 06:59:00",), ("2024-06-01 07:00:00",), ("2024-06-01 08:30:00",),
+         ("2024-06-01 09:00:00",), ("2024-06-01 10:00:00",)],
+        "ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    kept = [str(r.ts) for r in df.filter(late_window(F.col("ts"), now, 1, 2)).collect()]
+    assert kept == ["2024-06-01 07:00:00", "2024-06-01 08:30:00"]
+
+
+def test_enrich_miss_report(spark):
+    facts = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "k int, v string")
+    dim = spark.createDataFrame([(1, "one")], "k int, name string")
+    enriched, misses = enrich_with_miss_report(facts, dim, "k")
+    assert enriched.count() == 3
+    assert sorted(r.k for r in misses.collect()) == [2, 3]
+
+
+def test_camel_and_pad(spark):
+    df = spark.createDataFrame([("some key_name",)], "s string")
+    row = df.select(
+        to_camel_case(F.col("s")).alias("c"), zero_pad(F.lit(7), 2).alias("p")
+    ).first()
+    assert row["c"] == "someKeyName"
+    assert row["p"] == "07"
+
+
+# --- multimodal plumbing ----------------------------------------------------
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_stub(b"bytes", "image")
+
+
+def test_extract_features_plumbing(spark):
+    assets = spark.createDataFrame(
+        [("a1", "image", bytearray(b"payload-1"), "image/png", None),
+         ("a2", "audio", None, "audio/wav", None)],
+        "asset_id string, modality string, payload binary, mime_type string, meta map<string,string>",
+    )
+    out = {r.asset_id: r for r in extract_features(assets).collect()}
+    assert out["a1"].decode_status == "ok"
+    assert len(out["a1"].feature) == 8
+    assert out["a1"].n_bytes == 9
+    assert out["a2"].decode_status == "null_payload"
+    # deterministic: same payload → same feature
+    again = {r.asset_id: r for r in extract_features(assets).collect()}
+    assert again["a1"].feature == out["a1"].feature
+
+
+def test_frame_sample_plan(spark):
+    assets = spark.createDataFrame(
+        [("v1", "video", bytearray(b"x" * 2048), "video/mp4", None)],
+        "asset_id string, modality string, payload binary, mime_type string, meta map<string,string>",
+    )
+    frames = [r.frame_index for r in frame_sample_plan(assets, every_n=1).collect()]
+    assert frames == [0, 1, 2]
