@@ -129,6 +129,8 @@ def signature_similarity(
     sig_b = signatures.select(
         F.col(id_col).alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)]
     )
+    # per-doc signature table: joins stay hash-partitioned on doc id —
+    # AQE downgrades to broadcast when the corpus side is small
     joined = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
     matches = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
@@ -156,7 +158,9 @@ def ngram_jaccard_pairs(
 
     Output: (id_a, id_b, jaccard) with jaccard ≥ threshold.
     """
-    sh = shingle_table(docs, id_col, text_col, shingle_n)
+    # the shingle table feeds three plan branches (self-join a/b +
+    # sizes) — cache it once instead of recomputing explode+hash 3×
+    sh = shingle_table(docs, id_col, text_col, shingle_n).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -168,6 +172,8 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # per-doc size table: NOT a broadcast hint — it scales with the
+    # corpus (unlike true dimensions); AQE broadcasts it when small
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     jac = (

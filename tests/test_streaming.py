@@ -1,0 +1,93 @@
+"""Streaming semantics (SURVEY.md §2.8): watermark dedup, stateful
+station registry across micro-batches, foreachBatch upsert."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import functions as F
+
+from openaq_lcs_fetch_spark.sinks.stations import diff_upsert  # noqa: F401 (bridge target)
+from openaq_lcs_fetch_spark.streaming.pipeline import (
+    dedup_within_watermark,
+    run_available_now,
+)
+from openaq_lcs_fetch_spark.streaming.stateful import (
+    changed_stations,
+    foreach_batch_upsert,
+)
+
+STATION_DDL = "sensor_node_id string, site string, lat double"
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _station_stream(spark, srcdir):
+    return (
+        spark.readStream.schema(STATION_DDL)
+        .option("maxFilesPerTrigger", "1")  # one micro-batch per file
+        .json(srcdir)
+    )
+
+
+def test_changed_stations_state_across_batches(spark, tmp_path):
+    """T5: batch 2 re-sends station n1 unchanged (elided by state) and
+    n2 changed (emitted)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(src / "b1.json", [
+        {"sensor_node_id": "n1", "site": "A", "lat": 1.0},
+        {"sensor_node_id": "n2", "site": "B", "lat": 2.0},
+    ])
+    _write_jsonl(src / "b2.json", [
+        {"sensor_node_id": "n1", "site": "A", "lat": 1.0},      # unchanged
+        {"sensor_node_id": "n2", "site": "B2", "lat": 2.0},     # changed
+    ])
+    out = run_available_now(changed_stations(_station_stream(spark, str(src)), "sensor_node_id"))
+    rows = sorted((r.sensor_node_id, r.site) for r in out.collect())
+    assert rows == [("n1", "A"), ("n2", "B"), ("n2", "B2")]
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    """T3/T4: overlapping re-reads deduped on (sensor, ts)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"sensor_id": "s1", "ts": "2024-01-01T00:00:00", "v": 1.0},
+        {"sensor_id": "s1", "ts": "2024-01-01T00:01:00", "v": 2.0},
+    ]
+    _write_jsonl(src / "b1.json", rows)
+    _write_jsonl(src / "b2.json", rows)  # the 2-minute overlap re-read
+    stream = (
+        spark.readStream.schema("sensor_id string, ts string, v double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = run_available_now(dedup_within_watermark(stream, ["sensor_id", "ts"]))
+    assert out.count() == 2  # 4 raw rows → 2 unique
+
+
+def test_foreach_batch_upsert(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(src / "b1.json", [{"sensor_node_id": "n1", "site": "A", "lat": 1.0}])
+    _write_jsonl(src / "b2.json", [{"sensor_node_id": "n1", "site": "A9", "lat": 1.0}])
+    store = str(tmp_path / "store")
+    q = (
+        foreach_batch_upsert(_station_stream(spark, str(src)), store, "sensor_node_id")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{uuid.uuid4().hex[:6]}"))
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(store).collect()
+    assert len(final) == 1
+    assert final[0]["site"] == "A9"  # last batch won the merge
