@@ -428,3 +428,182 @@ def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("k").cast("decimal(27,0)")).cast("double").alias("sum_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# recent_orders — O1/O2: descending sort + limit compiles to
+# TakeOrderedAndProject (the Spark twin of cmu's 'orderBy name desc' +
+# early-exit scan, cmu.js:246-274) — no global sort materializes.
+# ---------------------------------------------------------------------------
+
+_RECENT_ORACLE = """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders
+ORDER BY o_orderdate DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+@query("recent_orders", _RECENT_ORACLE)
+def recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# latest_complete_hour — A6/F9: the hour-aligned late-data window
+# [now-3h, now-1h) (airgradient.js:137-172) with hour-ending labels.
+# 'now' is pinned for determinism (the provider passes wall clock).
+# ---------------------------------------------------------------------------
+
+_LATEST_HOUR_ORACLE = """
+SELECT date_trunc('hour', ts) + INTERVAL 1 HOUR AS hour_ending,
+       event_type, COUNT(*) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-30 21:00:00'
+  AND ts <  TIMESTAMP '2024-01-30 23:00:00'
+GROUP BY 1, 2
+"""
+
+
+@query("latest_complete_hour", _LATEST_HOUR_ORACLE)
+def latest_complete_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.timestamps import hour_ending
+    from ..operators.filters import late_window
+
+    e = t(spark, sf_dir, "events")
+    windowed = e.filter(
+        late_window(F.col("ts"), "2024-01-31 00:00:00", lag_hours=1, span_hours=2)
+    )
+    return windowed.groupBy(
+        hour_ending(F.col("ts")).alias("hour_ending"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# order_calendar — C8 calendar math: month-range enumeration incl. year
+# crossover (the reference's one unit-tested function, cmu getMonthQuery,
+# test/cmu.test.js:8-39) left-joined to per-month order counts so empty
+# months surface as zero.
+# ---------------------------------------------------------------------------
+
+_CALENDAR_ORACLE = """
+WITH months AS (
+  SELECT unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-08-01',
+                                INTERVAL 1 MONTH)) AS month_start
+),
+c AS (
+  SELECT date_trunc('month', o_orderdate) AS month_start, COUNT(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT m.month_start, COALESCE(c.n, 0) AS n_orders
+FROM months m LEFT JOIN c USING (month_start)
+"""
+
+
+@query("order_calendar", _CALENDAR_ORACLE)
+def order_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.timestamps import month_sequence
+
+    months = spark.range(1).select(
+        F.explode(
+            month_sequence(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("2001-08-01").cast("timestamp"),
+            )
+        ).alias("m")
+    ).select(F.col("m").cast("timestamp").alias("month_start"))
+    counts = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return months.join(counts, "month_start", "left").select(
+        "month_start", F.coalesce(F.col("n"), F.lit(0)).alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# distinct_pairs — A8 set-semantics dedup on append (clarity.js:51-56
+# includes() guard → distinct on the key columns).
+# ---------------------------------------------------------------------------
+
+_PAIRS_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@query("distinct_pairs", _PAIRS_ORACLE)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_on_append
+
+    return dedup_on_append(t(spark, sf_dir, "events"), ["user_id", "event_type"])
+
+
+# ---------------------------------------------------------------------------
+# ingest_id_join — J3: station and measure sides independently derive the
+# same surrogate ingest id ('{source}-{station}-{parameter}', the
+# matching_method 'ingest-id' contract, clarity.js:181-185) and meet on
+# an equi-join.
+# ---------------------------------------------------------------------------
+
+_INGEST_JOIN_ORACLE = """
+WITH params AS (SELECT unnest(['clicks', 'views', 'revenue', 'signups']) AS parameter),
+stations AS (
+  SELECT 'events-' || CAST(c_custkey AS VARCHAR) || '-' || parameter AS sensor_id, c_name
+  FROM customer, params
+  WHERE c_custkey < 150
+),
+measures AS (
+  SELECT 'events-' || CAST(user_id AS VARCHAR) || '-' ||
+         CASE event_type WHEN 'click' THEN 'clicks' WHEN 'view' THEN 'views'
+                         WHEN 'purchase' THEN 'revenue' WHEN 'signup' THEN 'signups' END AS sensor_id
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase', 'signup')
+)
+SELECT s.c_name, COUNT(*) AS n_measures
+FROM measures m JOIN stations s ON m.sensor_id = s.sensor_id
+GROUP BY s.c_name
+"""
+
+
+@query("ingest_id_join", _INGEST_JOIN_ORACLE)
+def ingest_id_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    params = spark.createDataFrame(
+        [("clicks",), ("views",), ("revenue",), ("signups",)], "parameter string"
+    )
+    stations = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 150)
+        .crossJoin(params)
+        .select(
+            sensor_id(
+                F.lit("events"), F.col("c_custkey").cast("string"), F.col("parameter")
+            ).alias("sensor_id"),
+            "c_name",
+        )
+    )
+    param_map = (
+        F.when(F.col("event_type") == "click", "clicks")
+        .when(F.col("event_type") == "view", "views")
+        .when(F.col("event_type") == "purchase", "revenue")
+        .when(F.col("event_type") == "signup", "signups")
+    )
+    measures = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view", "purchase", "signup"))
+        .select(
+            sensor_id(
+                F.lit("events"), F.col("user_id").cast("string"), param_map
+            ).alias("sensor_id")
+        )
+    )
+    return (
+        measures.join(F.broadcast(stations), "sensor_id")
+        .groupBy("c_name")
+        .agg(F.count(F.lit(1)).alias("n_measures"))
+    )

@@ -10,3 +10,4 @@ from .base import REGISTRY, Provider, processor, register  # noqa: F401
 from . import wide_csv  # noqa: F401
 from . import zip_arrays  # noqa: F401
 from . import keyed_map  # noqa: F401
+from . import mobile  # noqa: F401

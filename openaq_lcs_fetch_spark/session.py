@@ -32,8 +32,38 @@ RUNTIME_CONF: dict[str, str] = {
 }
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers even when
+    the driver process wasn't launched from the repo directory (worker
+    processes don't inherit the driver's sys.path mutations). Zips the
+    package once per session and distributes it via addPyFile."""
+    if getattr(spark, "_openaq_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}_{os.getpid()}_{id(spark) & 0xFFFF}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # e.g. Spark Connect without SparkContext — PYTHONPATH must cover it
+    setattr(spark, "_openaq_pkg_shipped", True)
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing session (idempotent, cheap)."""
+    ship_package(spark)
     conf = dict(RUNTIME_CONF)
     # Size the shuffle for the harness: local CPUs, not the 200 default.
     # (On a real cluster AQE coalescing + explicit repartition in the

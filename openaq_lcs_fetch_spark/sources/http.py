@@ -87,6 +87,9 @@ def register(spark: SparkSession) -> None:
     """Register the datasource on a session (idempotent)."""
     if not HAS_DATASOURCE_API:  # pragma: no cover
         raise RuntimeError("PySpark >= 4 required for the Python DataSource API")
+    from ..session import ship_package
+
+    ship_package(spark)  # fetcher modules must import on executors
     try:
         spark.dataSource.register(PaginatedHTTPDataSource)
     except Exception:

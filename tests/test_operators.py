@@ -181,3 +181,35 @@ def test_frame_sample_plan(spark):
     )
     frames = [r.frame_index for r in frame_sample_plan(assets, every_n=1).collect()]
     assert frames == [0, 1, 2]
+
+
+# --- geo (C9) ---------------------------------------------------------------
+
+
+def test_split_latlon_and_geometry(spark):
+    from openaq_lcs_fetch_spark.functions.geo import latlon_to_geometry, split_latlon
+
+    df = spark.createDataFrame([("40.44, -79.94",)], "s string")
+    row = df.select(split_latlon(F.col("s")).alias("p")).select(
+        "p.lat", "p.lon", latlon_to_geometry(F.col("p.lat"), F.col("p.lon")).alias("g")
+    ).first()
+    assert (row["lat"], row["lon"]) == (40.44, -79.94)
+    assert row["g"] == [-79.94, 40.44]  # [lon, lat] order (station.js:10)
+
+
+def test_tz_lookup_join(spark):
+    from openaq_lcs_fetch_spark.functions.geo import tz_dim, tz_lookup_join
+
+    df = spark.createDataFrame(
+        [("pitt", 40.44, -79.94), ("delhi", 28.6, 77.2), ("ocean", 0.0, -150.0)],
+        "id string, lat double, lon double",
+    )
+    out = {r.id: r.timezone for r in tz_lookup_join(df, "lat", "lon", tz_dim(spark)).collect()}
+    assert out == {"pitt": "America/New_York", "delhi": "Asia/Kolkata", "ocean": "UTC"}
+
+
+def test_tz_pandas_udf_gated():
+    from openaq_lcs_fetch_spark.functions.geo import tz_pandas_udf
+
+    with pytest.raises(NotImplementedError, match="timezonefinder"):
+        tz_pandas_udf()

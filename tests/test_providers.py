@@ -141,3 +141,33 @@ def test_keyed_map_provider(spark, tmp_path):
     assert not any("unsupported" in k for k in rows)
     assert rows["keyed_map-d2-temperature"].measure == pytest.approx(22.5)
     assert stations.count() == 2
+
+
+# --- mobile (habitatmap shape: paginated source + overlap dedup + coords) ---
+
+
+def test_mobile_provider(spark):
+    measures, stations = processor(spark, {
+        "schema": "v1", "provider": "mobile", "frequency": "minute", "active": True,
+        "meta": {"pages": "3", "page_size": "8"},
+    })
+    rows = measures.collect()
+    # MobileMeasure shape: per-reading coordinates present
+    assert all(r.longitude is not None and r.latitude is not None for r in rows)
+    # T4: the 2-row page overlaps are deduped on (sensor_id, timestamp)
+    keys = [(r.sensor_id, r.timestamp) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert measures.count() == 24  # 3 pages × 8 unique rows
+    st = {r.sensor_node_id for r in stations.collect()}
+    assert st == {"sess-0", "sess-1", "sess-2"}
+    assert all(r.sensor_node_ismobile for r in stations.collect())
+
+
+def test_mobile_provider_no_future(spark):
+    # drop_future_after: rows beyond 'now' are dropped (utils.js:183-193)
+    measures, _ = processor(spark, {
+        "schema": "v1", "provider": "mobile", "frequency": "minute", "active": True,
+        "meta": {"pages": "3", "page_size": "8", "now": "2023-11-14T22:18:00"},
+    })
+    assert measures.count() < 24
+    assert measures.agg(F.max("timestamp")).first()[0].isoformat() <= "2023-11-14T22:18:00"
