@@ -1,0 +1,112 @@
+"""Engine facade — the user-facing API tying the layers together.
+
+``run_source`` is the full per-source lifecycle of the reference's
+fetcher (SURVEY.md §3.1: dispatch → provider dataflow → station upsert
+→ measures sink → checkpoint → run log), as one batch job. The
+streaming flavor of the same pipelines lives in streaming/.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import tables
+from .providers import processor
+from .session import get_spark, tune
+from .sinks.log import publish, summarize
+from .sinks.measures import assemble_v01, write_measures_csv, write_measures_json
+from .sinks.stations import diff_upsert
+from .sources.checkpoint import CheckpointStore, advance
+
+
+class Engine:
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = tune(spark) if spark is not None else get_spark()
+
+    # -- analytics surface --------------------------------------------------
+
+    def table(self, sf_dir: str, name: str) -> DataFrame:
+        return tables.load(self.spark, sf_dir, name)
+
+    def sql(self, query: str, sf_dir: str | None = None) -> DataFrame:
+        """spark.sql over the registered testdata views (registered on
+        first use per sf_dir)."""
+        if sf_dir is not None:
+            tables.register_views(self.spark, sf_dir)
+        return self.spark.sql(query)
+
+    # -- ingestion surface --------------------------------------------------
+
+    def run_source(
+        self,
+        config: dict[str, Any],
+        out_root: str,
+        dry_run: bool = False,
+    ) -> dict[str, Any]:
+        """One bounded ingestion run for one source (the reference's
+        Lambda invocation, fetcher/index.js:12-35). Returns the run log.
+
+        dry_run short-circuits the sinks (reference DRYRUN,
+        providers.js:151-155) and reports would-be outputs.
+        """
+        provider = config["provider"]
+        try:
+            measures, stations = processor(self.spark, config)
+            log = summarize(measures, provider)
+            log["n_stations"] = stations.count()
+            if dry_run:
+                log["status"] = "dry-run"
+                return log
+
+            sink_kind = config.get("meta", {}).get("sink", "csv")
+            if sink_kind == "json":
+                locations = stations.selectExpr(
+                    "sensor_node_id AS location",
+                    "coalesce(sensor_node_site_name, sensor_node_id) AS label"
+                    if "sensor_node_site_name" in stations.columns
+                    else "sensor_node_id AS label",
+                    "sensor_node_ismobile AS ismobile",
+                    "sensor_node_geometry[0] AS lon"
+                    if "sensor_node_geometry" in stations.columns
+                    else "CAST(NULL AS DOUBLE) AS lon",
+                    "sensor_node_geometry[1] AS lat"
+                    if "sensor_node_geometry" in stations.columns
+                    else "CAST(NULL AS DOUBLE) AS lat",
+                )
+                payload = assemble_v01(
+                    measures.filter("measure IS NOT NULL"), locations, provider
+                )
+                log["measures_path"] = write_measures_json(payload, out_root, provider)
+            else:
+                log["measures_path"] = write_measures_csv(
+                    measures.filter("measure IS NOT NULL"), out_root, provider
+                )
+
+            log["stations"] = diff_upsert(
+                self.spark, stations, f"{out_root}/stations/{provider}", "sensor_node_id"
+            )
+            store = CheckpointStore(out_root)
+            log["checkpoint"] = advance(store, provider, measures, "timestamp")
+            log["status"] = "fetcher/success"
+            publish(
+                self.spark,
+                f"{out_root}/runlog",
+                provider,
+                log["status"],
+                n_measures=log["n_measures"],
+                from_ts=log["from_ts"],
+                to_ts=log["to_ts"],
+            )
+            return log
+        except Exception as e:
+            # reference: any throw → SNS 'fetcher/error' (index.js:31-34)
+            try:
+                publish(
+                    self.spark, f"{out_root}/runlog", provider, "fetcher/error",
+                    message=str(e)[:500],
+                )
+            except Exception:
+                pass
+            raise

@@ -11,6 +11,7 @@ from . import etl  # noqa: F401
 from . import textops  # noqa: F401
 from . import simsearch  # noqa: F401
 from . import streaming_q  # noqa: F401
+from . import windows_q  # noqa: F401
 
 QUERIES = registry.QUERIES
 

@@ -1,0 +1,155 @@
+"""Windowing + multi-level aggregation queries (SURVEY.md T6 'absent in
+reference — we add them' + §2.5 note on grouping sets).
+
+These extend the engine beyond the reference's surface: rollup grouping
+sets, gap-based session windows, and sliding windows — each still
+oracle-verified (DuckDB shares the semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import query, sql_exact_sum, t
+
+# ---------------------------------------------------------------------------
+# pricing_rollup — ROLLUP grouping sets (partial + grand totals). Spark
+# rollup == DuckDB ROLLUP: grouping columns are NULL on total rows.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       {sql_exact_sum('l_quantity', 2)} AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("pricing_rollup", _ROLLUP_ORACLE)
+def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(27,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# user_sessions — gap-based sessionization (30-min inactivity gap) via
+# lag + running sum. The batch twin of a streaming session window; the
+# per-user window partitions hash-distribute, no global sort.
+# ---------------------------------------------------------------------------
+
+_SESSIONS_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM gaps
+)
+SELECT user_id, session_no, COUNT(*) AS n,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sess GROUP BY user_id, session_no
+"""
+
+
+@query("user_sessions", _SESSIONS_ORACLE)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    new_sess = F.when(gap > 1800, 1).when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "ts",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "session_no"
+        ),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sliding_3h_counts — sliding window (width 3h, slide 1h) via Spark's
+# native F.window; oracle enumerates the 3 member windows per row.
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = """
+SELECT window_start, COUNT(*) AS n
+FROM (
+  SELECT date_trunc('hour', ts) - o * INTERVAL 1 HOUR AS window_start
+  FROM events, (SELECT unnest([0, 1, 2]) AS o)
+)
+GROUP BY window_start
+"""
+
+
+@query("sliding_3h_counts", _SLIDING_ORACLE)
+def sliding_3h_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "3 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_near_dups — the embedding-cosine near-dup path: LSH-bucket
+# candidates (equi-join, never all-pairs) + exact cosine verify + threshold.
+# ---------------------------------------------------------------------------
+
+
+def _near_dup_oracle() -> str:
+    from .simsearch import _ann_oracle
+
+    return f"""
+WITH buckets AS ({_ann_oracle().strip()}),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT c.id_a, c.id_b,
+       ROUND(list_cosine_similarity(va.v, vb.v), 6) AS cos_sim
+FROM cand c JOIN ve va ON va.vec_id = c.id_a JOIN ve vb ON vb.vec_id = c.id_b
+WHERE ROUND(list_cosine_similarity(va.v, vb.v), 6) >= 0.8
+"""
+
+
+@query("embedding_near_dups", _near_dup_oracle())
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import cosine
+    from .simsearch import _N_PLANES, _plane_dot, _quantized
+
+    e = t(spark, sf_dir, "embeddings")
+    df = e.select("vec_id", "embedding", _quantized(F.col("embedding")).alias("q"))
+    bucket = F.lit(0).cast("long")
+    for j in range(_N_PLANES):
+        bucket = bucket + F.when(_plane_dot(F.col("q"), j) >= 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    b = df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), bucket.alias("bucket")
+    ).cache()
+    a, c = b.alias("a"), b.alias("b")
+    cand = a.join(c, on="bucket").filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    scored = cand.select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+    )
+    return scored.filter(F.col("cos_sim") >= 0.8)

@@ -1,0 +1,76 @@
+"""CLI + engine facade: the reference's local entry path end-to-end."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_fixture(tmp_path):
+    lines = [
+        {"device_id": "d1", "ts": "2024-06-01T00:00:00", "lat": 1.0, "lon": 2.0,
+         "readings": {"pm25": "15.0", "temp": "21.0"}},
+        {"device_id": "d2", "ts": "2024-06-01T01:00:00", "lat": 3.0, "lon": 4.0,
+         "readings": {"pm25": "12.0"}},
+    ]
+    p = tmp_path / "feed.jsonl"
+    p.write_text("\n".join(json.dumps(x) for x in lines))
+    return str(p)
+
+
+def _run_cli(args):
+    return subprocess.run(
+        [sys.executable, "-m", "openaq_lcs_fetch_spark", *args],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+
+
+def test_cli_end_to_end(tmp_path):
+    feed = _write_fixture(tmp_path)
+    cfg = {"schema": "v1", "provider": "keyed_map", "frequency": "hour",
+           "active": True, "meta": {"path": feed}}
+    cfg_path = tmp_path / "sources.json"
+    cfg_path.write_text(json.dumps([cfg]))
+    out = tmp_path / "out"
+
+    res = _run_cli(["--config", str(cfg_path), "--source", "keyed_map", "--out", str(out)])
+    assert res.returncode == 0, res.stderr[-2000:]
+    log = json.loads(res.stdout.strip().splitlines()[-1])
+    assert log["status"] == "fetcher/success"
+    assert log["n_measures"] == 3
+    assert log["stations"]["written"] == 2
+    assert log["checkpoint"]["high_water_mark"].startswith("2024-06-01T01")
+    assert glob.glob(f"{out}/measures/keyed_map/*.csv.gz")
+    assert os.path.exists(f"{out}/meta/keyed_map.json")
+
+
+def test_cli_dry_run_and_missing_source(tmp_path):
+    feed = _write_fixture(tmp_path)
+    cfg_path = tmp_path / "sources.json"
+    cfg_path.write_text(json.dumps({"schema": "v1", "provider": "keyed_map",
+                                    "frequency": "hour", "active": True,
+                                    "meta": {"path": feed}}))
+    out = tmp_path / "out"
+    res = _run_cli(["--config", str(cfg_path), "--dry-run", "--out", str(out)])
+    assert res.returncode == 0, res.stderr[-2000:]
+    log = json.loads(res.stdout.strip().splitlines()[-1])
+    assert log["status"] == "dry-run"
+    assert not os.path.exists(f"{out}/measures")  # sinks skipped
+
+    res2 = _run_cli(["--config", str(cfg_path), "--source", "nope", "--out", str(out)])
+    assert res2.returncode == 2
+    assert "no source named" in res2.stderr
+
+
+def test_engine_sql_facade(spark, sf_dir):
+    from openaq_lcs_fetch_spark.engine import Engine
+
+    eng = Engine(spark)
+    n = eng.sql("SELECT COUNT(*) AS n FROM lineitem", sf_dir).first()["n"]
+    assert n > 0
