@@ -36,6 +36,10 @@ HEADLINE = (
     "doc_quality",
     "cosine_topk",
     "ann_bucket_search",
+    "embedding_near_dups",
+    "pricing_rollup",
+    "user_sessions",
+    "sliding_3h_counts",
     "streaming_hourly",
 )
 

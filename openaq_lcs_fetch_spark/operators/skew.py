@@ -1,0 +1,69 @@
+"""Skew mitigation (SURVEY.md build-plan note: 'skewed keys → salting
+or AQE skew-join').
+
+AQE's skew-join split (enabled in session.RUNTIME_CONF) handles join
+skew at runtime; these helpers cover the cases AQE doesn't: skewed
+*aggregations* and deliberate pre-salting for known-hot keys (a
+handful of sensors produce most readings — the air-quality reality).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation under key skew: partial agg on
+    (keys, salt) — spreading each hot key over ``salt_buckets``
+    reducers — then final agg on keys.
+
+    ``aggs`` maps column → 'sum'|'count'|'min'|'max' (the re-aggregable
+    functions; avg = sum+count composed by the caller).
+    """
+    salted = df.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    partial_aggs, final_aggs = [], []
+    for col, how in aggs.items():
+        p = f"_p_{col}_{how}"
+        if how == "count":
+            partial_aggs.append(F.count(col).alias(p))
+            final_aggs.append(F.sum(p).alias(f"{how}_{col}"))
+        elif how == "sum":
+            partial_aggs.append(F.sum(col).alias(p))
+            final_aggs.append(F.sum(p).alias(f"{how}_{col}"))
+        elif how == "min":
+            partial_aggs.append(F.min(col).alias(p))
+            final_aggs.append(F.min(p).alias(f"{how}_{col}"))
+        elif how == "max":
+            partial_aggs.append(F.max(col).alias(p))
+            final_aggs.append(F.max(p).alias(f"{how}_{col}"))
+        else:
+            raise ValueError(f"non-re-aggregable function {how!r}")
+    partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skewed fact⋈dim equi-join when the dim is too big to broadcast:
+    salt the fact side randomly, explode the dim side across all salts,
+    join on (key, salt) — each hot key spreads over ``salt_buckets``
+    tasks."""
+    f = facts.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return f.join(d, on=[on, "_salt"]).drop("_salt")

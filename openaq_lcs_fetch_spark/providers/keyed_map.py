@@ -35,6 +35,33 @@ LOOKUP = (
 )
 
 
+RAW_SCHEMA = (
+    "device_id string, ts string, lat double, lon double, readings map<string,string>"
+)
+
+
+def transform_measures(raw: DataFrame, dim: DataFrame, provider: str) -> DataFrame:
+    """The pure dataflow: raw keyed-map rows → normalized measures.
+
+    Batch/streaming agnostic — every step is a narrow DataFrame
+    transformation (melt, broadcast join, scalar exprs), so the same
+    function runs on ``spark.read`` and ``spark.readStream`` inputs
+    (see streaming/provider_stream.py).
+    """
+    melted = explode_map(raw, "readings", key_name="input_param", value_name="raw_value")
+    joined = melted.join(F.broadcast(dim), on="input_param", how="inner")
+    return joined.select(
+        sensor_id(F.lit(provider), F.col("device_id"), F.col("parameter")).alias(
+            "sensor_id"
+        ),
+        (clean_measure(F.col("raw_value")) * F.col("scale")).alias("measure"),
+        from_iso(F.col("ts")).alias("timestamp"),
+        F.col("lon").alias("longitude"),
+        F.col("lat").alias("latitude"),
+        sentinel_flag(F.col("raw_value")).alias("flags"),
+    ).filter(F.col("measure").isNotNull() | F.col("flags").isNotNull())
+
+
 @register
 class KeyedMapProvider(Provider):
     name = "keyed_map"
@@ -43,24 +70,10 @@ class KeyedMapProvider(Provider):
         self, spark: SparkSession, config: dict[str, Any]
     ) -> tuple[DataFrame, DataFrame]:
         meta = config.get("meta", {})
-        raw = read_json(
-            spark,
-            meta["path"],
-            "device_id string, ts string, lat double, lon double, readings map<string,string>",
+        raw = read_json(spark, meta["path"], RAW_SCHEMA)
+        measures = transform_measures(
+            raw, measurand_dim(spark, LOOKUP), config["provider"]
         )
-        melted = explode_map(raw, "readings", key_name="input_param", value_name="raw_value")
-        dim = measurand_dim(spark, LOOKUP)
-        joined = melted.join(F.broadcast(dim), on="input_param", how="inner")
-        measures = joined.select(
-            sensor_id(F.lit(config["provider"]), F.col("device_id"), F.col("parameter")).alias(
-                "sensor_id"
-            ),
-            (clean_measure(F.col("raw_value")) * F.col("scale")).alias("measure"),
-            from_iso(F.col("ts")).alias("timestamp"),
-            F.col("lon").alias("longitude"),
-            F.col("lat").alias("latitude"),
-            sentinel_flag(F.col("raw_value")).alias("flags"),
-        ).filter(F.col("measure").isNotNull() | F.col("flags").isNotNull())
 
         stations = first_per_key(
             raw.select(

@@ -91,3 +91,29 @@ def test_foreach_batch_upsert(spark, tmp_path):
     final = spark.read.parquet(store).collect()
     assert len(final) == 1
     assert final[0]["site"] == "A9"  # last batch won the merge
+
+
+def test_keyed_map_provider_stream(spark, tmp_path):
+    """Phase 3: the batch provider's transform running as a real
+    streaming job, with watermark dedup, draining to parquet."""
+    from openaq_lcs_fetch_spark.streaming.provider_stream import (
+        keyed_map_stream,
+        start_to_parquet,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    row = {"device_id": "d1", "ts": "2024-06-01T00:00:00", "lat": 1.0, "lon": 2.0,
+           "readings": {"pm25": "15.0"}}
+    _write_jsonl(src / "b1.json", [row])
+    _write_jsonl(src / "b2.json", [row,  # exact duplicate re-read
+                                   {**row, "ts": "2024-06-01T01:00:00"}])
+    cfg = {"schema": "v1", "provider": "keyed_map", "frequency": "hour",
+           "active": True, "meta": {"path": str(src)}}
+    measures = keyed_map_stream(spark, cfg)
+    q = start_to_parquet(measures, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+                         available_now=True)
+    q.awaitTermination()
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == 2  # 3 raw readings, 1 duplicate dropped
+    assert {r.sensor_id for r in got.collect()} == {"keyed_map-d1-pm25"}
