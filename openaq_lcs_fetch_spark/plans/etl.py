@@ -607,3 +607,30 @@ def ingest_id_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_name")
         .agg(F.count(F.lit(1)).alias("n_measures"))
     )
+
+
+# ---------------------------------------------------------------------------
+# value_percentiles — exact interpolated percentiles per key (the
+# analytics-layer summary the reference's run logs approximate with
+# min/max; Spark percentile == DuckDB quantile_cont bit-for-bit).
+# At 100 TB swap percentile → approx_percentile (t-digest) — same plan
+# shape, sketch-mergeable.
+# ---------------------------------------------------------------------------
+
+_PERCENTILES_ORACLE = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+@query("value_percentiles", _PERCENTILES_ORACLE)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )

@@ -25,6 +25,8 @@ RUNTIME_CONF: dict[str, str] = {
     # events.parquet stores TIMESTAMP(NANOS) which Spark won't map to
     # TimestampType; read as long and convert in tables.load_events.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # let the paginated-HTTP DataSource accept pushed filters (F2)
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -35,6 +35,29 @@ except ImportError:  # pragma: no cover - older PySpark
     DataSourceReader = object  # type: ignore[assignment,misc]
     InputPartition = object  # type: ignore[assignment,misc]
 
+try:  # filter pushdown classes (PySpark >= 4.1)
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    _PUSHABLE = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+    _OPS = {
+        "EqualTo": lambda a, b: a == b,
+        "GreaterThan": lambda a, b: a > b,
+        "GreaterThanOrEqual": lambda a, b: a >= b,
+        "LessThan": lambda a, b: a < b,
+        "LessThanOrEqual": lambda a, b: a <= b,
+    }
+    HAS_FILTER_PUSHDOWN = True
+except ImportError:  # pragma: no cover
+    _PUSHABLE = ()
+    _OPS = {}
+    HAS_FILTER_PUSHDOWN = False
+
 
 def resolve_fetcher(spec: str) -> Callable[[dict, int], list]:
     """'pkg.mod:func' → callable (importable on executors)."""
@@ -51,11 +74,28 @@ if HAS_DATASOURCE_API:
             self.end = end
 
     class PaginatedReader(DataSourceReader):
+        """F2 source-side predicate pushdown: Catalyst offers the scan's
+        filters via pushFilters; simple comparisons are accepted and
+        (a) forwarded to the fetcher as request options — the Spark twin
+        of purpleair's max_age/location_type URL params
+        (purpleair.js:120-125) — and (b) re-applied to fetched rows, so
+        a fetcher that ignores them stays correct."""
+
         def __init__(self, schema, options: dict):
             self._schema = schema
             self._options = dict(options)
             self._pages = int(options.get("pages", 1))
             self._pages_per_task = int(options.get("pages_per_task", 1))
+            self._pushed: list = []
+
+        def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+            for f in filters:
+                if isinstance(f, _PUSHABLE) and len(f.attribute) == 1:
+                    self._pushed.append(
+                        (type(f).__name__, f.attribute[0], f.value)
+                    )
+                else:
+                    yield f  # not supported here → Spark applies it
 
         def partitions(self) -> Sequence["PageRange"]:
             step = self._pages_per_task
@@ -65,9 +105,25 @@ if HAS_DATASOURCE_API:
             ]
 
         def read(self, partition: "PageRange") -> Iterator[tuple]:
-            fetch = resolve_fetcher(self._options["fetcher"])
+            opts = dict(self._options)
+            if self._pushed:
+                # expose to the fetcher (it may translate these into API
+                # query params, e.g. max_age / modified_since)
+                opts["pushed_filters"] = repr(self._pushed)
+            fetch = resolve_fetcher(opts["fetcher"])
+            idx = {f.name: i for i, f in enumerate(self._schema.fields)}
+            preds = [
+                (_OPS[op], idx[col], val)
+                for op, col, val in self._pushed
+                if col in idx
+            ]
             for page in range(partition.start, partition.end):
-                yield from fetch(self._options, page)
+                for row in fetch(opts, page):
+                    if all(
+                        row[i] is not None and op(row[i], val)
+                        for op, i, val in preds
+                    ):
+                        yield row
 
     class PaginatedHTTPDataSource(DataSource):
         """spark.read.format('paginated_http')
