@@ -181,7 +181,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _simhash_oracle() -> str:
+def _simhash_ctes() -> str:
+    """CTE chain ending in ``sim(doc_id, simhash)`` — shared by the
+    simhash query and the near-dup query."""
     votes = ", ".join(
         f"SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
         for j in range(SIM.SIMHASH_BITS)
@@ -191,12 +193,16 @@ def _simhash_oracle() -> str:
         for j in range(SIM.SIMHASH_BITS)
     )
     return f"""
-WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 tokx AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM toks),
 th AS (SELECT doc_id, {_sql_hmod('tok')} AS th FROM tokx),
-votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id)
-SELECT doc_id, {acc} AS simhash FROM votes
+votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id),
+sim AS (SELECT doc_id, {acc} AS simhash FROM votes)
 """
+
+
+def _simhash_oracle() -> str:
+    return f"WITH {_simhash_ctes()} SELECT doc_id, simhash FROM sim"
 
 
 @query("simhash_docs", _simhash_oracle())
@@ -336,4 +342,121 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("text").alias("modality"),
         F.length(payload).alias("n_bytes"),
         F.sha2(payload, 256).alias("digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash_near_dups — the SimHash dedup end-game: byte-band the 32-bit
+# hash (pigeonhole: hamming<=3 pairs must share a band), candidates via
+# band equi-join, exact hamming verify via bit_count(xor).
+# ---------------------------------------------------------------------------
+
+_HAMMING_MAX = 10
+
+
+def _simhash_near_oracle() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS band, (simhash >> {8 * j}) & 255 AS byte FROM sim"
+        for j in range(4)
+    )
+    return f"""
+WITH {_simhash_ctes()},
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sh_a, b.doc_id AS id_b, b.simhash AS sh_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= {_HAMMING_MAX}
+"""
+
+
+@query("simhash_near_dups", _simhash_near_oracle())
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = SIM.simhash(t(spark, sf_dir, "documents"), "doc_id", "text").cache()
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.shiftright(F.col("simhash"), 8 * j).bitwiseAND(F.lit(255)).alias("byte"),
+                )
+                for j in range(4)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band", "b.byte")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, on=["band", "byte"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= _HAMMING_MAX
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_clean — the composite training-data pipeline: exact-dedup
+# (canonical min-id per content hash) → language filter → quality
+# threshold → per-source stats. One declarative plan end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def _corpus_clean_oracle() -> str:
+    lang_case = (
+        "CASE WHEN GREATEST(en_s, de_s, es_s) > 0 AND en_s = GREATEST(en_s, de_s, es_s) THEN 'en' "
+        "WHEN GREATEST(en_s, de_s, es_s) > 0 AND de_s = GREATEST(en_s, de_s, es_s) THEN 'de' "
+        "WHEN GREATEST(en_s, de_s, es_s) > 0 AND es_s = GREATEST(en_s, de_s, es_s) THEN 'es' "
+        "ELSE 'und' END"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, source, text, {_SQL_TOKS} AS toks FROM documents),
+scored AS (
+  SELECT doc_id, source,
+         CAST(0.4 AS DOUBLE) * (CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END)
+       + CAST(0.3 AS DOUBLE) * {_sql_stop_ratio('toks', TX.STOPWORDS['en'])}
+       + CAST(0.3 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE), CAST(len(toks) AS DOUBLE) / CAST(64.0 AS DOUBLE)) AS quality,
+         {_sql_stop_ratio('toks', TX.STOPWORDS['en'])} AS en_s,
+         {_sql_stop_ratio('toks', TX.STOPWORDS['de'])} AS de_s,
+         {_sql_stop_ratio('toks', TX.STOPWORDS['es'])} AS es_s,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+  FROM toks
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(ROUND(quality, 6) AS DECIMAL(27,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_quality
+FROM scored
+WHERE rn = 1 AND quality >= 0.5 AND {lang_case} = 'en'
+GROUP BY source
+"""
+
+
+@query("corpus_clean", _corpus_clean_oracle())
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import first_per_key
+
+    d = t(spark, sf_dir, "documents")
+    canonical = first_per_key(
+        d.withColumn("_h", F.md5(F.col("text"))), ["_h"], [F.col("doc_id").asc()]
+    ).drop("_h")
+    scored = canonical.withColumn("quality", TX.quality_score(F.col("text"))).withColumn(
+        "predicted", TX.predicted_language(F.col("text"))
+    )
+    kept = scored.filter((F.col("quality") >= 0.5) & (F.col("predicted") == "en"))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.round(F.col("quality"), 6).cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_quality"),
     )
