@@ -171,3 +171,25 @@ def test_mobile_provider_no_future(spark):
     })
     assert measures.count() < 24
     assert measures.agg(F.max("timestamp")).first()[0].isoformat() <= "2023-11-14T22:18:00"
+
+
+# --- the 16 reference sources, mapped onto our pipeline shapes --------------
+
+
+def test_all_source_configs_validate():
+    """Every reference source has a config mapped onto a registered
+    pipeline shape (the 'a user of the reference could switch' check)."""
+    import glob
+    import os
+
+    cfg_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "openaq_lcs_fetch_spark", "source_configs",
+    )
+    files = sorted(glob.glob(f"{cfg_dir}/*.json"))
+    assert len(files) == 16
+    for f in files:
+        with open(f) as fh:
+            cfg = validate_source_config(json.load(fh))
+        assert cfg["provider"] in REGISTRY, f
+        assert cfg["frequency"] in ("minute", "hour", "day")
