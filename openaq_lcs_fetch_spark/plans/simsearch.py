@@ -225,3 +225,93 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(F.sqrt(dot_qq.cast("double")) / F.lit(1000.0), 6).alias("l2_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_search — IVF variant of ANN: K fixed coarse centroids (the
+# quantized vectors of vec_id 0..7 — deterministic 'training'), each
+# vector assigned to its nearest centroid by exact integer L2, search
+# only the query's cell. At 100 TB: centroids broadcast, assignment is
+# a narrow map, each probe touches 1/K of the corpus.
+# ---------------------------------------------------------------------------
+
+_IVF_K = 8
+
+
+def _sql_qvec(expr: str) -> str:
+    return f"list_transform(CAST({expr} AS DOUBLE[]), x -> CAST(ROUND(x * 1000.0, 0) AS BIGINT))"
+
+
+def _ivf_oracle() -> str:
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, {_sql_qvec('embedding')} AS cq
+  FROM embeddings WHERE vec_id < {_IVF_K}
+),
+vecs AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v, {_sql_qvec('embedding')} AS q
+  FROM embeddings
+),
+dists AS (
+  SELECT v.vec_id, v.label, v.v, c.cid,
+         list_sum(list_transform(v.q, (x, i) -> (x - c.cq[i]) * (x - c.cq[i]))) AS d2
+  FROM vecs v, cent c
+),
+assigned AS (
+  SELECT vec_id, label, v, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn FROM dists)
+  WHERE rn = 1
+),
+qcell AS (SELECT cid, v AS qv FROM assigned WHERE vec_id = 42)
+SELECT a.vec_id, a.label,
+       ROUND(list_cosine_similarity(a.v, (SELECT qv FROM qcell)), 6) AS cos_sim
+FROM assigned a
+WHERE a.cid = (SELECT cid FROM qcell) AND a.vec_id <> 42
+ORDER BY cos_sim DESC, a.vec_id ASC
+LIMIT 5
+"""
+
+
+@query("ann_ivf_search", _ivf_oracle())
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+        _quantized(F.col("embedding")).alias("q"),
+    )
+    cent = vecs.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    # exact integer squared-L2 to every centroid (broadcast), keep argmin
+    d2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cq"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dists = vecs.crossJoin(F.broadcast(cent)).withColumn("d2", d2)
+    from ..operators.dedup import first_per_key
+
+    assigned = first_per_key(
+        dists.select("vec_id", "label", "v", "cid", "d2"),
+        ["vec_id"],
+        [F.col("d2").asc(), F.col("cid").asc()],
+    ).drop("d2")
+    qcell = assigned.filter(F.col("vec_id") == 42).select(
+        F.col("cid").alias("qcid"), F.col("v").alias("qv")
+    )
+    cand = (
+        assigned.filter(F.col("vec_id") != 42)
+        .crossJoin(F.broadcast(qcell))
+        .filter(F.col("cid") == F.col("qcid"))
+    )
+    from ..functions.similarity import cosine
+
+    return (
+        cand.select(
+            "vec_id", "label", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )

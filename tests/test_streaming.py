@@ -117,3 +117,28 @@ def test_keyed_map_provider_stream(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "out"))
     assert got.count() == 2  # 3 raw readings, 1 duplicate dropped
     assert {r.sensor_id for r in got.collect()} == {"keyed_map-d1-pm25"}
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """T6+: native session windows in a streaming aggregation (the
+    gap-based sessionization user_sessions does in batch)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(src / "b1.json", [
+        {"sensor_id": "s1", "ts": "2024-01-01T00:00:00", "v": 1.0},
+        {"sensor_id": "s1", "ts": "2024-01-01T00:10:00", "v": 2.0},  # same session
+        {"sensor_id": "s1", "ts": "2024-01-01T02:00:00", "v": 3.0},  # new session
+    ])
+    stream = (
+        spark.readStream.schema("sensor_id string, ts string, v double")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    sessions = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "sensor_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_available_now(sessions, output_mode="complete")
+    rows = sorted((r.sensor_id, r.n) for r in out.collect())
+    assert rows == [("s1", 1), ("s1", 2)]
