@@ -284,20 +284,25 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = vecs.filter(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("cid"), F.col("q").alias("cq")
     )
-    # exact integer squared-L2 to every centroid (broadcast), keep argmin
+    # exact integer squared-L2 to every broadcast centroid; argmin via
+    # min_by over struct(d2, cid) — map-side partial agg collapses the
+    # K candidate rows per vector BEFORE any shuffle, and the heavy
+    # double vector never rides through the distance join (narrow-map
+    # assignment at scale)
     d2 = F.aggregate(
         F.zip_with(F.col("q"), F.col("cq"), lambda x, c: (x - c) * (x - c)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    dists = vecs.crossJoin(F.broadcast(cent)).withColumn("d2", d2)
-    from ..operators.dedup import first_per_key
-
-    assigned = first_per_key(
-        dists.select("vec_id", "label", "v", "cid", "d2"),
-        ["vec_id"],
-        [F.col("d2").asc(), F.col("cid").asc()],
-    ).drop("d2")
+    dists = (
+        vecs.select("vec_id", "q")
+        .crossJoin(F.broadcast(cent))
+        .withColumn("d2", d2)
+    )
+    cell = dists.groupBy("vec_id").agg(
+        F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cid")
+    )
+    assigned = vecs.select("vec_id", "label", "v").join(cell, "vec_id")
     qcell = assigned.filter(F.col("vec_id") == 42).select(
         F.col("cid").alias("qcid"), F.col("v").alias("qv")
     )
@@ -306,8 +311,6 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qcell))
         .filter(F.col("cid") == F.col("qcid"))
     )
-    from ..functions.similarity import cosine
-
     return (
         cand.select(
             "vec_id", "label", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim")

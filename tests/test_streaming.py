@@ -124,13 +124,18 @@ def test_streaming_session_window(spark, tmp_path):
     gap-based sessionization user_sessions does in batch)."""
     src = tmp_path / "in"
     src.mkdir()
+    # split across files + maxFilesPerTrigger=1 so the session that
+    # spans both micro-batches exercises cross-batch state merging
     _write_jsonl(src / "b1.json", [
         {"sensor_id": "s1", "ts": "2024-01-01T00:00:00", "v": 1.0},
-        {"sensor_id": "s1", "ts": "2024-01-01T00:10:00", "v": 2.0},  # same session
+    ])
+    _write_jsonl(src / "b2.json", [
+        {"sensor_id": "s1", "ts": "2024-01-01T00:10:00", "v": 2.0},  # merges into b1's session
         {"sensor_id": "s1", "ts": "2024-01-01T02:00:00", "v": 3.0},  # new session
     ])
     stream = (
         spark.readStream.schema("sensor_id string, ts string, v double")
+        .option("maxFilesPerTrigger", "1")
         .json(str(src))
         .withColumn("ts", F.to_timestamp("ts"))
     )
