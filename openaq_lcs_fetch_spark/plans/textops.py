@@ -460,3 +460,53 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("avg_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bpe_token_stats — 'BPE-ish regex' token counting (BASELINE.json):
+# lowercase runs / digit runs / punctuation runs as subword-ish units,
+# via regexp_extract_all in both engines.
+# ---------------------------------------------------------------------------
+
+_BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+_BPE_ORACLE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '{_BPE_PATTERN}'))) AS n_bpe_distinct
+FROM documents
+"""
+
+
+@query("bpe_token_stats", _BPE_ORACLE)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_bpe_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token_doc_freq — corpus-level document frequency per token (the IDF
+# denominator): explode distinct tokens per doc, count docs per token.
+# Shuffle carries (token, 1) pairs with map-side combine.
+# ---------------------------------------------------------------------------
+
+_DOC_FREQ_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+tokx AS (SELECT DISTINCT doc_id, unnest(toks) AS token FROM toks)
+SELECT token, COUNT(*) AS doc_freq
+FROM tokx GROUP BY token
+"""
+
+
+@query("token_doc_freq", _DOC_FREQ_ORACLE)
+def token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tokx = d.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    ).distinct()
+    return tokx.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))

@@ -11,3 +11,4 @@ from . import wide_csv  # noqa: F401
 from . import zip_arrays  # noqa: F401
 from . import keyed_map  # noqa: F401
 from . import mobile  # noqa: F401
+from . import enriched  # noqa: F401

@@ -31,6 +31,10 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # runtime row-level join pruning: build a bloom filter from the
+    # filtered dimension side and push it into the fact scan — at 100 TB
+    # this skips row groups the join would drop anyway
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 

@@ -193,3 +193,36 @@ def test_all_source_configs_validate():
             cfg = validate_source_config(json.load(fh))
         assert cfg["provider"] in REGISTRY, f
         assert cfg["frequency"] in ("minute", "hour", "day")
+
+
+# --- enriched (clarity shape: J2 enrich + miss report + QC flags) -----------
+
+
+def test_enriched_provider(spark, tmp_path):
+    rows = [
+        {"measurement_id": "m1", "datasource_id": "ds1", "ts": "2024-06-01T00:00:00",
+         "lat": 1.0, "lon": 2.0, "characteristic": "pm2_5ConcMass", "value": 12.5, "qc": ""},
+        {"measurement_id": "m2", "datasource_id": "ds1", "ts": "2024-06-01T01:00:00",
+         "lat": 1.0, "lon": 2.0, "characteristic": "no2Conc", "value": 30.0, "qc": "suspect"},
+        {"measurement_id": "m3", "datasource_id": "ds-unknown", "ts": "2024-06-01T02:00:00",
+         "lat": 9.0, "lon": 9.0, "characteristic": "pm2_5ConcMass", "value": 1.0, "qc": ""},
+    ]
+    dsrows = [{"datasource_id": "ds1", "datasource_name": "acme"}]
+    feed, ds = tmp_path / "feed.jsonl", tmp_path / "ds.jsonl"
+    feed.write_text("\n".join(json.dumps(r) for r in rows))
+    ds.write_text("\n".join(json.dumps(r) for r in dsrows))
+
+    from openaq_lcs_fetch_spark.providers.enriched import EnrichedProvider
+
+    cfg = {"schema": "v1", "provider": "enriched", "frequency": "hour", "active": True,
+           "meta": {"path": str(feed), "datasources_path": str(ds)}}
+    measures, stations, misses = EnrichedProvider().process_with_misses(spark, cfg)
+    got = {r.sensor_id: r for r in measures.collect()}
+    assert got["acme-ds1-pm25"].measure == pytest.approx(12.5)
+    assert got["acme-ds1-pm25"].flags is None  # empty qc → no flag
+    # QC code preserved as a flag, value intact (never dropped/mangled)
+    assert got["acme-ds1-no2"].flags == {"enriched/qc": "suspect"}
+    assert got["acme-ds1-no2"].measure == pytest.approx(0.03)  # ppb → ppm
+    # J2 miss side-output: the unknown datasource surfaces exactly once
+    assert [r.datasource_id for r in misses.collect()] == ["ds-unknown"]
+    assert stations.count() == 1
