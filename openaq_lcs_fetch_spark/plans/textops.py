@@ -510,3 +510,53 @@ def token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
     ).distinct()
     return tokx.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+
+
+# ---------------------------------------------------------------------------
+# doc_winnow — true positional winnowing (Schleimer et al.): the min
+# shingle-hash of every sliding window of w=4 consecutive shingles, as
+# a distinct fingerprint set per doc. Guarantees any shared run of
+# w+n-1 tokens yields a shared fingerprint.
+# ---------------------------------------------------------------------------
+
+_WINNOW_W = 4
+
+
+def _winnow_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+shl AS (SELECT doc_id, {_sql_shingles('toks', 3)} AS shs FROM toks),
+hs AS (SELECT doc_id, list_transform(shs, s -> {_sql_hmod('s')}) AS hs FROM shl),
+wins AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= {_WINNOW_W}
+              THEN list_transform(generate_series(1, len(hs) - {_WINNOW_W - 1}),
+                                  i -> list_aggregate(hs[i:i+{_WINNOW_W - 1}], 'min'))
+              ELSE CASE WHEN len(hs) > 0 THEN [list_aggregate(hs, 'min')] ELSE [] END
+         END AS fps
+  FROM hs
+)
+SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM wins
+"""
+
+
+@query("doc_winnow", _winnow_oracle())
+def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    hs = F.transform(TX.word_shingles(toks, 3), lambda s: TX.hmod(s))
+    k = F.size(hs) - F.lit(_WINNOW_W - 1)
+    windows = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_min(F.slice(hs, i, _WINNOW_W)),
+        ),
+    ).otherwise(
+        F.when(F.size(hs) > 0, F.array(F.array_min(hs))).otherwise(
+            F.array().cast("array<bigint>")
+        )
+    )
+    return (
+        d.select("doc_id", F.explode(windows).alias("fingerprint")).distinct()
+    )

@@ -153,3 +153,26 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= 0.8)
+
+
+# ---------------------------------------------------------------------------
+# orders_cube — CUBE grouping sets (all 4 combinations of status x
+# priority); Spark cube() == DuckDB CUBE with NULLs on rolled-up rows.
+# ---------------------------------------------------------------------------
+
+_CUBE_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       {sql_exact_sum('o_totalprice', 2)} AS sum_total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("orders_cube", _CUBE_ORACLE)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,2)")).cast("double").alias("sum_total"),
+    )
