@@ -1,0 +1,71 @@
+"""Per-frequency scheduling (SURVEY.md §3.1 / T1).
+
+The reference fans out via EventBridge rate rules (minute/hour/day,
+cdk/stack.ts:109-141) → SQS → one Lambda per source (batchSize 1,
+stack.ts:71-75; scheduler/index.js:5-25). Locally that's: group active
+source configs by frequency, and for each tick run every source in the
+due group — each source isolated (X3), failures contained per source.
+
+On a cluster the same plan runs as one Spark job per source (scheduler
+= Airflow/cron submitting ``python -m openaq_lcs_fetch_spark --source
+<name>``) or as the Structured Streaming flavor with
+``TRIGGER_BY_FREQUENCY`` (streaming/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from collections.abc import Iterable
+from typing import Any
+
+from .config import validate_source_config
+from .schemas import VALID_FREQUENCIES
+
+
+def load_source_configs(config_dir: str | None = None) -> list[dict[str, Any]]:
+    """Load + validate every source config (≙ fetcher/sources/index.js)."""
+    d = config_dir or os.path.join(os.path.dirname(__file__), "source_configs")
+    out = []
+    for path in sorted(glob.glob(os.path.join(d, "*.json"))):
+        with open(path) as f:
+            out.append(validate_source_config(json.load(f)))
+    return out
+
+
+def by_frequency(configs: Iterable[dict[str, Any]]) -> dict[str, list[dict[str, Any]]]:
+    """Active sources grouped per rate rule (inactive skipped, like the
+    synth-time filter in cdk/stack.ts:125-131)."""
+    groups: dict[str, list[dict[str, Any]]] = {f: [] for f in VALID_FREQUENCIES}
+    for cfg in configs:
+        if cfg.get("active", False):
+            groups[cfg["frequency"]].append(cfg)
+    return groups
+
+
+def due_sources(groups: dict[str, list], minute_of_day: int) -> list[dict[str, Any]]:
+    """Sources due at a tick: minute sources every tick, hour sources on
+    the hour, day sources at minute 0 of the day."""
+    due = list(groups.get("minute", ()))
+    if minute_of_day % 60 == 0:
+        due += groups.get("hour", ())
+    if minute_of_day == 0:
+        due += groups.get("day", ())
+    return due
+
+
+def run_tick(engine, groups, minute_of_day: int, out_root: str, dry_run: bool = False):
+    """One scheduler tick: run every due source in isolation; a failing
+    source logs fetcher/error and does not block the others (the
+    reference's per-Lambda isolation)."""
+    logs = []
+    for cfg in due_sources(groups, minute_of_day):
+        try:
+            logs.append(engine.run_source(cfg, out_root, dry_run=dry_run))
+        except Exception as e:  # isolated per source
+            logs.append(
+                {"source": cfg.get("provider"), "status": "fetcher/error",
+                 "message": str(e)[:300]}
+            )
+    return logs
