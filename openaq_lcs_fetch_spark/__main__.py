@@ -18,19 +18,41 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="openaq_lcs_fetch_spark")
-    ap.add_argument("--config", required=True, help="JSON source config (object or list)")
-    ap.add_argument("--source", help="run only this provider (SOURCE env equivalent)")
+    ap.add_argument(
+        "--config",
+        required=True,
+        help="JSON source config file (object or list) or a directory of them",
+    )
+    ap.add_argument(
+        "--source", help="run only this source/provider (SOURCE env equivalent)"
+    )
     ap.add_argument("--out", required=True, help="output root (BUCKET/STACK equivalent)")
+    ap.add_argument("--data-root", help="expands {data_root} in config meta paths")
     ap.add_argument("--dry-run", action="store_true", help="skip sinks (DRYRUN)")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
-    with open(args.config) as f:
-        configs = json.load(f)
-    if isinstance(configs, dict):
-        configs = [configs]
+    import glob
+    import os
+
+    from .config import source_label
+
+    if os.path.isdir(args.config):
+        configs = []
+        for path in sorted(glob.glob(os.path.join(args.config, "*.json"))):
+            with open(path) as f:
+                configs.append(json.load(f))
+    else:
+        with open(args.config) as f:
+            configs = json.load(f)
+        if isinstance(configs, dict):
+            configs = [configs]
     if args.source:
-        configs = [c for c in configs if c.get("provider") == args.source]
+        configs = [
+            c
+            for c in configs
+            if args.source in (c.get("provider"), source_label(c))
+        ]
         if not configs:
             print(f"error: no source named {args.source!r} in config", file=sys.stderr)
             return 2
@@ -44,10 +66,12 @@ def main(argv: list[str] | None = None) -> int:
     rc = 0
     for cfg in configs:
         try:
-            log = engine.run_source(cfg, args.out, dry_run=args.dry_run)
+            log = engine.run_source(
+                cfg, args.out, dry_run=args.dry_run, data_root=args.data_root
+            )
             print(json.dumps(log, default=str))
         except Exception as e:
-            print(json.dumps({"source": cfg.get("provider"), "status": "fetcher/error",
+            print(json.dumps({"source": source_label(cfg), "status": "fetcher/error",
                               "message": str(e)[:300]}), file=sys.stderr)
             rc = 1
     return rc

@@ -53,3 +53,22 @@ def validate_source_config(cfg: dict[str, Any]) -> dict[str, Any]:
     if errors:
         raise ConfigError("; ".join(errors))
     return cfg
+
+
+def resolve_paths(cfg: dict[str, Any], data_root: str | None) -> dict[str, Any]:
+    """Expand ``{data_root}`` placeholders in meta values (the local
+    twin of the reference's BUCKET/STACK env wiring, fetcher/index.js:8-10).
+    Returns a new config; non-string meta values pass through."""
+    if not data_root or "meta" not in cfg:
+        return cfg
+    meta = {
+        k: v.replace("{data_root}", data_root) if isinstance(v, str) else v
+        for k, v in cfg["meta"].items()
+    }
+    return {**cfg, "meta": meta}
+
+
+def source_label(cfg: dict[str, Any]) -> str:
+    """Human source name: meta.source_name when present (configs mapped
+    from the reference), else the provider/pipeline-shape name."""
+    return cfg.get("meta", {}).get("source_name") or cfg["provider"]

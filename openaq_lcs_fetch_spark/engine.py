@@ -44,14 +44,20 @@ class Engine:
         config: dict[str, Any],
         out_root: str,
         dry_run: bool = False,
+        data_root: str | None = None,
     ) -> dict[str, Any]:
         """One bounded ingestion run for one source (the reference's
         Lambda invocation, fetcher/index.js:12-35). Returns the run log.
 
         dry_run short-circuits the sinks (reference DRYRUN,
-        providers.js:151-155) and reports would-be outputs.
+        providers.js:151-155) and reports would-be outputs. Sink paths
+        key on the source name (meta.source_name) like the reference's
+        {STACK}/measures/{provider}/ layout.
         """
-        provider = config["provider"]
+        from .config import resolve_paths, source_label
+
+        config = resolve_paths(config, data_root)
+        provider = source_label(config)
         try:
             measures, stations = processor(self.spark, config)
             log = summarize(measures, provider)

@@ -74,3 +74,24 @@ def test_engine_sql_facade(spark, sf_dir):
     eng = Engine(spark)
     n = eng.sql("SELECT COUNT(*) AS n FROM lineitem", sf_dir).first()["n"]
     assert n > 0
+
+
+def test_cli_package_configs_with_data_root(tmp_path):
+    """The shipped source_configs are actually runnable: point
+    --data-root at a directory holding the smartsense feed."""
+    feed_dir = tmp_path / "data" / "smartsense"
+    feed_dir.mkdir(parents=True)
+    (feed_dir / "feed.jsonl").write_text(json.dumps({
+        "device_id": "sm1", "ts": "2024-06-01T00:00:00", "lat": 1.0, "lon": 2.0,
+        "readings": {"pm25": "11.0"}}))
+    cfg_dir = os.path.join(REPO, "openaq_lcs_fetch_spark", "source_configs")
+    out = tmp_path / "out"
+    res = _run_cli(["--config", cfg_dir, "--source", "smartsense",
+                    "--out", str(out), "--data-root", str(tmp_path / "data")])
+    assert res.returncode == 0, res.stderr[-2000:]
+    log = json.loads(res.stdout.strip().splitlines()[-1])
+    assert log["status"] == "fetcher/success"
+    assert log["source"] == "smartsense"
+    # sink layout keyed by source name, like {STACK}/measures/{provider}/
+    assert glob.glob(f"{out}/measures/smartsense/*.csv.gz")
+    assert os.path.exists(f"{out}/meta/smartsense.json")
