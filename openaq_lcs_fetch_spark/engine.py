@@ -12,13 +12,15 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from . import tables
 from .providers import processor
 from .session import get_spark, tune
 from .sinks.log import publish, summarize
 from .sinks.measures import assemble_v01, write_measures_csv, write_measures_json
 from .sinks.stations import diff_upsert
-from .sources.checkpoint import CheckpointStore, advance
+from .sources.checkpoint import CheckpointStore, advance, incremental_predicate
 
 
 class Engine:
@@ -60,6 +62,20 @@ class Engine:
         provider = source_label(config)
         try:
             measures, stations = processor(self.spark, config)
+
+            # T2 incremental restart: bound this run to rows past the
+            # stored high-water mark (MetaDetails, meta.js:22-41; CMU's
+            # `since` default, cmu.js:56-61). A plain ts comparison →
+            # pushdown-eligible; re-runs over the same feed emit nothing.
+            meta = config.get("meta", {})
+            if meta.get("incremental") == "true" and not dry_run:
+                ck = CheckpointStore(out_root).load(provider)
+                measures = measures.filter(
+                    incremental_predicate(
+                        F.col("timestamp"), ck, meta.get("since", "1970-01-01")
+                    )
+                )
+
             log = summarize(measures, provider)
             log["n_stations"] = stations.count()
             if dry_run:

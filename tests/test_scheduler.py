@@ -64,3 +64,28 @@ def test_approx_count_distinct_bounds(spark, sf_dir):
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
     ).first()
     assert row["approx"] == pytest.approx(row["exact"], rel=0.05)
+
+
+def test_incremental_run_emits_nothing_twice(spark, tmp_path):
+    """T2 end-to-end: second run over the same feed is bounded by the
+    stored high-water mark and emits zero measures."""
+    feed = tmp_path / "feed.jsonl"
+    feed.write_text(json.dumps({
+        "device_id": "d1", "ts": "2024-06-01T00:00:00", "lat": 1.0, "lon": 2.0,
+        "readings": {"pm25": "15.0"}}))
+    cfg = {"schema": "v1", "provider": "keyed_map", "frequency": "hour",
+           "active": True, "meta": {"path": str(feed), "incremental": "true"}}
+    engine = Engine(spark)
+    out = str(tmp_path / "out")
+    r1 = engine.run_source(cfg, out)
+    assert r1["n_measures"] == 1
+    r2 = engine.run_source(cfg, out)
+    assert r2["n_measures"] == 0  # everything before the watermark
+    assert r2["checkpoint"]["high_water_mark"] == r1["checkpoint"]["high_water_mark"]
+    # new data past the watermark flows through a third run
+    feed.write_text(json.dumps({
+        "device_id": "d1", "ts": "2024-06-01T02:00:00", "lat": 1.0, "lon": 2.0,
+        "readings": {"pm25": "16.0"}}))
+    r3 = engine.run_source(cfg, out)
+    assert r3["n_measures"] == 1
+    assert r3["checkpoint"]["high_water_mark"].startswith("2024-06-01T02")
