@@ -12,6 +12,7 @@ from . import textops  # noqa: F401
 from . import simsearch  # noqa: F401
 from . import streaming_q  # noqa: F401
 from . import windows_q  # noqa: F401
+from . import temporal  # noqa: F401
 
 QUERIES = registry.QUERIES
 

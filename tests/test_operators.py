@@ -213,3 +213,27 @@ def test_tz_pandas_udf_gated():
 
     with pytest.raises(NotImplementedError, match="timezonefinder"):
         tz_pandas_udf()
+
+
+# --- as-of join (custom composed operator) ---------------------------------
+
+
+def test_asof_join_semantics(spark):
+    from openaq_lcs_fetch_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k1", "2024-01-01T00:30:00", 1), ("k1", "2024-01-01T02:00:00", 2),
+         ("k1", "2024-01-01T01:00:00", 3),  # exactly at a right mark → inclusive
+         ("k2", "2024-01-01T05:00:00", 4)],  # key with no right rows
+        "k string, ts string, left_id int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("k1", "2024-01-01T00:00:00", 10.0), ("k1", "2024-01-01T01:00:00", 20.0)],
+        "k string, ts string, factor double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.left_id: (r.asof_factor, r.asof_ts) for r in
+           asof_join(left, right, "k", "ts").collect()}
+    assert out[1][0] == 10.0          # 00:30 → mark at 00:00
+    assert out[3][0] == 20.0          # 01:00 → inclusive match at 01:00
+    assert out[2][0] == 20.0          # 02:00 → latest mark 01:00
+    assert out[4] == (None, None)     # no preceding right row → NULLs
