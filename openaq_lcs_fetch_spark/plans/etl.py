@@ -634,3 +634,30 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.95)").alias("p95"),
         F.expr("percentile(value, 0.99)").alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# daily_from_hourly — the hypertable-rollup cascade: the DAILY result is
+# computed by re-aggregating the HOURLY rollup (raw scanned once); the
+# oracle computes daily straight from raw — hash-matching proves the
+# merge is lossless.
+# ---------------------------------------------------------------------------
+
+_CASCADE_ORACLE = """
+SELECT date_trunc('day', ts) AS bucket, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@query("daily_from_hourly", _CASCADE_ORACLE)
+def daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rollup_cascade import coarsen, finalize, rollup_from_raw
+
+    e = t(spark, sf_dir, "events")
+    hourly = rollup_from_raw(e, "ts", ["event_type"], "value", "hour")
+    daily = coarsen(hourly, ["event_type"], "day")
+    return finalize(daily)

@@ -560,3 +560,55 @@ def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", F.explode(windows).alias("fingerprint")).distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_sample — deterministic content-hash sampling (the reproducible
+# alternative to rand() sampling a training pipeline needs: the same
+# doc always lands in or out, regardless of partitioning/cluster size).
+# ---------------------------------------------------------------------------
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, source
+FROM documents
+WHERE {_sql_hmod('text')} % 100 < 10
+"""
+
+
+@query("corpus_sample", _SAMPLE_ORACLE)
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.filter(TX.hmod(F.col("text")) % 100 < 10).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# corpus_split — stratified train/val/test assignment by content-hash
+# bucket (90/5/5), reported per (source, split). Deterministic: a doc's
+# split never changes when the corpus grows.
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = f"""
+WITH assigned AS (
+  SELECT source,
+         CASE WHEN {_sql_hmod('text')} % 100 < 90 THEN 'train'
+              WHEN {_sql_hmod('text')} % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT source, split, COUNT(*) AS n
+FROM assigned GROUP BY source, split
+"""
+
+
+@query("corpus_split", _SPLIT_ORACLE)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    bucket = TX.hmod(F.col("text")) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        d.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
