@@ -58,17 +58,18 @@ def minhash_params(k: int) -> list[tuple[int, int]]:
 
 
 def shingle_table(
-    docs: DataFrame, id_col: str, text_col: str, shingle_n: int
+    docs: DataFrame, id_col: str, text_col: str, shingle_n: int, distinct: bool = True
 ) -> DataFrame:
-    """(id, shingle_hash) rows, distinct per doc — the exploded basis
-    for both MinHash and exact Jaccard."""
+    """(id, shingle_hash) rows — the exploded basis for MinHash and
+    exact Jaccard. ``distinct=False`` skips the dedup shuffle for
+    consumers whose aggregates are duplicate-insensitive (MIN)."""
     sh = word_shingles(tokens(F.col(text_col)), shingle_n)
-    return (
+    out = (
         docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
         .withColumn("sh", hmod(F.col("shingle")))
         .select(id_col, "sh")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -77,9 +78,11 @@ def minhash_signatures(
     """One row per doc with columns mh0..mh{k-1} (int64).
 
     Single shuffle: explode shingles map-side, then one groupBy computes
-    all k permutation minima as independent aggregates.
+    all k permutation minima as independent aggregates. No distinct
+    pass — MIN is duplicate-insensitive, so repeated shingles cost
+    nothing but a few map-side comparisons.
     """
-    sh = shingle_table(docs, id_col, text_col, shingle_n)
+    sh = shingle_table(docs, id_col, text_col, shingle_n, distinct=False)
     aggs = [
         F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(HASH_MOD)).alias(f"mh{i}")
         for i, (a, b) in enumerate(minhash_params(k))
