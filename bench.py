@@ -40,6 +40,9 @@ HEADLINE = (
     "pricing_rollup",
     "user_sessions",
     "sliding_3h_counts",
+    "asof_calibration",
+    "daily_from_hourly",
+    "corpus_split",
     "streaming_hourly",
 )
 

@@ -57,8 +57,9 @@ class Engine:
         {STACK}/measures/{provider}/ layout.
         """
         from .config import resolve_paths, source_label
+        from .sources.secrets import merge_secret
 
-        config = resolve_paths(config, data_root)
+        config = merge_secret(resolve_paths(config, data_root))
         provider = source_label(config)
         try:
             measures, stations = processor(self.spark, config)

@@ -159,3 +159,39 @@ def test_paginated_filter_pushdown(spark):
     # Filter keeps only the isnotnull guards
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "st-0" not in plan and "1700000600" not in plan, plan
+
+
+def test_merge_secret(monkeypatch):
+    """S6: secretKey → env-backed secret merged into meta, secret wins."""
+    from openaq_lcs_fetch_spark.sources.secrets import merge_secret
+
+    monkeypatch.setenv("SECRET_apikey1", '{"token": "t0ken", "url": "https://x"}')
+    cfg = {"schema": "v1", "provider": "p", "frequency": "hour", "active": True,
+           "secretKey": "apikey1", "meta": {"url": "https://default"}}
+    merged = merge_secret(cfg)
+    assert merged["meta"]["token"] == "t0ken"
+    assert merged["meta"]["url"] == "https://x"  # secret wins
+    assert merge_secret({"provider": "p"}) == {"provider": "p"}  # no key → no-op
+    import pytest as _pytest
+    with _pytest.raises(KeyError, match="SECRET_missing"):
+        merge_secret({"secretKey": "missing"})
+
+
+def test_partitioned_measures_store_prunes(spark, tmp_path):
+    """Measures-store layout: partitionBy(provider, day) → a day filter
+    becomes a PartitionFilter (no data files of other days touched)."""
+    from openaq_lcs_fetch_spark.storage import write_partitioned
+
+    df = spark.createDataFrame(
+        [("p1", "2024-01-01", "s1", 1.0), ("p1", "2024-01-02", "s1", 2.0),
+         ("p2", "2024-01-01", "s2", 3.0)],
+        "provider string, day string, sensor_id string, measure double",
+    )
+    path = str(tmp_path / "measures_store")
+    write_partitioned(df, path, ["provider", "day"])
+    back = spark.read.parquet(path).filter(
+        (F.col("provider") == "p1") & (F.col("day") == "2024-01-02")
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(provider" in plan
+    assert back.count() == 1
