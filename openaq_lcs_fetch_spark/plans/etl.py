@@ -661,3 +661,93 @@ def daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = rollup_from_raw(e, "ts", ["event_type"], "value", "hour")
     daily = coarsen(hourly, ["event_type"], "day")
     return finalize(daily)
+
+
+# ---------------------------------------------------------------------------
+# quarantine_summary — dead-letter accounting: every sentinel-nulled
+# reading is attributable by reason (the flags map the engine carries
+# instead of magic numbers); pipelines alert on these counts.
+# ---------------------------------------------------------------------------
+
+_QUARANTINE_ORACLE = """
+WITH raw AS (
+  SELECT CASE
+           WHEN value > 480 THEN 'inv'
+           WHEN value > 460 THEN 'NaN'
+           WHEN value > 440 THEN 'n/a'
+           WHEN value > 420 THEN ''
+           ELSE CAST(value AS VARCHAR)
+         END AS raw_value
+  FROM events
+)
+SELECT raw_value AS reason, COUNT(*) AS n
+FROM raw
+WHERE raw_value IN ('', 'NaN', 'n/a', 'inv', 'null', 'undefined')
+GROUP BY raw_value
+"""
+
+
+@query("quarantine_summary", _QUARANTINE_ORACLE)
+def quarantine_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.filters import SENTINEL_TOKENS
+
+    e = t(spark, sf_dir, "events")
+    raw = (
+        F.when(F.col("value") > 480, F.lit("inv"))
+        .when(F.col("value") > 460, F.lit("NaN"))
+        .when(F.col("value") > 440, F.lit("n/a"))
+        .when(F.col("value") > 420, F.lit(""))
+        .otherwise(F.col("value").cast("string"))
+    )
+    return (
+        e.select(raw.alias("reason"))
+        .filter(F.col("reason").isin(list(SENTINEL_TOKENS)))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# profile_numerics — column profiler over lineitem's numeric columns
+# (null %, distinct, exact min/max/sum): the data-quality sweep a
+# pipeline runs before training. Unpivot → one grouped pass.
+# ---------------------------------------------------------------------------
+
+_PROFILE_ORACLE = f"""
+WITH long AS (
+  SELECT 'l_quantity' AS column_name, l_quantity AS v FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT column_name,
+       COUNT(*) AS n_rows,
+       COUNT(v) AS n_present,
+       COUNT(DISTINCT v) AS n_distinct,
+       MIN(v) AS min_v, MAX(v) AS max_v,
+       {sql_exact_sum('v', 2)} AS sum_v
+FROM long GROUP BY column_name
+"""
+
+
+@query("profile_numerics", _PROFILE_ORACLE)
+def profile_numerics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.reshape import melt
+
+    l = t(spark, sf_dir, "lineitem")
+    long = melt(
+        l,
+        id_vars=["l_orderkey"],
+        value_vars=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        var_name="column_name",
+        value_name="v",
+        drop_null=False,
+    )
+    return long.groupBy("column_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_present"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.sum(F.col("v").cast("decimal(27,2)")).cast("double").alias("sum_v"),
+    )
