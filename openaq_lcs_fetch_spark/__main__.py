@@ -32,16 +32,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
-    import glob
     import os
 
     from .config import source_label
 
     if os.path.isdir(args.config):
-        configs = []
-        for path in sorted(glob.glob(os.path.join(args.config, "*.json"))):
-            with open(path) as f:
-                configs.append(json.load(f))
+        from .scheduler import load_source_configs
+
+        configs = load_source_configs(args.config)  # validates each one
     else:
         with open(args.config) as f:
             configs = json.load(f)
@@ -55,6 +53,9 @@ def main(argv: list[str] | None = None) -> int:
         ]
         if not configs:
             print(f"error: no source named {args.source!r} in config", file=sys.stderr)
+            return 2
+        if not any(c.get("active", True) for c in configs):
+            print(f"error: source {args.source!r} is inactive", file=sys.stderr)
             return 2
     configs = [c for c in configs if c.get("active", True)]
 

@@ -68,8 +68,9 @@ class Engine:
             # stored high-water mark (MetaDetails, meta.js:22-41; CMU's
             # `since` default, cmu.js:56-61). A plain ts comparison →
             # pushdown-eligible; re-runs over the same feed emit nothing.
+            # Applies in dry-run too, so previewed counts match a real run.
             meta = config.get("meta", {})
-            if meta.get("incremental") == "true" and not dry_run:
+            if meta.get("incremental") in (True, "true", "1"):
                 ck = CheckpointStore(out_root).load(provider)
                 measures = measures.filter(
                     incremental_predicate(

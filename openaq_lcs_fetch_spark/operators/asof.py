@@ -39,17 +39,25 @@ def asof_join(
     keys = [key] if isinstance(key, str) else list(key)
     value_cols = value_cols or [c for c in right.columns if c not in (*keys, ts)]
 
-    l_tag = left.withColumn("_is_right", F.lit(0))
-    for c in value_cols:
-        l_tag = l_tag.withColumn(f"_r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
-    l_tag = l_tag.withColumn("_r_ts", F.lit(None).cast(dict(right.dtypes)[ts]))
-
+    # the right payload travels as ONE struct so (ts, values) stay
+    # atomic — a matched right row with a NULL value column must yield
+    # that NULL, never an older row's value (DuckDB ASOF semantics)
+    rtypes = dict(right.dtypes)
+    payload_t = (
+        "struct<_ts:" + rtypes[ts] + ","
+        + ",".join(f"{c}:{rtypes[c]}" for c in value_cols)
+        + ">"
+    )
+    l_tag = left.withColumn("_is_right", F.lit(0)).withColumn(
+        "_r", F.lit(None).cast(payload_t)
+    )
     r_tag = right.select(
         *keys,
         F.col(ts),
         F.lit(1).alias("_is_right"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-        F.col(ts).alias("_r_ts"),
+        F.struct(
+            F.col(ts).alias("_ts"), *[F.col(c) for c in value_cols]
+        ).alias("_r"),
     )
     for c in left.columns:
         if c not in (*keys, ts):
@@ -62,13 +70,12 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("_is_right").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = unioned
-    for c in value_cols:
-        carried = carried.withColumn(
-            f"{suffix}{c}", F.last(F.when(F.col("_is_right") == 1, F.col(f"_r_{c}")), ignorenulls=True).over(w)
-        )
-    carried = carried.withColumn(
-        f"{suffix}ts", F.last(F.when(F.col("_is_right") == 1, F.col("_r_ts")), ignorenulls=True).over(w)
+    carried = unioned.withColumn(
+        "_match",
+        F.last(F.when(F.col("_is_right") == 1, F.col("_r")), ignorenulls=True).over(w),
     )
-    drop = ["_is_right", "_r_ts"] + [f"_r_{c}" for c in value_cols]
-    return carried.filter(F.col("_is_right") == 0).drop(*drop)
+    out = carried.filter(F.col("_is_right") == 0)
+    for c in value_cols:
+        out = out.withColumn(f"{suffix}{c}", F.col(f"_match.{c}"))
+    out = out.withColumn(f"{suffix}ts", F.col("_match._ts"))
+    return out.drop("_is_right", "_r", "_match")

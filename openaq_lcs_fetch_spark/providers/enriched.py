@@ -27,6 +27,7 @@ from ..measurands import measurand_dim
 from ..operators.dedup import first_per_key
 from ..operators.joins import enrich_with_miss_report
 from ..sources.files import read_json
+from ..config import source_label
 from .base import Provider, register
 
 LOOKUP = (
@@ -84,7 +85,7 @@ class EnrichedProvider(Provider):
             matched.select(
                 F.col("datasource_id").alias("sensor_node_id"),
                 F.col("datasource_name").alias("sensor_node_site_name"),
-                F.lit(config["provider"]).alias("sensor_node_source_name"),
+                F.lit(source_label(config)).alias("sensor_node_source_name"),
                 F.array(F.col("lon"), F.col("lat")).alias("sensor_node_geometry"),
                 F.lit(False).alias("sensor_node_ismobile"),
             ),

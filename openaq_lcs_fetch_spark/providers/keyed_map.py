@@ -24,6 +24,7 @@ from ..measurands import measurand_dim
 from ..operators.dedup import first_per_key
 from ..operators.reshape import explode_map
 from ..sources.files import read_json
+from ..config import source_label
 from .base import Provider, register
 
 LOOKUP = (
@@ -72,13 +73,13 @@ class KeyedMapProvider(Provider):
         meta = config.get("meta", {})
         raw = read_json(spark, meta["path"], RAW_SCHEMA)
         measures = transform_measures(
-            raw, measurand_dim(spark, LOOKUP), config["provider"]
+            raw, measurand_dim(spark, LOOKUP), source_label(config)
         )
 
         stations = first_per_key(
             raw.select(
                 F.col("device_id").alias("sensor_node_id"),
-                F.lit(config["provider"]).alias("sensor_node_source_name"),
+                F.lit(source_label(config)).alias("sensor_node_source_name"),
                 F.array(F.col("lon"), F.col("lat")).alias("sensor_node_geometry"),
                 F.lit(False).alias("sensor_node_ismobile"),
             ),

@@ -24,6 +24,7 @@ from ..functions.timestamps import from_unix_seconds
 from ..operators.dedup import dedup_events
 from ..operators.filters import time_range
 from ..sources.http import read_paginated
+from ..config import source_label
 from .base import Provider, register
 
 _DDL = (
@@ -80,7 +81,7 @@ class MobileProvider(Provider):
             )
         )
         measures = bounded.select(
-            sensor_id(F.lit(config["provider"]), F.col("session_id"), F.col("param")).alias(
+            sensor_id(F.lit(source_label(config)), F.col("session_id"), F.col("param")).alias(
                 "sensor_id"
             ),
             F.col("value").alias("measure"),
@@ -96,7 +97,7 @@ class MobileProvider(Provider):
         stations = (
             bounded.select(F.col("session_id").alias("sensor_node_id"))
             .distinct()
-            .withColumn("sensor_node_source_name", F.lit(config["provider"]))
+            .withColumn("sensor_node_source_name", F.lit(source_label(config)))
             .withColumn("sensor_node_ismobile", F.lit(True))
         )
         return measures, stations

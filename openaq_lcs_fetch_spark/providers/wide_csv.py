@@ -26,6 +26,7 @@ from ..measurands import measurand_dim
 from ..operators.dedup import first_per_key
 from ..operators.reshape import melt
 from ..sources.files import read_csv
+from ..config import source_label
 from .base import Provider, register
 
 #: provider-facing lookup rows (input_param, parameter, unit) — data,
@@ -74,7 +75,7 @@ class WideCsvProvider(Provider):
             int(meta.get("shift_minutes", "-15")),
         )
         measures = joined.select(
-            sensor_id(F.lit(config["provider"]), F.col(station_col), F.col("parameter")).alias(
+            sensor_id(F.lit(source_label(config)), F.col(station_col), F.col("parameter")).alias(
                 "sensor_id"
             ),
             (F.col("value") * F.col("scale")).alias("measure"),
@@ -88,7 +89,7 @@ class WideCsvProvider(Provider):
             raw.select(
                 F.col(station_col).alias("sensor_node_id"),
                 F.col(site_col).alias("sensor_node_site_name"),
-                F.lit(config["provider"]).alias("sensor_node_source_name"),
+                F.lit(source_label(config)).alias("sensor_node_source_name"),
                 F.array(
                     F.col(meta.get("lon_col", "Lon")).cast("double"),
                     F.col(meta.get("lat_col", "Lat")).cast("double"),

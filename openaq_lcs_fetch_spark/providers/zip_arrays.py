@@ -26,6 +26,7 @@ from ..measurands import measurand_dim
 from ..operators.dedup import first_per_key
 from ..operators.reshape import zip_arrays
 from ..sources.files import read_json
+from ..config import source_label
 from .base import Provider, register
 
 LOOKUP = (
@@ -81,7 +82,7 @@ class ZipArraysProvider(Provider):
         joined = melted.join(F.broadcast(dim), on="input_param", how="inner")
         measures = joined.select(
             sensor_id(
-                F.lit(config["provider"]),
+                F.lit(source_label(config)),
                 F.col("rec").getItem(station_f),
                 F.col("parameter"),
             ).alias("sensor_id"),
@@ -95,7 +96,7 @@ class ZipArraysProvider(Provider):
         stations = first_per_key(
             records.select(
                 F.col("rec").getItem(station_f).alias("sensor_node_id"),
-                F.lit(config["provider"]).alias("sensor_node_source_name"),
+                F.lit(source_label(config)).alias("sensor_node_source_name"),
                 F.array(
                     F.col("rec").getItem(lon_f).cast("double"),
                     F.col("rec").getItem(lat_f).cast("double"),

@@ -55,17 +55,28 @@ def due_sources(groups: dict[str, list], minute_of_day: int) -> list[dict[str, A
     return due
 
 
-def run_tick(engine, groups, minute_of_day: int, out_root: str, dry_run: bool = False):
+def run_tick(
+    engine,
+    groups,
+    minute_of_day: int,
+    out_root: str,
+    dry_run: bool = False,
+    data_root: str | None = None,
+):
     """One scheduler tick: run every due source in isolation; a failing
     source logs fetcher/error and does not block the others (the
     reference's per-Lambda isolation)."""
+    from .config import source_label
+
     logs = []
     for cfg in due_sources(groups, minute_of_day):
         try:
-            logs.append(engine.run_source(cfg, out_root, dry_run=dry_run))
+            logs.append(
+                engine.run_source(cfg, out_root, dry_run=dry_run, data_root=data_root)
+            )
         except Exception as e:  # isolated per source
             logs.append(
-                {"source": cfg.get("provider"), "status": "fetcher/error",
+                {"source": source_label(cfg), "status": "fetcher/error",
                  "message": str(e)[:300]}
             )
     return logs

@@ -95,3 +95,10 @@ def test_cli_package_configs_with_data_root(tmp_path):
     # sink layout keyed by source name, like {STACK}/measures/{provider}/
     assert glob.glob(f"{out}/measures/smartsense/*.csv.gz")
     assert os.path.exists(f"{out}/meta/smartsense.json")
+
+
+def test_cli_inactive_source_errors(tmp_path):
+    cfg_dir = os.path.join(REPO, "openaq_lcs_fetch_spark", "source_configs")
+    res = _run_cli(["--config", cfg_dir, "--source", "cmu", "--out", str(tmp_path / "o")])
+    assert res.returncode == 2
+    assert "inactive" in res.stderr

@@ -237,3 +237,20 @@ def test_asof_join_semantics(spark):
     assert out[3][0] == 20.0          # 01:00 → inclusive match at 01:00
     assert out[2][0] == 20.0          # 02:00 → latest mark 01:00
     assert out[4] == (None, None)     # no preceding right row → NULLs
+
+
+def test_asof_join_null_value_in_matched_row(spark):
+    """A matched right row with a NULL value yields that NULL — never an
+    older row's value (the (ts, value) pair must exist in the right)."""
+    from openaq_lcs_fetch_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", "2024-01-01T02:30:00", 1)], "k string, ts string, left_id int"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01T01:00:00", 5.0), ("k", "2024-01-01T02:00:00", None)],
+        "k string, ts string, factor double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    row = asof_join(left, right, "k", "ts").first()
+    assert row["asof_ts"].hour == 2      # matched the 02:00 row...
+    assert row["asof_factor"] is None    # ...including its NULL value
