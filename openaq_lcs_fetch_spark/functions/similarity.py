@@ -143,6 +143,46 @@ def signature_similarity(
     )
 
 
+def lsh_similar_pairs(
+    signatures: DataFrame, id_col: str, k: int, bands: int
+) -> DataFrame:
+    """Fused LSH candidates + similarity estimate: the signature array
+    rides through the band bucket join, so the estimate is computed in
+    the same stage as candidate generation — no join back to the
+    signature table (two shuffles saved vs the compositional path).
+
+    Output: (id_a, id_b, est_jaccard), distinct.
+    """
+    rows = k // bands
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(k)])
+    band_cols = []
+    for bnd in range(bands):
+        cols = [F.col(f"mh{bnd * rows + j}").cast("string") for j in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(bnd).alias("band"), F.concat_ws(",", *cols).alias("band_key"))
+        )
+    buckets = signatures.select(
+        F.col(id_col), sig_arr.alias("sig"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "sig", "bk.band", "bk.band_key")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        a.join(b, on=["band", "band_key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (matches / F.lit(float(k))).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (candidate generation by shared shingle)
 # ---------------------------------------------------------------------------

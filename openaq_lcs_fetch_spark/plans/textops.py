@@ -312,10 +312,9 @@ JOIN sigs sb ON sb.doc_id = p.id_b
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     sigs = SIM.minhash_signatures(docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3)
-    sigs = sigs.cache()
-    pairs = SIM.lsh_candidate_pairs(sigs, "doc_id", k=_MINHASH_K, bands=_MINHASH_BANDS)
-    pairs = pairs.withColumnRenamed("id_a", "id_a").withColumnRenamed("id_b", "id_b")
-    return SIM.signature_similarity(sigs, pairs, "doc_id", k=_MINHASH_K)
+    # fused path: signatures ride through the bucket join, estimate
+    # computed in the candidate stage (no join back to sigs)
+    return SIM.lsh_similar_pairs(sigs, "doc_id", k=_MINHASH_K, bands=_MINHASH_BANDS)
 
 
 # ---------------------------------------------------------------------------
