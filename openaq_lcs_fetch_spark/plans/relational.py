@@ -316,3 +316,75 @@ def supplier_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("s_acctbal").cast("decimal(27,2)")).cast("double").alias("sum_acctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cheapest_parts_per_brand — TPC-H Q2 shape: correlated scalar subquery
+# (min price within the row's brand). Expressed through the engine's
+# *SQL surface* (spark.sql over registered views) so Catalyst's
+# subquery decorrelation does the rewrite — the same text runs on DuckDB.
+# ---------------------------------------------------------------------------
+
+_CHEAPEST_SQL = """
+SELECT p_brand, p_partkey, p_retailprice
+FROM part p
+WHERE p_retailprice = (
+  SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+)
+"""
+
+
+@query("cheapest_parts_per_brand", _CHEAPEST_SQL)
+def cheapest_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import tables
+
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_CHEAPEST_SQL)
+
+
+# ---------------------------------------------------------------------------
+# nation_pair_volume — TPC-H Q7 shape: trade volume between customer and
+# supplier nations (nation joined twice under different roles); both
+# nation dims broadcast, the fact side shuffles once for the group-by.
+# ---------------------------------------------------------------------------
+
+_VOLUME_ORACLE = """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+            * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 10000.0 AS volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_name IN ('NATION_1', 'NATION_2') AND sn.n_name IN ('NATION_3', 'NATION_4')
+GROUP BY cn.n_name, sn.n_name
+"""
+
+
+@query("nation_pair_volume", _VOLUME_ORACLE)
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    cn = n.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.filter(F.col("n_name").isin("NATION_3", "NATION_4")).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cust = c.join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+    supp = s.join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+    joined = (
+        l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return joined.groupBy("cust_nation", "supp_nation").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _disc_price_sum().alias("volume"),
+    )
