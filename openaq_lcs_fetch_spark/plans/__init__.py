@@ -7,6 +7,7 @@ Importing this package loads every query module and fills
 
 from . import registry
 from . import relational  # noqa: F401
+from . import relational_adv  # noqa: F401
 from . import etl  # noqa: F401
 from . import textops  # noqa: F401
 from . import simsearch  # noqa: F401

@@ -1,0 +1,390 @@
+"""Advanced relational shapes: conditional-ratio aggregates, disjunctive
+predicates, agg-driven semi-joins, scalar subqueries, distinct-count with
+NOT IN, and the EXISTS/NOT-EXISTS (Q21) pattern.
+
+These widen the analytics layer beyond what the reference computes (it
+has no generic joins at all — SURVEY.md §2.3); each query is a classic
+TPC-H shape adapted to the driver's synthetic columns. Scale notes
+inline: the fact table (lineitem) only ever shuffles on its natural
+key (l_orderkey) or for the final aggregation; every dimension join is
+an explicit broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import query, t
+
+# Integer-cents revenue term (see relational.py): exact and
+# order-independent in both engines, no decimal×decimal overflow.
+_SQL_CENTS_TERM = (
+    "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
+)
+_SQL_REVENUE = f"CAST(SUM({_SQL_CENTS_TERM}) AS DOUBLE) / 10000.0"
+
+
+def _cents_term() -> Column:
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    return cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+
+
+def _revenue() -> Column:
+    return F.sum(_cents_term()).cast("double") / F.lit(10000.0)
+
+
+# ---------------------------------------------------------------------------
+# promo_revenue_share — TPC-H Q14 shape: conditional aggregate ratio over
+# one month. Broadcast the part dim into the fact scan; single-row output
+# via one partial/final agg (no shuffle of the ratio itself). The ratio
+# divides the same two exact BIGINT sums in both engines → bit-identical.
+# ---------------------------------------------------------------------------
+
+_PROMO_ORACLE = f"""
+SELECT
+  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_SQL_CENTS_TERM} ELSE 0 END) AS DOUBLE)
+    / CAST(SUM({_SQL_CENTS_TERM}) AS DOUBLE) AS promo_share,
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
+"""
+
+
+@query("promo_revenue_share", _PROMO_ORACLE)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-02-01")
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _cents_term()).otherwise(F.lit(0))
+    ).cast("double")
+    total = F.sum(_cents_term()).cast("double")
+    return j.agg(
+        (promo / total).alias("promo_share"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# disjunctive_part_revenue — TPC-H Q19 shape: OR-of-ANDs predicate across
+# both join sides. Catalyst extracts the common l_partkey=p_partkey
+# conjunct as the join key and keeps the disjunction as a post-join
+# filter; part-side-only conjuncts (brand/size) could prune the broadcast
+# — we pre-filter the dim to the brand union explicitly so the broadcast
+# ships only the candidate parts at any SF.
+# ---------------------------------------------------------------------------
+
+_DISJ_ORACLE = f"""
+SELECT {_SQL_REVENUE} AS revenue, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("disjunctive_part_revenue", _DISJ_ORACLE)
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brands = ("Brand#12", "Brand#23", "Brand#3")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand").isin(*brands))
+    l = t(spark, sf_dir, "lineitem")
+    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        _revenue().alias("revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+# ---------------------------------------------------------------------------
+# large_quantity_orders — TPC-H Q18 shape: HAVING-filtered aggregate used
+# as a semi-join back into the fact. The heavy groupBy(l_orderkey) runs
+# first and shrinks the key set ~200×; the survivors then join
+# orders+customer (orders shuffles on o_orderkey = the agg's own
+# partitioning, so AQE reuses the exchange; customer broadcasts).
+# ---------------------------------------------------------------------------
+
+_LARGE_QTY_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(27,2))) > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+@query("large_quantity_orders", _LARGE_QTY_ORACLE)
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,2)")).alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select("l_orderkey", F.col("_q").cast("double").alias("sum_qty"))
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# returned_item_customers — TPC-H Q10 shape: revenue of returned items per
+# customer over a quarter, nation enriched, global top-20. lineitem
+# shuffles once for the (custkey,...) agg; nation broadcasts; top-k is
+# TakeOrderedAndProject (no full sort).
+# ---------------------------------------------------------------------------
+
+_RETURNED_ORACLE = f"""
+SELECT c_custkey, c_name, n_name,
+       {_SQL_REVENUE} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+@query("returned_item_customers", _RETURNED_ORACLE)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    dims = o.join(
+        F.broadcast(c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return (
+        l.join(F.broadcast(dims), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_revenue().alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# nation_market_share — TPC-H Q8 shape: two-level conditional-ratio
+# aggregate. Share of AMERICA-region order revenue supplied by NATION_5,
+# per order year. Both sums are exact BIGINT cents; the single division
+# per group is IEEE-identical across engines.
+# ---------------------------------------------------------------------------
+
+_MKT_SHARE_ORACLE = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+  CAST(SUM(CASE WHEN sn.n_name = 'NATION_5' THEN {_SQL_CENTS_TERM} ELSE 0 END) AS DOUBLE)
+    / CAST(SUM({_SQL_CENTS_TERM}) AS DOUBLE) AS mkt_share,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query("nation_market_share", _MKT_SHARE_ORACLE)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_dim = (
+        c.join(F.broadcast(n.select("n_nationkey", "n_regionkey")),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_dim = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"),
+                             F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    o_dim = o.join(F.broadcast(cust_dim), F.col("o_custkey") == F.col("c_custkey"))
+    j = (
+        l.join(F.broadcast(o_dim), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_dim), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    nat = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", _cents_term()).otherwise(F.lit(0))
+    ).cast("double")
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (nat / F.sum(_cents_term()).cast("double")).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# top_value_parts — TPC-H Q11 shape: scalar aggregate subquery as a
+# HAVING threshold. The per-part agg and the global total both derive
+# from one shuffle; the scalar total is a 1-row broadcast cross-join
+# (never a driver collect). Threshold 0.05% of total revenue.
+# ---------------------------------------------------------------------------
+
+_TOP_VALUE_ORACLE = f"""
+WITH pr AS (
+  SELECT l_partkey, SUM({_SQL_CENTS_TERM}) AS cents
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(cents AS DOUBLE) / 10000.0 AS part_value
+FROM pr
+WHERE CAST(cents AS DOUBLE) > (SELECT CAST(SUM(cents) AS DOUBLE) FROM pr) * 0.0005
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+
+@query("top_value_parts", _TOP_VALUE_ORACLE)
+def top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    pr = l.groupBy("l_partkey").agg(F.sum(_cents_term()).alias("cents"))
+    total = pr.agg(F.sum("cents").cast("double").alias("_total"))
+    return (
+        pr.join(F.broadcast(total))
+        .filter(F.col("cents").cast("double") > F.col("_total") * 0.0005)
+        .select(
+            "l_partkey",
+            (F.col("cents").cast("double") / F.lit(10000.0)).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# brand_supplier_counts — TPC-H Q16 shape: COUNT(DISTINCT) per group with
+# a NOT IN dim exclusion. The exclusion list (suppliers in arrears) is
+# tiny → broadcast left-anti join, then a two-phase distinct aggregate
+# (partial distinct per partition before the shuffle).
+# ---------------------------------------------------------------------------
+
+_BRAND_SUPP_ORACLE = """
+SELECT p_brand, p_type, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC
+LIMIT 30
+"""
+
+
+@query("brand_supplier_counts", _BRAND_SUPP_ORACLE)
+def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bad = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    l = t(spark, sf_dir, "lineitem").join(
+        F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand").asc(), F.col("p_type").asc())
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# last_shipper_suppliers — TPC-H Q21 shape (EXISTS + NOT EXISTS),
+# decorrelated for Spark: a lineitem "waits" on its supplier when the
+# order has >1 supplier and this supplier's item ships strictly after
+# every other supplier's. Instead of two correlated subqueries we compute
+# per-(order,supplier) ship maxima once, then derive "max of the OTHER
+# suppliers" from the order-level top-2 via windows — one shuffle on
+# l_orderkey, reused across both window frames; no self-join of the fact.
+# ---------------------------------------------------------------------------
+
+_LAST_SHIPPER_ORACLE = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders o
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate >= l1.l_shipdate
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+@query("last_shipper_suppliers", _LAST_SHIPPER_ORACLE)
+def last_shipper_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    # per-(order, supplier) latest ship
+    per_supp = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("smax")
+    )
+    w = Window.partitionBy("l_orderkey")
+    top1 = F.max("smax").over(w)
+    n_at_top = F.sum(F.when(F.col("smax") == top1, 1).otherwise(0)).over(w)
+    second = F.max(F.when(F.col("smax") < top1, F.col("smax"))).over(w)
+    n_supp = F.count(F.lit(1)).over(w)
+    other_max = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when((F.col("smax") == top1) & (n_at_top == 1), second)
+        .otherwise(top1)
+        .alias("other_max"),
+        n_supp.alias("n_supp"),
+    ).filter(F.col("n_supp") > 1)
+    # l1.shipdate > max(other suppliers' shipdates) ⇔ the NOT EXISTS above
+    waits = l.join(
+        other_max,
+        ["l_orderkey", "l_suppkey"],
+    ).filter(F.col("l_shipdate") > F.col("other_max"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waits.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )

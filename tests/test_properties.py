@@ -1,0 +1,143 @@
+"""Property-based tests (SURVEY.md §5: 'property-test the conversions').
+
+Hypothesis drives the pure-Python helpers; Spark expressions are tested
+batch-style (one job over a seeded random batch — per-example Spark
+jobs would be prohibitively slow) against independent Python models.
+"""
+
+from __future__ import annotations
+
+import random
+import zoneinfo
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from openaq_lcs_fetch_spark.config import ConfigError, validate_source_config
+from openaq_lcs_fetch_spark.functions.cleaning import coerce_number
+from openaq_lcs_fetch_spark.functions.timestamps import from_local
+from openaq_lcs_fetch_spark.measurands import UNIT_CONVERSIONS, normalize_unit_and_scale
+
+# --- pure helpers under hypothesis -----------------------------------------
+
+
+@given(st.text(min_size=1, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_normalize_unit_total(unit):
+    """normalize never throws and is idempotent on its own output."""
+    nu, scale = normalize_unit_and_scale(unit)
+    assert scale > 0
+    nu2, scale2 = normalize_unit_and_scale(nu)
+    if nu not in UNIT_CONVERSIONS:  # normalized units are fixed points
+        assert (nu2, scale2) == (nu, 1.0)
+
+
+@given(
+    st.fixed_dictionaries(
+        {
+            "schema": st.just("v1"),
+            "provider": st.text(min_size=1, max_size=10),
+            "frequency": st.sampled_from(["minute", "hour", "day"]),
+            "active": st.booleans(),
+        }
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_valid_configs_always_pass(cfg):
+    assert validate_source_config(cfg) == cfg
+
+
+@given(st.dictionaries(st.text(max_size=8), st.integers(), max_size=4))
+@settings(max_examples=100, deadline=None)
+def test_garbage_configs_always_rejected(cfg):
+    if set(cfg) >= {"schema", "provider", "frequency", "active"}:
+        return  # could be valid; covered above
+    with pytest.raises(ConfigError):
+        validate_source_config(cfg)
+
+
+# --- Spark expressions over seeded random batches --------------------------
+
+
+def test_coerce_number_matches_python_float(spark):
+    rng = random.Random(42)
+    cases = []
+    for _ in range(200):
+        v = round(rng.uniform(-1e6, 1e6), rng.randint(0, 4))
+        s = f"{v:,}" if rng.random() < 0.5 else str(v)
+        cases.append((s, v))
+    cases += [("junk", None), ("", None), ("1.2.3", None), ("--5", None)]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "raw string")
+    got = [r[0] for r in df.select(coerce_number(F.col("raw"))).collect()]
+    for (s, want), g in zip(cases, got):
+        if want is None:
+            assert g is None, s
+        else:
+            assert g == pytest.approx(want), s
+
+
+def test_from_local_matches_zoneinfo(spark):
+    """C6 against Python's zoneinfo across random instants (includes
+    DST transitions for America/New_York; naive local times that are
+    ambiguous/nonexistent are excluded — providers emit sampled clock
+    readings, not wall-clock edge cases)."""
+    tz = zoneinfo.ZoneInfo("America/New_York")
+    rng = random.Random(7)
+    base = datetime(2023, 1, 1)
+    rows, expected = [], []
+    while len(rows) < 100:
+        local = base + timedelta(minutes=rng.randint(0, 2 * 365 * 24 * 60))
+        aware = local.replace(tzinfo=tz)
+        # skip ambiguous/nonexistent local times (fold-sensitive)
+        if aware.utcoffset() != local.replace(tzinfo=tz, fold=1).utcoffset():
+            continue
+        rows.append((local.strftime("%Y-%m-%d %H:%M:%S"),))
+        expected.append(aware.astimezone(zoneinfo.ZoneInfo("UTC")).replace(tzinfo=None))
+    df = spark.createDataFrame(rows, "raw string")
+    got = [
+        r[0]
+        for r in df.select(
+            from_local(F.col("raw"), "yyyy-MM-dd HH:mm:ss", "America/New_York")
+        ).collect()
+    ]
+    assert got == expected
+
+
+def test_minhash_estimates_jaccard(spark):
+    """The k=64 signature estimate tracks exact jaccard within 0.25 for
+    synthetic doc pairs across the similarity range."""
+    from openaq_lcs_fetch_spark.functions.similarity import (
+        lsh_similar_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = []
+    base = [rng.choice(vocab) for _ in range(60)]
+    for i in range(10):  # progressively mutated copies of one base doc
+        words = list(base)
+        for _ in range(i * 6):
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = minhash_signatures(df, "doc_id", "text", k=64, shingle_n=2)
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in lsh_similar_pairs(sigs, "doc_id", k=64, bands=32).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", shingle_n=2).collect()
+    }
+    checked = 0
+    for pair, e in est.items():
+        if pair in exact:
+            assert abs(e - exact[pair]) < 0.25, (pair, e, exact[pair])
+            checked += 1
+    assert checked >= 5  # banding with r=2 must surface the similar pairs
