@@ -318,3 +318,73 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_multiprobe_search — multi-probe LSH: probe the query's bucket PLUS
+# every bucket at Hamming distance 1 (flip one hyperplane bit), then
+# exact cosine top-5 over the union. Near-boundary neighbours that
+# single-bucket search misses land one bit away, so this buys recall
+# without doubling the number of hash tables. The probe test is a pure
+# bit trick on the already-computed bucket ids — d = bucket XOR qbucket
+# is 0 (same bucket) or a power of two (one flipped plane) — so the
+# candidate filter stays a narrow map over the bucketed scan; at scale
+# the probe set is n_planes+1 bucket keys pushed into the bucket index.
+# ---------------------------------------------------------------------------
+
+
+def _multiprobe_oracle() -> str:
+    inner = _ann_oracle().strip()
+    return f"""
+WITH buckets AS ({inner}),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+  CROSS JOIN qb
+  WHERE e.vec_id <> 0
+    AND (xor(b.bucket, qb.bucket) = 0
+         OR (xor(b.bucket, qb.bucket) & (xor(b.bucket, qb.bucket) - 1)) = 0)
+)
+SELECT vec_id, label,
+       ROUND(list_cosine_similarity(v, (SELECT qvec FROM qv)), 6) AS cos_sim
+FROM cand
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 5
+"""
+
+
+@query("ann_multiprobe_search", _multiprobe_oracle())
+def ann_multiprobe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    df = e.select(
+        "vec_id", "label", "embedding", _quantized(F.col("embedding")).alias("q")
+    )
+    bucket = F.lit(0).cast("long")
+    for j in range(_N_PLANES):
+        bucket = bucket + F.when(_plane_dot(F.col("q"), j) >= 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    with_bucket = df.select("vec_id", "label", "embedding", bucket.alias("bucket"))
+    qrow = with_bucket.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+    )
+    d = F.col("bucket").bitwiseXOR(F.col("qbucket"))
+    cand = (
+        with_bucket.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .filter((d == 0) | (d.bitwiseAND(d - 1) == 0))
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            F.round(
+                cosine(F.col("embedding").cast("array<double>"), F.col("qvec")), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )

@@ -611,3 +611,146 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms — per-document top-3 terms by tf·(N/df). All inputs are
+# exact integer counts; the single double division per term is
+# IEEE-identical across engines (no log, deliberately). Plan shape:
+# explode → two hash aggs sharing the token-key shuffle → join on token
+# → per-doc window top-k. At scale df is vocabulary-sized (≪ corpus) →
+# broadcast; the explode never materializes document bodies, only
+# (doc_id, token) pairs.
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf,
+         CAST(tf * (SELECT n FROM n) AS DOUBLE) / CAST(df AS DOUBLE) AS tfidf
+  FROM tf JOIN df USING (tok)
+)
+SELECT doc_id, tok, tf, tfidf
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC
+  ) AS rn FROM scored
+) WHERE rn <= 3
+"""
+
+
+@query("tfidf_top_terms", _TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            (
+                (F.col("tf") * F.col("_n")).cast("double")
+                / F.col("df").cast("double")
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram_lift_top — corpus-level collocation mining: lift(a,b) =
+# N·c(a,b) / (c(a)·c(b)) over consecutive-token bigrams, min support 5,
+# top-20. Integer numerators/denominators (counts), one double division
+# → cross-engine exact. The bigram explode reuses the token explode's
+# shape; both unigram joins broadcast the vocabulary-sized count table.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LIFT_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+uni AS (
+  SELECT tok, COUNT(*) AS c FROM (SELECT unnest(toks) AS tok FROM toks) GROUP BY tok
+),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+bg AS (
+  SELECT bigram, COUNT(*) AS c_ab FROM (
+    SELECT unnest(
+      CASE WHEN len(toks) >= 2 THEN
+        list_transform(generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1])
+      ELSE [] END
+    ) AS bigram
+    FROM toks
+  ) GROUP BY bigram
+)
+SELECT bigram, CAST(c_ab AS BIGINT) AS c_ab,
+       CAST(c_ab * (SELECT n FROM n) AS DOUBLE)
+         / CAST(ua.c * ub.c AS DOUBLE) AS lift
+FROM bg
+JOIN uni ua ON ua.tok = string_split(bigram, ' ')[1]
+JOIN uni ub ON ub.tok = string_split(bigram, ' ')[2]
+WHERE c_ab >= 5
+ORDER BY lift DESC, bigram ASC
+LIMIT 20
+"""
+
+
+@query("bigram_lift_top", _BIGRAM_LIFT_ORACLE)
+def bigram_lift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    uni = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = uni.agg(F.sum("c").cast("bigint").alias("_n"))
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> concat(toks[i], ' ', toks[i + 1]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    bg = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_ab"))
+    ua = uni.select(F.col("tok").alias("_ta"), F.col("c").alias("_ca"))
+    ub = uni.select(F.col("tok").alias("_tb"), F.col("c").alias("_cb"))
+    parts = F.split(F.col("bigram"), " ")
+    return (
+        bg.filter(F.col("c_ab") >= 5)
+        .withColumn("_a", parts.getItem(0))
+        .withColumn("_b", parts.getItem(1))
+        .join(F.broadcast(ua), F.col("_a") == F.col("_ta"))
+        .join(F.broadcast(ub), F.col("_b") == F.col("_tb"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bigram",
+            "c_ab",
+            (
+                (F.col("c_ab") * F.col("_n")).cast("double")
+                / (F.col("_ca") * F.col("_cb")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
