@@ -101,7 +101,10 @@ def get_spark(app_name: str = "openaq-lcs-fetch-spark", cpus: int | None = None)
     builder = (
         builder.config("spark.sql.shuffle.partitions", str(max(32, (n or 32))))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.ui.enabled", "false")
+        .config(
+            "spark.ui.enabled",
+            os.environ.get("SPARK_GRAFT_UI", "false"),  # profiler flips on
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in RUNTIME_CONF.items():

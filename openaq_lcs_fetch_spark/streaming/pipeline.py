@@ -72,6 +72,23 @@ def dedup_within_watermark(stream: DataFrame, keys: list[str], delay: str = "3 h
     return stream.withWatermark("ts", delay).dropDuplicates(keys)
 
 
+def dedup_then_hourly_counts(stream: DataFrame, delay: str = "3 hours") -> DataFrame:
+    """Chained stateful operators in ONE streaming query (Spark ≥3.4):
+    watermark → dropDuplicates (state #1) → tumbling-window agg
+    (state #2). This is the reference's real pipeline shape — sliding
+    re-reads produce duplicates (habitatmap T4) that must be removed
+    BEFORE the hourly rollup — expressed without an intermediate sink.
+    Both operators share the event-time watermark, so state for each is
+    evicted together; at scale each keeps per-key/per-window state in
+    the RocksDB state store, partitioned by key hash."""
+    deduped = stream.withWatermark("ts", delay).dropDuplicates(
+        ["event_id", "ts"]
+    )
+    return deduped.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
 def run_available_now(result: DataFrame, output_mode: str = "append") -> DataFrame:
     """Execute a bounded streaming query to a memory sink and return the
     materialized result as a batch DataFrame (the driver-facing bridge).

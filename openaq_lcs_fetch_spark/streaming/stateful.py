@@ -24,7 +24,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 #: state: last emitted content hash per station key
 _STATE_SCHEMA = StructType([StructField("content_hash", StringType(), True)])
@@ -67,6 +67,63 @@ def changed_stations(stations_stream: DataFrame, key: str) -> DataFrame:
         fn,
         outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+#: gap-detector state: last observed event-time (µs since epoch) per key
+_GAP_STATE_SCHEMA = StructType([StructField("last_us", LongType(), True)])
+
+
+def sensor_gaps(
+    events_stream: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    gap: str = "2 hours",
+) -> DataFrame:
+    """Cross-micro-batch gap detection (custom stateful operator): for
+    each key, emit a row whenever the spacing between consecutive
+    readings exceeds ``gap`` — the streaming twin of the reference's
+    staleness concern (it re-fetches 3h back, airgradient.js:137-153,
+    precisely because sensors go quiet). Keyed state holds only the
+    last event-time (8 bytes/key), so millions of sensors fit one
+    executor's state store; within a batch rows are sorted per key, so
+    out-of-order arrivals inside the watermark are handled."""
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+    out_schema = StructType(
+        [
+            StructField("key", StringType(), False),
+            StructField("gap_start", LongType(), False),
+            StructField("gap_end", LongType(), False),
+            StructField("gap_us", LongType(), False),
+        ]
+    )
+
+    def fn(
+        key_tuple: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        rows = []
+        stamps: list[int] = []
+        for pdf in pdfs:
+            stamps.extend(int(v.value) // 1000 for v in pd.to_datetime(pdf[ts_col]))
+        stamps.sort()
+        for us in stamps:
+            if last is not None and us - last > gap_us:
+                rows.append((str(key_tuple[0]), last, us, us - last))
+            last = us
+        if last is not None:
+            state.update((last,))
+        if rows:
+            yield pd.DataFrame(rows, columns=["key", "gap_start", "gap_end", "gap_us"])
+
+    return events_stream.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_GAP_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -147,3 +147,60 @@ def test_streaming_session_window(spark, tmp_path):
     out = run_available_now(sessions, output_mode="complete")
     rows = sorted((r.sensor_id, r.n) for r in out.collect())
     assert rows == [("s1", 1), ("s1", 2)]
+
+
+def test_chained_dedup_then_window(spark, tmp_path):
+    """Two stateful operators in one query: duplicates across overlapping
+    micro-batches are removed BEFORE the tumbling-hour counts."""
+    from openaq_lcs_fetch_spark.streaming.pipeline import dedup_then_hourly_counts
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(src / "b1.json", [
+        {"event_id": 1, "ts": "2024-01-01 10:05:00", "event_type": "click"},
+        {"event_id": 2, "ts": "2024-01-01 10:20:00", "event_type": "click"},
+    ])
+    _write_jsonl(src / "b2.json", [
+        {"event_id": 2, "ts": "2024-01-01 10:20:00", "event_type": "click"},  # dup re-read
+        {"event_id": 3, "ts": "2024-01-01 11:10:00", "event_type": "view"},
+    ])
+    stream = (
+        spark.readStream.schema("event_id long, ts string, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    # append-mode window output only finalizes below the watermark; use
+    # update on the memory sink and take each window's latest count
+    out = run_available_now(dedup_then_hourly_counts(stream), output_mode="update")
+    latest = {}
+    for r in out.collect():
+        latest[(r.w.start.hour, r.event_type)] = r.n
+    assert latest == {(10, "click"): 2, (11, "view"): 1}
+
+
+def test_sensor_gaps_across_batches(spark, tmp_path):
+    """Custom stateful gap detector: state carries the last timestamp
+    across micro-batches; only spacings > threshold emit."""
+    from openaq_lcs_fetch_spark.streaming.stateful import sensor_gaps
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(src / "b1.json", [
+        {"sensor": "s1", "ts": "2024-01-01 00:00:00"},
+        {"sensor": "s1", "ts": "2024-01-01 01:00:00"},
+        {"sensor": "s2", "ts": "2024-01-01 00:00:00"},
+    ])
+    _write_jsonl(src / "b2.json", [
+        {"sensor": "s1", "ts": "2024-01-01 05:00:00"},  # 4h gap vs batch 1
+        {"sensor": "s2", "ts": "2024-01-01 01:30:00"},  # 1.5h — under threshold
+    ])
+    stream = (
+        spark.readStream.schema("sensor string, ts string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = run_available_now(sensor_gaps(stream, "sensor", gap="2 hours"))
+    rows = [(r.key, r.gap_us) for r in out.collect()]
+    assert rows == [("s1", 4 * 3600 * 1_000_000)]
