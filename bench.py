@@ -44,6 +44,11 @@ HEADLINE = (
     "daily_from_hourly",
     "corpus_split",
     "streaming_hourly",
+    "large_quantity_orders",
+    "last_shipper_suppliers",
+    "nation_market_share",
+    "tfidf_top_terms",
+    "ann_multiprobe_search",
 )
 
 
