@@ -388,3 +388,124 @@ def ann_multiprobe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# kmeans_clusters — iterative algorithm (Lloyd's k-means, 2 iterations,
+# K=8) done Spark-first: centroids live in a DataFrame the whole time
+# (broadcast into assignment, rebuilt by aggregation — never a driver
+# collect loop). Determinism across engines: vectors are integer-
+# quantized; squared-L2 and component sums are exact BIGINT; the only
+# division (centroid mean) is one IEEE double divide + floor, identical
+# bit-for-bit in Spark and DuckDB. The oracle unrolls both iterations
+# as CTEs. At scale each iteration is one narrow map (K broadcast
+# centroids) + one posexplode aggregation — the classic Spark k-means
+# shape, linear in data, no shuffle of raw vectors beyond the dim sums.
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+
+
+def _km_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, q) × broadcast centroids → (vec_id, cid) by min (d2, cid)."""
+    d2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cq"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .groupBy("vec_id")
+        .agg(F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cid"))
+    )
+
+
+def _km_recenter(vecs: DataFrame, assign: DataFrame) -> DataFrame:
+    """Mean (floor of exact sums) per cluster, rebuilt as array<long>."""
+    dims = (
+        vecs.join(assign, "vec_id")
+        .select("cid", F.posexplode("q").alias("pos", "qc"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("qc").alias("s"), F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "m",
+            F.floor(F.col("s").cast("double") / F.col("n").cast("double")).cast("long"),
+        )
+    )
+    return dims.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cq")
+    )
+
+
+def _km_sql_assign(vec_cte: str, cent_cte: str) -> str:
+    """DuckDB twin of _km_assign (1-based list indexing)."""
+    return f"""
+SELECT vec_id, cid FROM (
+  SELECT v.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_sum(list_transform(generate_series(1, len(v.q)),
+                    i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))) ASC, c.cid ASC
+         ) AS rn
+  FROM {vec_cte} v CROSS JOIN {cent_cte} c
+) WHERE rn = 1
+"""
+
+
+def _km_sql_recenter(vec_cte: str, assign_cte: str) -> str:
+    return f"""
+SELECT cid, list(m ORDER BY pos) AS cq FROM (
+  SELECT cid, pos, CAST(FLOOR(CAST(SUM(qc) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+  FROM (
+    SELECT a.cid, unnest(v.q) AS qc, generate_subscripts(v.q, 1) AS pos
+    FROM {vec_cte} v JOIN {assign_cte} a USING (vec_id)
+  ) GROUP BY cid, pos
+) GROUP BY cid
+"""
+
+
+def _kmeans_oracle() -> str:
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * 1000.0, 0) AS BIGINT)) AS q
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, q AS cq FROM qv WHERE vec_id < {_KM_K}),
+a1 AS ({_km_sql_assign('qv', 'c0')}),
+c1 AS ({_km_sql_recenter('qv', 'a1')}),
+a2 AS ({_km_sql_assign('qv', 'c1')})
+SELECT a2.cid, COUNT(*) AS n,
+       CAST(MIN(c1.csum) AS BIGINT) AS centroid_qsum
+FROM a2 JOIN (SELECT cid, list_sum(cq) AS csum FROM c1) c1 USING (cid)
+GROUP BY a2.cid
+ORDER BY a2.cid
+"""
+
+
+@query("kmeans_clusters", _kmeans_oracle())
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", _quantized(F.col("embedding")).alias("q"))
+    cents = vecs.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    a1 = _km_assign(vecs, cents)
+    c1 = _km_recenter(vecs, a1)
+    a2 = _km_assign(vecs, c1)
+    csum = c1.select(
+        "cid",
+        F.aggregate(F.col("cq"), F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "csum"
+        ),
+    )
+    return (
+        a2.join(csum, "cid")
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("csum").alias("centroid_qsum"))
+        .orderBy("cid")
+    )

@@ -28,3 +28,35 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("w.start").alias("hour"), "event_type", "n"
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming_gaps — the custom stateful operator (applyInPandasWithState)
+# as a driver-visible query: per-user gaps > 24h detected by keyed state
+# over the events stream, verified against a batch lag-window oracle.
+# The state is 8 bytes per user; the batch twin is a single window
+# function — equality between the two IS the exactly-once argument.
+# ---------------------------------------------------------------------------
+
+_GAPS_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+)
+SELECT CAST(user_id AS VARCHAR) AS key,
+       epoch_us(prev) AS gap_start,
+       epoch_us(ts) AS gap_end,
+       epoch_us(ts) - epoch_us(prev) AS gap_us
+FROM o
+WHERE epoch_us(ts) - epoch_us(prev) > CAST(24 AS BIGINT) * 3600 * 1000000
+"""
+
+
+@query("streaming_gaps", _GAPS_ORACLE)
+def streaming_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import sensor_gaps
+
+    stream = read_events_stream(spark, sf_dir)
+    gaps = sensor_gaps(stream, "user_id", gap="24 hours")
+    return run_available_now(gaps)
