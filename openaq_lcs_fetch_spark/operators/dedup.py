@@ -69,3 +69,56 @@ def drop_exact_dups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
         ["_h"],
         [F.col(id_col).asc()],
     ).drop("_h")
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Distributed connected components by iterative min-label
+    propagation — the clustering step that turns near-dup *pairs* into
+    dedup *groups* (keep one doc per component). The algorithm is the
+    standard Spark/GraphFrames shape: every node starts labeled with its
+    own id; each round every node takes the min of its label and its
+    neighbors' labels; fixpoint = min id of the component.
+
+    Scale properties: each round is one shuffle join on node id (labels
+    are (id, long) pairs — raw payloads never travel); rounds needed =
+    graph diameter, and near-dup graphs are shallow (clusters of copies,
+    not chains). Lineage is truncated per round with localCheckpoint so
+    the plan does not grow with iterations; convergence is detected with
+    an aggregated count (no data ever collects to the driver).
+
+    Returns (id_col, 'component') for every node; singletons map to
+    themselves.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
+    ).union(edges.select(F.col(dst_col).alias("_a"), F.col(src_col).alias("_b")))
+    labels = nodes.select(F.col(id_col), F.col(id_col).alias("component"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym["_b"] == labels[id_col])
+            .groupBy("_a")
+            .agg(F.min("component").alias("_nc"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels[id_col] == neighbor_min["_a"], "left")
+            .select(
+                labels[id_col],
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nc"), F.col("component"))
+                ).alias("_new"),
+                F.col("component"),
+            )
+        )
+        changed = updated.filter(F.col("_new") != F.col("component")).count()
+        labels = updated.select(F.col(id_col), F.col("_new").alias("component"))
+        labels = labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels

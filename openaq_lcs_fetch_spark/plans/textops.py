@@ -754,3 +754,56 @@ def bigram_lift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), F.col("bigram").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_components — near-dup PAIRS → dedup GROUPS: connected components
+# (iterative min-label propagation, operators.dedup.connected_components)
+# over the jaccard≥0.3 edge set, then one row per doc with its component
+# and a canonical flag (keep component-min). The oracle computes the
+# same fixpoint with a recursive CTE — matching it exactly is the
+# convergence proof for the iterative path. This is the missing step
+# between pairwise similarity and an actually-deduplicated corpus.
+# ---------------------------------------------------------------------------
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_SQL_SHINGLE_TABLE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.3
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.id = s.b
+)
+SELECT id AS doc_id, MIN(r) AS component,
+       CAST(MIN(r) = id AS BOOLEAN) AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
+@query("dedup_components", _COMPONENTS_ORACLE)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    edges = SIM.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.3)
+    comp = connected_components(
+        d.select("doc_id"), edges, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    return comp.select(
+        "doc_id",
+        "component",
+        (F.col("component") == F.col("doc_id")).alias("is_canonical"),
+    )

@@ -254,3 +254,18 @@ def test_asof_join_null_value_in_matched_row(spark):
     row = asof_join(left, right, "k", "ts").first()
     assert row["asof_ts"].hour == 2      # matched the 02:00 row...
     assert row["asof_factor"] is None    # ...including its NULL value
+
+
+def test_connected_components_chain(spark):
+    """A 4-node chain needs multiple propagation rounds (diameter 3);
+    singletons stay their own component."""
+    from openaq_lcs_fetch_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame(
+        [(3, 2), (2, 1), (1, 0), (4, 5)], "src long, dst long"
+    )
+    got = {
+        r.id: r.component for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4}
