@@ -176,3 +176,112 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(27,2)")).cast("double").alias("sum_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# value_changes — lead/lag change detection: per-user consecutive value
+# deltas (ordered by ts with event_id tiebreaker — every per-key window
+# needs a total order), top-20 by absolute delta. One shuffle on
+# user_id; double subtraction is exact (no accumulation).
+# ---------------------------------------------------------------------------
+
+_VALUE_CHANGES_ORACLE = """
+SELECT user_id, event_id, delta FROM (
+  SELECT user_id, event_id,
+         value - lag(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS delta
+  FROM events
+) WHERE delta IS NOT NULL
+ORDER BY abs(delta) DESC, user_id ASC, event_id ASC
+LIMIT 20
+"""
+
+
+@query("value_changes", _VALUE_CHANGES_ORACLE)
+def value_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        )
+        .filter(F.col("delta").isNotNull())
+        .orderBy(F.abs(F.col("delta")).desc(), F.col("user_id").asc(), F.col("event_id").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# customer_deciles — ntile decile stats over account balance (global
+# order with custkey tiebreaker). A single-partition window at this
+# output is fine: ntile is over the *customer* dim (small vs facts); at
+# true scale the same stats come from approx quantile cuts instead.
+# ---------------------------------------------------------------------------
+
+_DECILES_ORACLE = """
+SELECT decile, COUNT(*) AS n,
+       MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+FROM (
+  SELECT c_acctbal,
+         ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+  FROM customer
+)
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+@query("customer_deciles", _DECILES_ORACLE)
+def customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (
+        c.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cumulative_monthly_revenue — running total over an ordered frame
+# (rows unbounded preceding): monthly integer-cents revenue, then the
+# cumulative sum per month. Cents stay BIGINT through the window (exact,
+# order-independent given the unique month key); DuckDB's windowed
+# SUM(BIGINT) yields HUGEINT → cast back.
+# ---------------------------------------------------------------------------
+
+_CUMREV_ORACLE = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT month,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(CAST(SUM(cents) OVER (ORDER BY month) AS BIGINT) AS DOUBLE) / 100.0
+         AS cumulative_revenue
+FROM monthly
+ORDER BY month
+"""
+
+
+@query("cumulative_monthly_revenue", _CUMREV_ORACLE)
+def cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "month",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        (F.sum("cents").over(w).cast("double") / 100.0).alias("cumulative_revenue"),
+    ).orderBy("month")
