@@ -285,3 +285,66 @@ def cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents").cast("double") / 100.0).alias("revenue"),
         (F.sum("cents").over(w).cast("double") / 100.0).alias("cumulative_revenue"),
     ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# event_type_pivot — long→wide pivot with a FIXED value list (never
+# inferred: an inferred pivot needs an extra distinct scan and breaks
+# schema stability). Compiles to one hash agg with conditional counts —
+# exactly the oracle's FILTER form; single shuffle on user_id.
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PIVOT_ORACLE = f"""
+SELECT user_id,
+  {", ".join(f"CAST(COUNT(*) FILTER (event_type = '{et}') AS BIGINT) AS {et}" for et in _EVENT_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
+@query("event_type_pivot", _PIVOT_ORACLE)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    # pivot leaves NULL where a (user, type) pair never occurred; the
+    # FILTER oracle counts 0 — align
+    return out.select(
+        "user_id", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in _EVENT_TYPES]
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample — deterministic per-stratum sampling: ~30% of docs
+# per language via the portable md5 hash of doc_id (NOT Bernoulli rng —
+# engines would never agree, and reruns must be reproducible for
+# train/eval splits). Narrow map, no shuffle; the rate check is
+# hash(doc_id) mod 100 < 30 so membership is stable under corpus growth.
+# ---------------------------------------------------------------------------
+
+_STRAT_ORACLE = """
+SELECT lang, COUNT(*) AS n_sampled,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM documents
+WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100) < 30
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("stratified_sample", _STRAT_ORACLE)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        d.filter((h % 100) < 30)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("first_doc"))
+        .orderBy("lang")
+    )
