@@ -509,3 +509,94 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.min("csum").alias("centroid_qsum"))
         .orderBy("cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_probe2 — IVF with nprobe=2: data vectors stay in their single
+# nearest cell, but the QUERY probes its 2 nearest cells — the standard
+# recall lever (a query near a Voronoi boundary finds neighbours that
+# fell just across it). Candidate volume is 2/K of the corpus; the
+# probe-cell pair is computed once from the broadcast centroids.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_probe2_oracle() -> str:
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, {_sql_qvec('embedding')} AS cq
+  FROM embeddings WHERE vec_id < {_IVF_K}
+),
+vecs AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v, {_sql_qvec('embedding')} AS q
+  FROM embeddings
+),
+dists AS (
+  SELECT v.vec_id, v.label, v.v, c.cid,
+         list_sum(list_transform(v.q, (x, i) -> (x - c.cq[i]) * (x - c.cq[i]))) AS d2,
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           list_sum(list_transform(v.q, (x, i) -> (x - c.cq[i]) * (x - c.cq[i]))) ASC,
+           c.cid ASC) AS rn
+  FROM vecs v, cent c
+),
+assigned AS (SELECT vec_id, label, v, cid FROM dists WHERE rn = 1),
+qprobe AS (SELECT cid FROM dists WHERE vec_id = 42 AND rn <= 2),
+qv AS (SELECT v AS qv FROM assigned WHERE vec_id = 42)
+SELECT a.vec_id, a.label,
+       ROUND(list_cosine_similarity(a.v, (SELECT qv FROM qv)), 6) AS cos_sim
+FROM assigned a
+WHERE a.cid IN (SELECT cid FROM qprobe) AND a.vec_id <> 42
+ORDER BY cos_sim DESC, a.vec_id ASC
+LIMIT 5
+"""
+
+
+@query("ann_ivf_probe2", _ivf_probe2_oracle())
+def ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+        _quantized(F.col("embedding")).alias("q"),
+    )
+    cent = vecs.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cq"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dists = (
+        vecs.select("vec_id", "q")
+        .crossJoin(F.broadcast(cent))
+        .withColumn("d2", d2)
+    )
+    # data → 1 cell (min_by, map-side); query → 2 cells (top-2 window
+    # over the K broadcast candidates of one vector — trivial volume)
+    cell = dists.groupBy("vec_id").agg(
+        F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cid")
+    )
+    assigned = vecs.select("vec_id", "label", "v").join(cell, "vec_id")
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    qprobe = (
+        dists.filter(F.col("vec_id") == 42)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select(F.col("cid").alias("qcid"))
+    )
+    qv = assigned.filter(F.col("vec_id") == 42).select(F.col("v").alias("qv"))
+    cand = (
+        assigned.filter(F.col("vec_id") != 42)
+        .join(F.broadcast(qprobe), F.col("cid") == F.col("qcid"), "left_semi")
+        .crossJoin(F.broadcast(qv))
+    )
+    return (
+        cand.select(
+            "vec_id", "label", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
