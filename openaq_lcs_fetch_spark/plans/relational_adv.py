@@ -388,3 +388,68 @@ def last_shipper_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# engaged_users — set operators: (clickers ∩ purchasers) ∖ error-users.
+# Spark INTERSECT/EXCEPT lower to left-semi/left-anti hash joins on the
+# distinct key — worth having as first-class surface because the
+# declarative form lets Catalyst pick semi-join + exchange reuse over
+# the three scans of the same table.
+# ---------------------------------------------------------------------------
+
+_ENGAGED_ORACLE = """
+SELECT user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'error'
+)
+ORDER BY user_id
+"""
+
+
+@query("engaged_users", _ENGAGED_ORACLE)
+def engaged_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    by = lambda et: e.filter(F.col("event_type") == et).select("user_id")  # noqa: E731
+    return (
+        by("click")
+        .intersect(by("purchase"))
+        .exceptAll(by("error"))
+        .distinct()
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# status_priority_sets — explicit GROUPING SETS ((status), (priority)):
+# two independent one-dimension aggregates in ONE pass over orders (the
+# expand operator duplicates rows per set; one scan, one shuffle —
+# vs two scans for two separate group-bys). grouping_id disambiguates.
+# ---------------------------------------------------------------------------
+
+_GSETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+@query("status_priority_sets", _GSETS_ORACLE)
+def status_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING_ID(o_orderstatus, o_orderpriority) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_total
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
