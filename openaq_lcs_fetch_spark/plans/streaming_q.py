@@ -60,3 +60,62 @@ def streaming_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     gaps = sensor_gaps(stream, "user_id", gap="24 hours")
     return run_available_now(gaps)
+
+
+# ---------------------------------------------------------------------------
+# streaming_click_to_buy — STREAM-STREAM interval join: each click joins
+# purchases by the same user within the following hour. Both sides carry
+# watermarks; the time-bound predicate lets Spark expire join state (a
+# click older than max(event time) - 1h can never match again). The
+# batch oracle is the same range join in SQL — append-mode inner join
+# emits exactly the matched pairs, so the two agree row-for-row.
+# ---------------------------------------------------------------------------
+
+_CLICK_BUY_ORACLE = """
+SELECT c.user_id,
+       epoch_us(c.ts) AS click_us,
+       epoch_us(p.ts) AS buy_us,
+       c.event_id AS click_id,
+       p.event_id AS buy_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
+@query("streaming_click_to_buy", _CLICK_BUY_ORACLE)
+def streaming_click_to_buy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = read_events_stream(spark, sf_dir)
+    clicks = (
+        raw.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    buys = (
+        raw.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    out = run_available_now(joined)
+    return out.select(
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros(F.col("c_ts"))).alias("click_us"),
+        (F.unix_micros(F.col("p_ts"))).alias("buy_us"),
+        "click_id",
+        "buy_id",
+    )

@@ -348,3 +348,30 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("first_doc"))
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# approx_event_stats — the sketch path for 100 TB: HyperLogLog++ distinct
+# users and approximate percentiles per event type. Registered WITHOUT an
+# oracle (rows-only driver check): sketch estimates are engine-specific
+# by construction — DuckDB's approx algorithms produce different (equally
+# valid) estimates, so a value hash can never match. The exact twins
+# (`distinct_users`, `value_percentiles`) are oracle-verified; this entry
+# exists because at real scale the exact forms are the wrong plan (exact
+# distinct = full shuffle of every key; sketches merge map-side in fixed
+# memory).
+# ---------------------------------------------------------------------------
+
+
+@query("approx_event_stats", None)
+def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_pcts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
