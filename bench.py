@@ -49,6 +49,9 @@ HEADLINE = (
     "nation_market_share",
     "tfidf_top_terms",
     "ann_multiprobe_search",
+    "dedup_components",
+    "kmeans_clusters",
+    "event_type_pivot",
 )
 
 

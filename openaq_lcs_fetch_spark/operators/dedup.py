@@ -99,6 +99,10 @@ def connected_components(
     sym = edges.select(
         F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
     ).union(edges.select(F.col(dst_col).alias("_a"), F.col(src_col).alias("_b")))
+    # materialize the edge list once — edge GENERATION (e.g. a jaccard
+    # self-join) is usually the expensive part, and every round reuses
+    # sym; without this each iteration would recompute it from scratch
+    sym = sym.localCheckpoint(eager=True)
     labels = nodes.select(F.col(id_col), F.col(id_col).alias("component"))
     for _ in range(max_iters):
         neighbor_min = (
