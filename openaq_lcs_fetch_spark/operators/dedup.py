@@ -120,9 +120,16 @@ def connected_components(
                 F.col("component"),
             )
         )
+        # one materialization serves BOTH the convergence count and the
+        # next round's labels (count + a separate checkpoint would run
+        # the propagation join twice)
+        updated = updated.localCheckpoint(eager=True)
         changed = updated.filter(F.col("_new") != F.col("component")).count()
         labels = updated.select(F.col(id_col), F.col("_new").alias("component"))
-        labels = labels.localCheckpoint(eager=True)
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "(component diameter exceeds max_iters) — returning partial labels "
+        "would be silently wrong; raise max_iters"
+    )

@@ -118,8 +118,11 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    # customer (dim) broadcasts; the filtered-orders side still scales
+    # with the fact, so its join shuffles on o_orderkey (AQE broadcasts
+    # it at small SF where it fits under the threshold)
     joined = l.join(
-        F.broadcast(o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))),
+        o.join(c, F.col("o_custkey") == F.col("c_custkey")),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     return (
@@ -132,9 +135,10 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# region_revenue — TPC-H Q5 shape: a chain of dimension joins, every one
-# broadcast (region/nation/customer/supplier are tiny at any SF); the fact
-# table never shuffles for joins, only for the final group-by.
+# region_revenue — TPC-H Q5 shape: a chain of dimension joins.
+# nation/region are bounded → hint-broadcast; customer/orders scale with
+# SF → the optimizer picks broadcast vs shuffle per actual size, and the
+# fact's join key (l_orderkey) stays the natural co-partitioning key.
 # ---------------------------------------------------------------------------
 
 _REGION_REVENUE_ORACLE = f"""
@@ -167,9 +171,9 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
     )
-    o_dim = o.join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+    o_dim = o.join(dims, F.col("o_custkey") == F.col("c_custkey"))
     return (
-        l.join(F.broadcast(o_dim), F.col("l_orderkey") == F.col("o_orderkey"))
+        l.join(o_dim, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("n_name")
         .agg(
             _disc_price_sum().alias("revenue"),
@@ -380,9 +384,9 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = c.join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
     supp = s.join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
     joined = (
-        l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     return joined.groupBy("cust_nation", "supp_nation").agg(
         F.count(F.lit(1)).alias("n_items"),

@@ -6,8 +6,11 @@ These widen the analytics layer beyond what the reference computes (it
 has no generic joins at all — SURVEY.md §2.3); each query is a classic
 TPC-H shape adapted to the driver's synthetic columns. Scale notes
 inline: the fact table (lineitem) only ever shuffles on its natural
-key (l_orderkey) or for the final aggregation; every dimension join is
-an explicit broadcast.
+key (l_orderkey) or for the final aggregation. Broadcast hints mark
+only genuinely bounded tables (nation/region, single-row scalars);
+SF-scaling sides (customer/part/supplier/orders) are left to the
+optimizer — stats/AQE broadcast them while they fit, shuffle when
+they don't.
 """
 
 from __future__ import annotations
@@ -37,9 +40,10 @@ def _revenue() -> Column:
 
 # ---------------------------------------------------------------------------
 # promo_revenue_share — TPC-H Q14 shape: conditional aggregate ratio over
-# one month. Broadcast the part dim into the fact scan; single-row output
-# via one partial/final agg (no shuffle of the ratio itself). The ratio
-# divides the same two exact BIGINT sums in both engines → bit-identical.
+# one month. The month filter shrinks lineitem ~1%; part joins on
+# p_partkey (AQE broadcasts while it fits). Single-row output via one
+# partial/final agg (no shuffle of the ratio itself). The ratio divides
+# the same two exact BIGINT sums in both engines → bit-identical.
 # ---------------------------------------------------------------------------
 
 _PROMO_ORACLE = f"""
@@ -58,7 +62,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-02-01")
     )
     p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    j = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
     promo = F.sum(
         F.when(F.col("p_type") == "PROMO", _cents_term()).otherwise(F.lit(0))
     ).cast("double")
@@ -73,9 +77,8 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # disjunctive_part_revenue — TPC-H Q19 shape: OR-of-ANDs predicate across
 # both join sides. Catalyst extracts the common l_partkey=p_partkey
 # conjunct as the join key and keeps the disjunction as a post-join
-# filter; part-side-only conjuncts (brand/size) could prune the broadcast
-# — we pre-filter the dim to the brand union explicitly so the broadcast
-# ships only the candidate parts at any SF.
+# filter; we pre-filter the part side to the brand union explicitly so
+# the joined dim carries only candidate parts at any SF.
 # ---------------------------------------------------------------------------
 
 _DISJ_ORACLE = f"""
@@ -92,7 +95,7 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     brands = ("Brand#12", "Brand#23", "Brand#3")
     p = t(spark, sf_dir, "part").filter(F.col("p_brand").isin(*brands))
     l = t(spark, sf_dir, "lineitem")
-    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    j = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
     q = F.col("l_quantity")
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 11))
@@ -109,7 +112,7 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as a semi-join back into the fact. The heavy groupBy(l_orderkey) runs
 # first and shrinks the key set ~200×; the survivors then join
 # orders+customer (orders shuffles on o_orderkey = the agg's own
-# partitioning, so AQE reuses the exchange; customer broadcasts).
+# partitioning, so AQE reuses the exchange).
 # ---------------------------------------------------------------------------
 
 _LARGE_QTY_ORACLE = """
@@ -141,7 +144,7 @@ def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(20)
@@ -150,9 +153,10 @@ def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # returned_item_customers — TPC-H Q10 shape: revenue of returned items per
-# customer over a quarter, nation enriched, global top-20. lineitem
-# shuffles once for the (custkey,...) agg; nation broadcasts; top-k is
-# TakeOrderedAndProject (no full sort).
+# customer over a quarter, nation enriched, global top-20. The
+# orders-side scales with the fact (a quarter of orders is NOT a
+# dimension) → its lineitem join shuffles on the natural o_orderkey;
+# only nation is hint-broadcast. Top-k is TakeOrderedAndProject.
 # ---------------------------------------------------------------------------
 
 _RETURNED_ORACLE = f"""
@@ -180,11 +184,11 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     dims = o.join(
-        F.broadcast(c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))),
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")),
         F.col("o_custkey") == F.col("c_custkey"),
     )
     return (
-        l.join(F.broadcast(dims), F.col("l_orderkey") == F.col("o_orderkey"))
+        l.join(dims, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(_revenue().alias("revenue"), F.count(F.lit(1)).alias("n_items"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
@@ -236,10 +240,13 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.col("n_name").alias("supp_nation"))),
         F.col("s_nationkey") == F.col("sn_key"),
     ).select("s_suppkey", "supp_nation")
-    o_dim = o.join(F.broadcast(cust_dim), F.col("o_custkey") == F.col("c_custkey"))
+    # orders semi-filtered to AMERICA customers still scales with the
+    # fact — no broadcast hint; the join shuffles on orderkey (AQE may
+    # still broadcast at small SF). supp_dim is a true dimension.
+    o_dim = o.join(cust_dim, F.col("o_custkey") == F.col("c_custkey"))
     j = (
-        l.join(F.broadcast(o_dim), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp_dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(o_dim, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp_dim, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     nat = F.sum(
         F.when(F.col("supp_nation") == "NATION_5", _cents_term()).otherwise(F.lit(0))
@@ -315,10 +322,10 @@ def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
     l = t(spark, sf_dir, "lineitem").join(
-        F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
     )
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand").asc(), F.col("p_type").asc())
@@ -382,7 +389,7 @@ def last_shipper_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("l_shipdate") > F.col("other_max"))
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        waits.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        waits.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
@@ -392,10 +399,10 @@ def last_shipper_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # engaged_users — set operators: (clickers ∩ purchasers) ∖ error-users.
-# Spark INTERSECT/EXCEPT lower to left-semi/left-anti hash joins on the
-# distinct key — worth having as first-class surface because the
-# declarative form lets Catalyst pick semi-join + exchange reuse over
-# the three scans of the same table.
+# intersect lowers to a left-semi hash join and subtract (EXCEPT
+# DISTINCT) to a left-anti — worth having as first-class surface
+# because the declarative form lets Catalyst pick semi/anti joins +
+# exchange reuse over the three scans of the same table.
 # ---------------------------------------------------------------------------
 
 _ENGAGED_ORACLE = """
@@ -416,9 +423,8 @@ def engaged_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     by = lambda et: e.filter(F.col("event_type") == et).select("user_id")  # noqa: E731
     return (
         by("click")
-        .intersect(by("purchase"))
-        .exceptAll(by("error"))
-        .distinct()
+        .intersect(by("purchase"))  # already distinct output
+        .subtract(by("error"))  # EXCEPT DISTINCT → left-anti join
         .orderBy("user_id")
     )
 

@@ -45,6 +45,17 @@ def _plane_dot(qcol, j: int):
     return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
+def _bucket_expr(qcol):
+    """Sign-bit bucket id over all hyperplanes (shared by every LSH
+    query so the hash definition cannot drift between them)."""
+    bucket = F.lit(0).cast("long")
+    for j in range(_N_PLANES):
+        bucket = bucket + F.when(_plane_dot(qcol, j) >= 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    return bucket
+
+
 # ---------------------------------------------------------------------------
 # cosine_topk — brute-force top-10 neighbours of vec_id 0
 # ---------------------------------------------------------------------------
@@ -109,12 +120,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     qcol = _quantized(F.col("embedding"))
     df = e.select("vec_id", "label", qcol.alias("q"))
-    bucket = F.lit(0).cast("long")
-    for j in range(_N_PLANES):
-        bucket = bucket + F.when(_plane_dot(F.col("q"), j) >= 0, F.lit(1 << j)).otherwise(
-            F.lit(0)
-        ).cast("long")
-    return df.select("vec_id", "label", bucket.alias("bucket"))
+    return df.select("vec_id", "label", _bucket_expr(F.col("q")).alias("bucket"))
 
 
 # ---------------------------------------------------------------------------
@@ -147,12 +153,9 @@ def ann_bucket_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     qcol = _quantized(F.col("embedding"))
     df = e.select("vec_id", "label", "embedding", qcol.alias("q"))
-    bucket = F.lit(0).cast("long")
-    for j in range(_N_PLANES):
-        bucket = bucket + F.when(_plane_dot(F.col("q"), j) >= 0, F.lit(1 << j)).otherwise(
-            F.lit(0)
-        ).cast("long")
-    with_bucket = df.select("vec_id", "label", "embedding", bucket.alias("bucket"))
+    with_bucket = df.select(
+        "vec_id", "label", "embedding", _bucket_expr(F.col("q")).alias("bucket")
+    )
     qrow = with_bucket.filter(F.col("vec_id") == 0).select(
         F.col("bucket").alias("qbucket"),
         F.col("embedding").cast("array<double>").alias("qvec"),
@@ -238,13 +241,51 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_K = 8
 
 
+def _ivf_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, v double[], q quantized) — IVF working set."""
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+        _quantized(F.col("embedding")).alias("q"),
+    )
+
+
+def _ivf_dists(vecs: DataFrame) -> DataFrame:
+    """Exact integer squared-L2 from every vector to every broadcast
+    centroid (the first _IVF_K vec_ids) — shared by single-probe and
+    multi-probe search so the distance/tie-break definition cannot
+    drift between them. The heavy double vector never rides through
+    this join (narrow-map assignment at scale)."""
+    cent = vecs.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cq"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return vecs.select("vec_id", "q").crossJoin(F.broadcast(cent)).withColumn("d2", d2)
+
+
+def _ivf_assigned(vecs: DataFrame, dists: DataFrame) -> DataFrame:
+    """Nearest-cell assignment: min_by over struct(d2, cid) — map-side
+    partial agg collapses the K candidate rows per vector BEFORE any
+    shuffle."""
+    cell = dists.groupBy("vec_id").agg(
+        F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cid")
+    )
+    return vecs.select("vec_id", "label", "v").join(cell, "vec_id")
+
+
 def _sql_qvec(expr: str) -> str:
     return f"list_transform(CAST({expr} AS DOUBLE[]), x -> CAST(ROUND(x * 1000.0, 0) AS BIGINT))"
 
 
-def _ivf_oracle() -> str:
-    return f"""
-WITH cent AS (
+def _ivf_sql_ctes() -> str:
+    """Shared cent/vecs/dists/assigned CTEs — single source of truth for
+    the oracle-side IVF assignment (mirrors _ivf_dists/_ivf_assigned)."""
+    return f"""cent AS (
   SELECT vec_id AS cid, {_sql_qvec('embedding')} AS cq
   FROM embeddings WHERE vec_id < {_IVF_K}
 ),
@@ -254,14 +295,17 @@ vecs AS (
 ),
 dists AS (
   SELECT v.vec_id, v.label, v.v, c.cid,
-         list_sum(list_transform(v.q, (x, i) -> (x - c.cq[i]) * (x - c.cq[i]))) AS d2
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           list_sum(list_transform(v.q, (x, i) -> (x - c.cq[i]) * (x - c.cq[i]))) ASC,
+           c.cid ASC) AS rn
   FROM vecs v, cent c
 ),
-assigned AS (
-  SELECT vec_id, label, v, cid
-  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn FROM dists)
-  WHERE rn = 1
-),
+assigned AS (SELECT vec_id, label, v, cid FROM dists WHERE rn = 1)"""
+
+
+def _ivf_oracle() -> str:
+    return f"""
+WITH {_ivf_sql_ctes()},
 qcell AS (SELECT cid, v AS qv FROM assigned WHERE vec_id = 42)
 SELECT a.vec_id, a.label,
        ROUND(list_cosine_similarity(a.v, (SELECT qv FROM qcell)), 6) AS cos_sim
@@ -274,35 +318,8 @@ LIMIT 5
 
 @query("ann_ivf_search", _ivf_oracle())
 def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
-    vecs = e.select(
-        "vec_id",
-        "label",
-        F.col("embedding").cast("array<double>").alias("v"),
-        _quantized(F.col("embedding")).alias("q"),
-    )
-    cent = vecs.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
-    )
-    # exact integer squared-L2 to every broadcast centroid; argmin via
-    # min_by over struct(d2, cid) — map-side partial agg collapses the
-    # K candidate rows per vector BEFORE any shuffle, and the heavy
-    # double vector never rides through the distance join (narrow-map
-    # assignment at scale)
-    d2 = F.aggregate(
-        F.zip_with(F.col("q"), F.col("cq"), lambda x, c: (x - c) * (x - c)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    dists = (
-        vecs.select("vec_id", "q")
-        .crossJoin(F.broadcast(cent))
-        .withColumn("d2", d2)
-    )
-    cell = dists.groupBy("vec_id").agg(
-        F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cid")
-    )
-    assigned = vecs.select("vec_id", "label", "v").join(cell, "vec_id")
+    vecs = _ivf_vecs(spark, sf_dir)
+    assigned = _ivf_assigned(vecs, _ivf_dists(vecs))
     qcell = assigned.filter(F.col("vec_id") == 42).select(
         F.col("cid").alias("qcid"), F.col("v").alias("qv")
     )
@@ -361,12 +378,9 @@ def ann_multiprobe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = e.select(
         "vec_id", "label", "embedding", _quantized(F.col("embedding")).alias("q")
     )
-    bucket = F.lit(0).cast("long")
-    for j in range(_N_PLANES):
-        bucket = bucket + F.when(_plane_dot(F.col("q"), j) >= 0, F.lit(1 << j)).otherwise(
-            F.lit(0)
-        ).cast("long")
-    with_bucket = df.select("vec_id", "label", "embedding", bucket.alias("bucket"))
+    with_bucket = df.select(
+        "vec_id", "label", "embedding", _bucket_expr(F.col("q")).alias("bucket")
+    )
     qrow = with_bucket.filter(F.col("vec_id") == 0).select(
         F.col("bucket").alias("qbucket"),
         F.col("embedding").cast("array<double>").alias("qvec"),
@@ -522,23 +536,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_probe2_oracle() -> str:
     return f"""
-WITH cent AS (
-  SELECT vec_id AS cid, {_sql_qvec('embedding')} AS cq
-  FROM embeddings WHERE vec_id < {_IVF_K}
-),
-vecs AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v, {_sql_qvec('embedding')} AS q
-  FROM embeddings
-),
-dists AS (
-  SELECT v.vec_id, v.label, v.v, c.cid,
-         list_sum(list_transform(v.q, (x, i) -> (x - c.cq[i]) * (x - c.cq[i]))) AS d2,
-         row_number() OVER (PARTITION BY v.vec_id ORDER BY
-           list_sum(list_transform(v.q, (x, i) -> (x - c.cq[i]) * (x - c.cq[i]))) ASC,
-           c.cid ASC) AS rn
-  FROM vecs v, cent c
-),
-assigned AS (SELECT vec_id, label, v, cid FROM dists WHERE rn = 1),
+WITH {_ivf_sql_ctes()},
 qprobe AS (SELECT cid FROM dists WHERE vec_id = 42 AND rn <= 2),
 qv AS (SELECT v AS qv FROM assigned WHERE vec_id = 42)
 SELECT a.vec_id, a.label,
@@ -552,32 +550,11 @@ LIMIT 5
 
 @query("ann_ivf_probe2", _ivf_probe2_oracle())
 def ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
-    vecs = e.select(
-        "vec_id",
-        "label",
-        F.col("embedding").cast("array<double>").alias("v"),
-        _quantized(F.col("embedding")).alias("q"),
-    )
-    cent = vecs.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("q"), F.col("cq"), lambda x, c: (x - c) * (x - c)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    dists = (
-        vecs.select("vec_id", "q")
-        .crossJoin(F.broadcast(cent))
-        .withColumn("d2", d2)
-    )
-    # data → 1 cell (min_by, map-side); query → 2 cells (top-2 window
-    # over the K broadcast candidates of one vector — trivial volume)
-    cell = dists.groupBy("vec_id").agg(
-        F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cid")
-    )
-    assigned = vecs.select("vec_id", "label", "v").join(cell, "vec_id")
+    vecs = _ivf_vecs(spark, sf_dir)
+    dists = _ivf_dists(vecs)
+    # data → 1 cell (shared helper); query → 2 cells (top-2 window over
+    # the K broadcast candidates of one vector — trivial volume)
+    assigned = _ivf_assigned(vecs, dists)
     from pyspark.sql import Window
 
     wq = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())

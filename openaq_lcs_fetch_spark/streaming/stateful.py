@@ -88,8 +88,12 @@ def sensor_gaps(
     staleness concern (it re-fetches 3h back, airgradient.js:137-153,
     precisely because sensors go quiet). Keyed state holds only the
     last event-time (8 bytes/key), so millions of sensors fit one
-    executor's state store; within a batch rows are sorted per key, so
-    out-of-order arrivals inside the watermark are handled."""
+    executor's state store. Ordering: rows are sorted per key WITHIN a
+    batch; an event older than the key's state (out-of-order ACROSS
+    micro-batches) is dropped, like any post-watermark late arrival —
+    rewinding state on late data would emit phantom gaps and break
+    monotonicity. Single-batch replays (availableNow over a bounded
+    source) therefore match the batch lag-window oracle exactly."""
     gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
     out_schema = StructType(
         [
@@ -112,6 +116,8 @@ def sensor_gaps(
             stamps.extend(int(v.value) // 1000 for v in pd.to_datetime(pdf[ts_col]))
         stamps.sort()
         for us in stamps:
+            if last is not None and us <= last:
+                continue  # late vs state — drop, never rewind
             if last is not None and us - last > gap_us:
                 rows.append((str(key_tuple[0]), last, us, us - last))
             last = us
