@@ -807,3 +807,39 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("component") == F.col("doc_id")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_k_per_source — fixed-size uniform sample per group (reservoir-
+# equivalent, deterministic): rank docs inside each source by the
+# portable hash of their id and keep the first 3. Hash-rank order is a
+# uniform permutation, so this IS sampling-without-replacement, but
+# reproducible across engines/reruns — the property a train/eval
+# pipeline actually needs. One window shuffle on source; no RNG state.
+# ---------------------------------------------------------------------------
+
+_K_PER_SOURCE_ORACLE = f"""
+SELECT source, doc_id
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_sql_hmod("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= 3
+"""
+
+
+@query("sample_k_per_source", _K_PER_SOURCE_ORACLE)
+def sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    h = TX.hmod(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .select("source", "doc_id")
+    )

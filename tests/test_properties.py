@@ -141,3 +141,40 @@ def test_minhash_estimates_jaccard(spark):
             assert abs(e - exact[pair]) < 0.25, (pair, e, exact[pair])
             checked += 1
     assert checked >= 5  # banding with r=2 must surface the similar pairs
+
+
+def test_connected_components_matches_union_find(spark):
+    """CC on seeded random graphs equals a plain union-find model."""
+    from openaq_lcs_fetch_spark.operators.dedup import connected_components
+
+    rng = random.Random(99)
+    for n_nodes, n_edges in ((30, 10), (40, 45), (25, 0)):
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        # canonical label = min node id in the component
+        comp_min: dict[int, int] = {}
+        for v in range(n_nodes):
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        want = {v: comp_min[find(v)] for v in range(n_nodes)}
+
+        nodes_df = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+        edges_df = spark.createDataFrame(
+            edges or [(0, 0)], "src long, dst long"
+        )
+        got = {
+            r.id: r.component
+            for r in connected_components(nodes_df, edges_df).collect()
+        }
+        assert got == want, (n_nodes, n_edges)
