@@ -751,3 +751,34 @@ def profile_numerics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").alias("max_v"),
         F.sum(F.col("v").cast("decimal(27,2)")).cast("double").alias("sum_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# table_manifest — pipeline observability: per-table row counts for the
+# whole warehouse in one result (the run-log summary A3 generalized to
+# every table). Each count is an independent scan-agg job; the union is
+# rows, not data.
+# ---------------------------------------------------------------------------
+
+_MANIFEST_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+_MANIFEST_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{n}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM {n}"
+    for n in _MANIFEST_TABLES
+)
+
+
+@query("table_manifest", _MANIFEST_ORACLE)
+def table_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    counts = [
+        t(spark, sf_dir, n).agg(
+            F.lit(n).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+        )
+        for n in _MANIFEST_TABLES
+    ]
+    return reduce(lambda a, b: a.unionByName(b), counts)

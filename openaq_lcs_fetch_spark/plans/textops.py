@@ -843,3 +843,39 @@ def sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("source", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_best — canonical selection by QUALITY, not min-id: within
+# each exact-duplicate text group keep the doc with the longest text
+# (proxy ranking; ties → min doc_id). This is the retention policy a
+# corpus pipeline actually wants — "keep the best copy" — layered on the
+# same hash-group shuffle as dedup_exact.
+# ---------------------------------------------------------------------------
+
+_KEEP_BEST_ORACLE = f"""
+SELECT doc_id, source, n_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY {_sql_hmod('text')}
+           ORDER BY n_chars DESC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+@query("dedup_keep_best", _KEEP_BEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy(TX.hmod(F.col("text"))).orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_chars")
+    )
