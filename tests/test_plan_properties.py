@@ -1,0 +1,78 @@
+"""Physical-plan regression tests: the scale properties docs/PLANS.md
+narrates, asserted mechanically so a regression (lost pushdown, surprise
+cartesian product, missed top-k compilation) fails CI instead of
+surfacing as a 100 TB incident.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from openaq_lcs_fetch_spark.plans import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    # the shipdate predicate must reach the parquet scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+    # partial (map-side) + final hash agg → two HashAggregates around one Exchange
+    assert plan.count("HashAggregate") >= 2
+    # column pruning: the scan must not read join-irrelevant columns
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_global_topk_compiles_to_take_ordered(spark, sf_dir):
+    for name in ("top_revenue_orders", "cosine_topk", "recent_orders"):
+        assert "TakeOrderedAndProject" in _plan(spark, sf_dir, name), name
+
+
+def test_window_topk_uses_group_limit(spark, sf_dir):
+    assert "WindowGroupLimit" in _plan(spark, sf_dir, "latest_3_per_user")
+
+
+def test_bounded_dims_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "region_revenue")
+    assert "BroadcastHashJoin" in plan  # nation/region at minimum
+
+
+def test_candidate_generation_is_never_cartesian(spark, sf_dir):
+    """Near-dup candidate generation must be equi-join on hash/bucket
+    keys — an O(n²) nested-loop sneaking in would only show up at scale."""
+    for name in ("ngram_jaccard_top", "minhash_lsh_pairs", "simhash_near_dups",
+                 "embedding_near_dups"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_anti_join_lowering(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "customers_without_orders")
+    assert "LeftAnti" in plan.replace(" ", "")
+
+
+def test_pivot_fixed_values_no_discovery_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "event_type_pivot")
+    assert "Expand" not in plan
+    # fixed value list → exactly one scan of events (an inferred pivot
+    # needs a second scan to collect distinct pivot values first)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    # two-phase agg: per-(user,type) count then pivot assembly → at most
+    # two exchanges in the tree
+    assert tree.count("Exchange") <= 2
+
+
+def test_grouping_sets_uses_expand(spark, sf_dir):
+    assert "Expand" in _plan(spark, sf_dir, "status_priority_sets")
