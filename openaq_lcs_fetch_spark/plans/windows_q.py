@@ -375,3 +375,123 @@ def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# salted_type_stats — the skew-mitigation path as a driver-graded query:
+# event_type has only 5 values (extreme key skew — every row lands on 5
+# reducers), so aggregate in two phases via operators.skew.salted_agg:
+# partial on (type, salt16) spreads each hot key over 16 reducers, final
+# on type. Counts/sums are re-aggregable → identical result to the
+# direct form, which is exactly what the oracle checks.
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(event_id) AS BIGINT) AS count_event_id,
+       CAST(MIN(user_id) AS BIGINT) AS min_user_id
+FROM events GROUP BY event_type
+"""
+
+
+@query("salted_type_stats", _SALTED_ORACLE)
+def salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    e = t(spark, sf_dir, "events")
+    return salted_agg(
+        e,
+        ["event_type"],
+        {"event_id": "count", "user_id": "min"},
+        salt_buckets=16,
+    )
+
+
+# ---------------------------------------------------------------------------
+# brand_weighted_price — weighted average (sum of price·qty / sum qty)
+# per brand: both numerator and denominator are exact integer
+# accumulations (cents × quantity-hundredths), one IEEE divide at the
+# end. Single fact shuffle on p_brand after the part join.
+# ---------------------------------------------------------------------------
+
+_WEIGHTED_ORACLE = """
+SELECT p_brand,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+         / CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS weighted_price,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@query("brand_weighted_price", _WEIGHTED_ORACLE)
+def brand_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    qh = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            (
+                F.sum(cents * qh).cast("double")
+                / F.sum(qh).cast("double")
+                / F.lit(100.0)
+            ).alias("weighted_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# purchase_streaks — gaps-and-islands: longest run of CONSECUTIVE days
+# with ≥1 purchase per user. The classic trick: day - row_number() is
+# constant within a consecutive run, so grouping by that difference
+# finds islands with two aggregations and one window — no iteration,
+# no self-join. All integer arithmetic.
+# ---------------------------------------------------------------------------
+
+_STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events WHERE event_type = 'purchase'
+),
+runs AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+  FROM days
+),
+islands AS (
+  SELECT user_id, COUNT(*) AS len FROM runs GROUP BY user_id, grp
+)
+SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM islands GROUP BY user_id
+ORDER BY longest_streak DESC, user_id ASC
+LIMIT 25
+"""
+
+
+@query("purchase_streaks", _STREAKS_ORACLE)
+def purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    days = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("grp"),
+    )
+    islands = runs.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        islands.groupBy("user_id")
+        .agg(F.max("len").alias("longest_streak"))
+        .orderBy(F.col("longest_streak").desc(), F.col("user_id").asc())
+        .limit(25)
+    )
