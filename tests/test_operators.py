@@ -269,3 +269,21 @@ def test_connected_components_chain(spark):
         r.id: r.component for r in connected_components(nodes, edges).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4}
+
+
+def test_prefix_filtered_jaccard_equals_plain(spark):
+    """Prefix filtering is lossless for a fixed threshold: identical
+    pairs + jaccard values as the unfiltered join."""
+    from openaq_lcs_fetch_spark.functions.similarity import (
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plain = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.3).collect())
+    )
+    pf = sorted(
+        map(tuple, prefix_filtered_jaccard_pairs(docs, "doc_id", "text", 0.3).collect())
+    )
+    assert plain == pf and len(plain) > 0
