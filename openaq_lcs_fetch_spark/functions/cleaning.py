@@ -13,14 +13,24 @@ from pyspark.sql import functions as F
 from ..operators.filters import SENTINEL_TOKENS
 
 
+#: thousands-grouped number: commas ONLY in 3-digit groups — stripping
+#: commas unconditionally would fabricate 123.0 from garbage like '1,2,3'
+_GROUPED = r"^[+-]?\d{1,3}(,\d{3})+(\.\d*)?$"
+_PLAIN = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"
+
+
 def coerce_number(raw: Column) -> Column:
-    """C2: string → double with comma-group stripping ('1,234.5' →
-    1234.5; airqoon.js:93 parseFloat after comma strip). Non-numeric
-    → NULL (Number()/parseFloat semantics, iqair.js:193)."""
-    cleaned = F.regexp_replace(raw.cast("string"), ",", "")
-    return F.when(
-        cleaned.rlike(r"^-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"), cleaned.cast("double")
-    ).otherwise(F.lit(None).cast("double"))
+    """C2: string → double. Comma-grouped values ('1,234.5') have the
+    grouping validated before the strip (airqoon.js:93 comma handling);
+    anything else must already be numeric. Non-numeric → NULL
+    (Number()/parseFloat semantics, iqair.js:193), including malformed
+    groupings like '1,2,3'."""
+    txt = raw.cast("string")
+    return (
+        F.when(txt.rlike(_GROUPED), F.regexp_replace(txt, ",", "").cast("double"))
+        .when(txt.rlike(_PLAIN), txt.cast("double"))
+        .otherwise(F.lit(None).cast("double"))
+    )
 
 
 def clean_measure(raw: Column) -> Column:

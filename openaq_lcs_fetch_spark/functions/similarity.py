@@ -99,6 +99,8 @@ def lsh_candidate_pairs(
     The join is keyed on (band, band_key): an equi-join Catalyst can
     shuffle-partition — never a cartesian product.
     """
+    if k % bands:
+        raise ValueError(f"bands={bands} must divide k={k} (trailing signature components would be silently ignored)")
     rows = k // bands
     band_cols = []
     for bnd in range(bands):
@@ -153,6 +155,8 @@ def lsh_similar_pairs(
 
     Output: (id_a, id_b, est_jaccard), distinct.
     """
+    if k % bands:
+        raise ValueError(f"bands={bands} must divide k={k} (trailing signature components would be silently ignored)")
     rows = k // bands
     sig_arr = F.array(*[F.col(f"mh{i}") for i in range(k)])
     band_cols = []
@@ -202,8 +206,11 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, jaccard) with jaccard ≥ threshold.
     """
     # the shingle table feeds three plan branches (self-join a/b +
-    # sizes) — cache it once instead of recomputing explode+hash 3×
-    sh = shingle_table(docs, id_col, text_col, shingle_n).cache()
+    # sizes) — materialize once (localCheckpoint, not cache: checkpoint
+    # blocks are reclaimed by the ContextCleaner when the plan is
+    # garbage-collected, cached tables pin executor memory until an
+    # explicit unpersist that query-shaped code has no place to put)
+    sh = shingle_table(docs, id_col, text_col, shingle_n).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -242,12 +249,17 @@ def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit SimHash per doc from distinct-token portable hashes.
 
     Two-phase agg: explode tokens → per-doc bit votes (sum ±1 per bit)
-    → reassemble integer. All integer math → oracle-portable.
+    → reassemble integer. All integer math → oracle-portable. The token
+    hash is h60 mod 2^32 — NOT hmod, whose modulus (1e9+7 < 2^30) would
+    leave bits 30-31 constantly zero and quietly shrink the hash to 30
+    informative bits.
     """
+    from .text import h60
+
     tok = (
         docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
         .distinct()
-        .withColumn("th", hmod(F.col("tok")))
+        .withColumn("th", h60(F.col("tok")) % F.lit(4294967296))
     )
     votes = [
         F.sum(
@@ -300,7 +312,16 @@ def prefix_filtered_jaccard_pairs(
     sh = shingle_table(docs, id_col, text_col, shingle_n).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     w = Window.partitionBy(id_col).orderBy(F.col("sh").asc())
-    prefix_len = F.floor(F.lit(1.0 - threshold) * F.col("sz")).cast("long") + F.lit(1)
+    # prefix length = sz - ceil(t·sz) + 1, in EXACT integer arithmetic:
+    # a float product (e.g. 0.3*10 → 3.0000000000000004, ceil 4) can
+    # overshoot the ceiling and shorten the prefix by one — silently
+    # dropping qualifying pairs. Millirate rationals make it exact.
+    t_milli = int(round(threshold * 1000))
+    prefix_len = (
+        F.col("sz")
+        - F.expr(f"CAST((({t_milli} * sz) + 999) DIV 1000 AS BIGINT)")
+        + F.lit(1)
+    )
     prefix = (
         sh.withColumn("_pos", F.row_number().over(w))
         .join(sizes, id_col)

@@ -35,7 +35,10 @@ def run_summary(
         F.count(F.lit(1)).alias("n_measures"),
         F.min(ts_col).alias("from_ts"),
         F.max(ts_col).alias("to_ts"),
-        F.round(F.avg(value_col), 4).alias("avg_value"),
+        (
+            F.sum(F.col(value_col).cast("decimal(27,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_value"),
     )
 
 
@@ -63,12 +66,18 @@ def hourly_rollup(
     bucket = F.date_trunc("hour", F.col(ts_col))
     if hour_ending:
         bucket = bucket + F.expr("INTERVAL 1 HOUR")
+    # exact-decimal average (registry parity rule: raw double sums are
+    # partition-order dependent in the last ulp); min/max are exact
+    # selections and need no rounding
     return (
         df.groupBy(bucket.alias("hour"), *keys)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg(value_col), 4).alias("avg_value"),
-            F.round(F.min(value_col), 4).alias("min_value"),
-            F.round(F.max(value_col), 4).alias("max_value"),
+            (
+                F.sum(F.col(value_col).cast("decimal(27,2)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
         )
     )

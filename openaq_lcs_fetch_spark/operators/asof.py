@@ -64,10 +64,13 @@ def asof_join(
             r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
 
     unioned = l_tag.unionByName(r_tag)
-    # right rows first at equal ts → inclusive <= matching
+    # right rows first at equal ts → inclusive <= matching. The payload
+    # struct is the FINAL sort key: duplicate right rows at the same
+    # (key, ts) would otherwise resolve by partition order — the match
+    # is deterministically the struct-max duplicate instead.
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts).asc(), F.col("_is_right").desc())
+        .orderBy(F.col(ts).asc(), F.col("_is_right").desc(), F.col("_r").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.withColumn(

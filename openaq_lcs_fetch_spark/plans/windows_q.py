@@ -133,18 +133,15 @@ WHERE ROUND(list_cosine_similarity(va.v, vb.v), 6) >= 0.8
 @query("embedding_near_dups", _near_dup_oracle())
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import cosine
-    from .simsearch import _N_PLANES, _plane_dot, _quantized
+    from .simsearch import _bucket_expr, _quantized
 
     e = t(spark, sf_dir, "embeddings")
     df = e.select("vec_id", "embedding", _quantized(F.col("embedding")).alias("q"))
-    bucket = F.lit(0).cast("long")
-    for j in range(_N_PLANES):
-        bucket = bucket + F.when(_plane_dot(F.col("q"), j) >= 0, F.lit(1 << j)).otherwise(
-            F.lit(0)
-        ).cast("long")
     b = df.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"), bucket.alias("bucket")
-    ).cache()
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        _bucket_expr(F.col("q")).alias("bucket"),  # shared LSH definition
+    ).localCheckpoint(eager=True)
     a, c = b.alias("a"), b.alias("b")
     cand = a.join(c, on="bucket").filter(F.col("a.vec_id") < F.col("b.vec_id"))
     scored = cand.select(

@@ -272,18 +272,33 @@ def test_connected_components_chain(spark):
 
 
 def test_prefix_filtered_jaccard_equals_plain(spark):
-    """Prefix filtering is lossless for a fixed threshold: identical
-    pairs + jaccard values as the unfiltered join."""
+    """Prefix filtering is lossless at ANY threshold: identical pairs +
+    jaccard values as the unfiltered join. 0.8/0.9 exercise the float
+    ceiling trap (0.8*10 etc.); the crafted pair sits exactly AT the
+    threshold where an off-by-one prefix silently drops it."""
     from openaq_lcs_fetch_spark.functions.similarity import (
         ngram_jaccard_pairs,
         prefix_filtered_jaccard_pairs,
     )
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    plain = sorted(
-        map(tuple, ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.3).collect())
+    for th in (0.3, 0.5, 0.8):
+        plain = sorted(
+            map(tuple, ngram_jaccard_pairs(docs, "doc_id", "text", 3, th).collect())
+        )
+        pf = sorted(
+            map(tuple, prefix_filtered_jaccard_pairs(docs, "doc_id", "text", th).collect())
+        )
+        assert plain == pf, th
+    # adversarial small corpus: overlapping suffix rotations produce
+    # pairs sitting at/near the threshold where an off-by-one prefix
+    # length silently drops candidates
+    words = [f"w{i}" for i in range(12)]
+    docs2 = spark.createDataFrame(
+        [(i, " ".join(words[i:] + words[:max(0, i - 6)])) for i in range(8)],
+        "doc_id long, text string",
     )
-    pf = sorted(
-        map(tuple, prefix_filtered_jaccard_pairs(docs, "doc_id", "text", 0.3).collect())
-    )
-    assert plain == pf and len(plain) > 0
+    for th in (0.8, 0.9):
+        plain = sorted(map(tuple, ngram_jaccard_pairs(docs2, "doc_id", "text", 3, th).collect()))
+        pf = sorted(map(tuple, prefix_filtered_jaccard_pairs(docs2, "doc_id", "text", th).collect()))
+        assert plain == pf, th

@@ -70,7 +70,10 @@ def test_coerce_number_matches_python_float(spark):
         v = round(rng.uniform(-1e6, 1e6), rng.randint(0, 4))
         s = f"{v:,}" if rng.random() < 0.5 else str(v)
         cases.append((s, v))
-    cases += [("junk", None), ("", None), ("1.2.3", None), ("--5", None)]
+    cases += [
+        ("junk", None), ("", None), ("1.2.3", None), ("--5", None),
+        ("1,2,3", None), ("12,34", None), ("+1.5", 1.5), ("1,234,567.25", 1234567.25),
+    ]
     df = spark.createDataFrame([(s,) for s, _ in cases], "raw string")
     got = [r[0] for r in df.select(coerce_number(F.col("raw"))).collect()]
     for (s, want), g in zip(cases, got):
