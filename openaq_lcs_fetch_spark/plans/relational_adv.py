@@ -459,3 +459,61 @@ def status_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# nation_revenue_share — aggregate-then-window: per-nation revenue plus
+# its share of the region total, computed as a window SUM over the
+# aggregated (25-row) result — the expensive fact aggregation happens
+# once and the percent-of-total reads it, never re-scanning the fact.
+# Integer-cents numerator/denominator, one IEEE divide per row.
+# ---------------------------------------------------------------------------
+
+_NATION_SHARE_ORACLE = f"""
+WITH per_nation AS (
+  SELECT r_name, n_name, SUM({_SQL_CENTS_TERM}) AS cents
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       CAST(cents AS DOUBLE) / 10000.0 AS revenue,
+       CAST(cents AS DOUBLE)
+         / CAST(CAST(SUM(cents) OVER (PARTITION BY r_name) AS BIGINT) AS DOUBLE)
+         AS region_share
+FROM per_nation
+ORDER BY r_name, n_name
+"""
+
+
+@query("nation_revenue_share", _NATION_SHARE_ORACLE)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    dims = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+    )
+    per_nation = (
+        l.join(o.join(dims, F.col("o_custkey") == F.col("c_custkey")),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(_cents_term()).alias("cents"))
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        (F.col("cents").cast("double") / F.lit(10000.0)).alias("revenue"),
+        (
+            F.col("cents").cast("double")
+            / F.sum("cents").over(w).cast("double")
+        ).alias("region_share"),
+    ).orderBy("r_name", "n_name")
