@@ -1,0 +1,65 @@
+"""The determinism contract under a DIFFERENT execution geometry: the
+driver owns its session, so results must be bit-identical whatever
+parallelism/shuffle-partition count it picks. Runs a representative
+query set in a subprocess with local[3]/7 shuffle partitions (the
+shared test session can't change master) and hash-compares with DuckDB.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+_SCRIPT = r"""
+import sys, math
+sys.path.insert(0, {repo!r})
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[3]")
+         .config("spark.sql.shuffle.partitions", "7").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as E
+qs, osql = E.queries(), E.oracle_sql()
+sf = "/root/testdata/sf0.001"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {{t}} AS SELECT * FROM '{{sf}}/{{t}}.parquet'")
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    rows = []
+    for row in df.itertuples(index=False):
+        out = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                out.append("NULL")
+            elif isinstance(v, float):
+                out.append(repr(v))
+            elif isinstance(v, pd.Timestamp):
+                out.append(v.isoformat())
+            else:
+                out.append(str(v))
+        rows.append(tuple(out))
+    return sorted(rows)
+
+for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
+          "hourly_rollup", "nation_revenue_share"]:
+    s = canon(qs[n](spark, sf).toPandas())
+    o = canon(con.sql(osql[n]).df())
+    assert s == o, n
+print("INVARIANT_OK")
+"""
+
+
+def test_results_invariant_to_parallelism():
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT.format(repo=repo)],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert "INVARIANT_OK" in proc.stdout, proc.stderr[-2000:]
