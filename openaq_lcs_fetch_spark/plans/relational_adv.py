@@ -517,3 +517,86 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("cents").over(w).cast("double")
         ).alias("region_share"),
     ).orderBy("r_name", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# forecast_revenue — TPC-H Q6 shape: pure scan-filter-aggregate, no
+# join at all. The predicate triple (date range, discount band, quantity
+# cap) pushes fully into the parquet scan; revenue = price × discount in
+# integer cents² (exact). The simplest query in the family and the
+# purest pushdown check.
+# ---------------------------------------------------------------------------
+
+_FORECAST_ORACLE = """
+SELECT
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+           * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / 10000.0
+    AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("forecast_revenue", _FORECAST_ORACLE)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return l.agg(
+        (F.sum(cents * disc).cast("double") / F.lit(10000.0)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# small_quantity_revenue — TPC-H Q17 shape: per-row comparison against a
+# per-group aggregate (correlated scalar subquery), decorrelated as an
+# aggregate + equi-join back on the group key. The per-part average is
+# exact (decimal sum / count); the 0.2× threshold comparison multiplies
+# out the division (5·qty·cnt < sum_qty in integer space) so no float
+# boundary can flip a row between engines.
+# ---------------------------------------------------------------------------
+
+_SMALL_QTY_ORACLE = """
+WITH pq AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qh,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / 7.0
+    AS avg_yearly,
+  COUNT(*) AS n_items
+FROM lineitem JOIN pq ON l_partkey = pk
+WHERE 5 * CAST(ROUND(l_quantity * 100, 0) AS BIGINT) * cnt < sum_qh
+"""
+
+
+@query("small_quantity_revenue", _SMALL_QTY_ORACLE)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    qh = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    pq = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qh).alias("sum_qh"), F.count(F.lit(1)).alias("cnt")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    j = l.join(pq, F.col("l_partkey") == F.col("pk"))
+    # qty < 0.2·avg  ⇔  5·qty·cnt < sum_qty — integer-exact on both sides
+    return (
+        j.filter(F.lit(5) * qh * F.col("cnt") < F.col("sum_qh"))
+        .agg(
+            (F.sum(cents).cast("double") / F.lit(100.0) / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
