@@ -600,3 +600,83 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# customer_order_distribution — TPC-H Q13 shape: LEFT join (customers
+# with zero orders count too) → per-customer counts → distribution of
+# counts. Two aggregations, the second over customer-cardinality rows.
+# ---------------------------------------------------------------------------
+
+_ORDER_DIST_ORACLE = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("customer_order_distribution", _ORDER_DIST_ORACLE)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# top_supplier — TPC-H Q15 shape: per-supplier quarterly revenue, keep
+# the max-revenue supplier(s) via a scalar-aggregate subquery (1-row
+# broadcast, never a driver collect). Ties all surface — the scalar
+# compare is on exact integer cents.
+# ---------------------------------------------------------------------------
+
+_TOP_SUPPLIER_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey AS sk, SUM({_SQL_CENTS_TERM}) AS cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(cents AS DOUBLE) / 10000.0 AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = sk
+WHERE cents = (SELECT MAX(cents) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+@query("top_supplier", _TOP_SUPPLIER_ORACLE)
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("sk")).agg(
+        F.sum(_cents_term()).alias("cents")
+    )
+    mx = rev.agg(F.max("cents").alias("_mx"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("cents") == F.col("_mx"))
+        .join(s, F.col("sk") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("cents").cast("double") / F.lit(10000.0)).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
