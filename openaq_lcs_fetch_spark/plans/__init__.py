@@ -6,14 +6,20 @@ Importing this package loads every query module and fills
 """
 
 from . import registry
-from . import relational  # noqa: F401
-from . import relational_adv  # noqa: F401
-from . import etl  # noqa: F401
+
+# Registration order matters: the correctness driver verifies the FIRST 50
+# registry entries per round.  Round 1 verified the relational/etl half
+# (CORRECTNESS_r01.json, 50/50 green); round 2 front-loads the previously
+# unchecked textops/simsearch/streaming/windows/temporal queries so they
+# land inside the driver's verification window.
 from . import textops  # noqa: F401
 from . import simsearch  # noqa: F401
 from . import streaming_q  # noqa: F401
 from . import windows_q  # noqa: F401
 from . import temporal  # noqa: F401
+from . import relational  # noqa: F401
+from . import relational_adv  # noqa: F401
+from . import etl  # noqa: F401
 
 QUERIES = registry.QUERIES
 
