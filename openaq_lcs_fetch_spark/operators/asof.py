@@ -4,17 +4,22 @@ canonical example of a custom operator composed from existing ops).
 ``asof_join(left, right, key, ts)``: for every left row, attach the
 most recent right row with ``right.ts <= left.ts`` within the same key.
 
-Spark-first realization (no UDF, one shuffle):
+Spark-first realization (no UDF):
   1. tag both sides and union on (key, ts);
   2. per-key window ordered by (ts, tag) with ``last(value,
      ignorenulls=True)`` carries the latest right-side payload forward;
   3. keep only left rows.
 
-The shuffle is a single hash partition on the key (both sides
-co-partitioned); within partitions it's one sort — the same cost
-profile as a sort-merge join, which is exactly what a native as-of
-join would plan. Right-side rows at equal ts sort first (inclusive
-``<=`` semantics, matching DuckDB's ASOF JOIN used as the oracle).
+Scale note — the plain per-key window partitions the whole fact table
+by the join key alone; a low-cardinality key (e.g. 5 event types) means
+a handful of straggler tasks own everything at 100 TB. Pass
+``bucket_seconds`` to switch to the skew-free plan: the carry-forward
+window partitions by (key, time_bucket) — parallelism grows with the
+time range — and each bucket is seeded with the latest right-side row
+from all earlier buckets (the per-bucket seed table is |keys|×|buckets|
+rows, so its key-only carry window is trivially small). Semantics are
+identical; right-side rows at equal ts still win (inclusive ``<=``,
+matching DuckDB's ASOF JOIN used as the oracle).
 """
 
 from __future__ import annotations
@@ -24,6 +29,11 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# sort priorities inside the carry-forward window: seeds first (they
+# represent strictly-earlier right rows), then real right rows (ties at
+# equal ts resolve inclusively), then left rows.
+_PRIO_SEED, _PRIO_RIGHT, _PRIO_LEFT = 0, 1, 2
+
 
 def asof_join(
     left: DataFrame,
@@ -32,29 +42,37 @@ def asof_join(
     ts: str,
     value_cols: Sequence[str] | None = None,
     suffix: str = "asof_",
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Left as-of join; right ``value_cols`` arrive prefixed with
     ``suffix`` plus ``{suffix}ts`` (the matched right timestamp), NULL
-    when no right row precedes the left row."""
+    when no right row precedes the left row.
+
+    ``bucket_seconds`` (timestamp ``ts`` only) enables the skew-free
+    (key, time-bucket) windowed plan — use it whenever the key has low
+    cardinality relative to the cluster.
+    """
     keys = [key] if isinstance(key, str) else list(key)
     value_cols = value_cols or [c for c in right.columns if c not in (*keys, ts)]
 
     # the right payload travels as ONE struct so (ts, values) stay
     # atomic — a matched right row with a NULL value column must yield
-    # that NULL, never an older row's value (DuckDB ASOF semantics)
+    # that NULL, never an older row's value (DuckDB ASOF semantics).
+    # _ts is the struct's FIRST field: struct max/ordering = latest ts,
+    # value columns as deterministic tiebreakers.
     rtypes = dict(right.dtypes)
     payload_t = (
         "struct<_ts:" + rtypes[ts] + ","
         + ",".join(f"{c}:{rtypes[c]}" for c in value_cols)
         + ">"
     )
-    l_tag = left.withColumn("_is_right", F.lit(0)).withColumn(
+    l_tag = left.withColumn("_prio", F.lit(_PRIO_LEFT)).withColumn(
         "_r", F.lit(None).cast(payload_t)
     )
     r_tag = right.select(
         *keys,
         F.col(ts),
-        F.lit(1).alias("_is_right"),
+        F.lit(_PRIO_RIGHT).alias("_prio"),
         F.struct(
             F.col(ts).alias("_ts"), *[F.col(c) for c in value_cols]
         ).alias("_r"),
@@ -63,22 +81,66 @@ def asof_join(
         if c not in (*keys, ts):
             r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
 
-    unioned = l_tag.unionByName(r_tag)
-    # right rows first at equal ts → inclusive <= matching. The payload
-    # struct is the FINAL sort key: duplicate right rows at the same
-    # (key, ts) would otherwise resolve by partition order — the match
-    # is deterministically the struct-max duplicate instead.
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col(ts).asc(), F.col("_is_right").desc(), F.col("_r").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    if bucket_seconds is None:
+        unioned = l_tag.unionByName(r_tag)
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(ts).asc(), F.col("_prio").asc(), F.col("_r").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        us = bucket_seconds * 1_000_000
+        bkt = F.floor(F.unix_micros(F.col(ts)) / F.lit(us)).alias("_bkt")
+        lb = l_tag.withColumn("_bkt", bkt)
+        rb = r_tag.withColumn("_bkt", bkt)
+
+        # per-(key, bucket) latest right payload (struct max == latest
+        # _ts, deterministic value tiebreak), then carry it across the
+        # bucket spine so every bucket knows the last right row that
+        # precedes it. The spine is |keys| × |buckets| rows — the
+        # key-only window here is over the TINY table, not the facts.
+        r_per_bkt = rb.groupBy(*keys, "_bkt").agg(F.max("_r").alias("_rmax"))
+        spine = (
+            lb.select(*keys, "_bkt")
+            .unionByName(rb.select(*keys, "_bkt"))
+            .distinct()
+        )
+        w_seed = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_bkt").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        seeds = (
+            spine.join(r_per_bkt, [*keys, "_bkt"], "left")
+            .withColumn("_seed", F.last("_rmax", ignorenulls=True).over(w_seed))
+            .filter(F.col("_seed").isNotNull())
+            .select(
+                *keys,
+                F.col("_bkt"),
+                F.timestamp_micros(F.col("_bkt") * F.lit(us)).cast(rtypes[ts]).alias(ts),
+                F.lit(_PRIO_SEED).alias("_prio"),
+                F.col("_seed").alias("_r"),
+            )
+        )
+        for c in left.columns:
+            if c not in (*keys, ts):
+                seeds = seeds.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+
+        unioned = lb.unionByName(rb).unionByName(seeds)
+        w = (
+            Window.partitionBy(*keys, "_bkt")
+            .orderBy(F.col(ts).asc(), F.col("_prio").asc(), F.col("_r").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+
     carried = unioned.withColumn(
         "_match",
-        F.last(F.when(F.col("_is_right") == 1, F.col("_r")), ignorenulls=True).over(w),
+        F.last(
+            F.when(F.col("_prio") <= _PRIO_RIGHT, F.col("_r")), ignorenulls=True
+        ).over(w),
     )
-    out = carried.filter(F.col("_is_right") == 0)
+    out = carried.filter(F.col("_prio") == _PRIO_LEFT)
     for c in value_cols:
         out = out.withColumn(f"{suffix}{c}", F.col(f"_match.{c}"))
     out = out.withColumn(f"{suffix}ts", F.col("_match._ts"))
-    return out.drop("_is_right", "_r", "_match")
+    return out.drop("_prio", "_r", "_match", "_bkt")

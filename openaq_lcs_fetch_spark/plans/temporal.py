@@ -62,7 +62,12 @@ def _calib(spark: SparkSession) -> DataFrame:
 def asof_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
     calib = _calib(spark).withColumnRenamed("calib_ts", "ts")
-    joined = asof_join(e, calib, key="event_type", ts="ts", value_cols=["factor"])
+    # event_type has only 5 values — bucket the carry-forward window by
+    # day so parallelism scales with the time range, not the key count.
+    joined = asof_join(
+        e, calib, key="event_type", ts="ts", value_cols=["factor"],
+        bucket_seconds=86_400,
+    )
     return joined.select(
         "event_id",
         "event_type",

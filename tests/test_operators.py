@@ -302,3 +302,53 @@ def test_prefix_filtered_jaccard_equals_plain(spark):
         plain = sorted(map(tuple, ngram_jaccard_pairs(docs2, "doc_id", "text", 3, th).collect()))
         pf = sorted(map(tuple, prefix_filtered_jaccard_pairs(docs2, "doc_id", "text", th).collect()))
         assert plain == pf, th
+
+
+def test_asof_join_bucketed_matches_unbucketed(spark):
+    """The skew-free (key, time-bucket) plan is semantically identical to
+    the per-key window plan — including buckets with no right rows (the
+    seed must carry across empty buckets) and inclusive-<= ties."""
+    import random
+
+    from openaq_lcs_fetch_spark.operators.asof import asof_join
+
+    rnd = random.Random(7)
+    base = 1704067200  # 2024-01-01T00:00:00Z
+    left = spark.createDataFrame(
+        [(f"k{i % 3}", base + rnd.randrange(0, 6 * 86400), i) for i in range(200)],
+        "k string, sec long, left_id int",
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "left_id")
+    # right rows only in the first two days -> later buckets rely on seeds
+    right = spark.createDataFrame(
+        [(f"k{i % 3}", base + rnd.randrange(0, 2 * 86400), float(i)) for i in range(30)],
+        "k string, sec long, factor double",
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "factor")
+
+    plain = {r.left_id: (r.asof_ts, r.asof_factor) for r in
+             asof_join(left, right, "k", "ts").collect()}
+    bucketed = {r.left_id: (r.asof_ts, r.asof_factor) for r in
+                asof_join(left, right, "k", "ts", bucket_seconds=3600).collect()}
+    assert plain == bucketed
+    assert len(plain) == 200
+
+
+def test_asof_join_bucketed_window_is_keyed_by_bucket(spark):
+    """Plan check: with bucket_seconds the fact-table window partitions on
+    (key, _bkt), never the bare low-cardinality key."""
+    from openaq_lcs_fetch_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", "2024-01-01T00:30:00", 1)], "k string, ts string, left_id int"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("a", "2024-01-01T00:00:00", 1.0)], "k string, ts string, factor double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    plan = asof_join(left, right, "k", "ts", bucket_seconds=3600)._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(k#" in plan.replace(" ", "").lower() or "_bkt" in plan
+    # every Window over the unioned fact table must include _bkt in its
+    # partition spec (the seed window runs over the tiny spine only)
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*?)ts#", plan)
+    assert specs, plan
+    for s in specs:
+        assert "_bkt" in s, f"fact window not bucketed: {s}"
