@@ -211,6 +211,12 @@ def ngram_jaccard_pairs(
     # garbage-collected, cached tables pin executor memory until an
     # explicit unpersist that query-shaped code has no place to put)
     sh = shingle_table(docs, id_col, text_col, shingle_n).localCheckpoint(eager=True)
+    return _pairs_from_shingles(sh, id_col, threshold)
+
+
+def _pairs_from_shingles(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Exact Jaccard pairs from a prepared (id, sh) table (callers
+    checkpoint ``sh`` — it feeds three plan branches)."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -276,6 +282,111 @@ def simhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "long"
         )
     return per_doc.select(F.col(id_col), acc.alias("simhash"))
+
+
+def df_capped_jaccard_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    shingle_n: int = 3,
+    df_cap: int = 64,
+) -> DataFrame:
+    """Exact top-k Jaccard pairs with DOCUMENT-FREQUENCY-CAPPED candidate
+    generation — the scale-safe registration of the n-gram near-dup query.
+
+    The plain co-occurrence self-join is quadratic in shingle document
+    frequency: one boilerplate shingle shared by 10⁵ docs creates 10¹⁰
+    candidate rows. Here the self-join runs only on shingle occurrences
+    with df ≤ df_cap (hot shingles are EXCLUDED from candidate
+    generation), so per-shingle join fan-out is bounded by df_cap².
+    Jaccard stays EXACT for every candidate: the rare-side intersection
+    count comes from the capped join, and the hot-side remainder from
+    ``array_intersect`` over each doc's (small) hot-shingle array — so
+    inter = inter_rare + inter_hot is the true intersection.
+
+    Completeness is CERTIFIED at runtime, not assumed: a pair that never
+    becomes a candidate shares only hot shingles, so its jaccard is at
+    most min(hot_a, hot_b) / max(sz_a, sz_b) ≤ max_r where
+    max_r = max over docs of hot/sz. If the k-th capped result beats
+    max_r (or no hot shingles exist), the capped top-k IS the global
+    top-k; otherwise we fall back to the unfiltered exact join — the
+    same adaptive re-plan philosophy as AQE, decided from scalar
+    aggregates, never a big collect.
+
+    The branch itself is adaptive: a single ``max(df)`` scalar first —
+    when no shingle exceeds the cap (clean corpora, small SFs) the
+    candidate join is ALREADY df-bounded vacuously and the plain plan
+    runs with zero extra joins; the hot-array machinery is built only
+    when hot shingles exist.
+    """
+    sh = shingle_table(docs, id_col, text_col, shingle_n).localCheckpoint(eager=True)
+    df_tab = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+
+    def _plain_topk() -> DataFrame:
+        return (
+            _pairs_from_shingles(sh, id_col, 0.0)
+            .orderBy(F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+            .limit(k)
+        )
+
+    max_df = df_tab.agg(F.max("_df")).first()[0] or 0
+    if max_df <= df_cap:
+        # certificate holds with bound 0: every shingle's fan-out is
+        # within the cap, candidates are complete, plain == capped
+        return _plain_topk()
+
+    ann = sh.join(df_tab, "sh").localCheckpoint(eager=True)
+    per_doc = ann.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("_df") > df_cap, F.col("sh")))
+        ).alias("hot"),
+    )
+    rare = ann.filter(F.col("_df") <= df_cap).select(id_col, "sh")
+    a, b = rare.alias("a"), rare.alias("b")
+    inter_rare = (
+        a.join(b, on="sh")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_ir"))
+    )
+    pd_a = per_doc.select(
+        F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), F.col("hot").alias("hot_a")
+    )
+    pd_b = per_doc.select(
+        F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), F.col("hot").alias("hot_b")
+    )
+    inter = (F.col("_ir") + F.size(F.array_intersect("hot_a", "hot_b"))).alias("_i")
+    jac = (
+        inter_rare.join(pd_a, "id_a")
+        .join(pd_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                inter.cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - inter)
+            ).alias("jaccard"),
+        )
+    )
+    topk = jac.orderBy(
+        F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(k)
+
+    # completeness certificate: two scalars, not data
+    max_r = per_doc.agg(
+        F.max(F.size("hot") / F.col("sz")).alias("r")
+    ).first()["r"] or 0.0
+    got = topk.select(
+        F.count(F.lit(1)).alias("n"), F.min("jaccard").alias("kth")
+    ).first()
+    if got["n"] < k or (got["kth"] or 0.0) < max_r:
+        # hot-only pairs could outrank the capped k-th — recompute exactly
+        return _plain_topk()
+    return topk
 
 
 def prefix_filtered_jaccard_pairs(

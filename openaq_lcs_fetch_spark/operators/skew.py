@@ -15,6 +15,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(df: DataFrame, buckets: int) -> Column:
+    """Deterministic per-row salt: pmod(hash(every column), buckets)."""
+    return F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(buckets))
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
@@ -27,10 +32,13 @@ def salted_agg(
 
     ``aggs`` maps column → 'sum'|'count'|'min'|'max' (the re-aggregable
     functions; avg = sum+count composed by the caller).
+
+    The salt is ``pmod(hash(all columns), buckets)`` — deterministic per
+    row, so task retries and AQE re-plans re-derive identical salts
+    (``F.rand`` is row-order-dependent and breaks exactly-once sinks
+    downstream even when the aggregate itself is retry-safe).
     """
-    salted = df.withColumn(
-        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
-    )
+    salted = df.withColumn("_salt", _row_salt(df, salt_buckets))
     partial_aggs, final_aggs = [], []
     for col, how in aggs.items():
         p = f"_p_{col}_{how}"
@@ -61,8 +69,8 @@ def salted_join(
     """Skewed fact⋈dim equi-join when the dim is too big to broadcast:
     salt the fact side randomly, explode the dim side across all salts,
     join on (key, salt) — each hot key spreads over ``salt_buckets``
-    tasks."""
-    f = facts.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    tasks. Salt is deterministic (see ``salted_agg``)."""
+    f = facts.withColumn("_salt", _row_salt(facts, salt_buckets))
     d = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )

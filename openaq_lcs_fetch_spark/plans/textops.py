@@ -238,12 +238,12 @@ LIMIT 50
 
 @query("ngram_jaccard_top", _JACCARD_ORACLE)
 def ngram_jaccard_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = SIM.ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"), "doc_id", "text", shingle_n=3, threshold=0.0
+    # df-capped candidate generation: hot shingles never enter the
+    # self-join (bounded fan-out at 100 TB); output is runtime-certified
+    # equal to the exact unfiltered top-50 the oracle computes.
+    return SIM.df_capped_jaccard_topk(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=50, shingle_n=3, df_cap=64
     )
-    return pairs.orderBy(
-        F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc()
-    ).limit(50)
 
 
 # ---------------------------------------------------------------------------

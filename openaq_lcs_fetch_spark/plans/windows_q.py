@@ -45,7 +45,7 @@ def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSIONS_ORACLE = """
 WITH gaps AS (
   SELECT user_id, ts, event_id,
-         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 OR lag(ts) OVER w IS NULL
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 OR lag(ts) OVER w IS NULL
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
@@ -66,8 +66,12 @@ FROM sess GROUP BY user_id, session_no
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
-    new_sess = F.when(gap > 1800, 1).when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    # microsecond precision on BOTH sides (oracle uses epoch_us): a
+    # whole-second cast would flip sub-second gaps across the boundary
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    new_sess = F.when(gap > 1_800_000_000, 1).when(
+        F.lag("ts").over(w).isNull(), 1
+    ).otherwise(0)
     sess = e.select(
         "user_id",
         "ts",

@@ -35,14 +35,25 @@ def write_measures_csv(measures: DataFrame, root: str, provider: str) -> str:
 
 
 def assemble_v01(
-    measures: DataFrame, locations: DataFrame, source: str
+    measures: DataFrame, locations: DataFrame, source: str, n_shards: int = 1
 ) -> DataFrame:
-    """Build v0.1 payload rows: one per UTC day, with nested measures[]
-    and locations[] arrays and the fixed meta struct (schema 'v0.1',
-    matching_method 'ingest-id')."""
+    """Build v0.1 payload rows: one per (UTC day, shard), with nested
+    measures[] and locations[] arrays and the fixed meta struct (schema
+    'v0.1', matching_method 'ingest-id').
+
+    ``n_shards`` bounds the collect_list arrays: measures shard on
+    ``pmod(hash(sensor_id), n)`` and locations on ``pmod(hash(location),
+    n)``, so every measure/location lands in exactly ONE payload and no
+    single row ever holds a whole day of a 100 TB stream (Spark's 2 GB
+    row limit, single-task write). n_shards=1 reproduces the reference's
+    one-payload-per-batch envelope for small batches; size it as
+    ceil(day_rows / target_rows_per_payload) at scale.
+    """
+    shard = F.pmod(F.hash("sensor_id"), F.lit(n_shards)).alias("shard")
     m_day = (
         measures.withColumn("day", F.date_format("timestamp", "yyyy-MM-dd"))
-        .groupBy("day")
+        .withColumn("shard", shard)
+        .groupBy("day", "shard")
         .agg(
             F.collect_list(
                 F.struct(
@@ -56,13 +67,23 @@ def assemble_v01(
             ).alias("measures")
         )
     )
-    locs = locations.agg(
-        F.collect_list(
-            F.struct("location", "label", "ismobile", "lon", "lat")
-        ).alias("locations")
+    locs = (
+        locations.withColumn(
+            "shard", F.pmod(F.hash("location"), F.lit(n_shards))
+        )
+        .groupBy("shard")
+        .agg(
+            F.collect_list(
+                F.struct("location", "label", "ismobile", "lon", "lat")
+            ).alias("locations")
+        )
+    )
+    empty_locs = F.lit([]).cast(
+        "array<struct<location:string,label:string,ismobile:boolean,lon:double,lat:double>>"
     )
     return (
-        m_day.crossJoin(F.broadcast(locs))
+        m_day.join(F.broadcast(locs), "shard", "left")
+        .withColumn("locations", F.coalesce(F.col("locations"), empty_locs))
         .withColumn(
             "meta",
             F.struct(
@@ -71,6 +92,9 @@ def assemble_v01(
                 F.lit("ingest-id").alias("matching_method"),
             ),
         )
+        # shard is an assembly key only — the written envelope stays
+        # exactly {meta, measures[], locations[]} (providers.js:168-185);
+        # sharding just yields several envelope rows per day.
         .select("day", "meta", "measures", "locations")
     )
 

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -57,20 +56,33 @@ def diff_upsert(
     merged = changed.withColumn("_prio", F.lit(0)).unionByName(
         existing.withColumn("_prio", F.lit(1))
     )
-    w = Window.partitionBy(key).orderBy(F.col("_prio").asc())
+    # content_hash tiebreaks same-key same-prio rows (a batch carrying
+    # two different updates for one key) — fully deterministic merge,
+    # same bar the dedup operators hold themselves to
+    w = Window.partitionBy(key).orderBy(
+        F.col("_prio").asc(), F.col("content_hash").asc()
+    )
     result = (
         merged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_prio")
     )
 
-    tmp = os.path.join(
-        tempfile.gettempdir(), f"station_store_{uuid.uuid4().hex[:10]}"
-    )
+    # stage NEXT TO the store so the renames below are same-filesystem
+    # (a cross-fs shutil.move degrades to a non-atomic copy), and swap
+    # by renaming the old store aside first — a crash mid-swap leaves
+    # either the old or the new store in place, never neither
+    parent = os.path.dirname(os.path.abspath(store_path)) or "."
+    os.makedirs(parent, exist_ok=True)
+    tag = uuid.uuid4().hex[:10]
+    tmp = os.path.join(parent, f".{os.path.basename(store_path)}.new.{tag}")
     result.write.mode("overwrite").parquet(tmp)
+    old = os.path.join(parent, f".{os.path.basename(store_path)}.old.{tag}")
     if os.path.exists(store_path):
-        shutil.rmtree(store_path)
-    shutil.move(tmp, store_path)
+        os.rename(store_path, old)
+    os.rename(tmp, store_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
     return {
         "written": n_changed,
         "skipped_unchanged": n_new - n_changed,

@@ -46,9 +46,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), "spark_graft_stream", sf_dir.strip("/").replace("/", "_")
     )
     os.makedirs(link_dir, exist_ok=True)
+    # re-point unconditionally: a stale link from a prior run (testdata
+    # regenerated elsewhere) must not be silently reused. Symlink to a
+    # temp name + atomic os.replace → no window where the link is absent.
     link = os.path.join(link_dir, "events.parquet")
-    if not os.path.islink(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    tmp_link = os.path.join(link_dir, f".events.parquet.{os.getpid()}")
+    if os.path.lexists(tmp_link):
+        os.remove(tmp_link)
+    os.symlink(os.path.join(sf_dir, "events.parquet"), tmp_link)
+    os.replace(tmp_link, link)
     stream = (
         spark.readStream.schema(raw_schema)
         .format("parquet")

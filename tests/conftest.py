@@ -10,7 +10,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from openaq_lcs_fetch_spark.session import get_spark
 
 SF_SMALL = "/root/testdata/sf0.001"
-SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+# sf0.01 is the driver's correctness SF — defaulting the parity suite to
+# it makes local green mean the same thing as driver green.
+SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")

@@ -352,3 +352,79 @@ def test_asof_join_bucketed_window_is_keyed_by_bucket(spark):
     assert specs, plan
     for s in specs:
         assert "_bkt" in s, f"fact window not bucketed: {s}"
+
+
+def test_df_capped_jaccard_topk_matches_plain(spark):
+    """df-capped top-k equals the unfiltered exact top-k — including on a
+    corpus with genuinely hot shingles (df > cap), where the certificate
+    must either hold or trigger the exact fallback."""
+    from openaq_lcs_fetch_spark.functions.similarity import (
+        df_capped_jaccard_topk,
+        ngram_jaccard_pairs,
+    )
+
+    # 3 near-dup clusters + one hot boilerplate phrase in EVERY doc
+    boiler = "all rights reserved contact us for details "
+    rows = []
+    for c in range(3):
+        base = " ".join(f"w{c}_{i}" for i in range(30))
+        for v in range(4):
+            rows.append((c * 10 + v, boiler + base + f" variant {v}"))
+    for i in range(12, 40):
+        rows.append((100 + i, boiler + " ".join(f"u{i}_{j}" for j in range(25))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    plain = (
+        ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.0)
+        .orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(10).collect()
+    )
+    capped = df_capped_jaccard_topk(
+        docs, "doc_id", "text", k=10, shingle_n=3, df_cap=8
+    ).collect()
+    assert [(r.id_a, r.id_b, round(r.jaccard, 12)) for r in capped] == [
+        (r.id_a, r.id_b, round(r.jaccard, 12)) for r in plain
+    ]
+
+
+def test_df_capped_jaccard_excludes_hot_shingles_from_selfjoin(spark):
+    """Plan check: the candidate self-join reads the df-filtered branch
+    (pushed _df <= cap filter present), so hot-shingle fan-out is bounded."""
+    from openaq_lcs_fetch_spark.functions.similarity import df_capped_jaccard_topk
+
+    # near-dup clusters share RARE shingles; the boilerplate prefix is hot
+    # (df=24 > cap=8) → capped branch taken AND certificate holds, so the
+    # returned plan is the df-filtered one
+    boiler = "all rights reserved contact us today "
+    rows = [
+        (c * 10 + v, boiler + " ".join(f"w{c}_{i}" for i in range(20)) + f" v{v}")
+        for c in range(6)
+        for v in range(4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = df_capped_jaccard_topk(docs, "doc_id", "text", k=5, df_cap=8)._jdf.queryExecution().executedPlan().toString()
+    assert "_df" in plan and "<= 8" in plan.replace("#", " #")
+    assert "array_intersect" in plan
+
+
+def test_salted_agg_deterministic_under_repartitioning(spark):
+    """Salted and unsalted aggregates agree, and the salt assignment is
+    row-content-determined — identical results whatever the partitioning
+    (F.rand salts are row-order-dependent under retries/AQE re-plans)."""
+    from openaq_lcs_fetch_spark.operators.skew import _row_salt, salted_agg
+
+    df = spark.createDataFrame(
+        [("hot", i, float(i)) for i in range(500)] + [("cold", i, float(i)) for i in range(5)],
+        "k string, id int, v double",
+    )
+    expect = {(r.k): (r.n, r.mx) for r in
+              df.groupBy("k").agg(F.count("v").alias("n"), F.max("v").alias("mx")).collect()}
+    for parts in (1, 7):
+        got = {r.k: (r.count_v, r.max_v) for r in
+               salted_agg(df.repartition(parts), ["k"], {"v": "count"} | {}, 8)
+               .join(salted_agg(df.repartition(parts), ["k"], {"v": "max"}, 8), "k")
+               .collect()}
+        assert got == expect
+    # salt itself is stable across partitionings
+    s1 = sorted(r[0] for r in df.repartition(3).select(_row_salt(df, 8)).collect())
+    s2 = sorted(r[0] for r in df.repartition(11).select(_row_salt(df, 8)).collect())
+    assert s1 == s2 and len(set(s1)) > 1

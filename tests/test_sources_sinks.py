@@ -110,6 +110,35 @@ def test_measures_json_sink_v01(spark, tmp_path):
     assert doc["locations"][0]["label"] == "Site 1"
 
 
+def test_measures_json_sink_v01_sharded(spark, tmp_path):
+    """Sharded assembly bounds every payload row: measures split across
+    (day, shard) envelopes, each location in exactly one shard's
+    locations[], and the union of envelopes equals the n_shards=1 payload."""
+    measures = spark.createDataFrame(
+        [(f"p-{i}-pm25", float(i), "2024-01-01T01:00:00", None) for i in range(40)],
+        "sensor_id string, measure double, timestamp string, flags map<string,string>",
+    ).withColumn("timestamp", F.to_timestamp("timestamp"))
+    locations = spark.createDataFrame(
+        [(f"p-{i}", f"Site {i}", False, -71.0, 42.0) for i in range(10)],
+        "location string, label string, ismobile boolean, lon double, lat double",
+    )
+    payload = assemble_v01(measures, locations, "prov", n_shards=4)
+    rows = payload.collect()
+    assert len(rows) == 4  # several bounded envelopes per day, not one giant row
+    assert all(len(r["measures"]) < 40 for r in rows)
+    got_measures = sorted(m["sensor_id"] for r in rows for m in r["measures"])
+    assert got_measures == sorted(f"p-{i}-pm25" for i in range(40))
+    got_locs = sorted(loc["location"] for r in rows for loc in r["locations"])
+    assert got_locs == sorted(f"p-{i}" for i in range(10))  # exactly once each
+
+    path = write_measures_json(payload, str(tmp_path), "prov")
+    lines = []
+    for part in glob.glob(f"{path}/day=2024-01-01/*.json.gz"):
+        lines += [json.loads(l) for l in gzip.open(part, "rt").read().splitlines()]
+    assert len(lines) == 4
+    assert all(set(doc) == {"meta", "measures", "locations"} for doc in lines)
+
+
 def test_diff_upsert_elides_unchanged(spark, tmp_path):
     store = str(tmp_path / "stations")
     s1 = spark.createDataFrame(
