@@ -68,6 +68,21 @@ def resolve_paths(cfg: dict[str, Any], data_root: str | None) -> dict[str, Any]:
     return {**cfg, "meta": meta}
 
 
+def config_lookup(
+    cfg: dict[str, Any],
+    default: tuple[tuple[str, str, str], ...],
+) -> tuple[tuple[str, str, str], ...]:
+    """Per-provider measurand lookup from ``meta.lookup`` — the config
+    twin of the reference's per-provider ``lookup`` consts (e.g.
+    senstate.js:13-25, cpcb.js:30-52). Rows are
+    [input_param, parameter, unit]; falls back to the pipeline shape's
+    generic table when a config doesn't ship one."""
+    rows = cfg.get("meta", {}).get("lookup")
+    if not rows:
+        return default
+    return tuple((r[0], r[1], r[2]) for r in rows)
+
+
 def source_label(cfg: dict[str, Any]) -> str:
     """Human source name: meta.source_name when present (configs mapped
     from the reference), else the provider/pipeline-shape name."""

@@ -29,31 +29,50 @@ UNIT_CONVERSIONS: dict[str, tuple[str, float]] = {
     "pa": ("hpa", 0.01),
 }
 
-#: Core supported parameters (reference measurand.js:49-51 lists ~50;
-#: representative set — extend data-driven, not in code).
+#: Supported parameters — the reference's API whitelist verbatim,
+#: deduplicated (measurand.js:49-52). Notably ABSENT: 't' — so
+#: smartsense's 'T'→['t','c'] row is silently unsupported and dropped
+#: (smartsense.js:28), a quirk the fidelity tests pin down.
 SUPPORTED_PARAMETERS: tuple[str, ...] = (
-    "pm1",
-    "pm25",
     "pm10",
-    "ozone",
-    "no2",
-    "no",
-    "nox",
+    "pm25",
+    "o3",
     "co",
-    "co2",
+    "no2",
     "so2",
-    "temperature",
-    "relativehumidity",
+    "bc",
+    "co2",
+    "pm1",
+    "wind_direction",
+    "nox",
+    "no",
+    "rh",
+    "ch4",
+    "pn",
+    "ufp",
+    "wind_speed",
+    "pm",
+    "ambient_temp",
     "pressure",
+    "pm25-old",
+    "relativehumidity",
+    "temperature",
     "um003",
-    "um005",
     "um010",
-    "um025",
     "um050",
+    "um025",
+    "pm100",
+    "um005",
+    "humidity",
     "um100",
     "voc",
-    "nh3",
-    "ch4",
+    "ozone",
+    "pm4",
+    "so4",
+    "ec",
+    "oc",
+    "cl",
+    "no3",
 )
 
 #: Default provider-facing lookup rows: (input_param, parameter, unit).

@@ -25,9 +25,11 @@ def melt(
     """R1: wide → long unpivot. One input row with N parameter columns
     becomes N ``(ids..., parameter, value)`` rows; nulls dropped like the
     reference's per-measurand null-skip (purpleair.js:60)."""
+    # backtick-quote names: provider headers contain dots ('PM2.5',
+    # cpcb.js:41) which unquoted resolution misparses as struct access
     out = df.unpivot(
-        ids=[F.col(c) for c in id_vars],
-        values=[F.col(c) for c in value_vars],
+        ids=[F.col(f"`{c}`") for c in id_vars],
+        values=[F.col(f"`{c}`") for c in value_vars],
         variableColumnName=var_name,
         valueColumnName=value_name,
     )

@@ -27,7 +27,7 @@ from ..measurands import measurand_dim
 from ..operators.dedup import first_per_key
 from ..operators.joins import enrich_with_miss_report
 from ..sources.files import read_json
-from ..config import source_label
+from ..config import config_lookup, source_label
 from .base import Provider, register
 
 LOOKUP = (
@@ -60,7 +60,9 @@ class EnrichedProvider(Provider):
         enriched, misses = enrich_with_miss_report(raw, dsdim, "datasource_id")
         matched = enriched.filter(F.col("datasource_name").isNotNull())
 
-        dim = measurand_dim(spark, LOOKUP)
+        # clarity.js:27-29: clarity accepts exactly one characteristic,
+        # pm2_5ConcMassIndividual — config data, not a code fork
+        dim = measurand_dim(spark, config_lookup(config, LOOKUP))
         joined = matched.join(
             F.broadcast(dim),
             matched["characteristic"] == dim["input_param"],

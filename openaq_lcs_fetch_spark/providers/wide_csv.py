@@ -10,10 +10,27 @@ dedup of site rows (A7, cmu.js:143-166).
 
 Config meta: path, timestamp_col, ts_format, tz, shift_minutes,
 station_col, site_col, lat_col, lon_col, params (comma list).
+
+Per-provider fidelity knobs (config data, mirroring each reference
+provider's one-off logic):
+
+* ``meta.lookup`` — provider measurand table (cmu.js:23-34 verbatim,
+  cpcb.js:30-52 with its O3/OZONE/O3AAQMS and PM2/PM2.5/PM25 alias
+  fan-in, iqair.js:40-42);
+* ``meta.hour_ending_minutes`` — forward shift to hour-ending labels
+  (iqair.js:142 adds 1 hour to 'Datetime_start(UTC)');
+* ``meta.drop_current_hour`` + ``meta.as_of`` — exclude the running
+  hour: the feed reports a rolling average, so the current hour is
+  always wrong (airgradient.js:138-161);
+* ``meta.refetch_previous_day`` + ``meta.daily_pattern`` +
+  ``meta.as_of`` — scan yesterday's daily partition alongside today's
+  because values arrive delayed (iqair.js:167-201 overfetch), then
+  first-wins dedup on (sensor_id, timestamp).
 """
 
 from __future__ import annotations
 
+from datetime import date as _date, timedelta as _timedelta
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,10 +40,10 @@ from ..functions.cleaning import clean_measure, sentinel_flag
 from ..functions.ids import sensor_id
 from ..functions.timestamps import from_local
 from ..measurands import measurand_dim
-from ..operators.dedup import first_per_key
+from ..operators.dedup import dedup_events, first_per_key
 from ..operators.reshape import melt
 from ..sources.files import read_csv
-from ..config import source_label
+from ..config import config_lookup, source_label
 from .base import Provider, register
 
 #: provider-facing lookup rows (input_param, parameter, unit) — data,
@@ -59,14 +76,24 @@ class WideCsvProvider(Provider):
 
         ncols = len(id_cols) + len(params)
         schema = ", ".join(f"`{c}` string" for c in id_cols + params)
-        raw = read_csv(spark, meta["path"], schema, header=True)
+        path: str | list[str] = meta["path"]
+        if meta.get("refetch_previous_day") and meta.get("daily_pattern"):
+            # iqair.js:167-201: values are often delayed, so every run
+            # re-reads the previous day's partition alongside today's;
+            # the duplicate hours dedupe below. Two computed partition
+            # paths = partition pruning, not a full-directory scan.
+            as_of = meta["as_of"][:10]
+            prev = str(_date.fromisoformat(as_of) - _timedelta(days=1))
+            base, pattern = meta["path"], meta["daily_pattern"]
+            path = [f"{base}/{pattern.format(date=d)}" for d in (as_of, prev)]
+        raw = read_csv(spark, path, schema, header=True)
         assert len(raw.columns) == ncols
 
         long = melt(raw, id_cols, params, var_name="input_param", value_name="raw_value")
         cleaned = long.withColumn("value", clean_measure(F.col("raw_value"))).withColumn(
             "flags", sentinel_flag(F.col("raw_value"))
         )
-        dim = measurand_dim(spark, LOOKUP)
+        dim = measurand_dim(spark, config_lookup(config, LOOKUP))
         joined = cleaned.join(F.broadcast(dim), on="input_param", how="inner")
         ts = from_local(
             F.col(ts_col),
@@ -74,6 +101,10 @@ class WideCsvProvider(Provider):
             meta.get("tz", "America/New_York"),
             int(meta.get("shift_minutes", "-15")),
         )
+        hour_ending = int(meta.get("hour_ending_minutes", 0))
+        if hour_ending:
+            # iqair.js:142: Datetime_start(UTC) + 1h → hour-ending label
+            ts = F.timestamp_add("MINUTE", F.lit(hour_ending), ts)
         measures = joined.select(
             sensor_id(F.lit(source_label(config)), F.col(station_col), F.col("parameter")).alias(
                 "sensor_id"
@@ -84,6 +115,17 @@ class WideCsvProvider(Provider):
             F.lit(None).cast("double").alias("latitude"),
             F.col("flags"),
         ).filter(F.col("measure").isNotNull() | F.col("flags").isNotNull())
+        if meta.get("drop_current_hour") and meta.get("as_of"):
+            # airgradient.js:149-161: "the current hour is always wrong
+            # because it's a rolling average" — keep strictly-older hours
+            measures = measures.filter(
+                F.col("timestamp")
+                < F.date_trunc("hour", F.lit(meta["as_of"]).cast("timestamp"))
+            )
+        if meta.get("refetch_previous_day"):
+            measures = dedup_events(
+                measures, ["sensor_id", "timestamp"], "measure"
+            )
 
         stations = first_per_key(
             raw.select(

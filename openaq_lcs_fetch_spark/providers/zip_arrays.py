@@ -26,7 +26,7 @@ from ..measurands import measurand_dim
 from ..operators.dedup import first_per_key
 from ..operators.reshape import zip_arrays
 from ..sources.files import read_json
-from ..config import source_label
+from ..config import config_lookup, source_label
 from .base import Provider, register
 
 LOOKUP = (
@@ -62,8 +62,10 @@ class ZipArraysProvider(Provider):
                 F.col("rec").getItem(station_f) == meta["source_id"]
             )
 
-        dim = measurand_dim(spark, LOOKUP)
-        params = [r[0] for r in LOOKUP]
+        # purpleair.js:7-23: the provider's field table is config data
+        lookup = config_lookup(config, LOOKUP)
+        dim = measurand_dim(spark, lookup)
+        params = [r[0] for r in lookup]
         # R2: melt the record map over the lookup's params, keeping nulls out
         melted = records.select(
             F.col("rec"),

@@ -83,7 +83,7 @@ def test_cli_package_configs_with_data_root(tmp_path):
     feed_dir.mkdir(parents=True)
     (feed_dir / "feed.jsonl").write_text(json.dumps({
         "device_id": "sm1", "ts": "2024-06-01T00:00:00", "lat": 1.0, "lon": 2.0,
-        "readings": {"pm25": "11.0"}}))
+        "readings": {"PM2.5": "11.0"}}))  # smartsense.js:21 key spelling
     cfg_dir = os.path.join(REPO, "openaq_lcs_fetch_spark", "source_configs")
     out = tmp_path / "out"
     res = _run_cli(["--config", cfg_dir, "--source", "smartsense",
