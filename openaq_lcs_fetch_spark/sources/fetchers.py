@@ -38,6 +38,40 @@ def empty_after(options: dict, page: int) -> list[tuple]:
     return synthetic_readings(options, page)
 
 
+def daily_file_listing(
+    options: dict, token: str | None
+) -> tuple[list[str], str | None]:
+    """Deterministic token-paginated listing for the two-phase backfill
+    (cmu.js:246-274 shape): ``n_files`` names, DESCENDING, ``page_size``
+    per token round-trip. Names are date-stamped like the reference's
+    'PurpleAir Network YYYY-MM-DD HH_mm.csv' (cmu.js:179,302-311)."""
+    size = int(options.get("page_size", 4))
+    n = int(options.get("n_files", 10))
+    start = 0 if token is None else int(token)
+    names = [
+        f"readings-2024-06-{n - i:02d}" for i in range(start, min(start + size, n))
+    ]
+    nxt = start + size
+    return names, (str(nxt) if nxt < n else None)
+
+
+def daily_file_rows(options: dict, file_id: str) -> list[tuple]:
+    """Deterministic per-file fetch: ``rows_per_file`` hourly readings
+    parsed out of the named daily file (the processFile twin,
+    cmu.js:126-186)."""
+    day = file_id.rsplit("-", 3)[-3:]
+    rows = []
+    for h in range(int(options.get("rows_per_file", 2))):
+        rows.append(
+            (
+                "st-1",
+                f"{'-'.join(day)}T{h:02d}:00:00",
+                round(10.0 + h + int(day[-1]), 1),
+            )
+        )
+    return rows
+
+
 def http_json(options: dict, page: int) -> list[tuple]:  # pragma: no cover
     """Generic offset-paginated JSON GET (S1/S2). ``url`` may contain
     ``{page}``/``{offset}``; ``fields`` names the record keys to project

@@ -21,6 +21,7 @@ deterministic fakes and no network is touched. A fetcher has signature
 from __future__ import annotations
 
 import importlib
+import json
 from collections.abc import Callable, Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -138,18 +139,59 @@ if HAS_DATASOURCE_API:
         def reader(self, schema) -> "PaginatedReader":
             return PaginatedReader(schema, self.options)
 
+    class FileBatch(InputPartition):
+        def __init__(self, files: list[str]):
+            self.files = files
+
+    class FileBackfillReader(DataSourceReader):
+        """Phase 2 of the two-phase backfill (see ``read_backfill``):
+        the driver has already enumerated file ids; each task fetches
+        and parses its batch of files — the distributed twin of cmu.js's
+        pLimit(10) concurrent processFile loop (cmu.js:75-99)."""
+
+        def __init__(self, schema, options: dict):
+            self._options = dict(options)
+            self._files: list[str] = json.loads(options["files"])
+            self._per_task = int(options.get("files_per_task", "1"))
+
+        def partitions(self) -> Sequence["FileBatch"]:
+            s = self._per_task
+            return [
+                FileBatch(self._files[i : i + s])
+                for i in range(0, len(self._files), s)
+            ] or [FileBatch([])]
+
+        def read(self, partition: "FileBatch") -> Iterator[tuple]:
+            fetch = resolve_fetcher(self._options["file_fetcher"])
+            for file_id in partition.files:
+                yield from fetch(self._options, file_id)
+
+    class FileBackfillDataSource(DataSource):
+        """spark.read.format('file_backfill')
+        .option('file_fetcher', 'mod:fn').option('files', json_list)
+        .schema(ddl).load()
+        """
+
+        @classmethod
+        def name(cls) -> str:
+            return "file_backfill"
+
+        def reader(self, schema) -> "FileBackfillReader":
+            return FileBackfillReader(schema, self.options)
+
 
 def register(spark: SparkSession) -> None:
-    """Register the datasource on a session (idempotent)."""
+    """Register the datasources on a session (idempotent)."""
     if not HAS_DATASOURCE_API:  # pragma: no cover
         raise RuntimeError("PySpark >= 4 required for the Python DataSource API")
     from ..session import ship_package
 
     ship_package(spark)  # fetcher modules must import on executors
-    try:
-        spark.dataSource.register(PaginatedHTTPDataSource)
-    except Exception:
-        pass  # already registered
+    for ds in (PaginatedHTTPDataSource, FileBackfillDataSource):
+        try:
+            spark.dataSource.register(ds)
+        except Exception:
+            pass  # already registered
 
 
 def read_paginated(
@@ -172,6 +214,80 @@ def read_paginated(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def enumerate_listing(
+    lister: str,
+    since: str | None = None,
+    max_pages: int = 10_000,
+    **options,
+) -> list[str]:
+    """Phase 1 of the two-phase backfill: token-paginated,
+    name-DESCENDING file listing with sorted early-exit at the
+    checkpoint — cmu.js:246-274 ``listAcrossPagination`` semantics
+    (``orderBy: 'name desc'``; the first name below ``gte`` ends the
+    whole listing).
+
+    Driver-side ON PURPOSE: this is the control plane — it moves file
+    NAMES (bytes), never file contents. A years-long backfill lists
+    tens of thousands of names in a handful of token round-trips; the
+    data plane (``FileBackfillReader``) is what must parallelize, and
+    does.
+
+    ``lister`` has signature
+    ``list_page(options, token) -> (names_desc, next_token)`` with
+    ``next_token is None`` ending the listing.
+    """
+    fetch = resolve_fetcher(lister)
+    token = None
+    names: list[str] = []
+    for _ in range(max_pages):
+        batch, token = fetch(dict(options), token)
+        for name in batch:
+            if since is not None and name < since:
+                return names  # sorted desc → nothing older is relevant
+            names.append(name)
+        if token is None:
+            break
+    return names
+
+
+def read_backfill(
+    spark: SparkSession,
+    lister: str,
+    file_fetcher: str,
+    schema_ddl: str,
+    since: str | None = None,
+    files_per_task: int = 1,
+    **options: str,
+) -> tuple[DataFrame, str | None]:
+    """Two-phase historical backfill (S3 at scale — the parallel mirror
+    of ``read_until_exhausted``, VERDICT.md round-1 item 6):
+
+    1. the driver enumerates file ids via token pagination with the
+       sorted early-exit bound (cheap, control plane);
+    2. executors fetch + parse the files, ``files_per_task`` per task
+       (``FileBackfillReader`` partitions — the scan parallelizes like
+       a file source, cmu.js:75-99's bounded-concurrency loop at
+       cluster width).
+
+    Returns ``(df, greatest_name)`` — the lexically greatest file name
+    is the next checkpoint (cmu.js:90-91 greatestTimestamp), saved by
+    the caller AFTER the write commits, same crash-safety order as the
+    engine's watermark handling.
+    """
+    names = enumerate_listing(lister, since=since, **options)
+    register(spark)
+    reader = (
+        spark.read.format("file_backfill")
+        .schema(schema_ddl)
+        .option("file_fetcher", file_fetcher)
+        .option("files", json.dumps(names))
+        .option("files_per_task", str(files_per_task))
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(), (max(names) if names else None)
 
 
 def read_until_exhausted(

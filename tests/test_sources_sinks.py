@@ -21,7 +21,11 @@ from openaq_lcs_fetch_spark.sources.checkpoint import (
     advance,
     incremental_predicate,
 )
-from openaq_lcs_fetch_spark.sources.http import read_paginated, read_until_exhausted
+from openaq_lcs_fetch_spark.sources.http import (
+    read_backfill,
+    read_paginated,
+    read_until_exhausted,
+)
 
 READINGS_DDL = "station string, unix_ts long, pm25 double, temperature double"
 
@@ -52,6 +56,43 @@ def test_paginated_early_exit(spark):
         page_size="5",
     )
     assert df.count() == 15  # stopped at the empty 4th page
+
+
+def test_backfill_two_phase_parallel_with_early_exit(spark):
+    """The scale path for token pagination (VERDICT round-1 item 6):
+    the driver enumerates file names (token pages, desc order) with the
+    sorted early-exit bound (cmu.js:260-264), and executors fetch the
+    files across MULTIPLE tasks — a CMU-style historical backfill no
+    longer serializes file contents through the driver."""
+    df, greatest = read_backfill(
+        spark,
+        lister="openaq_lcs_fetch_spark.sources.fetchers:daily_file_listing",
+        file_fetcher="openaq_lcs_fetch_spark.sources.fetchers:daily_file_rows",
+        schema_ddl="station string, ts string, value double",
+        since="readings-2024-06-04",  # checkpoint: days 01-03 already done
+        files_per_task=2,
+        n_files="10",
+        page_size="4",
+    )
+    # listing stops when 'readings-2024-06-03' < since: 7 files remain
+    # (06-10 .. 06-04), batched 2/task → 4 input partitions
+    assert df.rdd.getNumPartitions() == 4
+    rows = df.collect()
+    assert len(rows) == 14  # 7 files x 2 rows, fetched on executors
+    assert {r.ts[:10] for r in rows} == {f"2024-06-{d:02d}" for d in range(4, 11)}
+    assert greatest == "readings-2024-06-10"  # next checkpoint (cmu.js:90-91)
+
+
+def test_backfill_empty_listing_yields_empty_frame(spark):
+    df, greatest = read_backfill(
+        spark,
+        lister="openaq_lcs_fetch_spark.sources.fetchers:daily_file_listing",
+        file_fetcher="openaq_lcs_fetch_spark.sources.fetchers:daily_file_rows",
+        schema_ddl="station string, ts string, value double",
+        since="readings-2024-07-01",  # checkpoint ahead of every file
+        n_files="10",
+    )
+    assert greatest is None and df.count() == 0
 
 
 def test_checkpoint_roundtrip(spark, tmp_path):
