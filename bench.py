@@ -52,6 +52,10 @@ HEADLINE = (
     "dedup_components",
     "kmeans_clusters",
     "event_type_pivot",
+    "decontaminate",
+    "pii_scrub",
+    "gopher_quality",
+    "doc_repetition",
 )
 
 

@@ -17,6 +17,7 @@ from . import simsearch  # noqa: F401
 from . import streaming_q  # noqa: F401
 from . import windows_q  # noqa: F401
 from . import temporal  # noqa: F401
+from . import llmops  # noqa: F401  (round-2 ops: next in line for the driver window)
 from . import relational  # noqa: F401
 from . import relational_adv  # noqa: F401
 from . import etl  # noqa: F401

@@ -1,0 +1,288 @@
+"""Training-data pipeline operators round 2: benchmark decontamination,
+PII redaction, Gopher-style quality gates, repetition filtering.
+
+These extend the round-1 text/dedup suite (textops.py) with the
+remaining table-stakes ops of an LLM data pipeline. Same parity
+discipline: portable md5-based hashing, integer/exact arithmetic where
+engines could disagree, every computed column aliased identically in
+Spark and the DuckDB oracle.
+
+Scale notes: the benchmark side of decontamination is benchmark-sized
+(thousands of docs, not billions) → broadcast; the corpus side only
+ever shuffles (doc_id, int64-hash) pairs. PII and quality gates are
+pure Column expressions — whole-stage codegen, zero Python in the hot
+path, no shuffle at all beyond the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from .registry import query, t
+from .textops import _SQL_TOKS, _sql_hmod, _sql_shingles
+
+# ---------------------------------------------------------------------------
+# decontaminate — benchmark n-gram overlap (the eval-leakage check every
+# training corpus needs; n=2 here because the synthetic vocabulary is
+# small — production would use 8-13-gram exact overlap)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 2
+_DECON_EVAL_MOD = 29  # doc_id % 29 == 0 → the pseudo-benchmark set
+
+_DECON_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+  shl AS (SELECT doc_id, {_sql_shingles('toks', _DECON_N)} AS shs FROM toks),
+  shx AS (SELECT doc_id, unnest(shs) AS shingle FROM shl),
+  sh  AS (SELECT DISTINCT doc_id, {_sql_hmod('shingle')} AS sh FROM shx),
+  eval_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {_DECON_EVAL_MOD} = 0),
+  corpus AS (SELECT * FROM sh WHERE doc_id % {_DECON_EVAL_MOD} <> 0),
+  hits AS (
+    SELECT c.doc_id, COUNT(*) AS n_overlap
+    FROM corpus c JOIN eval_sh e USING (sh)
+    GROUP BY c.doc_id
+  )
+SELECT d.doc_id,
+       COALESCE(h.n_overlap, 0) AS n_overlap,
+       COALESCE(h.n_overlap, 0) >= 5 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {_DECON_EVAL_MOD} <> 0
+"""
+
+
+@query("decontaminate", _DECON_ORACLE)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag corpus documents sharing ≥5 distinct word n-grams with the
+    benchmark set. The benchmark shingle set is broadcast (benchmarks
+    are small by construction), so the corpus side never shuffles its
+    shingles — only the final (doc_id, count) aggregation moves."""
+    d = t(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                TX.word_shingles(TX.tokens(F.col("text")), _DECON_N)
+            ).alias("shingle"),
+        )
+        .select("doc_id", TX.hmod(F.col("shingle")).alias("sh"))
+        .distinct()
+    )
+    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
+    eval_sh = sh.filter(is_eval).select("sh").distinct()
+    corpus = sh.filter(~is_eval)
+    hits = (
+        corpus.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        d.filter(~is_eval)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= 5).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pii_scrub — regex PII redaction (emails / IPv4 / phone), counts + the
+# hash of the redacted text. The synthetic corpus carries no PII, so a
+# deterministic augmentation plants some on BOTH engines — the driver
+# check then verifies the actual regex semantics agree, not just 0=0.
+# ---------------------------------------------------------------------------
+
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_RE_PHONE = r"\+?\d{3}[- ]\d{3}[- ]\d{4}"
+
+_PII_AUG = (
+    "text || CASE WHEN doc_id % 7 = 0 "
+    "THEN ' contact user' || doc_id || '@example.com now' ELSE '' END "
+    "|| CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.1' ELSE '' END "
+    "|| CASE WHEN doc_id % 13 = 0 THEN ' call 555-867-5309' ELSE '' END"
+)
+
+_PII_ORACLE = f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG} AS body FROM documents),
+  red AS (
+    SELECT doc_id, body,
+           regexp_replace(regexp_replace(regexp_replace(body,
+               '{_RE_EMAIL}', '[EMAIL]', 'g'),
+               '{_RE_IPV4}', '[IP]', 'g'),
+               '{_RE_PHONE}', '[PHONE]', 'g') AS redacted
+    FROM aug
+  )
+SELECT doc_id,
+       len(regexp_extract_all(body, '{_RE_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(body, '{_RE_IPV4}')) AS n_ips,
+       len(regexp_extract_all(body, '{_RE_PHONE}')) AS n_phones,
+       md5(redacted) AS redacted_md5
+FROM red
+"""
+
+
+@query("pii_scrub", _PII_ORACLE)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Column regex redaction — no UDF, stays in whole-stage
+    codegen; at 100 TB this is scan-bound map work with zero shuffle.
+    Patterns deliberately avoid lookarounds so Java regex (Spark) and
+    RE2 (DuckDB) agree."""
+    d = t(spark, sf_dir, "documents")
+    body = F.expr(_PII_AUG)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(body, _RE_EMAIL, "[EMAIL]"),
+            _RE_IPV4,
+            "[IP]",
+        ),
+        _RE_PHONE,
+        "[PHONE]",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(body, F.lit(_RE_EMAIL)).alias("n_emails"),
+        F.regexp_count(body, F.lit(_RE_IPV4)).alias("n_ips"),
+        F.regexp_count(body, F.lit(_RE_PHONE)).alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality — the Gopher/MassiveText per-document quality gates
+# expressible as exact arithmetic (word count bounds, mean word length,
+# stopword evidence, alphabetic-word fraction)
+# ---------------------------------------------------------------------------
+
+_GQ_STOPS = TX.STOPWORDS["en"]
+_GQ_STOPS_SQL = ", ".join(f"'{w}'" for w in _GQ_STOPS)
+
+_GOPHER_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+  m AS (
+    SELECT doc_id,
+           len(toks) AS n_words,
+           CASE WHEN len(toks) > 0
+                THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                ELSE CAST(0.0 AS DOUBLE) END AS mean_word_len,
+           len(list_filter(toks, x -> list_contains([{_GQ_STOPS_SQL}], x))) AS stop_hits,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks)
+                ELSE CAST(0.0 AS DOUBLE) END AS alpha_frac
+    FROM toks
+  )
+SELECT doc_id, n_words, mean_word_len, stop_hits, alpha_frac,
+       (n_words BETWEEN 50 AND 100000)
+       AND (mean_word_len BETWEEN 3.0 AND 10.0)
+       AND stop_hits >= 2
+       AND alpha_frac > 0.8 AS passes
+FROM m
+"""
+
+
+@query("gopher_quality", _GOPHER_ORACLE)
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rules as one projection pass — Column-only, no shuffle."""
+    d = t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    n = F.size(toks)
+    mean_len = TX.avg_token_len(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*_GQ_STOPS)))
+    alpha = F.when(
+        n > 0,
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+    out = d.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        stop_hits.alias("stop_hits"),
+        alpha.alias("alpha_frac"),
+    )
+    return out.withColumn(
+        "passes",
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("stop_hits") >= 2)
+        & (F.col("alpha_frac") > 0.8),
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_repetition — MassiveText repetition gates: most-common-token
+# fraction and duplicate-bigram fraction
+# ---------------------------------------------------------------------------
+
+_REP_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+  tok1 AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+  top1 AS (
+    SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS n_tok FROM (
+      SELECT doc_id, tok, COUNT(*) AS c FROM tok1 GROUP BY doc_id, tok
+    ) GROUP BY doc_id
+  ),
+  big AS (SELECT doc_id, {_sql_shingles('toks', 2)} AS bgs FROM toks),
+  bstat AS (
+    SELECT doc_id, len(bgs) AS n_bigrams, len(list_distinct(bgs)) AS n_distinct_bigrams
+    FROM big
+  )
+SELECT b.doc_id,
+       CASE WHEN t.n_tok > 0 THEN CAST(t.top_cnt AS DOUBLE) / t.n_tok
+            ELSE CAST(0.0 AS DOUBLE) END AS top_token_frac,
+       CASE WHEN b.n_bigrams > 0
+            THEN CAST(b.n_bigrams - b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams
+            ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_frac,
+       (CASE WHEN t.n_tok > 0 THEN CAST(t.top_cnt AS DOUBLE) / t.n_tok
+             ELSE CAST(0.0 AS DOUBLE) END) <= 0.2
+       AND (CASE WHEN b.n_bigrams > 0
+            THEN CAST(b.n_bigrams - b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams
+            ELSE CAST(0.0 AS DOUBLE) END) <= 0.5 AS passes
+FROM bstat b JOIN top1 t USING (doc_id)
+"""
+
+
+@query("doc_repetition", _REP_ORACLE)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-token fraction via explode → two-level aggregate (shuffles
+    (doc_id, token-hash)-sized rows with map-side partial counts —
+    never O(len²) per document); bigram dup fraction via array ops in
+    the projection."""
+    d = t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    tok_counts = (
+        d.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"), F.sum("c").alias("n_tok"))
+    )
+    bigrams = TX.word_shingles(toks, 2)
+    bstat = d.select(
+        "doc_id",
+        F.size(bigrams).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
+    )
+    top_frac = F.when(
+        F.col("n_tok") > 0, F.col("top_cnt").cast("double") / F.col("n_tok")
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        F.col("n_bigrams") > 0,
+        (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast("double")
+        / F.col("n_bigrams"),
+    ).otherwise(F.lit(0.0))
+    return (
+        bstat.join(tok_counts, "doc_id")
+        .select(
+            "doc_id",
+            top_frac.alias("top_token_frac"),
+            dup_frac.alias("dup_bigram_frac"),
+        )
+        .withColumn(
+            "passes",
+            (F.col("top_token_frac") <= 0.2) & (F.col("dup_bigram_frac") <= 0.5),
+        )
+    )

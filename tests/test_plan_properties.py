@@ -76,3 +76,28 @@ def test_pivot_fixed_values_no_discovery_scan(spark, sf_dir):
 
 def test_grouping_sets_uses_expand(spark, sf_dir):
     assert "Expand" in _plan(spark, sf_dir, "status_priority_sets")
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark shingle set is benchmark-sized → must broadcast;
+    the corpus side's shingles never shuffle for the probe join."""
+    plan = _plan(spark, sf_dir, "decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_and_gopher_are_single_pass_no_shuffle(spark, sf_dir):
+    """Pure-Column quality/redaction gates: scan-bound map work — any
+    Exchange in these plans is a regression."""
+    for name in ("pii_scrub", "gopher_quality"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange" not in plan.split("\n\n")[0], name
+        assert "codegen id" in plan, name  # inside whole-stage codegen
+
+
+def test_doc_repetition_partial_aggregates(spark, sf_dir):
+    """Token frequency must combine map-side (partial + final pairs),
+    not ship raw tokens to one reducer."""
+    plan = _plan(spark, sf_dir, "doc_repetition")
+    assert plan.count("HashAggregate") >= 4  # two two-phase aggs
+    assert "CartesianProduct" not in plan
