@@ -58,16 +58,25 @@ def hmod(s: Column) -> Column:
 
 def word_shingles(toks: Column, n: int) -> Column:
     """Word n-gram shingles joined by a single space; docs shorter than
-    ``n`` tokens yield an empty list. (sequence() is guarded because
-    Spark's sequence(1, 0) counts *down*.)"""
+    ``n`` tokens yield an empty list.
+
+    Built by zipping the array with its j-shifted suffixes (n-1 zips,
+    each O(len)) — NOT transform(i -> slice(toks, i, n)), whose
+    per-element slice is O(len²) per document and dominated every
+    shingle consumer's wall time (~4× of the bigram stage at sf0.1)."""
+    cur = toks
+    for j in range(1, n):
+        # zip_with pads the shorter side with NULLs; the trailing
+        # (incomplete) entries are cut by the final slice
+        cur = F.zip_with(
+            cur,
+            F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     k = F.size(toks) - F.lit(n - 1)
-    return F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return F.when(k >= 1, F.slice(cur, 1, k)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def stopword_ratio(toks: Column, stopwords: tuple[str, ...]) -> Column:

@@ -59,23 +59,27 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     are small by construction), so the corpus side never shuffles its
     shingles — only the final (doc_id, count) aggregation moves."""
     d = t(spark, sf_dir, "documents")
-    sh = (
-        d.select(
+    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
+
+    def shingle_rows(docs: DataFrame) -> DataFrame:
+        return docs.select(
             "doc_id",
             F.explode(
                 TX.word_shingles(TX.tokens(F.col("text")), _DECON_N)
             ).alias("shingle"),
-        )
-        .select("doc_id", TX.hmod(F.col("shingle")).alias("sh"))
-        .distinct()
-    )
-    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
-    eval_sh = sh.filter(is_eval).select("sh").distinct()
-    corpus = sh.filter(~is_eval)
+        ).select("doc_id", TX.hmod(F.col("shingle")).alias("sh"))
+
+    # benchmark side first: filter BEFORE shingling (3% of docs), then a
+    # distinct over benchmark-sized data → broadcast
+    eval_sh = shingle_rows(d.filter(is_eval)).select("sh").distinct()
+    # corpus side: broadcast-probe BEFORE any shuffle, so only MATCHED
+    # shingle occurrences reach the exchange; count_distinct collapses
+    # repeated in-doc occurrences in the same aggregation
     hits = (
-        corpus.join(F.broadcast(eval_sh), "sh")
+        shingle_rows(d.filter(~is_eval))
+        .join(F.broadcast(eval_sh), "sh")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .agg(F.count_distinct("sh").alias("n_overlap"))
     )
     return (
         d.filter(~is_eval)
@@ -221,68 +225,75 @@ _REP_ORACLE = f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
   tok1 AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
   top1 AS (
-    SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS n_tok FROM (
+    SELECT doc_id, MAX(c) AS top_cnt FROM (
       SELECT doc_id, tok, COUNT(*) AS c FROM tok1 GROUP BY doc_id, tok
     ) GROUP BY doc_id
   ),
-  big AS (SELECT doc_id, {_sql_shingles('toks', 2)} AS bgs FROM toks),
   bstat AS (
-    SELECT doc_id, len(bgs) AS n_bigrams, len(list_distinct(bgs)) AS n_distinct_bigrams
-    FROM big
+    SELECT doc_id, len(toks) AS n_tok,
+           len({_sql_shingles('toks', 2)}) AS n_bigrams,
+           len(list_distinct({_sql_shingles('toks', 2)})) AS n_distinct_bigrams
+    FROM toks
   )
 SELECT b.doc_id,
-       CASE WHEN t.n_tok > 0 THEN CAST(t.top_cnt AS DOUBLE) / t.n_tok
+       CASE WHEN b.n_tok > 0 THEN CAST(COALESCE(t.top_cnt, 0) AS DOUBLE) / b.n_tok
             ELSE CAST(0.0 AS DOUBLE) END AS top_token_frac,
        CASE WHEN b.n_bigrams > 0
             THEN CAST(b.n_bigrams - b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams
             ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_frac,
-       (CASE WHEN t.n_tok > 0 THEN CAST(t.top_cnt AS DOUBLE) / t.n_tok
+       (CASE WHEN b.n_tok > 0 THEN CAST(COALESCE(t.top_cnt, 0) AS DOUBLE) / b.n_tok
              ELSE CAST(0.0 AS DOUBLE) END) <= 0.2
        AND (CASE WHEN b.n_bigrams > 0
             THEN CAST(b.n_bigrams - b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams
             ELSE CAST(0.0 AS DOUBLE) END) <= 0.5 AS passes
-FROM bstat b JOIN top1 t USING (doc_id)
+FROM bstat b LEFT JOIN top1 t USING (doc_id)
 """
+
+
+def _max_run_len(sorted_arr: F.Column) -> F.Column:
+    """Longest run of equal adjacent elements in a SORTED array — i.e.
+    the max element frequency — computed as one fold, no explode."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+        ).alias("best"),
+    )
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
 
 
 @query("doc_repetition", _REP_ORACLE)
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-token fraction via explode → two-level aggregate (shuffles
-    (doc_id, token-hash)-sized rows with map-side partial counts —
-    never O(len²) per document); bigram dup fraction via array ops in
-    the projection."""
+    """Map-ONLY plan: the top-token count is the longest equal-run in
+    the doc's sorted token array (an O(n log n) per-doc fold inside
+    codegen) — no explode, no shuffle; the naive explode → groupBy
+    (doc_id, token) version moves every token of the corpus through an
+    exchange, ~10× slower at sf0.1 and shuffle-bound at 100 TB. The
+    bigram dup fraction is array arithmetic in the same projection."""
     d = t(spark, sf_dir, "documents")
     toks = TX.tokens(F.col("text"))
-    tok_counts = (
-        d.select("doc_id", F.explode(toks).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_cnt"), F.sum("c").alias("n_tok"))
-    )
+    n = F.size(toks)
+    top_cnt = _max_run_len(F.sort_array(toks))
     bigrams = TX.word_shingles(toks, 2)
-    bstat = d.select(
-        "doc_id",
-        F.size(bigrams).alias("n_bigrams"),
-        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
-    )
-    top_frac = F.when(
-        F.col("n_tok") > 0, F.col("top_cnt").cast("double") / F.col("n_tok")
-    ).otherwise(F.lit(0.0))
+    nb = F.size(bigrams)
+    ndb = F.size(F.array_distinct(bigrams))
+    top_frac = F.when(n > 0, top_cnt.cast("double") / n).otherwise(F.lit(0.0))
     dup_frac = F.when(
-        F.col("n_bigrams") > 0,
-        (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast("double")
-        / F.col("n_bigrams"),
+        nb > 0, (nb - ndb).cast("double") / nb
     ).otherwise(F.lit(0.0))
-    return (
-        bstat.join(tok_counts, "doc_id")
-        .select(
-            "doc_id",
-            top_frac.alias("top_token_frac"),
-            dup_frac.alias("dup_bigram_frac"),
-        )
-        .withColumn(
-            "passes",
-            (F.col("top_token_frac") <= 0.2) & (F.col("dup_bigram_frac") <= 0.5),
-        )
+    out = d.select(
+        "doc_id",
+        top_frac.alias("top_token_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+    )
+    return out.withColumn(
+        "passes",
+        (F.col("top_token_frac") <= 0.2) & (F.col("dup_bigram_frac") <= 0.5),
     )

@@ -95,9 +95,10 @@ def test_pii_and_gopher_are_single_pass_no_shuffle(spark, sf_dir):
         assert "codegen id" in plan, name  # inside whole-stage codegen
 
 
-def test_doc_repetition_partial_aggregates(spark, sf_dir):
-    """Token frequency must combine map-side (partial + final pairs),
-    not ship raw tokens to one reducer."""
+def test_doc_repetition_is_map_only(spark, sf_dir):
+    """Top-token frequency folds over the sorted token array per doc —
+    the plan must have NO shuffle (an explode → groupBy formulation
+    ships every corpus token through an Exchange)."""
     plan = _plan(spark, sf_dir, "doc_repetition")
-    assert plan.count("HashAggregate") >= 4  # two two-phase aggs
-    assert "CartesianProduct" not in plan
+    assert "Exchange" not in plan.split("\n\n")[0]
+    assert "Generate" not in plan  # no explode either
