@@ -56,6 +56,7 @@ HEADLINE = (
     "pii_scrub",
     "gopher_quality",
     "doc_repetition",
+    "pq_search",
 )
 
 

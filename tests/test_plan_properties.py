@@ -95,6 +95,15 @@ def test_pii_and_gopher_are_single_pass_no_shuffle(spark, sf_dir):
         assert "codegen id" in plan, name  # inside whole-stage codegen
 
 
+def test_pq_search_codes_only_no_raw_vectors(spark, sf_dir):
+    """ADC search must join codes against the broadcast distance table —
+    no cartesian, and the final aggregation runs on (vec_id, int) rows."""
+    plan = _plan(spark, sf_dir, "pq_search")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # global top-5 compiles to top-k
+
+
 def test_doc_repetition_is_map_only(spark, sf_dir):
     """Top-token frequency folds over the sorted token array per doc —
     the plan must have NO shuffle (an explode → groupBy formulation
