@@ -383,8 +383,10 @@ def df_capped_jaccard_topk(
     got = topk.select(
         F.count(F.lit(1)).alias("n"), F.min("jaccard").alias("kth")
     ).first()
-    if got["n"] < k or (got["kth"] or 0.0) < max_r:
-        # hot-only pairs could outrank the capped k-th — recompute exactly
+    if got["n"] < k or (got["kth"] or 0.0) <= max_r:
+        # hot-only pairs could outrank OR TIE the capped k-th (ties
+        # break on ids, which a never-generated candidate can win) —
+        # recompute exactly
         return _plain_topk()
     return topk
 

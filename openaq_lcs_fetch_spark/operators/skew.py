@@ -13,11 +13,28 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _row_salt(df: DataFrame, buckets: int) -> Column:
-    """Deterministic per-row salt: pmod(hash(every column), buckets)."""
-    return F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(buckets))
+    """Deterministic per-row salt: pmod(hash(row content), buckets).
+
+    Map-typed columns are excluded (Spark's hash() rejects MapType —
+    maps have no canonical entry order). Determinism trade-off, on
+    purpose: EXACT duplicate rows share a salt, so a hot key made of
+    byte-identical repeats still skews — that input calls for a
+    pre-aggregation (dup rows collapse into counts) rather than salting;
+    for hot keys with varying payloads (the common case) content salt
+    spreads them and, unlike F.rand, survives task retries and AQE
+    re-plans with identical assignments."""
+    cols = [
+        F.col(f.name)
+        for f in df.schema.fields
+        if not isinstance(f.dataType, T.MapType)
+    ]
+    if not cols:  # all-map row: fall back to a constant single bucket
+        return F.lit(0)
+    return F.pmod(F.hash(*cols), F.lit(buckets))
 
 
 def salted_agg(

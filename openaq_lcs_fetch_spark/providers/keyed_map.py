@@ -59,26 +59,66 @@ RAW_SCHEMA = (
 )
 
 
-def transform_measures(raw: DataFrame, dim: DataFrame, provider: str) -> DataFrame:
+def transform_measures(
+    raw: DataFrame,
+    dim: DataFrame,
+    provider: str,
+    meta: dict[str, Any] | None = None,
+) -> DataFrame:
     """The pure dataflow: raw keyed-map rows → normalized measures.
 
     Batch/streaming agnostic — every step is a narrow DataFrame
     transformation (melt, broadcast join, scalar exprs), so the same
     function runs on ``spark.read`` and ``spark.readStream`` inputs
-    (see streaming/provider_stream.py).
+    (see streaming/provider_stream.py). The ONE shared implementation
+    carries the per-provider quirks (hour-ending shift; the bounded
+    last-K windows are batch-only and applied by the caller) so batch
+    and streaming never diverge on a provider's semantics.
     """
     melted = explode_map(raw, "readings", key_name="input_param", value_name="raw_value")
+    return normalize_melted(melted, dim, provider, meta)
+
+
+def normalize_melted(
+    melted: DataFrame,
+    dim: DataFrame,
+    provider: str,
+    meta: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Melted (device_id, ts, lat, lon, input_param, raw_value) rows →
+    normalized measures. The single normalization implementation both
+    the batch and streaming paths call — per-provider semantics live
+    here and in the config-driven ``dim``, never in a path-local copy."""
+    meta = meta or {}
     joined = melted.join(F.broadcast(dim), on="input_param", how="inner")
+    ts = from_iso(F.col("ts"))
+    shift = int(meta.get("hour_ending_minutes", 0))
+    if shift:
+        # aernode.js:119: time + 60 min → hour-ending label
+        ts = F.timestamp_add("MINUTE", F.lit(shift), ts)
     return joined.select(
         sensor_id(F.lit(provider), F.col("device_id"), F.col("parameter")).alias(
             "sensor_id"
         ),
         (clean_measure(F.col("raw_value")) * F.col("scale")).alias("measure"),
-        from_iso(F.col("ts")).alias("timestamp"),
+        ts.alias("timestamp"),
         F.col("lon").alias("longitude"),
         F.col("lat").alias("latitude"),
         sentinel_flag(F.col("raw_value")).alias("flags"),
     ).filter(F.col("measure").isNotNull() | F.col("flags").isNotNull())
+
+
+def provider_dim(spark: SparkSession, config: dict[str, Any]) -> DataFrame:
+    """Config-driven measurand dimension shared by the batch and
+    streaming paths: per-provider lookup + unit allowlist."""
+    meta = config.get("meta", {})
+    lookup = config_lookup(config, LOOKUP)
+    unit_filter = meta.get("unit_filter")
+    if unit_filter:
+        # lovemyair.js:121-122: parameters whose reported units are
+        # not allowlisted are never fetched
+        lookup = tuple(r for r in lookup if r[2] in set(unit_filter))
+    return measurand_dim(spark, lookup)
 
 
 def _apply_row_windows(raw: DataFrame, meta: dict[str, Any]) -> DataFrame:
@@ -111,8 +151,12 @@ def _apply_param_window(melted: DataFrame, meta: dict[str, Any]) -> DataFrame:
     if not last_k:
         return melted
     # lovemyair.js:127 / miri.js:132: slice(-3) of each sensor's
-    # measurement list — most recent K readings per (device, param)
-    w = Window.partitionBy("device_id", "input_param").orderBy(F.col("ts").desc())
+    # measurement list — most recent K readings per (device, param).
+    # raw_value tiebreaks same-timestamp readings (overlapping re-reads)
+    # so the survivor set is deterministic under retries/re-plans.
+    w = Window.partitionBy("device_id", "input_param").orderBy(
+        F.col("ts").desc(), F.col("raw_value").asc()
+    )
     return (
         melted.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= F.lit(last_k))
@@ -131,37 +175,11 @@ class KeyedMapProvider(Provider):
         raw = read_json(spark, meta["path"], RAW_SCHEMA)
         # miri.js:74: listing element 0 is metadata, not a device
         raw = raw.filter(F.col("device_id").isNotNull())
-        raw = _apply_row_windows(raw, meta)
 
-        lookup = config_lookup(config, LOOKUP)
-        unit_filter = meta.get("unit_filter")
-        if unit_filter:
-            # lovemyair.js:121-122: parameters whose reported units are
-            # not allowlisted are never fetched
-            lookup = tuple(r for r in lookup if r[2] in set(unit_filter))
-        dim = measurand_dim(spark, lookup)
-
-        melted = explode_map(
-            raw, "readings", key_name="input_param", value_name="raw_value"
-        )
-        melted = _apply_param_window(melted, meta)
-        joined = melted.join(F.broadcast(dim), on="input_param", how="inner")
-        ts = from_iso(F.col("ts"))
-        shift = int(meta.get("hour_ending_minutes", 0))
-        if shift:
-            # aernode.js:119: time + 60 min → hour-ending label
-            ts = F.timestamp_add("MINUTE", F.lit(shift), ts)
-        measures = joined.select(
-            sensor_id(
-                F.lit(source_label(config)), F.col("device_id"), F.col("parameter")
-            ).alias("sensor_id"),
-            (clean_measure(F.col("raw_value")) * F.col("scale")).alias("measure"),
-            ts.alias("timestamp"),
-            F.col("lon").alias("longitude"),
-            F.col("lat").alias("latitude"),
-            sentinel_flag(F.col("raw_value")).alias("flags"),
-        ).filter(F.col("measure").isNotNull() | F.col("flags").isNotNull())
-
+        # stations come from the device listing BEFORE any reading-set
+        # slicing (the reference registers stations independently of
+        # measurement windows, aernode.js:104-113) — a device whose only
+        # set is the dropped newest one still registers
         stations = first_per_key(
             raw.select(
                 F.col("device_id").alias("sensor_node_id"),
@@ -171,5 +189,16 @@ class KeyedMapProvider(Provider):
             ),
             ["sensor_node_id"],
             [F.col("sensor_node_source_name").asc()],
+        )
+
+        windowed = _apply_row_windows(raw, meta)
+        # melt → bounded last-K per (device, param) → the SAME
+        # normalization the streaming path runs (normalize_melted)
+        melted = explode_map(
+            windowed, "readings", key_name="input_param", value_name="raw_value"
+        )
+        melted = _apply_param_window(melted, meta)
+        measures = normalize_melted(
+            melted, provider_dim(spark, config), source_label(config), meta
         )
         return measures, stations

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.ids import sensor_id
 from ..functions.timestamps import from_unix_seconds
-from ..measurands import measurand_dim
+from ..measurands import join_and_normalize, measurand_dim
 from ..operators.dedup import dedup_events
 from ..operators.filters import time_range
 from ..sources.http import read_paginated
@@ -72,20 +72,17 @@ class MobileProvider(Provider):
             schema_ddl=_DDL,
             page_size=meta.get("page_size", "8"),
         )
-        lookup_rows = meta.get("lookup")
-        if lookup_rows:
+        if meta.get("lookup"):
             # habitatmap.js:9-12: stream names are device-qualified
-            # ('AirBeam2-PM2.5' → pm25); broadcast-remap and drop
-            # unlisted streams, like getSupportedMeasurands filtering
+            # ('AirBeam2-PM2.5' → pm25); the shared broadcast-lookup +
+            # normalization (J1/C1) remaps and drops unlisted streams,
+            # like getSupportedMeasurands filtering
             dim = measurand_dim(spark, config_lookup(config, ()))
             raw = (
-                raw.join(
-                    F.broadcast(dim),
-                    raw["param"] == dim["input_param"],
-                    "inner",
+                join_and_normalize(
+                    raw.withColumnRenamed("param", "input_param"), dim
                 )
                 .withColumn("param", F.col("parameter"))
-                .withColumn("value", F.col("value") * F.col("scale"))
                 .select(*raw.columns)
             )
         ts = from_unix_seconds(F.col("unix_ts"))

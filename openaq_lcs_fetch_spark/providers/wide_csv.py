@@ -30,7 +30,13 @@ provider's one-off logic):
 
 from __future__ import annotations
 
-from datetime import date as _date, timedelta as _timedelta
+import os
+from datetime import (
+    date as _date,
+    datetime as _dt,
+    timedelta as _timedelta,
+    timezone as _timezone,
+)
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -76,16 +82,27 @@ class WideCsvProvider(Provider):
 
         ncols = len(id_cols) + len(params)
         schema = ", ".join(f"`{c}` string" for c in id_cols + params)
+        # as_of defaults to the wall clock — the reference's 'now'
+        # (iqair.js:167, airgradient.js:143); tests and replays pin it
+        # in config for determinism
+        as_of = meta.get("as_of") or _dt.now(_timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%S"
+        )
         path: str | list[str] = meta["path"]
         if meta.get("refetch_previous_day") and meta.get("daily_pattern"):
             # iqair.js:167-201: values are often delayed, so every run
             # re-reads the previous day's partition alongside today's;
             # the duplicate hours dedupe below. Two computed partition
             # paths = partition pruning, not a full-directory scan.
-            as_of = meta["as_of"][:10]
-            prev = str(_date.fromisoformat(as_of) - _timedelta(days=1))
+            day = as_of[:10]
+            prev = str(_date.fromisoformat(day) - _timedelta(days=1))
             base, pattern = meta["path"], meta["daily_pattern"]
-            path = [f"{base}/{pattern.format(date=d)}" for d in (as_of, prev)]
+            path = [f"{base}/{pattern.format(date=d)}" for d in (day, prev)]
+            # a not-yet-written partition (today's file before the first
+            # upload) is normal, not an error — the reference tolerates
+            # the 404 and proceeds with what exists
+            existing = [p for p in path if os.path.exists(p)]
+            path = existing or path  # all missing → loud scan error
         raw = read_csv(spark, path, schema, header=True)
         assert len(raw.columns) == ncols
 
@@ -115,12 +132,12 @@ class WideCsvProvider(Provider):
             F.lit(None).cast("double").alias("latitude"),
             F.col("flags"),
         ).filter(F.col("measure").isNotNull() | F.col("flags").isNotNull())
-        if meta.get("drop_current_hour") and meta.get("as_of"):
+        if meta.get("drop_current_hour"):
             # airgradient.js:149-161: "the current hour is always wrong
             # because it's a rolling average" — keep strictly-older hours
             measures = measures.filter(
                 F.col("timestamp")
-                < F.date_trunc("hour", F.lit(meta["as_of"]).cast("timestamp"))
+                < F.date_trunc("hour", F.lit(as_of).cast("timestamp"))
             )
         if meta.get("refetch_previous_day"):
             measures = dedup_events(

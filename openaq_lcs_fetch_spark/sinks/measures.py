@@ -81,9 +81,29 @@ def assemble_v01(
     empty_locs = F.lit([]).cast(
         "array<struct<location:string,label:string,ismobile:boolean,lon:double,lat:double>>"
     )
+    empty_measures = F.lit([]).cast(
+        "array<struct<sensor_id:string,measure:double,timestamp:string,"
+        "flags:map<string,string>>>"
+    )
+    # full (day × shard) grid: a location whose shard got no measures
+    # that day must still ship (and vice versa) — a bare m_day⋈locs
+    # left join would drop locations on measure-empty shards
+    grid = (
+        m_day.select("day")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                locs.sparkSession.range(n_shards).select(
+                    F.col("id").cast("int").alias("shard")
+                )
+            )
+        )
+    )
     return (
-        m_day.join(F.broadcast(locs), "shard", "left")
+        grid.join(m_day, ["day", "shard"], "left")
+        .join(F.broadcast(locs), "shard", "left")
         .withColumn("locations", F.coalesce(F.col("locations"), empty_locs))
+        .withColumn("measures", F.coalesce(F.col("measures"), empty_measures))
         .withColumn(
             "meta",
             F.struct(

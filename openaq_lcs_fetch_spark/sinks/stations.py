@@ -36,11 +36,40 @@ def content_hash(df: DataFrame, key: str) -> DataFrame:
     )
 
 
+def _recover_store(store_path: str) -> None:
+    """Crash recovery for the rename-swap below: if a previous run died
+    between rename(store→old) and rename(tmp→store), the data survives
+    only in ``.{name}.old.{tag}`` — restore the newest one instead of
+    silently treating the store as empty. Leftover ``.new``/``.old``
+    staging dirs from completed or failed runs are cleaned either way."""
+    parent = os.path.dirname(os.path.abspath(store_path)) or "."
+    base = os.path.basename(store_path)
+    if not os.path.isdir(parent):
+        return
+    stale = sorted(
+        (
+            os.path.join(parent, d)
+            for d in os.listdir(parent)
+            if d.startswith(f".{base}.old.") or d.startswith(f".{base}.new.")
+        ),
+        key=os.path.getmtime,
+    )
+    if not os.path.exists(store_path):
+        olds = [p for p in stale if f".{base}.old." in p]
+        if olds:
+            newest = olds[-1]
+            os.rename(newest, store_path)
+            stale.remove(newest)
+    for p in stale:
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def diff_upsert(
     spark: SparkSession, new: DataFrame, store_path: str, key: str
 ) -> dict[str, int]:
     """Merge ``new`` into the parquet store at ``store_path``; returns
     counts {written, skipped_unchanged, total}."""
+    _recover_store(store_path)
     hashed_new = content_hash(new, key)
     if os.path.exists(store_path):
         existing = spark.read.parquet(store_path)
@@ -70,8 +99,9 @@ def diff_upsert(
 
     # stage NEXT TO the store so the renames below are same-filesystem
     # (a cross-fs shutil.move degrades to a non-atomic copy), and swap
-    # by renaming the old store aside first — a crash mid-swap leaves
-    # either the old or the new store in place, never neither
+    # by renaming the old store aside first — a crash in the brief
+    # window between the two renames is repaired by _recover_store on
+    # the next run (the data survives in the .old staging dir)
     parent = os.path.dirname(os.path.abspath(store_path)) or "."
     os.makedirs(parent, exist_ok=True)
     tag = uuid.uuid4().hex[:10]

@@ -248,8 +248,15 @@ def enumerate_listing(
                 return names  # sorted desc → nothing older is relevant
             names.append(name)
         if token is None:
-            break
-    return names
+            return names
+    # listing did NOT terminate: silently returning a prefix would let
+    # the caller advance the checkpoint past files never enumerated — a
+    # permanent, invisible data gap. Fail loudly instead.
+    raise RuntimeError(
+        f"enumerate_listing exhausted max_pages={max_pages} with a live "
+        "continuation token — raise max_pages (the checkpoint must not "
+        "advance past unseen files)"
+    )
 
 
 def read_backfill(

@@ -13,19 +13,28 @@ from __future__ import annotations
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..measurands import measurand_dim
-from ..providers.keyed_map import LOOKUP, RAW_SCHEMA, transform_measures
+from ..config import source_label
+from ..providers.keyed_map import RAW_SCHEMA, provider_dim, transform_measures
 from .pipeline import TRIGGER_BY_FREQUENCY
 
 
 def keyed_map_stream(spark: SparkSession, config: dict[str, Any]) -> DataFrame:
     """readStream twin of KeyedMapProvider.process — returns the
-    streaming measures DataFrame (caller picks the sink)."""
+    streaming measures DataFrame (caller picks the sink).
+
+    Per-provider fidelity (meta.lookup / unit_filter / hour-ending
+    shift) rides through the SAME provider_dim + transform_measures the
+    batch path uses, so a config means one thing regardless of trigger.
+    The bounded last-K row windows are batch-only semantics (they need
+    a total view of the feed) and do not apply on a stream; the
+    watermark + dropDuplicates below covers the overlap-dedup role."""
     meta = config.get("meta", {})
     raw = spark.readStream.schema(RAW_SCHEMA).json(meta["path"])
+    raw = raw.filter(F.col("device_id").isNotNull())  # miri.js:74
     measures = transform_measures(
-        raw, measurand_dim(spark, LOOKUP), config["provider"]
+        raw, provider_dim(spark, config), source_label(config), meta
     )
     # T3/T4: bound duplicate state by the allowed lateness
     return measures.withWatermark("timestamp", meta.get("lateness", "3 hours")).dropDuplicates(

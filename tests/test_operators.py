@@ -406,6 +406,20 @@ def test_df_capped_jaccard_excludes_hot_shingles_from_selfjoin(spark):
     assert "array_intersect" in plan
 
 
+def test_salted_agg_tolerates_map_columns(spark):
+    """hash() rejects MapType — the salt must skip map columns instead
+    of failing analysis on frames carrying a flags map (the pipeline's
+    own measures schema)."""
+    from openaq_lcs_fetch_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("k", float(i), {"q": str(i)}) for i in range(20)],
+        "k string, v double, flags map<string,string>",
+    )
+    got = salted_agg(df, ["k"], {"v": "sum"}, 4).collect()
+    assert len(got) == 1 and got[0]["sum_v"] == sum(float(i) for i in range(20))
+
+
 def test_salted_agg_deterministic_under_repartitioning(spark):
     """Salted and unsalted aggregates agree, and the salt assignment is
     row-content-determined — identical results whatever the partitioning

@@ -122,6 +122,40 @@ def test_aernode_hour_ending_and_latest_set_drop(spark, tmp_path):
     }
 
 
+def test_aernode_new_device_still_registers_station(spark, tmp_path):
+    """A device whose ONLY reading set is the dropped newest one must
+    still appear in the station registry — stations derive from the
+    device listing, not from the measurement window (aernode.js:104-113
+    registers the node before slicing measurements)."""
+    write_jsonl(tmp_path, "aernode", [
+        keyed_row(device="fresh", ts="2024-06-01T10:00:00", **{"T-ext": "21.0"}),
+    ])
+    measures, stations = processor(spark, load_cfg("aernode", tmp_path))
+    assert measures.count() == 0  # the lone (newest) set is dropped
+    assert [s.sensor_node_id for s in stations.collect()] == ["fresh"]
+
+
+def test_keyed_map_streaming_batch_same_lookup(spark, tmp_path):
+    """The streaming twin must honor the same per-provider lookup as the
+    batch path — senstate's PM10→pm1 remap applies on a stream too."""
+    from openaq_lcs_fetch_spark.streaming.provider_stream import keyed_map_stream
+
+    write_jsonl(tmp_path, "senstate", [keyed_row(PM10="5.0")])
+    cfg = load_cfg("senstate", tmp_path)
+    cfg["meta"]["path"] = str(tmp_path / "senstate")
+    stream = keyed_map_stream(spark, cfg)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("senstate_fid")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM senstate_fid").collect()
+    assert [r.sensor_id for r in rows] == ["senstate-d1-pm1"]  # remap held
+
+
 def test_airqo_two_parameter_whitelist(spark, tmp_path):
     """airqo.js:20-23: exactly pm2_5 and pm10 are ingested; other keys
     in the payload (airqo.js:115 key filter) never become measures."""

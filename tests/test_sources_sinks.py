@@ -180,6 +180,44 @@ def test_measures_json_sink_v01_sharded(spark, tmp_path):
     assert all(set(doc) == {"meta", "measures", "locations"} for doc in lines)
 
 
+def test_measures_json_sink_locations_survive_measureless_shards(spark, tmp_path):
+    """Every location must ship even when its shard received no
+    measures that day (regression: a bare m_day⋈locs left join dropped
+    locations on measure-empty shards)."""
+    measures = spark.createDataFrame(
+        [("p-0-pm25", 1.0, "2024-01-01T01:00:00", None)],
+        "sensor_id string, measure double, timestamp string, flags map<string,string>",
+    ).withColumn("timestamp", F.to_timestamp("timestamp"))
+    locations = spark.createDataFrame(
+        [(f"p-{i}", f"Site {i}", False, -71.0, 42.0) for i in range(10)],
+        "location string, label string, ismobile boolean, lon double, lat double",
+    )
+    rows = assemble_v01(measures, locations, "prov", n_shards=4).collect()
+    assert len(rows) == 4  # full (day x shard) grid
+    got_locs = sorted(loc["location"] for r in rows for loc in r["locations"])
+    assert got_locs == sorted(f"p-{i}" for i in range(10))  # all 10, once each
+    assert sum(len(r["measures"]) for r in rows) == 1
+
+
+def test_diff_upsert_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between rename(store→old) and rename(tmp→store) must not
+    lose the registry: the next run restores from the .old staging dir
+    instead of treating the store as empty."""
+    store = str(tmp_path / "stations")
+    s1 = spark.createDataFrame(
+        [("n1", "lab1"), ("n2", "lab2")], "sensor_node_id string, label string"
+    )
+    diff_upsert(spark, s1, store, "sensor_node_id")
+    # simulate the crash window: store renamed aside, new never moved in
+    os.rename(store, str(tmp_path / ".stations.old.deadbeef01"))
+    s2 = spark.createDataFrame([("n3", "lab3")], "sensor_node_id string, label string")
+    out = diff_upsert(spark, s2, store, "sensor_node_id")
+    assert out["total"] == 3  # n1, n2 recovered + n3 merged
+    ids = {r.sensor_node_id for r in spark.read.parquet(store).collect()}
+    assert ids == {"n1", "n2", "n3"}
+    assert not [d for d in os.listdir(tmp_path) if ".old." in d or ".new." in d]
+
+
 def test_diff_upsert_elides_unchanged(spark, tmp_path):
     store = str(tmp_path / "stations")
     s1 = spark.createDataFrame(
