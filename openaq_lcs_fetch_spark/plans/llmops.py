@@ -31,6 +31,10 @@ from .textops import _SQL_TOKS, _sql_hmod, _sql_shingles
 
 _DECON_N = 2
 _DECON_EVAL_MOD = 29  # doc_id % 29 == 0 → the pseudo-benchmark set
+# contamination = ≥55 distinct overlapping bigrams — ~p90 of the benign
+# background overlap of the synthetic small-vocabulary corpus (production
+# 8-13-gram overlap uses ≥1: any shared long n-gram is contamination)
+_DECON_T = 55
 
 _DECON_ORACLE = f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
@@ -46,7 +50,7 @@ WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
   )
 SELECT d.doc_id,
        COALESCE(h.n_overlap, 0) AS n_overlap,
-       COALESCE(h.n_overlap, 0) >= 5 AS contaminated
+       COALESCE(h.n_overlap, 0) >= {_DECON_T} AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
 WHERE d.doc_id % {_DECON_EVAL_MOD} <> 0
 """
@@ -54,8 +58,10 @@ WHERE d.doc_id % {_DECON_EVAL_MOD} <> 0
 
 @query("decontaminate", _DECON_ORACLE)
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flag corpus documents sharing ≥5 distinct word n-grams with the
-    benchmark set. The benchmark shingle set is broadcast (benchmarks
+    """Flag corpus documents sharing ≥_DECON_T distinct word n-grams
+    with the benchmark set (threshold calibrated to the corpus's benign
+    background overlap — see the constant's comment).
+    The benchmark shingle set is broadcast (benchmarks
     are small by construction), so the corpus side never shuffles its
     shingles — only the final (doc_id, count) aggregation moves."""
     d = t(spark, sf_dir, "documents")
@@ -88,7 +94,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
-            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= 5).alias("contaminated"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= _DECON_T).alias("contaminated"),
         )
     )
 
@@ -296,4 +302,142 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "passes",
         (F.col("top_token_frac") <= 0.2) & (F.col("dup_bigram_frac") <= 0.5),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_pipeline — the composed clean-corpus materialization: Gopher
+# gates + repetition filter + decontamination + exact dedup in ONE plan,
+# summarized per source. This is the query a real training-data run
+# executes nightly; each stage reuses the single-op building blocks
+# above so their individual oracles transfer.
+# ---------------------------------------------------------------------------
+
+_PIPE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, md5(text) AS h, {_SQL_TOKS} AS toks
+  FROM documents WHERE doc_id % {_DECON_EVAL_MOD} <> 0
+),
+  gates AS (
+    SELECT doc_id, source, h,
+      (len(toks) BETWEEN 50 AND 100000)
+      AND (CASE WHEN len(toks) > 0
+           THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+           ELSE CAST(0.0 AS DOUBLE) END BETWEEN 3.0 AND 10.0)
+      AND len(list_filter(toks, x -> list_contains([{_GQ_STOPS_SQL}], x))) >= 2
+      AND (CASE WHEN len(toks) > 0
+           THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks)
+           ELSE CAST(0.0 AS DOUBLE) END) > 0.8 AS gopher_ok,
+      (CASE WHEN len(toks) > 0 THEN
+         CAST((SELECT MAX(c) FROM (
+            SELECT COUNT(*) AS c FROM unnest(list_sort(toks)) AS u(tok) GROUP BY tok
+         )) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END) <= 0.2
+      AND (CASE WHEN len({_sql_shingles('toks', 2)}) > 0
+           THEN CAST(len({_sql_shingles('toks', 2)}) - len(list_distinct({_sql_shingles('toks', 2)})) AS DOUBLE)
+                / len({_sql_shingles('toks', 2)})
+           ELSE CAST(0.0 AS DOUBLE) END) <= 0.5 AS rep_ok
+    FROM toks
+  ),
+  shl AS (SELECT doc_id, {_sql_shingles('toks', _DECON_N)} AS shs
+          FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)),
+  shx AS (SELECT doc_id, unnest(shs) AS shingle FROM shl),
+  sh  AS (SELECT DISTINCT doc_id, {_sql_hmod('shingle')} AS sh FROM shx),
+  eval_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {_DECON_EVAL_MOD} = 0),
+  hits AS (
+    SELECT c.doc_id, COUNT(*) AS n_overlap
+    FROM (SELECT * FROM sh WHERE doc_id % {_DECON_EVAL_MOD} <> 0) c
+    JOIN eval_sh e USING (sh) GROUP BY c.doc_id
+  ),
+  flagged AS (
+    SELECT g.source, g.gopher_ok, g.rep_ok,
+           COALESCE(h.n_overlap, 0) < {_DECON_T} AS clean,
+           g.doc_id = MIN(g.doc_id) OVER (PARTITION BY g.h) AS canonical
+    FROM gates g LEFT JOIN hits h USING (doc_id)
+  )
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN gopher_ok AND rep_ok AND clean AND canonical
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN NOT gopher_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_fail,
+       CAST(SUM(CASE WHEN NOT rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_fail,
+       CAST(SUM(CASE WHEN NOT clean THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(SUM(CASE WHEN NOT canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
+@query("corpus_pipeline", _PIPE_ORACLE)
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keep/drop accounting for the full cleaning chain.
+
+    Plan shape at 100 TB: the quality/repetition gates are projection
+    work fused into the scan; contamination is the broadcast probe of
+    ``decontaminate``; exact-dedup canonicality is a window over md5
+    partitions (16-byte shuffle keys). One corpus pass + two narrow
+    shuffles, then a tiny per-source aggregate."""
+    d = t(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
+    base = d.filter(~is_eval)
+    toks = TX.tokens(F.col("text"))
+    n = F.size(toks)
+    mean_len = TX.avg_token_len(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*_GQ_STOPS)))
+    alpha = F.when(
+        n > 0,
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+    top_cnt = _max_run_len(F.sort_array(toks))
+    bigrams = TX.word_shingles(toks, 2)
+    nb, ndb = F.size(bigrams), F.size(F.array_distinct(bigrams))
+    top_frac = F.when(n > 0, top_cnt.cast("double") / n).otherwise(F.lit(0.0))
+    dup_frac = F.when(nb > 0, (nb - ndb).cast("double") / nb).otherwise(F.lit(0.0))
+    gates = base.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        (
+            n.between(50, 100000)
+            & mean_len.between(3.0, 10.0)
+            & (stop_hits >= 2)
+            & (alpha > 0.8)
+        ).alias("gopher_ok"),
+        ((top_frac <= 0.2) & (dup_frac <= 0.5)).alias("rep_ok"),
+    )
+
+    def shingle_rows(docs: DataFrame) -> DataFrame:
+        return docs.select(
+            "doc_id",
+            F.explode(
+                TX.word_shingles(TX.tokens(F.col("text")), _DECON_N)
+            ).alias("shingle"),
+        ).select("doc_id", TX.hmod(F.col("shingle")).alias("sh"))
+
+    eval_sh = shingle_rows(d.filter(is_eval)).select("sh").distinct()
+    hits = (
+        shingle_rows(base)
+        .join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("n_overlap"))
+    )
+    from pyspark.sql import Window
+
+    canonical = F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("h"))
+    flagged = (
+        gates.join(hits, "doc_id", "left")
+        .withColumn("clean", F.coalesce(F.col("n_overlap"), F.lit(0)) < _DECON_T)
+        .withColumn("canonical", canonical)
+    )
+    kept = F.col("gopher_ok") & F.col("rep_ok") & F.col("clean") & F.col("canonical")
+    as_cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            as_cnt(kept).alias("n_kept"),
+            as_cnt(~F.col("gopher_ok")).alias("n_gopher_fail"),
+            as_cnt(~F.col("rep_ok")).alias("n_rep_fail"),
+            as_cnt(~F.col("clean")).alias("n_contaminated"),
+            as_cnt(~F.col("canonical")).alias("n_dups"),
+        )
+        .orderBy("source")
     )

@@ -24,8 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.similarity import cosine
 from .registry import query, t
-from .simsearch import _quantized
+from .simsearch import _ivf_dists, _ivf_sql_ctes, _ivf_vecs, _quantized
 
 _M = 4  # subspaces
 _SUB = 16  # dims per subspace
@@ -234,5 +235,64 @@ def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum("d").alias("approx_d2"))
         .orderBy(F.col("approx_d2").asc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_multicell — IVF with BUILD-side soft assignment: every data
+# vector is stored in its 2 nearest cells (the mirror of query-side
+# nprobe, plans/simsearch.py ann_ivf_probe2). A query probing a single
+# cell still finds neighbours that sit just across a Voronoi boundary,
+# at the cost of 2× index size — the standard recall/space trade.
+# ---------------------------------------------------------------------------
+
+_MC_QID = 42
+
+
+def _mc_oracle() -> str:
+    return f"""
+WITH {_ivf_sql_ctes()},
+stored AS (SELECT vec_id, label, v, cid FROM dists WHERE rn <= 2),
+qcell AS (SELECT cid, v AS qv FROM assigned WHERE vec_id = {_MC_QID})
+SELECT s.vec_id, s.label,
+       ROUND(list_cosine_similarity(s.v, (SELECT qv FROM qcell)), 6) AS cos_sim
+FROM stored s
+WHERE s.cid = (SELECT cid FROM qcell) AND s.vec_id <> {_MC_QID}
+ORDER BY cos_sim DESC, s.vec_id ASC
+LIMIT 5
+"""
+
+
+@query("ann_ivf_multicell", _mc_oracle())
+def ann_ivf_multicell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    vecs = _ivf_vecs(spark, sf_dir)
+    dists = _ivf_dists(vecs)
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    ranked = dists.withColumn("rn", F.row_number().over(w))
+    # data → 2 cells; candidates within one probed cell are unique per
+    # vec_id because a vector stores at most once per cell
+    stored = (
+        ranked.filter(F.col("rn") <= 2)
+        .select("vec_id", "cid")
+        .join(vecs.select("vec_id", "label", "v"), "vec_id")
+    )
+    qcell = (
+        ranked.filter((F.col("vec_id") == _MC_QID) & (F.col("rn") == 1))
+        .select(F.col("cid").alias("qcid"))
+    )
+    qv = vecs.filter(F.col("vec_id") == _MC_QID).select(F.col("v").alias("qv"))
+    return (
+        stored.filter(F.col("vec_id") != _MC_QID)
+        .join(F.broadcast(qcell), F.col("cid") == F.col("qcid"), "left_semi")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(5)
     )

@@ -46,7 +46,8 @@ def canon(df):
     return sorted(rows)
 
 for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
-          "hourly_rollup", "nation_revenue_share"]:
+          "hourly_rollup", "nation_revenue_share",
+          "decontaminate", "doc_repetition", "pq_search"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n
