@@ -84,6 +84,31 @@ COMMENTARY = {
         "+ posexplode aggregation; centroids never leave the DataFrame "
         "plane (no driver collect in the loop)."
     ),
+    "decontaminate": (
+        "Benchmark side is BroadcastExchange (benchmark-sized by "
+        "construction); corpus shingles meet it map-side, so the only "
+        "Exchange carries matched (doc_id, hash) pairs into the count."
+    ),
+    "doc_repetition": (
+        "Map-ONLY: no Exchange, no Generate — top-token frequency is the "
+        "longest-run fold over the sorted token array inside codegen; an "
+        "explode+groupBy formulation would ship every corpus token."
+    ),
+    "pii_scrub": (
+        "Single codegen'd Project over the scan: three regexp_replace and "
+        "three regexp_count columns, zero shuffle at any scale."
+    ),
+    "pq_search": (
+        "ADC: the query's MxK distance table is BroadcastExchange; "
+        "candidates join on (m, cid) codes and never touch raw vectors; "
+        "global top-5 compiles to TakeOrderedAndProject."
+    ),
+    "corpus_pipeline": (
+        "The composed cleaning chain keeps its stages' shapes: quality and "
+        "repetition gates fused into the scan Project, contamination as the "
+        "broadcast probe, dedup canonicality as a window over md5 "
+        "partitions, then a tiny per-source aggregate."
+    ),
     "event_type_pivot": (
         "Fixed value list → a single scan of events (no distinct-value "
         "discovery pass) feeding a two-phase aggregate: per-(user,type) "
