@@ -181,3 +181,55 @@ def test_connected_components_matches_union_find(spark):
             for r in connected_components(nodes_df, edges_df).collect()
         }
         assert got == want, (n_nodes, n_edges)
+
+
+def test_word_shingles_matches_python_reference(spark):
+    """The zip_with shingle construction equals the obvious Python
+    n-gram join for random token streams, including the short-doc and
+    empty-doc edges."""
+    rng = random.Random(7)
+    vocab = ["a", "bb", "ccc", "x1", "zz9"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 9))))
+        for i in range(60)
+    ] + [(100, ""), (101, "solo")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    from openaq_lcs_fetch_spark.functions.text import tokens, word_shingles
+
+    for n in (2, 3, 5):
+        got = {
+            r.id: r.s
+            for r in df.select(
+                "id", word_shingles(tokens(F.col("text")), n).alias("s")
+            ).collect()
+        }
+        for i, text in rows:
+            toks = text.split() if text.strip() else []
+            want = [
+                " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+            ]
+            assert got[i] == want, (n, i, text)
+
+
+def test_max_run_len_matches_counter(spark):
+    """_max_run_len over the sorted array == the max token frequency."""
+    from collections import Counter
+
+    from openaq_lcs_fetch_spark.functions.text import tokens
+    from openaq_lcs_fetch_spark.plans.llmops import _max_run_len
+
+    rng = random.Random(11)
+    vocab = ["t", "u", "vv", "w"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: r.m
+        for r in df.select(
+            "id", _max_run_len(F.sort_array(tokens(F.col("text")))).alias("m")
+        ).collect()
+    }
+    for i, text in rows:
+        assert got[i] == max(Counter(text.split()).values()), (i, text)
