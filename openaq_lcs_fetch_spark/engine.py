@@ -8,6 +8,7 @@ streaming flavor of the same pipelines lives in streaming/.
 
 from __future__ import annotations
 
+from datetime import datetime as _dt, timezone as _timezone
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -100,7 +101,12 @@ class Engine:
                     else "CAST(NULL AS DOUBLE) AS lat",
                 )
                 payload = assemble_v01(
-                    measures.filter("measure IS NOT NULL"), locations, provider
+                    measures.filter("measure IS NOT NULL"),
+                    locations,
+                    provider,
+                    # the run date anchors the envelope when a batch has
+                    # zero measures (reference: one envelope per batch)
+                    default_day=_dt.now(_timezone.utc).strftime("%Y-%m-%d"),
                 )
                 log["measures_path"] = write_measures_json(payload, out_root, provider)
             else:

@@ -27,11 +27,18 @@ def _row_salt(df: DataFrame, buckets: int) -> Column:
     for hot keys with varying payloads (the common case) content salt
     spreads them and, unlike F.rand, survives task retries and AQE
     re-plans with identical assignments."""
-    cols = [
-        F.col(f.name)
-        for f in df.schema.fields
-        if not isinstance(f.dataType, T.MapType)
-    ]
+    def _has_map(dt: T.DataType) -> bool:
+        # hash() rejects MapType at ANY nesting depth (struct fields,
+        # array elements), not just top level
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
+    cols = [F.col(f.name) for f in df.schema.fields if not _has_map(f.dataType)]
     if not cols:  # all-map row: fall back to a constant single bucket
         return F.lit(0)
     return F.pmod(F.hash(*cols), F.lit(buckets))

@@ -50,9 +50,12 @@ def _subvectors(vecs: DataFrame) -> DataFrame:
     )
 
 
-def _d2() -> F.Column:
+def _d2(a: str = "subq", b: str = "cq") -> F.Column:
+    """Exact integer squared-L2 between two quantized subvector columns
+    — THE distance definition; every Spark-side use must call this so a
+    change (e.g. an overflow guard) lands everywhere at once."""
     return F.aggregate(
-        F.zip_with(F.col("subq"), F.col("cq"), lambda x, c: (x - c) * (x - c)),
+        F.zip_with(F.col(a), F.col(b), lambda x, c: (x - c) * (x - c)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
@@ -215,19 +218,8 @@ def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qsub = sub.filter(F.col("vec_id") == _QID).select(
         "m", F.col("subq").alias("qsubq")
     )
-    dtab = (
-        cb1.join(F.broadcast(qsub), "m")
-        .select(
-            "m",
-            "cid",
-            F.aggregate(
-                F.zip_with(
-                    F.col("qsubq"), F.col("cq"), lambda x, c: (x - c) * (x - c)
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("d"),
-        )
+    dtab = cb1.join(F.broadcast(qsub), "m").select(
+        "m", "cid", _d2("qsubq", "cq").alias("d")
     )
     return (
         codes.filter(F.col("vec_id") != _QID)

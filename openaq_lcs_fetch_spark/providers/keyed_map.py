@@ -188,7 +188,10 @@ class KeyedMapProvider(Provider):
                 F.lit(False).alias("sensor_node_ismobile"),
             ),
             ["sensor_node_id"],
-            [F.col("sensor_node_source_name").asc()],
+            # geometry is the tiebreak — a device reporting two positions
+            # (GPS drift) must register deterministically or diff_upsert
+            # sees a different content_hash every run
+            [F.col("sensor_node_geometry").asc_nulls_last()],
         )
 
         windowed = _apply_row_windows(raw, meta)

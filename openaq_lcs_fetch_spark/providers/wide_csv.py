@@ -30,7 +30,6 @@ provider's one-off logic):
 
 from __future__ import annotations
 
-import os
 from datetime import (
     date as _date,
     datetime as _dt,
@@ -64,6 +63,16 @@ LOOKUP = (
     ("RH", "relativehumidity", "%"),
     ("P", "pressure", "pa"),
 )
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Path existence via the JVM Hadoop FileSystem — scheme-aware
+    (file://, hdfs://, s3a://), unlike os.path.exists which silently
+    reports every non-local path as missing."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
 
 
 @register
@@ -100,8 +109,10 @@ class WideCsvProvider(Provider):
             path = [f"{base}/{pattern.format(date=d)}" for d in (day, prev)]
             # a not-yet-written partition (today's file before the first
             # upload) is normal, not an error — the reference tolerates
-            # the 404 and proceeds with what exists
-            existing = [p for p in path if os.path.exists(p)]
+            # the 404 and proceeds with what exists. Checked through the
+            # Hadoop FileSystem API so s3a://hdfs:// paths behave like
+            # local ones.
+            existing = [p for p in path if _fs_exists(spark, p)]
             path = existing or path  # all missing → loud scan error
         raw = read_csv(spark, path, schema, header=True)
         assert len(raw.columns) == ncols
@@ -156,6 +167,10 @@ class WideCsvProvider(Provider):
                 F.lit(False).alias("sensor_node_ismobile"),
             ),
             ["sensor_node_id"],
-            [F.col("sensor_node_site_name").asc()],
+            # geometry tiebreaks same-named sites → deterministic registry
+            [
+                F.col("sensor_node_site_name").asc_nulls_last(),
+                F.col("sensor_node_geometry").asc_nulls_last(),
+            ],
         )
         return measures, stations

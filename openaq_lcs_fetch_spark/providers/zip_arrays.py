@@ -106,6 +106,8 @@ class ZipArraysProvider(Provider):
                 F.lit(False).alias("sensor_node_ismobile"),
             ),
             ["sensor_node_id"],
-            [F.col("sensor_node_source_name").asc()],
+            # geometry tiebreak: the source name is a constant literal,
+            # which would leave the surviving row arbitrary
+            [F.col("sensor_node_geometry").asc_nulls_last()],
         )
         return measures, stations

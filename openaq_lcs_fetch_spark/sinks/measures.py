@@ -35,7 +35,11 @@ def write_measures_csv(measures: DataFrame, root: str, provider: str) -> str:
 
 
 def assemble_v01(
-    measures: DataFrame, locations: DataFrame, source: str, n_shards: int = 1
+    measures: DataFrame,
+    locations: DataFrame,
+    source: str,
+    n_shards: int = 1,
+    default_day: str | None = None,
 ) -> DataFrame:
     """Build v0.1 payload rows: one per (UTC day, shard), with nested
     measures[] and locations[] arrays and the fixed meta struct (schema
@@ -87,10 +91,18 @@ def assemble_v01(
     )
     # full (day × shard) grid: a location whose shard got no measures
     # that day must still ship (and vice versa) — a bare m_day⋈locs
-    # left join would drop locations on measure-empty shards
+    # left join would drop locations on measure-empty shards.
+    # ``default_day`` (the run date) keeps the reference's
+    # one-envelope-per-batch behavior when a batch carries ZERO
+    # measures: without it an empty m_day would empty the grid and the
+    # locations would ship nowhere.
+    days = m_day.select("day").distinct()
+    if default_day is not None:
+        days = days.unionByName(
+            m_day.sparkSession.createDataFrame([(default_day,)], "day string")
+        ).distinct()
     grid = (
-        m_day.select("day")
-        .distinct()
+        days
         .crossJoin(
             F.broadcast(
                 locs.sparkSession.range(n_shards).select(

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -36,17 +37,25 @@ def content_hash(df: DataFrame, key: str) -> DataFrame:
     )
 
 
+#: staging dirs younger than this are possibly a live concurrent run's
+#: in-flight write — never delete them (concurrent upserts to one store
+#: still require external serialization, which the scheduler provides
+#: by running each source sequentially; this guard just keeps a stray
+#: overlap from DESTROYING the other run's work)
+_STAGING_STALE_S = 24 * 3600
+
+
 def _recover_store(store_path: str) -> None:
     """Crash recovery for the rename-swap below: if a previous run died
     between rename(store→old) and rename(tmp→store), the data survives
     only in ``.{name}.old.{tag}`` — restore the newest one instead of
-    silently treating the store as empty. Leftover ``.new``/``.old``
-    staging dirs from completed or failed runs are cleaned either way."""
+    silently treating the store as empty. Staging dirs older than
+    ``_STAGING_STALE_S`` are cleaned."""
     parent = os.path.dirname(os.path.abspath(store_path)) or "."
     base = os.path.basename(store_path)
     if not os.path.isdir(parent):
         return
-    stale = sorted(
+    staging = sorted(
         (
             os.path.join(parent, d)
             for d in os.listdir(parent)
@@ -55,13 +64,18 @@ def _recover_store(store_path: str) -> None:
         key=os.path.getmtime,
     )
     if not os.path.exists(store_path):
-        olds = [p for p in stale if f".{base}.old." in p]
+        olds = [p for p in staging if f".{base}.old." in p]
         if olds:
             newest = olds[-1]
             os.rename(newest, store_path)
-            stale.remove(newest)
-    for p in stale:
-        shutil.rmtree(p, ignore_errors=True)
+            staging.remove(newest)
+    now = time.time()
+    for p in staging:
+        try:
+            if now - os.path.getmtime(p) >= _STAGING_STALE_S:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass  # raced with another cleaner / mid-rename — leave it
 
 
 def diff_upsert(

@@ -418,6 +418,14 @@ def test_salted_agg_tolerates_map_columns(spark):
     )
     got = salted_agg(df, ["k"], {"v": "sum"}, 4).collect()
     assert len(got) == 1 and got[0]["sum_v"] == sum(float(i) for i in range(20))
+    # nested maps (struct fields, array elements) are just as unhashable
+    nested = spark.createDataFrame(
+        [("k", float(i), (i, {"q": str(i)}), [{"r": str(i)}]) for i in range(10)],
+        "k string, v double, s struct<x:int,m:map<string,string>>, "
+        "a array<map<string,string>>",
+    )
+    got = salted_agg(nested, ["k"], {"v": "sum"}, 4).collect()
+    assert len(got) == 1 and got[0]["sum_v"] == sum(float(i) for i in range(10))
 
 
 def test_salted_agg_deterministic_under_repartitioning(spark):

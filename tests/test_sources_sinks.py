@@ -199,6 +199,25 @@ def test_measures_json_sink_locations_survive_measureless_shards(spark, tmp_path
     assert sum(len(r["measures"]) for r in rows) == 1
 
 
+def test_measures_json_sink_zero_measure_batch_ships_locations(spark, tmp_path):
+    """A feed-outage batch (0 measures, populated stations) still ships
+    envelopes carrying the locations — anchored on the run date."""
+    measures = spark.createDataFrame(
+        [], "sensor_id string, measure double, timestamp timestamp, flags map<string,string>"
+    )
+    locations = spark.createDataFrame(
+        [(f"p-{i}", f"Site {i}", False, -71.0, 42.0) for i in range(6)],
+        "location string, label string, ismobile boolean, lon double, lat double",
+    )
+    rows = assemble_v01(
+        measures, locations, "prov", n_shards=2, default_day="2024-02-02"
+    ).collect()
+    assert len(rows) == 2 and all(r["day"] == "2024-02-02" for r in rows)
+    assert all(r["measures"] == [] for r in rows)
+    got = sorted(loc["location"] for r in rows for loc in r["locations"])
+    assert got == sorted(f"p-{i}" for i in range(6))
+
+
 def test_diff_upsert_recovers_from_crashed_swap(spark, tmp_path):
     """A crash between rename(store→old) and rename(tmp→store) must not
     lose the registry: the next run restores from the .old staging dir
