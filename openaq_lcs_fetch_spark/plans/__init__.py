@@ -19,6 +19,7 @@ from . import windows_q  # noqa: F401
 from . import temporal  # noqa: F401
 from . import llmops  # noqa: F401  (round-2 ops: next in line for the driver window)
 from . import pq  # noqa: F401  (product-quantization ANN)
+from . import rangejoin_q  # noqa: F401  (point-in-interval range join)
 from . import relational  # noqa: F401
 from . import relational_adv  # noqa: F401
 from . import etl  # noqa: F401

@@ -441,3 +441,65 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# kmv_distinct_users — K-minimum-values distinct sketch with PORTABLE
+# hashing. HLL estimates (approx_count_distinct) are engine-specific —
+# the one rows-only check in the registry — but a KMV over the repo's
+# md5-based hmod is deterministic arithmetic BOTH engines replay
+# exactly: estimate = floor((k-1) * HASH_MOD / kth_min_hash).
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+_KMV_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT event_type, {_sql_hmod("CAST(user_id AS VARCHAR)")} AS hv
+  FROM events
+),
+r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv ASC) AS rn
+  FROM h
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n,
+         MAX(CASE WHEN rn = {_KMV_K} THEN hv END) AS hk
+  FROM r WHERE rn <= {_KMV_K} GROUP BY event_type
+)
+SELECT event_type,
+       CASE WHEN n < {_KMV_K} THEN n
+            ELSE CAST(FLOOR(({_KMV_K} - 1) * CAST({TX.HASH_MOD} AS DOUBLE) / hk) AS BIGINT)
+       END AS kmv_distinct
+FROM agg ORDER BY event_type
+"""
+
+
+@query("kmv_distinct_users", _KMV_ORACLE)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user estimate per event type via KMV.
+
+    Scale shape: distinct hashes shuffle as (type, int64) pairs, and
+    the rank<=k filter compiles to WindowGroupLimit — Spark keeps only
+    k rows per type PER MAP PARTITION before the exchange, so the
+    sketch costs one bounded shuffle regardless of corpus size (the
+    same reason top-k-per-key scales)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    h = e.select(
+        "event_type", TX.hmod(F.col("user_id").cast("string")).alias("hv")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy(F.col("hv").asc())
+    r = h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KMV_K)
+    agg = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("hv"))).alias("hk"),
+    )
+    est = F.when(F.col("n") < _KMV_K, F.col("n")).otherwise(
+        F.floor(
+            F.lit(_KMV_K - 1) * F.lit(float(TX.HASH_MOD)) / F.col("hk")
+        ).cast("long")
+    )
+    return agg.select("event_type", est.alias("kmv_distinct")).orderBy("event_type")

@@ -104,6 +104,21 @@ def test_pq_search_codes_only_no_raw_vectors(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # global top-5 compiles to top-k
 
 
+def test_range_join_is_bucketed_equi_never_nested_loop(spark, sf_dir):
+    """The point-in-interval join must compile to an equi-join on
+    (key, bucket) with a residual filter — a BroadcastNestedLoopJoin or
+    CartesianProduct here is quadratic on hot keys."""
+    plan = _plan(spark, sf_dir, "views_before_purchase")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_rank_filter_compiles_to_group_limit(spark, sf_dir):
+    """The k-minimum-values rank<=k must run as WindowGroupLimit so each
+    map partition forwards at most k hashes per key to the exchange."""
+    assert "WindowGroupLimit" in _plan(spark, sf_dir, "kmv_distinct_users")
+
+
 def test_doc_repetition_is_map_only(spark, sf_dir):
     """Top-token frequency folds over the sorted token array per doc —
     the plan must have NO shuffle (an explode → groupBy formulation
