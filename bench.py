@@ -57,6 +57,9 @@ HEADLINE = (
     "gopher_quality",
     "doc_repetition",
     "pq_search",
+    "views_before_purchase",
+    "session_peak_concurrency",
+    "kmv_distinct_users",
 )
 
 

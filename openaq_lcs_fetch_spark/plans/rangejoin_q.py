@@ -66,3 +66,91 @@ def views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_views_before"), F.lit(0)).alias("n_views_before"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# session_peak_concurrency — how many user sessions are open at once,
+# by sweep-line: +1 at each session start, -1 at each end, running sum
+# over the global time order. NO join at all — the interval-analytics
+# questions that tempt an O(n²) self-join ("how many overlap?") are one
+# sort + one window when phrased as a sweep.
+# ---------------------------------------------------------------------------
+
+_PEAK_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                   OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id, sess_no, MIN(ts) AS s_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS s_end
+  FROM (SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM gaps)
+  GROUP BY user_id, sess_no
+),
+deltas AS (
+  SELECT s_start AS t, 1 AS d FROM sess
+  UNION ALL
+  SELECT s_end AS t, -1 AS d FROM sess
+),
+sweep AS (
+  SELECT t, SUM(d) AS d FROM deltas GROUP BY t
+),
+run AS (
+  SELECT t, SUM(d) OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS open
+  FROM sweep
+)
+SELECT CAST(MAX(open) AS BIGINT) AS peak_concurrent,
+       CAST(COUNT(*) AS BIGINT) AS n_change_points
+FROM run
+"""
+
+
+@query("session_peak_concurrency", _PEAK_ORACLE)
+def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous sessions (30-min-gap sessionization, session
+    end = last event + 30 min). Same-instant starts/ends collapse into
+    one change point BEFORE the running sum (the groupBy), so ordering
+    among simultaneous deltas can't affect the max. The global running
+    sum is a single-partition window over CHANGE POINTS (bounded by
+    distinct timestamps, not events) — at extreme scale this last step
+    re-aggregates per coarse time range first; here change points are
+    already the reduced set."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap > 1_800_000_000, 1).when(
+        F.lag("ts").over(w).isNull(), 1
+    ).otherwise(0)
+    wrun = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    sess = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("sess_no", F.sum(new_sess).over(wrun))
+        .groupBy("user_id", "sess_no")
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.timestamp_add("MINUTE", F.lit(30), F.max("ts")).alias("s_end"),
+        )
+    )
+    deltas = sess.select(F.col("s_start").alias("t"), F.lit(1).alias("d")).unionByName(
+        sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("d"))
+    )
+    sweep = deltas.groupBy("t").agg(F.sum("d").alias("d"))
+    wall = Window.orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = sweep.withColumn("open", F.sum("d").over(wall))
+    return run.agg(
+        F.max("open").cast("long").alias("peak_concurrent"),
+        F.count(F.lit(1)).cast("long").alias("n_change_points"),
+    )
