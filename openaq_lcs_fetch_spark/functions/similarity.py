@@ -291,6 +291,7 @@ def df_capped_jaccard_topk(
     k: int = 50,
     shingle_n: int = 3,
     df_cap: int = 64,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact top-k Jaccard pairs with DOCUMENT-FREQUENCY-CAPPED candidate
     generation — the scale-safe registration of the n-gram near-dup query.
@@ -375,6 +376,12 @@ def df_capped_jaccard_topk(
     topk = jac.orderBy(
         F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc()
     ).limit(k)
+    # k rows, materialized once: the certificate below is an action, and
+    # without this the caller's own collect would re-run the whole
+    # candidate pipeline a second time (materialize=False keeps the
+    # lazy plan for tests that assert its shape)
+    if materialize:
+        topk = topk.localCheckpoint(eager=True)
 
     # completeness certificate: two scalars, not data
     max_r = per_doc.agg(

@@ -401,7 +401,7 @@ def test_df_capped_jaccard_excludes_hot_shingles_from_selfjoin(spark):
         for v in range(4)
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    plan = df_capped_jaccard_topk(docs, "doc_id", "text", k=5, df_cap=8)._jdf.queryExecution().executedPlan().toString()
+    plan = df_capped_jaccard_topk(docs, "doc_id", "text", k=5, df_cap=8, materialize=False)._jdf.queryExecution().executedPlan().toString()
     assert "_df" in plan and "<= 8" in plan.replace("#", " #")
     assert "array_intersect" in plan
 
