@@ -450,3 +450,57 @@ def test_salted_agg_deterministic_under_repartitioning(spark):
     s1 = sorted(r[0] for r in df.repartition(3).select(_row_salt(df, 8)).collect())
     s2 = sorted(r[0] for r in df.repartition(11).select(_row_salt(df, 8)).collect())
     assert s1 == s2 and len(set(s1)) > 1
+
+
+def test_point_in_interval_join_inner_left_and_boundaries(spark):
+    """Bucketized range join: half-open [start, end) semantics hold
+    across bucket boundaries; 'left' keeps unmatched points with NULL
+    interval columns; intervals longer than one bucket still match."""
+    from openaq_lcs_fetch_spark.operators.rangejoin import (
+        interval_overlap_condition,
+        point_in_interval_join,
+    )
+
+    points = spark.createDataFrame(
+        [
+            ("u1", 1, "2024-06-01 10:00:00"),  # == start → in
+            ("u1", 2, "2024-06-01 11:59:59"),  # inside, later bucket
+            ("u1", 3, "2024-06-01 12:00:00"),  # == end → OUT
+            ("u1", 4, "2024-06-01 09:59:59"),  # before → out
+            ("u2", 5, "2024-06-01 10:30:00"),  # right time, wrong key
+        ],
+        "user string, pid int, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    intervals = spark.createDataFrame(
+        [("u1", "iv1", "2024-06-01 10:00:00", "2024-06-01 12:00:00")],
+        "user string, iv string, s string, e string",
+    ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+
+    inner = point_in_interval_join(
+        points, intervals, ["user"], "ts", "s", "e", bucket_seconds=3600
+    )
+    assert sorted(r.pid for r in inner.collect()) == [1, 2]
+
+    left = point_in_interval_join(
+        points, intervals, ["user"], "ts", "s", "e", bucket_seconds=3600, how="left"
+    )
+    got = {r.pid: r.iv for r in left.collect()}
+    assert got == {1: "iv1", 2: "iv1", 3: None, 4: None, 5: None}
+
+    # the overlap predicate: [10,12) vs [12,13) do NOT overlap
+    df = spark.createDataFrame([(1,)], "x int")
+    row = df.select(
+        interval_overlap_condition(
+            F.lit("2024-06-01 10:00:00").cast("timestamp"),
+            F.lit("2024-06-01 12:00:00").cast("timestamp"),
+            F.lit("2024-06-01 12:00:00").cast("timestamp"),
+            F.lit("2024-06-01 13:00:00").cast("timestamp"),
+        ).alias("a"),
+        interval_overlap_condition(
+            F.lit("2024-06-01 10:00:00").cast("timestamp"),
+            F.lit("2024-06-01 12:00:00").cast("timestamp"),
+            F.lit("2024-06-01 11:00:00").cast("timestamp"),
+            F.lit("2024-06-01 13:00:00").cast("timestamp"),
+        ).alias("b"),
+    ).first()
+    assert row.a is False and row.b is True
