@@ -40,16 +40,19 @@ def point_in_interval_join(
     points with NULL interval columns (interval columns must not clash
     with point column names, standard join hygiene).
     """
-    b = F.lit(bucket_seconds)
+    # bucket at MICROSECOND precision — unix_timestamp truncates to
+    # whole seconds, and a sub-second interval end in the first second
+    # after a bucket boundary would place e_bkt one bucket low and drop
+    # valid matches (the as-of join buckets with unix_micros for the
+    # same reason, operators/asof.py)
+    b_us = F.lit(bucket_seconds * 1_000_000)
     pt = points.withColumn(
-        "_bkt", F.floor(F.unix_timestamp(F.col(ts_col)) / b).cast("long")
+        "_bkt", F.floor(F.unix_micros(F.col(ts_col)) / b_us).cast("long")
     )
-    s_bkt = F.floor(F.unix_timestamp(F.col(start_col)) / b).cast("long")
+    s_bkt = F.floor(F.unix_micros(F.col(start_col)) / b_us).cast("long")
     # end is exclusive: an interval ending exactly on a bucket boundary
     # does not cover that bucket
-    e_bkt = F.floor(
-        (F.unix_timestamp(F.col(end_col)) - F.lit(1)) / b
-    ).cast("long")
+    e_bkt = F.floor((F.unix_micros(F.col(end_col)) - F.lit(1)) / b_us).cast("long")
     iv = intervals.withColumn(
         "_bkt", F.explode(F.sequence(s_bkt, F.greatest(e_bkt, s_bkt)))
     )
@@ -58,14 +61,20 @@ def point_in_interval_join(
     if how == "inner":
         return pt.join(iv, on).filter(cond).drop("_bkt")
     if how == "left":
-        matched = pt.join(iv, on).filter(cond).drop("_bkt")
-        iv_cols = [c for c in intervals.columns if c not in keys]
-        missing = pt.drop("_bkt").join(
-            matched.select(*points.columns), points.columns, "left_anti"
+        # anti-join on a frozen surrogate id, NOT on the point columns:
+        # NULL point values make column-equality anti-joins keep matched
+        # rows a second time (null-unsafe equality). The checkpoints pin
+        # the nondeterministic id assignment AND stop the bucketized
+        # join from being evaluated twice (union branch + anti build).
+        pt = pt.withColumn("_pid", F.monotonically_increasing_id()).localCheckpoint(
+            eager=True
         )
+        matched = pt.join(iv, on).filter(cond).localCheckpoint(eager=True)
+        iv_cols = [c for c in intervals.columns if c not in keys]
+        missing = pt.join(matched.select("_pid"), "_pid", "left_anti")
         for c in iv_cols:
             missing = missing.withColumn(c, F.lit(None).cast(dict(matched.dtypes)[c]))
-        return matched.unionByName(missing)
+        return matched.unionByName(missing).drop("_bkt", "_pid")
     raise ValueError(f"unsupported how={how!r} (inner|left)")
 
 

@@ -491,7 +491,10 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = e.select(
         "event_type", TX.hmod(F.col("user_id").cast("string")).alias("hv")
     ).distinct()
-    w = Window.partitionBy("event_type").orderBy(F.col("hv").asc())
+    # NULLS LAST pins engine parity: Spark ASC defaults nulls-first,
+    # DuckDB nulls-last — a NULL hash (NULL user_id) would displace the
+    # k-th minimum on one engine only
+    w = Window.partitionBy("event_type").orderBy(F.col("hv").asc_nulls_last())
     r = h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KMV_K)
     agg = r.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

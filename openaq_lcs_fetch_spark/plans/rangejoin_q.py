@@ -78,7 +78,7 @@ def views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PEAK_ORACLE = """
 WITH gaps AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                    OR lag(ts) OVER w IS NULL
               THEN 1 ELSE 0 END AS new_sess
@@ -89,7 +89,8 @@ sess AS (
   SELECT user_id, sess_no, MIN(ts) AS s_start,
          MAX(ts) + INTERVAL 30 MINUTE AS s_end
   FROM (SELECT user_id, ts,
-               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_sess) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC
                  ROWS UNBOUNDED PRECEDING) AS sess_no
         FROM gaps)
   GROUP BY user_id, sess_no

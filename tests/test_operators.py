@@ -504,3 +504,30 @@ def test_point_in_interval_join_inner_left_and_boundaries(spark):
         ).alias("b"),
     ).first()
     assert row.a is False and row.b is True
+
+
+def test_point_in_interval_join_subsecond_boundaries_and_null_columns(spark):
+    """Two confirmed-repro regressions: (1) whole-second bucketing
+    dropped matches when a sub-second interval end crossed a bucket
+    boundary; (2) the left path duplicated matched points carrying NULL
+    columns (null-unsafe anti-join)."""
+    from openaq_lcs_fetch_spark.operators.rangejoin import point_in_interval_join
+
+    points = spark.createDataFrame(
+        [("u1", 1, None, "2024-06-01 11:00:00.100")],
+        "user string, pid int, payload string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    intervals = spark.createDataFrame(
+        [("u1", "iv1", "2024-06-01 10:00:00.250", "2024-06-01 11:00:00.250")],
+        "user string, iv string, s string, e string",
+    ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+
+    inner = point_in_interval_join(
+        points, intervals, ["user"], "ts", "s", "e", bucket_seconds=3600
+    ).collect()
+    assert [r.pid for r in inner] == [1]  # sub-second end, later bucket
+
+    left = point_in_interval_join(
+        points, intervals, ["user"], "ts", "s", "e", bucket_seconds=3600, how="left"
+    ).collect()
+    assert [(r.pid, r.iv) for r in left] == [(1, "iv1")]  # exactly once
