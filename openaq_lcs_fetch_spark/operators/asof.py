@@ -90,7 +90,15 @@ def asof_join(
         )
     else:
         us = bucket_seconds * 1_000_000
-        bkt = F.floor(F.unix_micros(F.col(ts)) / F.lit(us)).alias("_bkt")
+        # the join axis may be a LONG microsecond column (the forward
+        # variant negates micros); floor-division buckets negatives
+        # toward -inf, preserving order
+        axis = (
+            F.col(ts).cast("long")
+            if rtypes[ts] in ("bigint", "int")
+            else F.unix_micros(F.col(ts))
+        )
+        bkt = F.floor(axis / F.lit(us)).alias("_bkt")
         lb = l_tag.withColumn("_bkt", bkt)
         rb = r_tag.withColumn("_bkt", bkt)
 
@@ -117,7 +125,15 @@ def asof_join(
             .select(
                 *keys,
                 F.col("_bkt"),
-                F.timestamp_micros(F.col("_bkt") * F.lit(us)).cast(rtypes[ts]).alias(ts),
+                # seed sorts at its bucket's start (≤ every real row in
+                # the bucket; _prio breaks the tie in the seed's favor)
+                (
+                    (F.col("_bkt") * F.lit(us)).cast(rtypes[ts])
+                    if rtypes[ts] in ("bigint", "int")
+                    else F.timestamp_micros(F.col("_bkt") * F.lit(us)).cast(
+                        rtypes[ts]
+                    )
+                ).alias(ts),
                 F.lit(_PRIO_SEED).alias("_prio"),
                 F.col("_seed").alias("_r"),
             )
@@ -144,3 +160,53 @@ def asof_join(
         out = out.withColumn(f"{suffix}{c}", F.col(f"_match.{c}"))
     out = out.withColumn(f"{suffix}ts", F.col("_match._ts"))
     return out.drop("_prio", "_r", "_match", "_bkt")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | Sequence[str],
+    ts: str,
+    value_cols: Sequence[str] | None = None,
+    suffix: str = "asofnext_",
+    bucket_seconds: int | None = None,
+) -> DataFrame:
+    """Forward as-of: attach the EARLIEST right row with
+    ``right.ts >= left.ts`` (next-or-equal — e.g. "the calibration that
+    will apply next", "the following maintenance event").
+
+    Pure reduction, not a second implementation:
+    forward-asof(ts) == backward-asof(-ts). Both sides gain a negated
+    microsecond axis and run through ``asof_join`` — every scale
+    property (skew-free (key, bucket) windows, seed carry, struct
+    payload atomicity) is inherited, and a fix in one direction cannot
+    miss the other. The right row's real timestamp rides as a value
+    column and comes back as ``{suffix}ts``.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    value_cols = value_cols or [c for c in right.columns if c not in (*keys, ts)]
+    neg = "_neg_us"
+    l2 = left.withColumn(neg, (-F.unix_micros(F.col(ts))).cast("long"))
+    r2 = right.withColumn(neg, (-F.unix_micros(F.col(ts))).cast("long")).select(
+        # right's real timestamp rides under a mangled name so it can't
+        # collide with the axis output {suffix}ts
+        *keys,
+        neg,
+        F.col(ts).alias("_rts"),
+        *value_cols,
+    )
+    out = asof_join(
+        l2,
+        r2,
+        key=keys,
+        ts=neg,
+        value_cols=["_rts", *value_cols],
+        suffix=suffix,
+        bucket_seconds=bucket_seconds,
+    )
+    # {suffix}ts from asof_join is the negated axis; the real matched
+    # timestamp is the mangled value column
+    return (
+        out.drop(f"{suffix}ts", neg)
+        .withColumnRenamed(f"{suffix}_rts", f"{suffix}ts")
+    )

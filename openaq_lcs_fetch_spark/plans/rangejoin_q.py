@@ -155,3 +155,55 @@ def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("open").cast("long").alias("peak_concurrent"),
         F.count(F.lit(1)).cast("long").alias("n_change_points"),
     )
+
+
+# ---------------------------------------------------------------------------
+# asof_next_calibration — the FORWARD as-of: each event picks up the
+# next calibration mark at or after its timestamp (the mirror of
+# asof_calibration, via the backward-on-negated-micros reduction in
+# operators/asof.py::asof_join_forward; same skew-free bucketing).
+# ---------------------------------------------------------------------------
+
+_NEXT_ORACLE = """
+WITH types AS (SELECT unnest(['click','view','purchase','signup','error']) AS event_type),
+marks AS (
+  SELECT t.event_type,
+         unnest(generate_series(TIMESTAMP '2024-01-01 03:00:00',
+                                TIMESTAMP '2024-01-31 00:00:00',
+                                INTERVAL 6 HOUR)) AS calib_ts
+  FROM types t
+),
+calib AS (
+  SELECT event_type, calib_ts,
+         CAST((epoch(calib_ts) / 3600) % 7 AS DOUBLE) / 10.0 AS factor
+  FROM marks
+),
+nxt AS (
+  SELECT e.event_id, e.event_type, e.ts,
+         (SELECT MIN(c.calib_ts) FROM calib c
+           WHERE c.event_type = e.event_type AND c.calib_ts >= e.ts) AS asofnext_ts
+  FROM events e
+)
+SELECT n.event_id, n.event_type, n.ts, n.asofnext_ts,
+       c.factor AS asofnext_factor
+FROM nxt n
+LEFT JOIN calib c
+  ON c.event_type = n.event_type AND c.calib_ts = n.asofnext_ts
+"""
+
+
+@query("asof_next_calibration", _NEXT_ORACLE)
+def asof_next_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_forward
+    from .temporal import _calib
+
+    e = t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    calib = _calib(spark).withColumnRenamed("calib_ts", "ts")
+    joined = asof_join_forward(
+        e, calib, key="event_type", ts="ts", value_cols=["factor"],
+        bucket_seconds=86_400,
+    )
+    return joined.select(
+        "event_id", "event_type", "ts",
+        F.col("asofnext_ts"), F.col("asofnext_factor"),
+    )

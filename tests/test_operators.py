@@ -531,3 +531,29 @@ def test_point_in_interval_join_subsecond_boundaries_and_null_columns(spark):
         points, intervals, ["user"], "ts", "s", "e", bucket_seconds=3600, how="left"
     ).collect()
     assert [(r.pid, r.iv) for r in left] == [(1, "iv1")]  # exactly once
+
+
+def test_asof_join_forward_both_plans(spark):
+    """Forward as-of (next-or-equal) agrees between the plain window
+    plan and the skew-free bucketed plan, including the inclusive
+    boundary and keys with no following right row."""
+    from openaq_lcs_fetch_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00", 1), ("a", "2024-01-01 11:30:00", 2),
+         ("b", "2024-01-01 10:00:00", 3), ("a", "2024-01-02 00:00:00", 4),
+         ("a", "2024-01-01 11:00:00", 5)],
+        "k string, ts string, eid int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 11:00:00", 1.5), ("a", "2024-01-01 12:00:00", 2.5),
+         ("b", "2024-01-01 09:00:00", 9.9)],
+        "k string, ts string, factor double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    want = {1: ("2024-01-01 11:00:00", 1.5), 2: ("2024-01-01 12:00:00", 2.5),
+            3: ("None", None), 4: ("None", None),
+            5: ("2024-01-01 11:00:00", 1.5)}  # inclusive >=
+    for bs in (None, 3600):
+        got = {r.eid: (str(r.asofnext_ts), r.asofnext_factor) for r in
+               asof_join_forward(left, right, "k", "ts", bucket_seconds=bs).collect()}
+        assert got == want, bs
