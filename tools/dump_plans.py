@@ -109,6 +109,19 @@ COMMENTARY = {
         "broadcast probe, dedup canonicality as a window over md5 "
         "partitions, then a tiny per-source aggregate."
     ),
+    "views_before_purchase": (
+        "Range join compiles to an equi SortMergeJoin/BroadcastHashJoin on "
+        "(user_id, _bkt) with the ts-range predicate as a post-filter — "
+        "never a nested-loop."
+    ),
+    "kmv_distinct_users": (
+        "WindowGroupLimit caps each map partition at k hashes per key "
+        "before the exchange; the sketch shuffle is O(k x keys)."
+    ),
+    "asof_next_calibration": (
+        "Forward as-of inherits the bucketed backward plan on a negated "
+        "micros axis: windows partition by (key, _bkt), never key alone."
+    ),
     "event_type_pivot": (
         "Fixed value list → a single scan of events (no distinct-value "
         "discovery pass) feeding a two-phase aggregate: per-(user,type) "
