@@ -557,3 +557,26 @@ def test_asof_join_forward_both_plans(spark):
         got = {r.eid: (str(r.asofnext_ts), r.asofnext_factor) for r in
                asof_join_forward(left, right, "k", "ts", bucket_seconds=bs).collect()}
         assert got == want, bs
+
+
+def test_asof_join_forward_inherits_bucketed_window(spark):
+    """The forward reduction must land in the same skew-free plan: every
+    window over the unioned fact table partitions on (key, _bkt)."""
+    import re
+
+    from openaq_lcs_fetch_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [("a", "2024-01-01T00:30:00", 1)], "k string, ts string, left_id int"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("a", "2024-01-01T01:00:00", 1.0)], "k string, ts string, factor double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    plan = (
+        asof_join_forward(left, right, "k", "ts", bucket_seconds=3600)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*?)_neg_us#", plan)
+    assert specs, plan
+    for s in specs:
+        assert "_bkt" in s, f"fact window not bucketed: {s}"
