@@ -12,6 +12,20 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def micros(col: Column) -> Column:
+    """Unix microseconds from any timestamp flavor. ``F.unix_micros``
+    rejects TIMESTAMP_NTZ outright (DATATYPE_MISMATCH); casting to
+    TIMESTAMP first is a no-op for TIMESTAMP input and, under the UTC
+    session timezone the engine pins (session.RUNTIME_CONF), an exact
+    reinterpretation for TIMESTAMP_NTZ — the driver's parquet stores
+    naive UTC instants. Every operator that needs an integer time axis
+    (as-of join, range join, gap windows) must go through this helper,
+    never raw ``F.unix_micros``: the round-2 testdata changed from
+    TIMESTAMP(NANOS) to timestamp[us]/NTZ and broke every raw call site.
+    """
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def from_unix_seconds(col: Column) -> Column:
     """C5: unix seconds → timestamp (purpleair.js:73, README example)."""
     return F.timestamp_seconds(col.cast("long"))

@@ -29,6 +29,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.timestamps import micros
+
 # sort priorities inside the carry-forward window: seeds first (they
 # represent strictly-earlier right rows), then real right rows (ties at
 # equal ts resolve inclusively), then left rows.
@@ -92,11 +94,13 @@ def asof_join(
         us = bucket_seconds * 1_000_000
         # the join axis may be a LONG microsecond column (the forward
         # variant negates micros); floor-division buckets negatives
-        # toward -inf, preserving order
+        # toward -inf, preserving order. Timestamp axes go through the
+        # NTZ-safe micros() helper (timestamps.py) — raw unix_micros
+        # rejects TIMESTAMP_NTZ input.
         axis = (
             F.col(ts).cast("long")
             if rtypes[ts] in ("bigint", "int")
-            else F.unix_micros(F.col(ts))
+            else micros(F.col(ts))
         )
         bkt = F.floor(axis / F.lit(us)).alias("_bkt")
         lb = l_tag.withColumn("_bkt", bkt)
@@ -186,8 +190,8 @@ def asof_join_forward(
     keys = [key] if isinstance(key, str) else list(key)
     value_cols = value_cols or [c for c in right.columns if c not in (*keys, ts)]
     neg = "_neg_us"
-    l2 = left.withColumn(neg, (-F.unix_micros(F.col(ts))).cast("long"))
-    r2 = right.withColumn(neg, (-F.unix_micros(F.col(ts))).cast("long")).select(
+    l2 = left.withColumn(neg, (-micros(F.col(ts))).cast("long"))
+    r2 = right.withColumn(neg, (-micros(F.col(ts))).cast("long")).select(
         # right's real timestamp rides under a mangled name so it can't
         # collide with the axis output {suffix}ts
         *keys,

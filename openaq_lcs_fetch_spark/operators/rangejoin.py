@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.timestamps import micros
+
 
 def point_in_interval_join(
     points: DataFrame,
@@ -43,16 +45,16 @@ def point_in_interval_join(
     # bucket at MICROSECOND precision — unix_timestamp truncates to
     # whole seconds, and a sub-second interval end in the first second
     # after a bucket boundary would place e_bkt one bucket low and drop
-    # valid matches (the as-of join buckets with unix_micros for the
-    # same reason, operators/asof.py)
+    # valid matches (the as-of join buckets at micros for the same
+    # reason, operators/asof.py). micros() is the NTZ-safe axis helper.
     b_us = F.lit(bucket_seconds * 1_000_000)
     pt = points.withColumn(
-        "_bkt", F.floor(F.unix_micros(F.col(ts_col)) / b_us).cast("long")
+        "_bkt", F.floor(micros(F.col(ts_col)) / b_us).cast("long")
     )
-    s_bkt = F.floor(F.unix_micros(F.col(start_col)) / b_us).cast("long")
+    s_bkt = F.floor(micros(F.col(start_col)) / b_us).cast("long")
     # end is exclusive: an interval ending exactly on a bucket boundary
     # does not cover that bucket
-    e_bkt = F.floor((F.unix_micros(F.col(end_col)) - F.lit(1)) / b_us).cast("long")
+    e_bkt = F.floor((micros(F.col(end_col)) - F.lit(1)) / b_us).cast("long")
     iv = intervals.withColumn(
         "_bkt", F.explode(F.sequence(s_bkt, F.greatest(e_bkt, s_bkt)))
     )

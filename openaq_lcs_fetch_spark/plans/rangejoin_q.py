@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.timestamps import micros
 from ..operators.rangejoin import point_in_interval_join
 from .registry import query, t
 
@@ -127,7 +128,7 @@ def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gap = micros(F.col("ts")) - micros(F.lag("ts").over(w))
     new_sess = F.when(gap > 1_800_000_000, 1).when(
         F.lag("ts").over(w).isNull(), 1
     ).otherwise(0)

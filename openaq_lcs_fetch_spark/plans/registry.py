@@ -17,7 +17,7 @@ Parity rules every query here follows:
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -35,6 +35,27 @@ class Query:
 
 
 QUERIES: dict[str, Query] = {}
+
+
+def promote(names: "Sequence[str]") -> None:
+    """Reorder the registry so ``names`` occupy the first positions (in
+    the given order), everything else keeping its relative order.
+
+    The correctness driver verifies the FIRST 50 registry entries each
+    round; with >100 registered queries a deliberate rotation decides
+    what gets (re-)proven. ``plans/__init__`` promotes, per round, the
+    queries that have never had a driver row plus any that were red last
+    round, then lets the least-recently-verified half fill the window.
+    """
+    missing = [n for n in names if n not in QUERIES]
+    if missing:
+        raise KeyError(f"promote: unknown queries {missing}")
+    chosen = set(names)
+    rest = [(k, v) for k, v in QUERIES.items() if k not in chosen]
+    front = [(n, QUERIES[n]) for n in names]
+    QUERIES.clear()
+    QUERIES.update(front)
+    QUERIES.update(rest)
 
 
 def query(name: str, oracle: str | None = None):

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.timestamps import micros
 from ..streaming.pipeline import (
     hourly_window_counts,
     read_events_stream,
@@ -114,8 +115,8 @@ def streaming_click_to_buy(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(joined)
     return out.select(
         F.col("c_user").alias("user_id"),
-        (F.unix_micros(F.col("c_ts"))).alias("click_us"),
-        (F.unix_micros(F.col("p_ts"))).alias("buy_us"),
+        (micros(F.col("c_ts"))).alias("click_us"),
+        (micros(F.col("p_ts"))).alias("buy_us"),
         "click_id",
         "buy_id",
     )

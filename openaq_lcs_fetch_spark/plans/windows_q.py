@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.timestamps import micros
 from .registry import query, sql_exact_sum, t
 
 # ---------------------------------------------------------------------------
@@ -68,7 +69,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     # microsecond precision on BOTH sides (oracle uses epoch_us): a
     # whole-second cast would flip sub-second gaps across the boundary
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    gap = micros(F.col("ts")) - micros(F.lag(F.col("ts")).over(w))
     new_sess = F.when(gap > 1_800_000_000, 1).when(
         F.lag("ts").over(w).isNull(), 1
     ).otherwise(0)
@@ -367,12 +368,25 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("approx_event_stats", None)
 def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
+    # ONE percentile_approx sketch for all three quantiles (a single
+    # KLL-style pass over the data), then scalar p50/p95/p99 columns —
+    # the driver's rows-only canonicalizer sorts output columns, and an
+    # array column is unsortable/unhashable there (round-2 err).
+    pcts = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
     return (
         e.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_pcts"),
+            pcts.alias("_pcts"),
             F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.col("_pcts")[0].alias("p50"),
+            F.col("_pcts")[1].alias("p95"),
+            F.col("_pcts")[2].alias("p99"),
+            "n",
         )
         .orderBy("event_type")
     )

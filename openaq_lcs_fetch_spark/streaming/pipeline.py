@@ -19,9 +19,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-from ..schemas import EVENTS
+from ..tables import normalize_ts
 
 TRIGGER_BY_FREQUENCY = {
     "minute": "60 seconds",
@@ -32,14 +31,14 @@ TRIGGER_BY_FREQUENCY = {
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (schema fixed — stream
-    sources never infer). The file stores TIMESTAMP(NANOS) → read ts as
-    long (session conf nanosAsLong) and convert, as in tables.load."""
-    raw_schema = T.StructType(
-        [
-            f if f.name != "ts" else T.StructField("ts", T.LongType(), False)
-            for f in EVENTS.fields
-        ]
-    )
+    sources never infer). The read schema is taken from the file's OWN
+    parquet footer via a batch read, never hand-declared: the testdata's
+    ts physical type has changed across rounds (TIMESTAMP(NANOS) →
+    timestamp[us]) and a re-declared schema is a second copy of the same
+    assumption that then breaks differently from the batch path. ts is
+    normalized by the shared tables.normalize_ts, same as batch."""
+    src_file = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src_file).schema
     # FileStreamSource requires a directory; the testdata table is a
     # single file → expose it through a symlink directory.
     link_dir = os.path.join(
@@ -60,7 +59,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(link_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(stream, "ts")
 
 
 def hourly_window_counts(stream: DataFrame) -> DataFrame:

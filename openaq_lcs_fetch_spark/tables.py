@@ -28,19 +28,44 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table as a DataFrame.
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Schema-driven timestamp normalization at the ingest boundary.
 
-    ``events`` stores ts as TIMESTAMP(NANOS) which Spark reads as long
-    (see session.RUNTIME_CONF); we convert to TimestampType here (the
-    sub-microsecond digits are zero in the generated data, so integer
-    division by 1000 is lossless).
+    The driver's testdata has shipped ``events.ts`` as TIMESTAMP(NANOS)
+    (Spark reads it ``bigint`` under the nanosAsLong conf) in one round
+    and ``timestamp[us]`` (Spark reads TIMESTAMP_NTZ) in the next. The
+    reference normalizes every provider's timestamp chaos at ingest
+    (e.g. cpcb.js:144-152, data354.js:108-110 mix unix-seconds, ISO and
+    local strings); this is the same stance applied to our own input
+    tables. Handles all three shapes, keyed off the ACTUAL dtype:
+
+    * ``bigint``        — nanos-as-long; integer-divide to micros
+      (sub-µs digits are zero in the generated data → lossless);
+    * ``timestamp_ntz`` — naive UTC instants; cast to TIMESTAMP, exact
+      under the UTC session timezone (session.RUNTIME_CONF);
+    * ``timestamp``     — already the engine's canonical type; no-op.
+
+    Works on batch and streaming DataFrames alike — both ingest paths
+    (``load`` and ``streaming.pipeline.read_events_stream``) MUST route
+    through this one function so the assumption lives in one place.
     """
+    t = dict(df.dtypes).get(col)
+    if t == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif t == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame; ``events.ts`` is
+    normalized to TimestampType whatever the file stores (see
+    ``normalize_ts``)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_ts(df, "ts")
     return df
 
 
