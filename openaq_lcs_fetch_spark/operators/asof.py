@@ -166,6 +166,123 @@ def asof_join(
     return out.drop("_prio", "_r", "_match", "_bkt")
 
 
+def asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | Sequence[str],
+    ts: str,
+    value_cols: Sequence[str] | None = None,
+    suffix: str = "asof_",
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """As-of join fast path for a DIMENSION-SIZED right side (calibration
+    marks, config epochs, rate tables): identical semantics to
+    ``asof_join`` but the fact table is never shuffled OR sorted.
+
+    Plan shape: build a tiny (key, time-bucket) dimension where each row
+    carries an array of that bucket's right-side payload structs plus a
+    "seed" (the latest right row from all earlier buckets, carried by a
+    window over the TINY table); broadcast it; each left row equi-joins
+    its clamped bucket and resolves the match with
+    ``array_max(filter(arr, m -> m._ts <= ts))`` — a pure projection.
+    At 100 TB the fact side is map-only: bucket projection + broadcast
+    hash join + codegen array expression, zero exchanges. The windowed
+    plan (``asof_join``) remains the right tool when the right side is
+    fact-sized; this one requires |keys| x bucket-span x marks to fit a
+    broadcast (the caller's contract, same as any dimension broadcast).
+
+    Clamping makes left-side bucket coverage total without scanning the
+    left: a left bucket beyond the last right bucket clamps down (its
+    match is the latest mark overall — that bucket's array contains it
+    via marks+seed and the filter keeps everything); a left bucket
+    before the first right bucket clamps up (the filter then drops every
+    mark → NULL match, the correct "no preceding right row" answer).
+
+    Tie semantics match ``asof_join`` exactly: the payload struct leads
+    with ``_ts``, so ``array_max`` picks the latest timestamp with the
+    value columns as deterministic tiebreakers, and equal-ts right rows
+    still win (inclusive ``<=``, DuckDB ASOF parity).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    value_cols = value_cols or [c for c in right.columns if c not in (*keys, ts)]
+    rtypes = dict(right.dtypes)
+    us = bucket_seconds * 1_000_000
+
+    def axis(c):
+        return c.cast("long") if rtypes[ts] in ("bigint", "int") else micros(c)
+
+    # ONE shuffle of the (tiny) right side: everything per key in a
+    # single row, then the per-bucket mark arrays unfold with
+    # higher-order functions in a single codegen projection — no second
+    # groupBy, no window, no spine join (stage-count parity with a
+    # plain dimension broadcast).
+    rk = (
+        right.select(
+            *keys,
+            F.struct(
+                F.col(ts).alias("_ts"), *[F.col(c) for c in value_cols]
+            ).alias("_r"),
+            F.floor(axis(F.col(ts)) / F.lit(us)).cast("long").alias("_mb"),
+        )
+        .groupBy(*keys)
+        .agg(
+            F.collect_list(F.struct("_mb", "_r")).alias("_all"),
+            F.min("_mb").alias("_minb"),
+            F.max("_mb").alias("_maxb"),
+        )
+    )
+    bkt = F.col("_bkt")
+    marks_here = F.transform(
+        F.filter("_all", lambda x: x["_mb"] == bkt), lambda x: x["_r"]
+    )
+    # seed = latest mark from any EARLIER bucket (carried into this
+    # bucket so a bucket with no marks of its own still matches)
+    seed = F.array_max(
+        F.transform(F.filter("_all", lambda x: x["_mb"] < bkt), lambda x: x["_r"])
+    )
+    dim = (
+        rk.select(
+            *keys,
+            "_all",
+            F.explode(F.sequence("_minb", "_maxb")).alias("_bkt"),
+        )
+        .select(
+            *keys,
+            "_bkt",
+            F.concat(marks_here, F.array_compact(F.array(seed))).alias("_arr"),
+        )
+    )
+
+    # per-key bucket bounds broadcast-joined to the fact for CLAMPING:
+    # a left bucket past the key's last right bucket clamps down (that
+    # bucket's marks+seed contain the latest mark overall and the
+    # filter keeps everything); one before the first clamps up (the
+    # filter drops every mark → NULL, the correct no-match). Both fact
+    # joins are broadcast-hash — the fact side never exchanges.
+    bounds = rk.select(*keys, "_minb", "_maxb")
+    lb = (
+        left.join(F.broadcast(bounds), keys, "left")
+        .withColumn(
+            "_bkt",
+            F.least(
+                F.greatest(
+                    F.floor(axis(F.col(ts)) / F.lit(us)).cast("long"), F.col("_minb")
+                ),
+                F.col("_maxb"),
+            ),
+        )
+        .drop("_minb", "_maxb")
+    )
+    joined = lb.join(F.broadcast(dim), [*keys, "_bkt"], "left")
+    ts_col = F.col(ts)
+    match = F.array_max(F.filter(F.col("_arr"), lambda m: m["_ts"] <= ts_col))
+    out = joined.withColumn("_match", match)
+    for c in value_cols:
+        out = out.withColumn(f"{suffix}{c}", F.col(f"_match.{c}"))
+    out = out.withColumn(f"{suffix}ts", F.col("_match._ts"))
+    return out.drop("_bkt", "_arr", "_all", "_match")
+
+
 def asof_join_forward(
     left: DataFrame,
     right: DataFrame,
@@ -174,6 +291,7 @@ def asof_join_forward(
     value_cols: Sequence[str] | None = None,
     suffix: str = "asofnext_",
     bucket_seconds: int | None = None,
+    broadcast_right: bool = False,
 ) -> DataFrame:
     """Forward as-of: attach the EARLIEST right row with
     ``right.ts >= left.ts`` (next-or-equal — e.g. "the calibration that
@@ -186,6 +304,11 @@ def asof_join_forward(
     payload atomicity) is inherited, and a fix in one direction cannot
     miss the other. The right row's real timestamp rides as a value
     column and comes back as ``{suffix}ts``.
+
+    ``broadcast_right=True`` routes the reduction through
+    ``asof_join_broadcast`` (dimension-sized right side, fact table
+    never shuffled/sorted); the negated-long axis composes with it
+    unchanged.
     """
     keys = [key] if isinstance(key, str) else list(key)
     value_cols = value_cols or [c for c in right.columns if c not in (*keys, ts)]
@@ -199,15 +322,26 @@ def asof_join_forward(
         F.col(ts).alias("_rts"),
         *value_cols,
     )
-    out = asof_join(
-        l2,
-        r2,
-        key=keys,
-        ts=neg,
-        value_cols=["_rts", *value_cols],
-        suffix=suffix,
-        bucket_seconds=bucket_seconds,
-    )
+    if broadcast_right:
+        out = asof_join_broadcast(
+            l2,
+            r2,
+            key=keys,
+            ts=neg,
+            value_cols=["_rts", *value_cols],
+            suffix=suffix,
+            bucket_seconds=bucket_seconds or 86_400,
+        )
+    else:
+        out = asof_join(
+            l2,
+            r2,
+            key=keys,
+            ts=neg,
+            value_cols=["_rts", *value_cols],
+            suffix=suffix,
+            bucket_seconds=bucket_seconds,
+        )
     # {suffix}ts from asof_join is the negated axis; the real matched
     # timestamp is the mangled value column
     return (

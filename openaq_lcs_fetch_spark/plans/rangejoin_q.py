@@ -200,9 +200,10 @@ def asof_next_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
     calib = _calib(spark).withColumnRenamed("calib_ts", "ts")
+    # dimension-sized right side → broadcast fast path (no fact shuffle)
     joined = asof_join_forward(
         e, calib, key="event_type", ts="ts", value_cols=["factor"],
-        bucket_seconds=86_400,
+        bucket_seconds=86_400, broadcast_right=True,
     )
     return joined.select(
         "event_id", "event_type", "ts",

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.asof import asof_join
+from ..operators.asof import asof_join_broadcast
 from .registry import query, t
 
 # ---------------------------------------------------------------------------
@@ -62,9 +62,11 @@ def _calib(spark: SparkSession) -> DataFrame:
 def asof_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
     calib = _calib(spark).withColumnRenamed("calib_ts", "ts")
-    # event_type has only 5 values — bucket the carry-forward window by
-    # day so parallelism scales with the time range, not the key count.
-    joined = asof_join(
+    # calibration marks are dimension-sized (5 types x 6-hourly) → the
+    # broadcast as-of plan: the events fact table is never shuffled or
+    # sorted, the match resolves in a codegen array projection. The
+    # windowed skew-free plan (asof_join) stays the fact-vs-fact tool.
+    joined = asof_join_broadcast(
         e, calib, key="event_type", ts="ts", value_cols=["factor"],
         bucket_seconds=86_400,
     )

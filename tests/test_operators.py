@@ -580,3 +580,66 @@ def test_asof_join_forward_inherits_bucketed_window(spark):
     assert specs, plan
     for s in specs:
         assert "_bkt" in s, f"fact window not bucketed: {s}"
+
+
+def test_asof_join_broadcast_matches_windowed(spark):
+    """The dimension-broadcast as-of plan is semantically identical to
+    the windowed plans — seeds across empty buckets, inclusive-<= ties,
+    left rows before the first mark (NULL), keys absent from the right
+    (NULL), and left buckets past the last mark (clamp-down)."""
+    import random
+
+    from openaq_lcs_fetch_spark.operators.asof import asof_join, asof_join_broadcast
+
+    rnd = random.Random(13)
+    base = 1704067200  # 2024-01-01T00:00:00Z
+    # left spans 6 days and includes a key ("orphan") the right never has
+    rows = [(f"k{i % 3}", base + rnd.randrange(-86400, 6 * 86400), i) for i in range(200)]
+    rows += [("orphan", base + i * 3600, 1000 + i) for i in range(5)]
+    left = spark.createDataFrame(
+        rows, "k string, sec long, left_id int"
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "left_id")
+    # right marks only in the first two days → later left buckets rely
+    # on clamping to the last mark bucket; ties included
+    rrows = [(f"k{i % 3}", base + rnd.randrange(0, 2 * 86400), float(i)) for i in range(30)]
+    rrows.append(("k0", base + 777, 999.0))
+    rrows.append(("k0", base + 777, 998.0))  # equal-ts tie → max factor wins
+    right = spark.createDataFrame(
+        rrows, "k string, sec long, factor double"
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "factor")
+
+    windowed = {r.left_id: (r.asof_ts, r.asof_factor) for r in
+                asof_join(left, right, "k", "ts", bucket_seconds=3600).collect()}
+    bcast = {r.left_id: (r.asof_ts, r.asof_factor) for r in
+             asof_join_broadcast(left, right, "k", "ts", bucket_seconds=3600).collect()}
+    assert windowed == bcast
+    assert len(bcast) == 205
+    assert all(bcast[i] == (None, None) for i in range(1000, 1005))  # orphan key
+
+
+def test_asof_join_broadcast_never_shuffles_the_fact(spark, sf_dir):
+    """Plan check: the broadcast as-of must not sort-merge or window the
+    fact table — fact side is scan → broadcast joins → projection. The
+    only Exchanges allowed are the tiny right-side aggregation and the
+    broadcast exchanges themselves."""
+    from openaq_lcs_fetch_spark.operators.asof import asof_join_broadcast
+    from openaq_lcs_fetch_spark.plans.temporal import _calib
+    from openaq_lcs_fetch_spark.tables import load
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    calib = _calib(spark).withColumnRenamed("calib_ts", "ts")
+    plan = (
+        asof_join_broadcast(e, calib, key="event_type", ts="ts",
+                            value_cols=["factor"], bucket_seconds=86_400)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # no window function anywhere (the old plan windowed the fact union)
+    assert "windowspecdefinition" not in plan
+    # every (non-broadcast) exchange hashes the tiny key side, never the
+    # fact: the fact scan feeds straight into broadcast joins
+    import re
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    for s in shuffles:
+        assert "event_id" not in s, f"fact table shuffled: {s}"
