@@ -506,3 +506,100 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
     )
     return agg.select("event_type", est.alias("kmv_distinct")).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# sequence_pack — pack documents into fixed-length training sequences
+# (the batcher step before an LLM training run): deterministic global
+# order (md5 of doc_id), running token count, sequence k = tokens
+# [k*L, (k+1)*L). A naive global cumsum is a single-partition window —
+# the anti-pattern; this plan computes it as a DISTRIBUTED prefix sum:
+# 256 hash-ordered buckets cumsum independently (parallel), the
+# per-bucket totals (256 rows) prefix-sum on one partition (trivial),
+# and the bucket offsets broadcast back. Scale: fact shuffles once by
+# bucket, once by seq_id; the only serial step is over 256 rows.
+# ---------------------------------------------------------------------------
+
+_SEQ_LEN = 512  # tokens per packed sequence
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS hkey,
+         len({_SQL_TOKS}) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY hkey ASC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+  FROM toks
+)
+SELECT CAST(FLOOR(cum_before / {_SEQ_LEN}.0) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM cum
+GROUP BY 1
+ORDER BY seq_id
+"""
+
+
+@query("sequence_pack", _PACK_ORACLE)
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("hkey"),
+        F.size(toks).alias("n_tokens"),
+    ).withColumn(
+        # first md5 byte → 256 buckets that partition the hash ORDER:
+        # every key in bucket b sorts before every key in bucket b+1,
+        # so per-bucket cumsum + bucket offset == global cumsum
+        "bucket",
+        F.conv(F.substring("hkey", 1, 2), 16, 10).cast("int"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("hkey").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offsets = (
+        base.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("btoks"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("btoks").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "offset")
+    )
+    packed = (
+        base.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+        .join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "seq_id",
+            F.floor(
+                (F.col("offset") + F.col("cum_in") - F.col("n_tokens"))
+                / F.lit(float(_SEQ_LEN))
+            ).cast("long"),
+        )
+    )
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("seq_id")
+    )

@@ -577,3 +577,126 @@ def ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup — SemDeDup-style embedding dedup: k-means cells bound
+# the candidate set (only same-cell pairs are compared — the scale
+# contract: pair volume is sum over cells of C(n_c, 2), never C(N, 2)),
+# then exact cosine verifies each candidate. The LSH twin is
+# embedding_near_dups (windows_q.py); together they cover both standard
+# candidate generators for embedding-space dedup.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.3
+
+
+def _semantic_dedup_oracle() -> str:
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * 1000.0, 0) AS BIGINT)) AS q
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, q AS cq FROM qv WHERE vec_id < {_KM_K}),
+a1 AS ({_km_sql_assign('qv', 'c0')}),
+ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT x.cid, x.vec_id AS id_a, y.vec_id AS id_b,
+       ROUND(list_cosine_similarity(vx.v, vy.v), 6) AS cos_sim
+FROM a1 x JOIN a1 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+JOIN ve vx ON vx.vec_id = x.vec_id
+JOIN ve vy ON vy.vec_id = y.vec_id
+WHERE ROUND(list_cosine_similarity(vx.v, vy.v), 6) >= {_SEMDEDUP_TAU}
+"""
+
+
+@query("semantic_dedup", _semantic_dedup_oracle())
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        _quantized(F.col("embedding")).alias("q"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    cents = vecs.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    assign = _km_assign(vecs.select("vec_id", "q"), cents)
+    # checkpoint: the cell assignment feeds BOTH sides of the self-join
+    cell = vecs.select("vec_id", "v").join(assign, "vec_id").localCheckpoint(
+        eager=True
+    )
+    a, b = cell.alias("a"), cell.alias("b")
+    cand = a.join(b, "cid").filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    scored = cand.select(
+        "cid",
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+    )
+    return scored.filter(F.col("cos_sim") >= _SEMDEDUP_TAU)
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_eval — recall@5 of the IVF single-probe search against the
+# exact brute-force top-5 (query vec 42): THE quality gate every ANN
+# deployment runs before trading exactness for speed. Both rankings are
+# built from the same assigned/cosine definitions as ann_ivf_search /
+# cosine_topk, so the metric measures the INDEX (cell pruning), not
+# arithmetic drift. Output is one row: n_hits, recall_at_5.
+# ---------------------------------------------------------------------------
+
+
+def _recall_oracle() -> str:
+    return f"""
+WITH {_ivf_sql_ctes()},
+qcell AS (SELECT cid, v AS qv FROM assigned WHERE vec_id = 42),
+exact AS (
+  SELECT a.vec_id FROM assigned a
+  WHERE a.vec_id <> 42
+  ORDER BY ROUND(list_cosine_similarity(a.v, (SELECT qv FROM qcell)), 6) DESC,
+           a.vec_id ASC
+  LIMIT 5
+),
+ivf AS (
+  SELECT a.vec_id FROM assigned a
+  WHERE a.cid = (SELECT cid FROM qcell) AND a.vec_id <> 42
+  ORDER BY ROUND(list_cosine_similarity(a.v, (SELECT qv FROM qcell)), 6) DESC,
+           a.vec_id ASC
+  LIMIT 5
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS DOUBLE) / 5.0 AS recall_at_5
+FROM exact JOIN ivf USING (vec_id)
+"""
+
+
+@query("ann_recall_eval", _recall_oracle())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _ivf_vecs(spark, sf_dir)
+    assigned = _ivf_assigned(vecs, _ivf_dists(vecs)).localCheckpoint(eager=True)
+    qcell = assigned.filter(F.col("vec_id") == 42).select(
+        F.col("cid").alias("qcid"), F.col("v").alias("qv")
+    )
+    scored = (
+        assigned.filter(F.col("vec_id") != 42)
+        .crossJoin(F.broadcast(qcell))
+        .select(
+            "vec_id",
+            "cid",
+            "qcid",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .localCheckpoint(eager=True)  # one scoring pass feeds both rankings
+    )
+    exact = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(5)
+    ivf = (
+        scored.filter(F.col("cid") == F.col("qcid"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+    return exact.join(ivf.select("vec_id"), "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        (F.count(F.lit(1)).cast("double") / F.lit(5.0)).alias("recall_at_5"),
+    )

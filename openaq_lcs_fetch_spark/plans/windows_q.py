@@ -88,6 +88,54 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# session_window_stats — Spark's NATIVE session_window (gap-merged
+# event-time windows) in batch mode, the engine-level twin of the
+# lag+running-sum sessionization above. Semantics pinned by the oracle:
+# each event opens [ts, ts+gap); overlapping windows merge, so a gap of
+# EXACTLY 30 min starts a new session (>=, where user_sessions' manual
+# formulation uses >) — the two queries together document the boundary
+# difference. Scale: one shuffle on (user_id), merge is per-key local.
+# ---------------------------------------------------------------------------
+
+_SESSION_WINDOW_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                   OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM gaps
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n
+FROM sess GROUP BY user_id, session_no
+"""
+
+
+@query("session_window_stats", _SESSION_WINDOW_ORACLE)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # sliding_3h_counts — sliding window (width 3h, slide 1h) via Spark's
 # native F.window; oracle enumerates the 3 member windows per row.
 # ---------------------------------------------------------------------------
