@@ -120,3 +120,72 @@ def streaming_click_to_buy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         "buy_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming_dedup_hourly — CHAINED stateful operators in one streaming
+# query (Spark >= 3.4): watermark → dropDuplicates (state #1) → tumbling
+# window agg (state #2), the reference's real pipeline shape (sliding
+# re-reads produce duplicates that must go BEFORE the rollup,
+# habitatmap.js:128-136 + the hourly aggregation providers). The oracle
+# is the batch equivalent: distinct rows, then hourly counts.
+# ---------------------------------------------------------------------------
+
+_DEDUP_HOURLY_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+FROM (SELECT DISTINCT event_id, ts, event_type FROM events)
+GROUP BY 1, 2
+"""
+
+
+@query("streaming_dedup_hourly", _DEDUP_HOURLY_ORACLE)
+def streaming_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import dedup_then_hourly_counts
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(
+        dedup_then_hourly_counts(stream), output_mode="complete"
+    )
+    return out.select(F.col("w.start").alias("hour"), "event_type", "n")
+
+
+# ---------------------------------------------------------------------------
+# streaming_sessions — NATIVE session windows in Structured Streaming
+# (merging event-time state per key). Shares its oracle VERBATIM with
+# the batch twin session_window_stats (windows_q.py): bounded replay of
+# the stream must produce byte-identical sessions to the batch plan —
+# that equality is the engine's exactly-once/correctness argument for
+# session state.
+# ---------------------------------------------------------------------------
+
+
+@query("streaming_sessions", None)
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .windows_q import _SESSION_WINDOW_ORACLE  # shared oracle; see below
+
+    stream = read_events_stream(spark, sf_dir)
+    sw = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_available_now(sw, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n",
+    )
+
+
+# register the shared oracle after the fact (import above is local to
+# avoid a cycle at module-load time)
+def _attach_sessions_oracle() -> None:
+    from .registry import QUERIES, Query
+    from .windows_q import _SESSION_WINDOW_ORACLE
+
+    q = QUERIES["streaming_sessions"]
+    QUERIES["streaming_sessions"] = Query(q.name, q.fn, _SESSION_WINDOW_ORACLE)
+
+
+_attach_sessions_oracle()
