@@ -118,9 +118,36 @@ COMMENTARY = {
         "WindowGroupLimit caps each map partition at k hashes per key "
         "before the exchange; the sketch shuffle is O(k x keys)."
     ),
+    "asof_calibration": (
+        "Dimension-sized right side → broadcast as-of: the events fact "
+        "table is scan → two BroadcastHashJoins → array projection, with "
+        "ZERO exchanges and no window/sort on the fact side; the only "
+        "shuffle aggregates the tiny calibration table."
+    ),
     "asof_next_calibration": (
-        "Forward as-of inherits the bucketed backward plan on a negated "
-        "micros axis: windows partition by (key, _bkt), never key alone."
+        "Forward as-of = backward on a negated micros axis; with the "
+        "dimension broadcast path the fact side again never exchanges."
+    ),
+    "sequence_pack": (
+        "Distributed prefix sum: per-bucket cumsum windows partition on "
+        "the 256-way bucket (parallel), the single-partition window runs "
+        "over the 256-row offset table only, offsets come back via "
+        "BroadcastHashJoin."
+    ),
+    "semantic_dedup": (
+        "k-means cells bound the candidate self-join: the pair join is an "
+        "equi join on cid (cell id), never an all-pairs cross; cosine "
+        "verify is a codegen projection on the joined rows."
+    ),
+    "session_window_stats": (
+        "Native session windows: one Exchange on user_id feeding "
+        "UpdatingSessionsExec + aggregate — gap-merge is per-key local, "
+        "no global sort."
+    ),
+    "ann_recall_eval": (
+        "Both rankings read ONE localCheckpointed scoring pass (broadcast "
+        "query vector, no recompute); each top-5 is TakeOrderedAndProject; "
+        "the recall join is a 5-row semi join."
     ),
     "event_type_pivot": (
         "Fixed value list → a single scan of events (no distinct-value "
