@@ -18,6 +18,12 @@ made explicit by ``registry.promote``:
   32 window slots for re-verification. The r02-green half rotates to
   the back; ``tools/check_all.py`` still re-proves the full registry
   against DuckDB locally every round.
+
+Round-4 rotation TODO: promote the six queries added late in round 3
+(``session_window_stats``, ``sequence_pack``, ``semantic_dedup``,
+``ann_recall_eval``, ``streaming_dedup_hourly``, ``streaming_sessions``
+— none has a driver row yet) plus the r02-green textops/simsearch set,
+now the least-recently-verified.
 """
 
 from . import registry

@@ -623,9 +623,17 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("q").alias("cq")
     )
     assign = _km_assign(vecs.select("vec_id", "q"), cents)
-    # checkpoint: the cell assignment feeds BOTH sides of the self-join
-    cell = vecs.select("vec_id", "v").join(assign, "vec_id").localCheckpoint(
-        eager=True
+    # checkpoint: the cell assignment feeds BOTH sides of the self-join.
+    # The vector NORM is precomputed per vector here — cosine(a, b)
+    # recomputes both norms per PAIR (O(d) each), and pair volume is
+    # quadratic in cell size; dot/(na*nb) is the bitwise-identical
+    # arithmetic at a third of the flops.
+    from ..functions.similarity import dot, norm
+
+    cell = (
+        vecs.select("vec_id", "v", norm(F.col("v")).alias("nrm"))
+        .join(assign, "vec_id")
+        .localCheckpoint(eager=True)
     )
     a, b = cell.alias("a"), cell.alias("b")
     cand = a.join(b, "cid").filter(F.col("a.vec_id") < F.col("b.vec_id"))
@@ -633,7 +641,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         F.col("a.vec_id").alias("id_a"),
         F.col("b.vec_id").alias("id_b"),
-        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+        ).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= _SEMDEDUP_TAU)
 

@@ -58,14 +58,16 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table as a DataFrame; ``events.ts`` is
+    """Load one testdata table as a DataFrame; EVERY timestamp column is
     normalized to TimestampType whatever the file stores (see
-    ``normalize_ts``)."""
+    ``normalize_ts``) — the testdata's physical types have changed
+    between rounds before, and only ever in the timestamp encoding."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        df = normalize_ts(df, "ts")
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz" or (name == "events" and col == "ts"):
+            df = normalize_ts(df, col)
     return df
 
 
