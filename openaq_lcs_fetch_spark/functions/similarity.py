@@ -480,3 +480,50 @@ def prefix_filtered_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT — the asymmetric sibling of Jaccard:
+    C(A→B) = |A∩B| / |A|, near 1.0 when doc A is (almost) a subset of
+    doc B (quotes, excerpts, boilerplate-wrapped copies — pairs a
+    symmetric Jaccard threshold misses because the size difference
+    dilutes the union). Output one DIRECTED row (id_sub, id_super,
+    containment) per passing direction.
+
+    Same scale contract as ``ngram_jaccard_pairs``: candidates come from
+    the equi-join on shingle hash (pairs sharing ≥1 shingle), never an
+    all-pairs product; only 16-byte hashes shuffle.
+    """
+    sh = shingle_table(docs, id_col, text_col, shingle_n).localCheckpoint(eager=True)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="sh")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    j = inter.join(sz_a, "id_a").join(sz_b, "id_b")
+    c_ab = F.round(F.col("inter").cast("double") / F.col("sz_a"), 6)
+    c_ba = F.round(F.col("inter").cast("double") / F.col("sz_b"), 6)
+    fwd = j.filter(c_ab >= threshold).select(
+        F.col("id_a").alias("id_sub"),
+        F.col("id_b").alias("id_super"),
+        c_ab.alias("containment"),
+    )
+    rev = j.filter(c_ba >= threshold).select(
+        F.col("id_b").alias("id_sub"),
+        F.col("id_a").alias("id_super"),
+        c_ba.alias("containment"),
+    )
+    return fwd.unionByName(rev)

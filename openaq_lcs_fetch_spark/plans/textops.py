@@ -882,3 +882,44 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "source", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs — asymmetric near-containment detection (quotes /
+# excerpts / subset docs): C(A→B) = |A∩B|/|A| per directed pair, the
+# pairs a symmetric Jaccard threshold misses when a small doc hides
+# inside a big one. Same bucketed candidate generation as the jaccard
+# family (equi-join on shingle hash).
+# ---------------------------------------------------------------------------
+
+_CONTAIN_T = 0.5
+
+_CONTAINMENT_ORACLE = f"""
+WITH {_SQL_SHINGLE_TABLE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT id_a, id_b, n_inter, sa.sz AS sz_a, sb.sz AS sz_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a AS id_sub, id_b AS id_super,
+       ROUND(CAST(n_inter AS DOUBLE) / sz_a, 6) AS containment
+FROM j WHERE ROUND(CAST(n_inter AS DOUBLE) / sz_a, 6) >= {_CONTAIN_T}
+UNION ALL
+SELECT id_b, id_a, ROUND(CAST(n_inter AS DOUBLE) / sz_b, 6)
+FROM j WHERE ROUND(CAST(n_inter AS DOUBLE) / sz_b, 6) >= {_CONTAIN_T}
+"""
+
+
+@query("containment_pairs", _CONTAINMENT_ORACLE)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return SIM.ngram_containment_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=_CONTAIN_T
+    )

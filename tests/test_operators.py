@@ -643,3 +643,27 @@ def test_asof_join_broadcast_never_shuffles_the_fact(spark, sf_dir):
     shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     for s in shuffles:
         assert "event_id" not in s, f"fact table shuffled: {s}"
+
+
+def test_containment_pairs_detects_subset_doc(spark):
+    """A verbatim excerpt must yield containment 1.0 sub→super (and a
+    low symmetric jaccard — the case the asymmetric measure exists for)."""
+    from openaq_lcs_fetch_spark.functions.similarity import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    excerpt = "gamma delta epsilon zeta eta"  # 3 shingles, all inside big
+    docs = spark.createDataFrame(
+        [(1, big), (2, excerpt), (3, "totally unrelated words here now")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.id_sub, r.id_super): r.containment
+        for r in ngram_containment_pairs(docs, "doc_id", "text", 3, 0.9).collect()
+    }
+    assert rows == {(2, 1): 1.0}
+    # the same pair falls below a symmetric jaccard threshold
+    jac = ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    assert not any({r.id_a, r.id_b} == {1, 2} for r in jac)

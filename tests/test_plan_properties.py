@@ -126,3 +126,25 @@ def test_doc_repetition_is_map_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "doc_repetition")
     assert "Exchange" not in plan.split("\n\n")[0]
     assert "Generate" not in plan  # no explode either
+
+
+def test_sequence_pack_prefix_sum_is_distributed(spark, sf_dir):
+    """The doc-level cumsum window must partition on the 256-way bucket
+    (parallel); the only unpartitioned window runs over the 256-row
+    per-bucket offset table, never the documents; offsets come back via
+    a broadcast join."""
+    import re
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["sequence_pack"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*?)\)", plan)
+    assert specs
+    doc_level = [s for s in specs if "hkey" in s]
+    assert doc_level, specs
+    for s in doc_level:
+        assert "bucket" in s, f"doc-level window not bucketed: {s}"
