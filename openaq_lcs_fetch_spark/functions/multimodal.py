@@ -101,3 +101,54 @@ def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_index"),
     )
+
+
+#: output schema of resize_images
+RESIZE_SCHEMA = (
+    "asset_id string, target_w int, target_h int, n_bytes_in int, "
+    "resized_digest string, resize_status string"
+)
+
+
+def resize_images(
+    assets: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """mapInPandas image resize — the remaining brief op alongside
+    decode / feature-extract / frame-sample. Real pixel work is behind
+    the same env-gated boundary as ``decode_stub``; the deterministic
+    fake emits sha256(payload || 'WxH') so the full Arrow plumbing
+    (batch shape, schema, per-partition execution) is testable and the
+    output is reproducible across engines. Payloads never leave the
+    executor; at 100 TB this is a map-only stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tag = f"{target_w}x{target_h}".encode()
+        for pdf in batches:
+            digests, status = [], []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    digests.append(None)
+                    status.append("null_payload")
+                elif deterministic_fake:
+                    digests.append(hashlib.sha256(bytes(payload) + tag).hexdigest())
+                    status.append("ok")
+                else:
+                    digests.append(None)
+                    status.append("no_codec")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "n_bytes_in": pdf["payload"].map(
+                        lambda b: len(b) if b is not None else 0
+                    ).astype("int32"),
+                    "resized_digest": digests,
+                    "resize_status": status,
+                }
+            )
+
+    return assets.mapInPandas(run, RESIZE_SCHEMA)

@@ -923,3 +923,87 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ngram_containment_pairs(
         d, "doc_id", "text", shingle_n=3, threshold=_CONTAIN_T
     )
+
+
+# ---------------------------------------------------------------------------
+# media_features — the mapInPandas DECODE path as a driver query: text
+# payloads ride the binary-asset pipeline (payload → Arrow batch →
+# Python worker → feature vector) with the deterministic-fake decoder,
+# so the full multimodal plumbing is oracle-verified end to end (the
+# fake feature is a pure function of the sha256 digest, expressible in
+# SQL). Features surface as SCALAR f0/f7 probes + a checksum — never an
+# array column (driver canonicalizer can't sort arrays).
+# ---------------------------------------------------------------------------
+
+_MEDIA_FEATURES_ORACLE = """
+WITH a AS (
+  SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+         sha256(text) AS digest,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+b AS (
+  SELECT asset_id, digest, n_bytes,
+         list_transform(generate_series(0, 7),
+           i -> ROUND(('0x' || substr(digest, 2 * i + 1, 2))::INT / 255.0, 6)
+         ) AS f
+  FROM a
+)
+SELECT asset_id, n_bytes, digest,
+       'ok' AS decode_status,
+       f[1] AS f0, f[8] AS f7,
+       ROUND(list_sum(f), 6) AS f_sum
+FROM b
+"""
+
+
+@query("media_features", _MEDIA_FEATURES_ORACLE)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import extract_features
+
+    d = t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("text").alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    feats = extract_features(assets, deterministic_fake=True)
+    fd = F.transform(F.col("feature"), lambda x: x.cast("double"))
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        "digest",
+        "decode_status",
+        F.round(F.element_at(fd, 1), 6).alias("f0"),
+        F.round(F.element_at(fd, 8), 6).alias("f7"),
+        F.round(
+            F.aggregate(fd, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("f_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# media_frame_sample — the video frame-sampling partition-explode as a
+# driver query: every-10th synthetic frame index per asset (frame count
+# derived from payload size; pixel decode stays behind the env gate).
+# ---------------------------------------------------------------------------
+
+_FRAME_SAMPLE_ORACLE = """
+SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+       unnest(generate_series(
+         0, CAST(octet_length(encode(text)) / 1024 AS INT), 10
+       )) AS frame_index
+FROM documents
+"""
+
+
+@query("media_frame_sample", _FRAME_SAMPLE_ORACLE)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import frame_sample_plan
+
+    d = t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return frame_sample_plan(assets, every_n=10)

@@ -667,3 +667,21 @@ def test_containment_pairs_detects_subset_doc(spark):
     # the same pair falls below a symmetric jaccard threshold
     jac = ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
     assert not any({r.id_a, r.id_b} == {1, 2} for r in jac)
+
+
+def test_resize_images_plumbing(spark):
+    """Arrow-batched resize: deterministic digest = sha256(payload+dims),
+    null payloads flagged, output schema stable."""
+    import hashlib
+
+    from openaq_lcs_fetch_spark.functions.multimodal import resize_images
+
+    assets = spark.createDataFrame(
+        [("a", bytearray(b"pixels")), ("b", None)],
+        "asset_id string, payload binary",
+    )
+    out = {r.asset_id: r for r in resize_images(assets, 224, 224).collect()}
+    assert out["a"].resize_status == "ok"
+    assert out["a"].resized_digest == hashlib.sha256(b"pixels" + b"224x224").hexdigest()
+    assert out["a"].n_bytes_in == 6 and out["a"].target_w == 224
+    assert out["b"].resize_status == "null_payload" and out["b"].resized_digest is None
