@@ -149,6 +149,17 @@ COMMENTARY = {
         "query vector, no recompute); each top-5 is TakeOrderedAndProject; "
         "the recall join is a 5-row semi join."
     ),
+    "containment_pairs": (
+        "Candidates from the shingle-hash equi-join (never all-pairs); "
+        "the checkpointed shingle table feeds the self-join and the size "
+        "aggregate without re-scanning documents; both containment "
+        "directions come from ONE intersection aggregate."
+    ),
+    "media_features": (
+        "The multimodal decode path: a single ArrowEvalPython/MapInPandas "
+        "stage over the payload projection — payload bytes never shuffle, "
+        "feature probes are plain Project columns after the Python stage."
+    ),
     "event_type_pivot": (
         "Fixed value list → a single scan of events (no distinct-value "
         "discovery pass) feeding a two-phase aggregate: per-(user,type) "
