@@ -1007,3 +1007,85 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
     return frame_sample_plan(assets, every_n=10)
+
+
+# ---------------------------------------------------------------------------
+# lsh_verified_pairs — the production dedup pattern in one query: LSH
+# banding proposes candidates (recall lever, bucketed equi-join), exact
+# n-gram Jaccard verifies them (precision gate). Verification cost is
+# bounded by the CANDIDATE count (each pair's shingles join through the
+# pair list), never by the corpus pair space — the property that lets
+# the same plan run at 100 TB. Estimated-vs-exact disagreement is the
+# documented false-positive band of MinHash.
+# ---------------------------------------------------------------------------
+
+_VERIFY_T = 0.3
+
+
+def _lsh_verified_sql() -> str:
+    rows = _MINHASH_K // _MINHASH_BANDS
+    band_selects = []
+    for bnd in range(_MINHASH_BANDS):
+        key = " || ',' || ".join(
+            f"CAST(mh{bnd * rows + j} AS VARCHAR)" for j in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {bnd} AS band, {key} AS band_key FROM sigs"
+        )
+    buckets = " UNION ALL ".join(band_selects)
+    mins = ", ".join(
+        f"MIN(({a} * sh + {b}) % {TX.HASH_MOD}) AS mh{i}"
+        for i, (a, b) in enumerate(SIM.minhash_params(_MINHASH_K))
+    )
+    return f"""
+WITH {_SQL_SHINGLE_TABLE},
+sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+buckets AS ({buckets}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
+SELECT i.id_a, i.id_b,
+       CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {_VERIFY_T}
+"""
+
+
+@query("lsh_verified_pairs", _lsh_verified_sql())
+def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sigs = SIM.minhash_signatures(docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3)
+    cand = (
+        SIM.lsh_similar_pairs(sigs, "doc_id", k=_MINHASH_K, bands=_MINHASH_BANDS)
+        .select("id_a", "id_b")
+    )
+    sh = SIM.shingle_table(docs, "doc_id", "text", 3).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= _VERIFY_T).select("id_a", "id_b", "jaccard")
