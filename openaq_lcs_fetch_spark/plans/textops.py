@@ -1089,3 +1089,105 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return jac.filter(F.col("jaccard") >= _VERIFY_T).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# token_budget_select — data selection under a global token budget: take
+# docs in quality order (best first) until the budget is exhausted — the
+# curation step between scoring and training. The greedy prefix needs a
+# GLOBAL running token count over the quality order; computed with the
+# same distributed-prefix-sum shape as sequence_pack, bucketing by
+# quantized quality (floor is monotone, so bucket order == quality
+# order) — the per-doc cumsum window stays 256-way parallel.
+# ---------------------------------------------------------------------------
+
+_TOKEN_BUDGET = 20_000
+
+_BUDGET_ORACLE = f"""
+WITH toks AS (SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents),
+scored AS (
+  SELECT doc_id, source, len(toks) AS n_tokens,
+         CAST(0.4 AS DOUBLE) * (CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END)
+       + CAST(0.3 AS DOUBLE) * {_sql_stop_ratio('toks', TX.STOPWORDS['en'])}
+       + CAST(0.3 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE), CAST(len(toks) AS DOUBLE) / CAST(64.0 AS DOUBLE))
+         AS quality
+  FROM toks
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+  FROM scored
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM cum WHERE cum_before < {_TOKEN_BUDGET}
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("token_budget_select", _BUDGET_ORACLE)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    ).withColumn(
+        # quantized-quality bucket: floor is monotone DEcreasing in
+        # quality here, so every doc in bucket b outranks every doc in
+        # bucket b+1 — per-bucket cumsum + bucket offsets == the global
+        # cumsum over (quality DESC, doc_id ASC)
+        "bucket",
+        F.least(
+            F.greatest(
+                F.floor((F.lit(1.0) - F.col("quality")) * 256).cast("int"), F.lit(0)
+            ),
+            F.lit(255),
+        ),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offsets = (
+        scored.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("btoks"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("btoks").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "offset")
+    )
+    picked = (
+        scored.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+        .join(F.broadcast(offsets), "bucket")
+        .filter(
+            (F.col("offset") + F.col("cum_in") - F.col("n_tokens"))
+            < F.lit(_TOKEN_BUDGET)
+        )
+    )
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )
