@@ -19,11 +19,16 @@ made explicit by ``registry.promote``:
   the back; ``tools/check_all.py`` still re-proves the full registry
   against DuckDB locally every round.
 
-Round-4 rotation TODO: promote the six queries added late in round 3
-(``session_window_stats``, ``sequence_pack``, ``semantic_dedup``,
-``ann_recall_eval``, ``streaming_dedup_hourly``, ``streaming_sessions``
-— none has a driver row yet) plus the r02-green textops/simsearch set,
-now the least-recently-verified.
+* round 4 (here) promotes the 11 queries that have NEVER had a driver
+  row (the late-round-3 six plus containment/media/lsh_verified/
+  token_budget, registered mid-round-3), then ``approx_event_stats``
+  (no_oracle in r03, made driver-checkable this round), then the 18
+  queries last verified in round 1 (three rounds stale), and fills the
+  remaining 20 slots with the oldest half of the r02-green textops set
+  plus ``embedding_near_dups`` (its plan is touched this round). The
+  r02-green remainder (ANN/simsearch + windows/relational, 24 queries)
+  is the round-5 rotation TODO; ``tools/check_all.py`` still re-proves
+  the full registry against DuckDB locally every round.
 """
 
 from . import registry
@@ -40,31 +45,64 @@ from . import windows_q  # noqa: F401
 from . import textops  # noqa: F401
 from . import simsearch  # noqa: F401
 
-# Round-3 driver window, slots 1-18: never-driver-verified (12) + fixed
-# round-2 reds (6). Slots 19-50 fall to relational/relational_adv/etl
-# (round-1 set, due for re-check) by the import order above.
+# Round-4 driver window (slots 1-50), stalest-first.
 registry.promote(
     [
-        # never verified by the driver (added mid-round-2)
-        "decontaminate",
-        "pii_scrub",
-        "gopher_quality",
-        "doc_repetition",
-        "corpus_pipeline",
-        "kmv_distinct_users",
-        "pq_codes",
-        "pq_search",
-        "ann_ivf_multicell",
-        "views_before_purchase",
-        "session_peak_concurrency",
-        "asof_next_calibration",
-        # red in CORRECTNESS_r02, fixed this round (timestamp boundary)
-        "user_sessions",
-        "asof_calibration",
+        # never driver-verified (registered mid/late round 3)
+        "session_window_stats",
+        "sequence_pack",
+        "semantic_dedup",
+        "ann_recall_eval",
+        "streaming_dedup_hourly",
+        "streaming_sessions",
+        "containment_pairs",
+        "media_features",
+        "media_frame_sample",
+        "lsh_verified_pairs",
+        "token_budget_select",
+        # no_oracle in r03; made driver-checkable this round
         "approx_event_stats",
-        "streaming_hourly",
-        "streaming_gaps",
-        "streaming_click_to_buy",
+        # last verified round 1 — three rounds stale
+        "watermark_summary",
+        "distinct_users",
+        "hourly_rollup",
+        "hour_ending_rollup",
+        "cohort_union",
+        "enrich_misses",
+        "tz_daily",
+        "props_extract",
+        "recent_orders",
+        "latest_complete_hour",
+        "order_calendar",
+        "distinct_pairs",
+        "ingest_id_join",
+        "value_percentiles",
+        "daily_from_hourly",
+        "quarantine_summary",
+        "profile_numerics",
+        "table_manifest",
+        # last verified round 2 — textops (oldest of the r02 set) plus
+        # embedding_near_dups, whose plan is touched this round
+        "embedding_near_dups",
+        "doc_token_stats",
+        "doc_language",
+        "doc_quality",
+        "doc_fingerprint",
+        "dedup_exact",
+        "simhash_docs",
+        "ngram_jaccard_top",
+        "minhash_signatures",
+        "minhash_lsh_pairs",
+        "multimodal_meta",
+        "simhash_near_dups",
+        "corpus_clean",
+        "bpe_token_stats",
+        "token_doc_freq",
+        "doc_winnow",
+        "corpus_sample",
+        "corpus_split",
+        "tfidf_top_terms",
+        "bigram_lift_top",
     ]
 )
 
