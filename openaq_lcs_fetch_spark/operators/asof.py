@@ -174,6 +174,8 @@ def asof_join_broadcast(
     value_cols: Sequence[str] | None = None,
     suffix: str = "asof_",
     bucket_seconds: int = 86_400,
+    max_buckets_per_key: int = 100_000,
+    max_marks_per_key: int = 1_000_000,
 ) -> DataFrame:
     """As-of join fast path for a DIMENSION-SIZED right side (calibration
     marks, config epochs, rate tables): identical semantics to
@@ -202,6 +204,15 @@ def asof_join_broadcast(
     with ``_ts``, so ``array_max`` picks the latest timestamp with the
     value columns as deterministic tiebreakers, and equal-ts right rows
     still win (inclusive ``<=``, DuckDB ASOF parity).
+
+    The dimension-size contract is ENFORCED, not prose: a key whose mark
+    timestamps span more than ``max_buckets_per_key`` buckets (the
+    ``sequence`` explode fan-out) or that collects more than
+    ``max_marks_per_key`` marks (the per-key array) raises a loud
+    ASSERT_TRUE error at execution instead of building a degenerate
+    broadcast or OOMing an executor. The check is an executor-side
+    expression folded into the explode bound — zero extra jobs — and the
+    error message redirects misuse to the windowed ``asof_join``.
     """
     keys = [key] if isinstance(key, str) else list(key)
     value_cols = value_cols or [c for c in right.columns if c not in (*keys, ts)]
@@ -240,11 +251,33 @@ def asof_join_broadcast(
     seed = F.array_max(
         F.transform(F.filter("_all", lambda x: x["_mb"] < bkt), lambda x: x["_r"])
     )
+    # contract guard: assert_true returns NULL when the predicate holds,
+    # so coalesce(guard, _maxb) IS _maxb on the happy path — but keeps
+    # the assertion inside the used expression tree (column pruning
+    # can't silently drop it) and raises per-key details on misuse.
+    guard = F.assert_true(
+        (F.col("_maxb") - F.col("_minb") <= F.lit(max_buckets_per_key))
+        & (F.size("_all") <= F.lit(max_marks_per_key)),
+        F.concat(
+            F.lit(
+                "asof_join_broadcast: right side violates the dimension-size "
+                "contract for key span "
+            ),
+            (F.col("_maxb") - F.col("_minb")).cast("string"),
+            F.lit(f" buckets (max {max_buckets_per_key}) / "),
+            F.size("_all").cast("string"),
+            F.lit(
+                f" marks (max {max_marks_per_key}); widen bucket_seconds, "
+                "raise the limits, or use the windowed asof_join for a "
+                "fact-sized right side"
+            ),
+        ),
+    ).cast("long")
     dim = (
         rk.select(
             *keys,
             "_all",
-            F.explode(F.sequence("_minb", "_maxb")).alias("_bkt"),
+            F.explode(F.sequence("_minb", F.coalesce(guard, F.col("_maxb")))).alias("_bkt"),
         )
         .select(
             *keys,

@@ -938,19 +938,21 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MEDIA_FEATURES_ORACLE = """
 WITH a AS (
   SELECT CAST(doc_id AS VARCHAR) AS asset_id,
-         sha256(text) AS digest,
-         octet_length(encode(text)) AS n_bytes
+         CASE WHEN text IS NULL THEN NULL ELSE sha256(text) END AS digest,
+         COALESCE(octet_length(encode(text)), 0) AS n_bytes,
+         text IS NULL AS is_null
   FROM documents
 ),
 b AS (
-  SELECT asset_id, digest, n_bytes,
-         list_transform(generate_series(0, 7),
-           i -> ROUND(('0x' || substr(digest, 2 * i + 1, 2))::INT / 255.0, 6)
-         ) AS f
+  SELECT asset_id, digest, n_bytes, is_null,
+         CASE WHEN digest IS NULL THEN NULL ELSE
+           list_transform(generate_series(0, 7),
+             i -> ROUND(('0x' || substr(digest, 2 * i + 1, 2))::INT / 255.0, 6)
+           ) END AS f
   FROM a
 )
 SELECT asset_id, n_bytes, digest,
-       'ok' AS decode_status,
+       CASE WHEN is_null THEN 'null_payload' ELSE 'ok' END AS decode_status,
        f[1] AS f0, f[8] AS f7,
        ROUND(list_sum(f), 6) AS f_sum
 FROM b
@@ -991,7 +993,7 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRAME_SAMPLE_ORACLE = """
 SELECT CAST(doc_id AS VARCHAR) AS asset_id,
        unnest(generate_series(
-         0, CAST(octet_length(encode(text)) / 1024 AS INT), 10
+         0, CAST(octet_length(encode(text)) // 1024 AS INT), 10
        )) AS frame_index
 FROM documents
 """

@@ -85,9 +85,14 @@ def dedup_then_hourly_counts(stream: DataFrame, delay: str = "3 hours") -> DataF
     BEFORE the hourly rollup — expressed without an intermediate sink.
     Both operators share the event-time watermark, so state for each is
     evicted together; at scale each keeps per-key/per-window state in
-    the RocksDB state store, partitioned by key hash."""
+    the RocksDB state store, partitioned by key hash.
+
+    The dedup key carries event_type so the plan and its batch oracle
+    (DISTINCT event_id, ts, event_type) share the exact key — keying on
+    (event_id, ts) alone would arbitrarily drop one of two rows that
+    differ only in event_type while the oracle keeps both."""
     deduped = stream.withWatermark("ts", delay).dropDuplicates(
-        ["event_id", "ts"]
+        ["event_id", "ts", "event_type"]
     )
     return deduped.groupBy(
         F.window("ts", "1 hour").alias("w"), "event_type"

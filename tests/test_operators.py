@@ -645,6 +645,37 @@ def test_asof_join_broadcast_never_shuffles_the_fact(spark, sf_dir):
         assert "event_id" not in s, f"fact table shuffled: {s}"
 
 
+def test_asof_join_broadcast_guard_trips_on_contract_violation(spark):
+    """The dimension-size contract is enforced at runtime: marks spanning
+    more buckets than max_buckets_per_key must raise loudly (ASSERT_TRUE
+    with per-key details) instead of exploding an unbounded sequence —
+    and the guard must NOT fire on a compliant dimension."""
+    import pytest
+
+    from openaq_lcs_fetch_spark.operators.asof import asof_join_broadcast
+
+    left = spark.createDataFrame(
+        [("a", 1704067200)], "k string, sec long"
+    ).select("k", F.timestamp_seconds("sec").alias("ts"))
+    # marks 4 years apart → ~1461 daily buckets for one key
+    right = spark.createDataFrame(
+        [("a", 1577836800, 1.0), ("a", 1704067200, 2.0)],
+        "k string, sec long, factor double",
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "factor")
+
+    with pytest.raises(Exception, match="dimension-size contract"):
+        asof_join_broadcast(
+            left, right, "k", "ts", ["factor"], max_buckets_per_key=100
+        ).collect()
+    with pytest.raises(Exception, match="dimension-size contract"):
+        asof_join_broadcast(
+            left, right, "k", "ts", ["factor"], max_marks_per_key=1
+        ).collect()
+    # compliant dimension: same inputs, limits at defaults → clean run
+    ok = asof_join_broadcast(left, right, "k", "ts", ["factor"]).collect()
+    assert len(ok) == 1 and ok[0]["asof_factor"] == 2.0
+
+
 def test_containment_pairs_detects_subset_doc(spark):
     """A verbatim excerpt must yield containment 1.0 sub→super (and a
     low symmetric jaccard — the case the asymmetric measure exists for)."""
