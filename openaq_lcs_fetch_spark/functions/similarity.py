@@ -482,38 +482,10 @@ def prefix_filtered_jaccard_pairs(
     )
 
 
-def ngram_containment_pairs(
-    docs: DataFrame,
-    id_col: str,
-    text_col: str,
-    shingle_n: int = 3,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Exact n-gram CONTAINMENT — the asymmetric sibling of Jaccard:
-    C(A→B) = |A∩B| / |A|, near 1.0 when doc A is (almost) a subset of
-    doc B (quotes, excerpts, boilerplate-wrapped copies — pairs a
-    symmetric Jaccard threshold misses because the size difference
-    dilutes the union). Output one DIRECTED row (id_sub, id_super,
-    containment) per passing direction.
-
-    Same scale contract as ``ngram_jaccard_pairs``: candidates come from
-    the equi-join on shingle hash (pairs sharing ≥1 shingle), never an
-    all-pairs product; only 16-byte hashes shuffle.
-    """
-    sh = shingle_table(docs, id_col, text_col, shingle_n).localCheckpoint(eager=True)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, on="sh")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    j = inter.join(sz_a, "id_a").join(sz_b, "id_b")
+def _containment_emit(j: DataFrame, threshold: float) -> DataFrame:
+    """Shared tail of both containment plans: given candidate rows
+    (id_a, id_b, inter, sz_a, sz_b), emit one DIRECTED row per passing
+    direction."""
     c_ab = F.round(F.col("inter").cast("double") / F.col("sz_a"), 6)
     c_ba = F.round(F.col("inter").cast("double") / F.col("sz_b"), 6)
     fwd = j.filter(c_ab >= threshold).select(
@@ -527,3 +499,115 @@ def ngram_containment_pairs(
         c_ba.alias("containment"),
     )
     return fwd.unionByName(rev)
+
+
+def _containment_plain(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Unfiltered co-occurrence self-join → exact containment. Correct at
+    any df distribution but quadratic in shingle document frequency —
+    the fallback / vacuously-capped path, never the default at scale."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="sh")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return _containment_emit(inter.join(sz_a, "id_a").join(sz_b, "id_b"), threshold)
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int = 64,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT — the asymmetric sibling of Jaccard:
+    C(A→B) = |A∩B| / |A|, near 1.0 when doc A is (almost) a subset of
+    doc B (quotes, excerpts, boilerplate-wrapped copies — pairs a
+    symmetric Jaccard threshold misses because the size difference
+    dilutes the union). Output one DIRECTED row (id_sub, id_super,
+    containment) per passing direction.
+
+    Candidate generation is DOCUMENT-FREQUENCY-CAPPED, the same
+    machinery as ``df_capped_jaccard_topk``: the self-join runs only on
+    shingle occurrences with df ≤ df_cap, so per-shingle fan-out is
+    bounded by df_cap² — one boilerplate shingle shared by 10⁵ docs can
+    no longer emit C(10⁵,2) candidate rows. Containment stays EXACT for
+    every candidate: inter = inter_rare (capped join) + |hot_a ∩ hot_b|
+    (``array_intersect`` over each doc's small hot-shingle array).
+
+    Completeness is CERTIFIED via the asymmetric bound: a pair that
+    never becomes a candidate shares only hot shingles, so its forward
+    containment C(A→B) = inter/sz_a ≤ hot_a/sz_a ≤ max_r where
+    max_r = max over docs of hot/sz. If max_r < threshold (minus the
+    6-decimal rounding margin), no missed pair can pass in EITHER
+    direction (each direction is bounded by its own sub-side ratio) and
+    the capped result is the exact answer. Otherwise fall back to the
+    unfiltered join — decided from two scalar aggregates, never a big
+    collect; same adaptive shape as AQE.
+
+    The branch is adaptive like the Jaccard sibling: one ``max(df)``
+    scalar first — when no shingle exceeds the cap the plain join is
+    ALREADY df-bounded vacuously and runs with zero extra joins.
+    """
+    sh = shingle_table(docs, id_col, text_col, shingle_n).localCheckpoint(eager=True)
+    df_tab = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    max_df = df_tab.agg(F.max("_df")).first()[0] or 0
+    if max_df <= df_cap:
+        # vacuous cap: every shingle's fan-out is within df_cap already
+        return _containment_plain(sh, id_col, threshold)
+
+    ann = sh.join(df_tab, "sh").localCheckpoint(eager=True)
+    per_doc = ann.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("_df") > df_cap, F.col("sh")))
+        ).alias("hot"),
+    )
+    # asymmetric completeness certificate: one scalar. Margin 1e-6
+    # covers round(·, 6) lifting a just-below-threshold ratio over it.
+    max_r = per_doc.agg(F.max(F.size("hot") / F.col("sz")).alias("r")).first()[
+        "r"
+    ] or 0.0
+    if max_r >= threshold - 1e-6:
+        # some doc is mostly hot shingles → a hot-only pair could pass;
+        # exactness requires the unfiltered join
+        return _containment_plain(sh, id_col, threshold)
+
+    rare = ann.filter(F.col("_df") <= df_cap).select(id_col, "sh")
+    a, b = rare.alias("a"), rare.alias("b")
+    inter_rare = (
+        a.join(b, on="sh")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_ir"))
+    )
+    pd_a = per_doc.select(
+        F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), F.col("hot").alias("hot_a")
+    )
+    pd_b = per_doc.select(
+        F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), F.col("hot").alias("hot_b")
+    )
+    j = (
+        inter_rare.join(pd_a, "id_a")
+        .join(pd_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("_ir") + F.size(F.array_intersect("hot_a", "hot_b"))).alias(
+                "inter"
+            ),
+            "sz_a",
+            "sz_b",
+        )
+    )
+    return _containment_emit(j, threshold)

@@ -700,6 +700,67 @@ def test_containment_pairs_detects_subset_doc(spark):
     assert not any({r.id_a, r.id_b} == {1, 2} for r in jac)
 
 
+def test_containment_df_cap_hot_shingle_fixture(spark):
+    """Scale regression for the df-capped containment join: a boilerplate
+    shingle shared by MORE docs than df_cap must be excluded from
+    candidate generation (bounded fan-out) while the result stays equal
+    to the uncapped exact join — hot-side intersections recovered via
+    the per-doc hot arrays."""
+    from openaq_lcs_fetch_spark.functions.similarity import ngram_containment_pairs
+
+    # every doc opens with the same 3-token boilerplate (1 hot shingle,
+    # df = n_docs) followed by unique content (rare shingles); docs 100
+    # and 101 are verbatim duplicates, doc 102 is an excerpt of doc 100
+    rows = [(i, f"common boiler plate u{i}a u{i}b u{i}c u{i}d") for i in range(40)]
+    rows += [
+        (100, "common boiler plate alpha beta gamma delta epsilon"),
+        (101, "common boiler plate alpha beta gamma delta epsilon"),
+        (102, "alpha beta gamma delta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def as_set(df):
+        return {(r.id_sub, r.id_super, r.containment) for r in df.collect()}
+
+    capped = ngram_containment_pairs(docs, "doc_id", "text", 3, 0.5, df_cap=4)
+    plain = ngram_containment_pairs(
+        docs, "doc_id", "text", 3, 0.5, df_cap=10_000_000
+    )
+    got = as_set(capped)
+    assert got == as_set(plain)
+    # the duplicate pair (1.0 both ways) and the excerpt (102 ⊂ 100/101)
+    assert (100, 101, 1.0) in got and (101, 100, 1.0) in got
+    assert (102, 100, 1.0) in got and (102, 101, 1.0) in got
+    # the capped path actually ran (hot-array recovery in the plan), and
+    # the candidate self-join inputs are df-filtered — the bounded
+    # fan-out property, pinned mechanically like the never-cartesian test
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "array_intersect" in plan
+    assert "_df" in plan and "CartesianProduct" not in plan
+
+
+def test_containment_df_cap_falls_back_when_certificate_fails(spark):
+    """A doc made ENTIRELY of hot shingles (hot/sz = 1 ≥ threshold) can
+    form passing pairs the capped join never sees — the adaptive branch
+    must detect it (max_r ≥ t) and fall back to the exact join."""
+    from openaq_lcs_fetch_spark.functions.similarity import ngram_containment_pairs
+
+    # "common boiler plate" docs: the pure-boiler doc 999 is a subset of
+    # every other doc — only discoverable through the hot shingle
+    rows = [(i, f"common boiler plate u{i}a u{i}b u{i}c") for i in range(20)]
+    rows.append((999, "common boiler plate"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_sub, r.id_super): r.containment
+        for r in ngram_containment_pairs(
+            docs, "doc_id", "text", 3, 0.9, df_cap=4
+        ).collect()
+    }
+    # doc 999 (single hot shingle) is contained in all 20 others
+    assert len(got) == 20
+    assert all(k[0] == 999 and v == 1.0 for k, v in got.items())
+
+
 def test_resize_images_plumbing(spark):
     """Arrow-batched resize: deterministic digest = sha256(payload+dims),
     null payloads flagged, output schema stable."""

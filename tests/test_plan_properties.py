@@ -51,7 +51,7 @@ def test_candidate_generation_is_never_cartesian(spark, sf_dir):
     """Near-dup candidate generation must be equi-join on hash/bucket
     keys — an O(n²) nested-loop sneaking in would only show up at scale."""
     for name in ("ngram_jaccard_top", "minhash_lsh_pairs", "simhash_near_dups",
-                 "embedding_near_dups"):
+                 "embedding_near_dups", "containment_pairs", "lsh_verified_pairs"):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
