@@ -8,7 +8,7 @@ oracle-verified (DuckDB shares the semantics).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.timestamps import micros
@@ -185,22 +185,37 @@ WHERE ROUND(list_cosine_similarity(va.v, vb.v), 6) >= 0.8
 
 @query("embedding_near_dups", _near_dup_oracle())
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.similarity import cosine
+    from ..functions.similarity import dot, norm
     from .simsearch import _bucket_expr, _quantized
 
     e = t(spark, sf_dir, "embeddings")
     df = e.select("vec_id", "embedding", _quantized(F.col("embedding")).alias("q"))
+    # the eager checkpoint below computes the bucket/norm projection —
+    # spread a narrow scan (single small parquet file → 1 partition)
+    # across the executors first, or the materialization runs serially.
+    # A wide input at real scale already has the parallelism and skips
+    # the shuffle entirely.
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    # per-VECTOR norms at checkpoint time: the verify step then does one
+    # array fold per candidate pair (the dot) instead of three — norms
+    # are O(N·dim) once, never O(candidates·dim) per pair. Same float
+    # op order as cosine(), so DuckDB parity is bit-identical.
     b = df.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
         _bucket_expr(F.col("q")).alias("bucket"),  # shared LSH definition
+        norm(F.col("embedding").cast("array<double>")).alias("nrm"),
     ).localCheckpoint(eager=True)
     a, c = b.alias("a"), b.alias("b")
     cand = a.join(c, on="bucket").filter(F.col("a.vec_id") < F.col("b.vec_id"))
     scored = cand.select(
         F.col("a.vec_id").alias("id_a"),
         F.col("b.vec_id").alias("id_b"),
-        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+        ).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= 0.8)
 
@@ -402,42 +417,63 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # approx_event_stats — the sketch path for 100 TB: HyperLogLog++ distinct
-# users and approximate percentiles per event type. Registered WITHOUT an
-# oracle (rows-only driver check): sketch estimates are engine-specific
-# by construction — DuckDB's approx algorithms produce different (equally
-# valid) estimates, so a value hash can never match. The exact twins
-# (`distinct_users`, `value_percentiles`) are oracle-verified; this entry
-# exists because at real scale the exact forms are the wrong plan (exact
-# distinct = full shuffle of every key; sketches merge map-side in fixed
-# memory).
+# users and approximate percentiles per event type, registered as a
+# CHECKABLE CONTRACT rather than raw estimates. Sketch estimates are
+# engine-specific by construction (DuckDB's approx algorithms produce
+# different, equally valid values), so the query emits the EXACT
+# aggregates plus booleans asserting each sketch landed inside its
+# documented error bound — HLL++ rsd=0.01 checked at a 4-sigma ±4%
+# relative margin, percentile_approx accuracy=10000 (rank error 1e-4)
+# checked against exact quantiles ±0.01 (a 100x margin). The oracle
+# reproduces the exact columns and literal TRUEs: a sketch that breaks
+# its contract flips a boolean and the driver hash goes red. The pure
+# production shape at scale is the first three aggregates alone
+# (map-side-mergeable fixed-memory sketches); the exact twins here are
+# the verification harness, same split as `distinct_users` /
+# `value_percentiles`.
 # ---------------------------------------------------------------------------
 
+_APPROX_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS users_ok, TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
 
-@query("approx_event_stats", None)
+
+@query("approx_event_stats", _APPROX_ORACLE)
 def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     # ONE percentile_approx sketch for all three quantiles (a single
-    # KLL-style pass over the data), then scalar p50/p95/p99 columns —
-    # the driver's rows-only canonicalizer sorts output columns, and an
-    # array column is unsortable/unhashable there (round-2 err).
+    # KLL-style pass over the data), then scalar columns — the driver's
+    # canonicalizer sorts output columns, and an array column is
+    # unsortable/unhashable there (round-2 err).
     pcts = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-            pcts.alias("_pcts"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            "event_type",
-            "approx_users",
-            F.col("_pcts")[0].alias("p50"),
-            F.col("_pcts")[1].alias("p95"),
-            F.col("_pcts")[2].alias("p99"),
-            "n",
-        )
-        .orderBy("event_type")
+    exact_pcts = F.percentile("value", [0.49, 0.51, 0.94, 0.96, 0.98, 1.0])
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        pcts.alias("_s"),
+        exact_pcts.alias("_e"),
+        F.count(F.lit(1)).alias("n"),
     )
+    users_rel_err = (
+        F.col("approx_users") - F.col("exact_users")
+    ).cast("double") / F.col("exact_users")
+
+    def within(s: Column, lo: Column, hi: Column) -> Column:
+        return (s >= lo) & (s <= hi)
+
+    return agg.select(
+        "event_type",
+        "n",
+        "exact_users",
+        (F.abs(users_rel_err) <= 0.04).alias("users_ok"),
+        within(F.col("_s")[0], F.col("_e")[0], F.col("_e")[1]).alias("p50_ok"),
+        within(F.col("_s")[1], F.col("_e")[2], F.col("_e")[3]).alias("p95_ok"),
+        within(F.col("_s")[2], F.col("_e")[4], F.col("_e")[5]).alias("p99_ok"),
+    ).orderBy("event_type")
 
 
 # ---------------------------------------------------------------------------
