@@ -60,6 +60,12 @@ HEADLINE = (
     "views_before_purchase",
     "session_peak_concurrency",
     "kmv_distinct_users",
+    # round 4: df-capped containment + new training-pipeline ops
+    "containment_pairs",
+    "passage_dedup",
+    "doc_lm_score",
+    "weighted_sample",
+    "ivf_pq_search",
 )
 
 

@@ -288,3 +288,68 @@ def ann_ivf_multicell(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# ivf_pq_search — the PRODUCTION ANN composition (FAISS IVF-PQ shape):
+# the IVF coarse quantizer bounds the candidate set to the probed cell
+# (1/K of the corpus), PQ ADC bounds the per-candidate cost to M integer
+# table lookups. Raw vectors appear in NEITHER stage of the search path:
+# the cell membership is a (vec_id, cid) pair and the scoring touches
+# only the 4 codes per candidate plus the broadcast M×K distance table.
+# At 100 TB this is the only listed ANN variant whose search-time memory
+# AND compute are both independent of vector dimensionality.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_pq_oracle() -> str:
+    return f"""
+WITH {_ivf_sql_ctes()},
+{_SQL_BUILD.lstrip()},
+qc AS (SELECT cid AS qcid FROM assigned WHERE vec_id = {_QID}),
+cellcand AS (
+  SELECT vec_id, label FROM assigned
+  WHERE cid = (SELECT qcid FROM qc) AND vec_id <> {_QID}
+),
+qsub AS (SELECT m, subq FROM sub WHERE vec_id = {_QID}),
+dtab AS (
+  SELECT c.m, c.cid, {_SQL_D2.replace('s.subq', 'q.subq')} AS d
+  FROM cb1 c JOIN qsub q USING (m)
+)
+SELECT cc.vec_id, cc.label, CAST(SUM(d.d) AS BIGINT) AS approx_d2
+FROM codes co JOIN cellcand cc USING (vec_id) JOIN dtab d USING (m, cid)
+GROUP BY cc.vec_id, cc.label
+ORDER BY approx_d2 ASC, cc.vec_id ASC
+LIMIT 5
+"""
+
+
+@query("ivf_pq_search", _ivf_pq_oracle())
+def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .simsearch import _ivf_assigned, _ivf_dists, _ivf_vecs
+
+    vecs = _ivf_vecs(spark, sf_dir)
+    assigned = _ivf_assigned(vecs, _ivf_dists(vecs))
+    sub, cb1, codes = _build(spark, sf_dir)
+    qcell = assigned.filter(F.col("vec_id") == _QID).select(
+        F.col("cid").alias("qcid")
+    )
+    cellcand = (
+        assigned.filter(F.col("vec_id") != _QID)
+        .join(F.broadcast(qcell), F.col("cid") == F.col("qcid"), "left_semi")
+        .select("vec_id", "label")
+    )
+    qsub = sub.filter(F.col("vec_id") == _QID).select(
+        "m", F.col("subq").alias("qsubq")
+    )
+    dtab = cb1.join(F.broadcast(qsub), "m").select(
+        "m", "cid", _d2("qsubq", "cq").alias("d")
+    )
+    return (
+        codes.join(cellcand, "vec_id")
+        .join(F.broadcast(dtab), ["m", "cid"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum("d").alias("approx_d2"))
+        .orderBy(F.col("approx_d2").asc(), F.col("vec_id").asc())
+        .limit(5)
+    )

@@ -189,3 +189,61 @@ def _attach_sessions_oracle() -> None:
 
 
 _attach_sessions_oracle()
+
+
+# ---------------------------------------------------------------------------
+# streaming_enriched_hourly — STREAM-STATIC broadcast enrichment (the
+# reference's measurand-lookup shape on the streaming path: every
+# incoming record joins a dimension table before aggregation). The
+# static side is a 5-row category/weight dim → broadcast hash join per
+# micro-batch, stateless (no join state store); only the downstream
+# windowed aggregate keeps state, bounded by the watermark. The batch
+# oracle replays the same join + hourly rollup in SQL.
+# ---------------------------------------------------------------------------
+
+_ENRICH_DIM: list[tuple[str, str, int]] = [
+    ("click", "engagement", 1),
+    ("view", "engagement", 1),
+    ("purchase", "conversion", 3),
+    ("signup", "conversion", 2),
+    ("error", "ops", 0),
+]
+
+
+def _enriched_oracle() -> str:
+    from .registry import sql_exact_sum
+
+    values = ", ".join(f"('{t}', '{c}', {w})" for t, c, w in _ENRICH_DIM)
+    return f"""
+WITH dim(event_type, category, weight) AS (VALUES {values})
+SELECT date_trunc('hour', ts) AS hour, category,
+       COUNT(*) AS n,
+       CAST(SUM(weight) AS BIGINT) AS weight_sum,
+       {sql_exact_sum('value * weight')} AS weighted_value
+FROM events JOIN dim USING (event_type)
+GROUP BY 1, 2
+"""
+
+
+@query("streaming_enriched_hourly", _enriched_oracle())
+def streaming_enriched_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import exact_sum
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = spark.createDataFrame(
+        _ENRICH_DIM, "event_type string, category string, weight int"
+    )
+    enriched = stream.join(F.broadcast(dim), "event_type")
+    agg = (
+        enriched.withWatermark("ts", "3 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("weight").cast("long").alias("weight_sum"),
+            exact_sum(F.col("value") * F.col("weight"), alias="weighted_value"),
+        )
+    )
+    out = run_available_now(agg, output_mode="complete")
+    return out.select(
+        F.col("w.start").alias("hour"), "category", "n", "weight_sum", "weighted_value"
+    )

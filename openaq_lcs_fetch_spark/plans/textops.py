@@ -1193,3 +1193,243 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# passage_dedup — passage-level exact dedup with reassembly (the
+# RefinedWeb/CCNet shape): split every document into fixed token
+# passages, keep only the globally FIRST occurrence of each passage
+# (first = lowest (doc_id, position)), and reassemble the surviving
+# passages in document order. Unlike document-level dedup this removes
+# boilerplate repeated ACROSS documents while keeping the unique
+# remainder of each.
+#
+# Scale shape: the dedup key is the passage string (16-byte hash at
+# scale) — groupBy(passage).agg(min(struct(doc_id, pos))) instead of a
+# row_number window, so a pathologically hot passage (site boilerplate
+# in 10⁹ docs) collapses MAP-SIDE via partial aggregation rather than
+# routing every copy through one reducer. Reassembly is one shuffle on
+# doc_id with collect_list over (pos, passage) structs.
+# ---------------------------------------------------------------------------
+
+_PASS_N = 3  # tokens per passage
+
+
+_PASSAGE_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+np AS (
+  SELECT doc_id, tk,
+         CAST((len(tk) + {_PASS_N - 1}) // {_PASS_N} AS INT) AS n_pass
+  FROM toks
+),
+p AS (
+  SELECT doc_id, pos,
+         array_to_string(tk[pos * {_PASS_N} + 1 : pos * {_PASS_N} + {_PASS_N}], ' ')
+           AS passage
+  FROM (
+    SELECT doc_id, tk, unnest(generate_series(0, n_pass - 1)) AS pos FROM np
+  )
+),
+kept AS (
+  SELECT doc_id, pos, passage FROM (
+    SELECT doc_id, pos, passage,
+           row_number() OVER (PARTITION BY passage ORDER BY doc_id, pos) AS rn
+    FROM p
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT doc_id, string_agg(passage, ' ' ORDER BY pos) AS dedup_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT n.doc_id,
+       COALESCE(a.dedup_text, '') AS dedup_text,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(n.n_pass - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM np n LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("passage_dedup", _PASSAGE_ORACLE)
+def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", TX.tokens(F.col("text")).alias("tk"))
+    n_pass = F.expr(f"CAST((size(tk) + {_PASS_N - 1}) DIV {_PASS_N} AS INT)")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_pass - 1),
+        lambda i: F.array_join(F.slice(F.col("tk"), i * _PASS_N + 1, _PASS_N), " "),
+    )
+    base = d.select("doc_id", n_pass.alias("n_pass")).localCheckpoint(eager=False)
+    p = d.select("doc_id", F.posexplode(chunks).alias("pos", "passage"))
+    # first-wins via min(struct): map-side partial agg — hot passages
+    # never concentrate on a single reducer the way a window rank would
+    kept = (
+        p.groupBy("passage")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("s"))
+        .select(F.col("s.doc_id").alias("doc_id"), F.col("s.pos").alias("pos"), "passage")
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "passage"))),
+                lambda s: s["passage"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_pass") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_lm_score — corpus-conditional bigram log-probability scoring (the
+# CCNet/KenLM-style LM quality filter, with the corpus itself as the
+# model): score(doc) = mean over its bigram instances of
+# ln((c(w1,w2) + 1) / (c(w1·) + V)), add-one smoothed over the
+# prediction vocabulary V = |distinct w2|. Smoothing matters: without
+# it a document of corpus-unique words scores a perfect 0 (its singleton
+# contexts are trivially "certain"); with it, unseen transitions cost
+# ~ln(1/V). Low scores mark documents whose word transitions are
+# unusual for the corpus — the standard perplexity-bucket filter.
+#
+# Parity: each bigram's log-prob is quantized to integer micro-nats
+# BEFORE the per-doc sum (BIGINT accumulation is order-independent;
+# a raw double sum differs in the last ulps between partitionings).
+#
+# Scale shape: bigram stats are a groupBy on the bigram key; the
+# stats-to-instance joins are plain equi-joins on (w1[,w2]) — AQE
+# broadcasts them when small, shuffles when the vocabulary is web-scale.
+# No driver-side collection of the model.
+# ---------------------------------------------------------------------------
+
+_LM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+bg AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM (
+    SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+    FROM toks WHERE len(tk) >= 2
+  )
+),
+q AS (
+  SELECT doc_id,
+         CAST(ROUND(ln(
+           CAST(COUNT(*) OVER (PARTITION BY w1, w2) + 1 AS DOUBLE)
+           / (COUNT(*) OVER (PARTITION BY w1)
+              + (SELECT COUNT(DISTINCT w2) FROM bg))
+         ) * 1000000.0, 0) AS BIGINT) AS qlp
+  FROM bg
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(qlp) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS lm_score
+FROM q GROUP BY doc_id
+"""
+
+
+@query("doc_lm_score", _LM_ORACLE)
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", TX.tokens(F.col("text")).alias("tk")
+    )
+    pairs = F.when(
+        F.size("tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - 1),
+            lambda i: F.struct(
+                F.element_at("tk", i).alias("w1"),
+                F.element_at("tk", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = d.select("doc_id", F.explode(pairs).alias("b")).select(
+        "doc_id", "b.w1", "b.w2"
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = bg.agg(F.countDistinct("w2").alias("v"))  # 1 row, broadcast
+    qlp = F.round(
+        F.log(
+            (F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v"))
+        )
+        * 1_000_000.0,
+        0,
+    ).cast("long")
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", qlp.alias("qlp"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("qlp").alias("_sq"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("_sq").cast("double") / F.col("n_bigrams") / 1_000_000.0, 6
+            ).alias("lm_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample — deterministic importance sampling by per-source
+# weight (the DoReMi/data-mixing shape: a tiny domain-weights artifact
+# drives how much of each source enters the training mix). Acceptance
+# is pure hashing — accept doc iff h(doc_id) mod 1e6 < weight·1e6 — so
+# the sample is reproducible across engines, runs, and partitionings,
+# and composes with the other hash-rank samplers (corpus_sample,
+# stratified_sample) without coordination.
+#
+# Scale shape: the weights table is dimension-sized by construction →
+# broadcast join; acceptance is a map-only predicate; one final groupBy
+# on source for the audit counts.
+# ---------------------------------------------------------------------------
+
+_WS_WEIGHTS: list[tuple[str, float]] = [
+    (f"src{i}", (i % 4 + 1) * 0.25) for i in range(20)
+]
+
+
+def _ws_oracle() -> str:
+    values = ", ".join(f"('{s}', {w})" for s, w in _WS_WEIGHTS)
+    return f"""
+WITH w(source, weight) AS (VALUES {values}),
+j AS (
+  SELECT d.doc_id, d.source, w.weight,
+         (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':ws'), 1, 15))::BIGINT
+          % 1000000) < CAST(w.weight * 1000000 AS BIGINT) AS acc
+  FROM documents d JOIN w USING (source)
+)
+SELECT source, weight,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(CASE WHEN acc THEN 1 END) AS BIGINT) AS n_sampled,
+       CAST(MIN(CASE WHEN acc THEN doc_id END) AS BIGINT) AS first_doc
+FROM j GROUP BY source, weight ORDER BY source
+"""
+
+
+@query("weighted_sample", _ws_oracle())
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    wdf = spark.createDataFrame(_WS_WEIGHTS, "source string, weight double")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ws"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    acc = (h % 1_000_000) < (F.col("weight") * 1_000_000).cast("long")
+    return (
+        d.join(F.broadcast(wdf), "source")
+        .withColumn("_acc", acc)
+        .groupBy("source", "weight")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("_acc"), 1)).alias("n_sampled"),
+            F.min(F.when(F.col("_acc"), F.col("doc_id"))).alias("first_doc"),
+        )
+        .orderBy("source")
+    )

@@ -777,3 +777,53 @@ def test_resize_images_plumbing(spark):
     assert out["a"].resized_digest == hashlib.sha256(b"pixels" + b"224x224").hexdigest()
     assert out["a"].n_bytes_in == 6 and out["a"].target_w == 224
     assert out["b"].resize_status == "null_payload" and out["b"].resized_digest is None
+
+
+def test_passage_dedup_semantics(spark, tmp_path):
+    """Cross-document passage dedup: the first (doc_id, pos) occurrence
+    of a passage survives, later copies are removed, and unique passages
+    reassemble in document order."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1: two passages P1="a b c", P2="d e f"
+            (1, "a b c d e f"),
+            # doc 2: repeats P1 (removed), keeps its own "x y z"
+            (2, "a b c x y z"),
+            # doc 3: entirely a copy of doc 1 → everything removed
+            (3, "a b c d e f"),
+        ],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path)
+    docs.coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    out = {
+        r.doc_id: (r.dedup_text, r.n_kept, r.n_removed)
+        for r in QUERIES["passage_dedup"].fn(spark, sf).collect()
+    }
+    assert out[1] == ("a b c d e f", 2, 0)
+    assert out[2] == ("x y z", 1, 1)
+    assert out[3] == ("", 0, 2)
+
+
+def test_doc_lm_score_orders_by_typicality(spark, tmp_path):
+    """The corpus-bigram LM must score a document made of corpus-typical
+    transitions higher than one full of transitions seen nowhere else."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((100, "zebra quark flux beacon prism"))  # singleton bigrams
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = str(tmp_path)
+    docs.coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    scores = {
+        r.doc_id: r.lm_score for r in QUERIES["doc_lm_score"].fn(spark, sf).collect()
+    }
+    assert scores[0] > scores[100]
+    # typical doc: p(w2|w1)=1 for every transition except 'the'->{cat,mat}
+    assert scores[0] > -1.0

@@ -148,3 +148,28 @@ def test_sequence_pack_prefix_sum_is_distributed(spark, sf_dir):
     assert doc_level, specs
     for s in doc_level:
         assert "bucket" in s, f"doc-level window not bucketed: {s}"
+
+
+def test_passage_dedup_first_wins_is_partial_agg_not_window(spark, sf_dir):
+    """Passage-level first-wins must compile to min(struct) with map-side
+    partial aggregation — a row_number window would route every copy of
+    a hot boilerplate passage through one reducer."""
+    plan = _plan(spark, sf_dir, "passage_dedup")
+    assert "windowspecdefinition" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_weighted_sample_broadcasts_weights(spark, sf_dir):
+    """The domain-weights artifact is dimension-sized by construction —
+    the acceptance predicate must be a broadcast join + map filter."""
+    plan = _plan(spark, sf_dir, "weighted_sample")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_pq_search_no_raw_vectors_on_search_path(spark, sf_dir):
+    """IVF-PQ: the scored rows are (vec_id, m, cid) codes joined to the
+    broadcast ADC table — the final aggregate's input must not carry the
+    raw double[] embedding column."""
+    plan = _plan(spark, sf_dir, "ivf_pq_search")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
