@@ -170,6 +170,31 @@ COMMENTARY = {
         "final aggregate — two independent group-bys for the price of "
         "one pass over orders."
     ),
+    "passage_dedup": (
+        "Passage-level first-wins dedup: the passage key collapses via "
+        "min(struct(doc_id, pos)) with a MAP-SIDE partial HashAggregate — "
+        "no windowspecdefinition anywhere, so a boilerplate passage in a "
+        "billion docs combines per-partition instead of flooding one "
+        "reducer; reassembly is one shuffle on doc_id."
+    ),
+    "doc_lm_score": (
+        "Bigram LM scoring: stats are groupBys on the bigram key; the "
+        "stats-to-instance joins are plain equi-joins AQE sizes (broadcast "
+        "here, shuffle at web-scale vocabulary); per-bigram log-probs are "
+        "quantized to BIGINT micro-nats so the per-doc sum is "
+        "order-independent."
+    ),
+    "weighted_sample": (
+        "Domain-weights mixing: the weights dim broadcasts, acceptance is "
+        "a map-only hash predicate in the same codegen stage as the scan, "
+        "one final aggregate on source."
+    ),
+    "ivf_pq_search": (
+        "IVF-PQ composition: the probed cell arrives as a left-semi "
+        "BroadcastHashJoin on vec_id, the ADC distance table as a "
+        "BroadcastHashJoin on (m, cid) — the scored rows carry codes "
+        "only, never the raw double[] vectors."
+    ),
 }
 
 
