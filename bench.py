@@ -66,6 +66,7 @@ HEADLINE = (
     "doc_lm_score",
     "weighted_sample",
     "ivf_pq_search",
+    "ann_rerank",
 )
 
 

@@ -710,3 +710,115 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hits"),
         (F.count(F.lit(1)).cast("double") / F.lit(5.0)).alias("recall_at_5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_rerank — the RETRIEVE → RERANK production shape: the IVF index
+# proposes a cheap top-20 (JVM-side, codes/cells), then a "cross-encoder"
+# scores each (query, candidate) pair in an Arrow-batched mapInPandas
+# stage and the final top-5 orders by a blend of retrieval and model
+# score. This is the model-in-the-loop pattern every training-data
+# pipeline runs (model-based quality filtering, rerank-before-label):
+# the expensive model touches only the CANDIDATE count, never the
+# corpus, and rides the same Arrow batch path as the multimodal ops.
+# The model here is the deterministic fake (md5-derived score in
+# [0, 1)) — the real-model boundary is the same env-gated stance as
+# functions.multimodal.decode_stub; the fake is SQL-replayable, so the
+# whole retrieve→rerank plan is oracle-verified end to end.
+# ---------------------------------------------------------------------------
+
+_RERANK_QID = 42
+_RETRIEVE_K = 20
+_FINAL_K = 5
+
+
+def _fake_model_sql(vid: str = "vec_id", lbl: str = "label") -> str:
+    return (
+        f"(('0x' || substr(md5(CAST({vid} AS VARCHAR) || ':' "
+        f"|| CAST({lbl} AS VARCHAR) || ':rerank'), 1, 15))::BIGINT % 1000000)"
+        f" / 1000000.0"
+    )
+
+
+def _rerank_oracle() -> str:
+    return f"""
+WITH {_ivf_sql_ctes()},
+qcell AS (SELECT cid, v AS qv FROM assigned WHERE vec_id = {_RERANK_QID}),
+retrieved AS (
+  SELECT a.vec_id, a.label,
+         ROUND(list_cosine_similarity(a.v, (SELECT qv FROM qcell)), 6) AS cos_sim
+  FROM assigned a
+  WHERE a.cid = (SELECT cid FROM qcell) AND a.vec_id <> {_RERANK_QID}
+  ORDER BY cos_sim DESC, a.vec_id ASC
+  LIMIT {_RETRIEVE_K}
+),
+reranked AS (
+  SELECT vec_id, label, cos_sim,
+         ROUND({_fake_model_sql()}, 6) AS model_score
+  FROM retrieved
+)
+SELECT vec_id, label, cos_sim, model_score,
+       ROUND(0.5 * cos_sim + 0.5 * model_score, 6) AS final_score
+FROM reranked
+ORDER BY final_score DESC, vec_id ASC
+LIMIT {_FINAL_K}
+"""
+
+
+@query("ann_rerank", _rerank_oracle())
+def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    vecs = _ivf_vecs(spark, sf_dir)
+    assigned = _ivf_assigned(vecs, _ivf_dists(vecs))
+    qcell = assigned.filter(F.col("vec_id") == _RERANK_QID).select(
+        F.col("cid").alias("qcid"), F.col("v").alias("qv")
+    )
+    retrieved = (
+        assigned.filter(F.col("vec_id") != _RERANK_QID)
+        .crossJoin(F.broadcast(qcell))
+        .filter(F.col("cid") == F.col("qcid"))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(_RETRIEVE_K)
+    )
+
+    def model(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        # stand-in for a cross-encoder forward pass: one Arrow batch in,
+        # one scored batch out; replace the body with real inference and
+        # the plan does not change
+        for pdf in batches:
+            keys = (
+                pdf["vec_id"].astype(str) + ":" + pdf["label"].astype(str) + ":rerank"
+            )
+            pdf = pdf.copy()
+            pdf["model_score"] = [
+                round((int(hashlib.md5(k.encode()).hexdigest()[:15], 16) % 1_000_000)
+                      / 1_000_000.0, 6)
+                for k in keys
+            ]
+            yield pdf
+
+    scored = retrieved.mapInPandas(
+        model, "vec_id long, label int, cos_sim double, model_score double"
+    )
+    return (
+        scored.select(
+            "vec_id",
+            "label",
+            "cos_sim",
+            "model_score",
+            F.round(
+                0.5 * F.col("cos_sim") + 0.5 * F.col("model_score"), 6
+            ).alias("final_score"),
+        )
+        .orderBy(F.col("final_score").desc(), F.col("vec_id").asc())
+        .limit(_FINAL_K)
+    )

@@ -322,3 +322,43 @@ def test_partitioned_measures_store_prunes(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(provider" in plan
     assert back.count() == 1
+
+
+def test_bucketed_write_join_is_exchange_free(spark, sf_dir):
+    """The §2.9 co-location lever: two tables bucketed on the same key
+    with the same bucket count must join WITHOUT any Exchange — the
+    write-time layout replaces the per-run shuffle. This is the property
+    that turns a recurring 100 TB fact-fact shuffle into a one-time
+    write cost."""
+    from pyspark.sql import functions as F
+
+    from openaq_lcs_fetch_spark.sinks.bucketed import read_table, write_bucketed
+    from openaq_lcs_fetch_spark.tables import load
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    try:
+        write_bucketed(orders, "bkt_orders", "o_orderkey", n_buckets=8)
+        write_bucketed(lineitem, "bkt_lineitem", "o_orderkey", n_buckets=8)
+        # forbid broadcast so the join must pick SortMergeJoin, the
+        # shape whose Exchange elision we are asserting
+        with_conf = spark.conf
+        prev = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = read_table(spark, "bkt_orders").join(
+                read_table(spark, "bkt_lineitem"), "o_orderkey"
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            # and the result is still correct
+            n = joined.count()
+            assert n == lineitem.count()
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
