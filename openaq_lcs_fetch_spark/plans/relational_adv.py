@@ -1,6 +1,7 @@
 """Advanced relational shapes: conditional-ratio aggregates, disjunctive
 predicates, agg-driven semi-joins, scalar subqueries, distinct-count with
-NOT IN, and the EXISTS/NOT-EXISTS (Q21) pattern.
+NOT IN, and the EXISTS/NOT-EXISTS patterns (Q4 correlated-EXISTS with an
+outer-column residual, Q21 multi-EXISTS, Q22 scalar-subquery + anti).
 
 These widen the analytics layer beyond what the reference computes (it
 has no generic joins at all — SURVEY.md §2.3); each query is a classic
@@ -679,4 +680,101 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents").cast("double") / F.lit(10000.0)).alias("total_revenue"),
         )
         .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# late_shipped_priorities — TPC-H Q4 shape adapted: orders in a window
+# with EXISTS a lineitem shipped >90 days after the order date, counted
+# per priority. The correlated EXISTS references the OUTER order date
+# inside the subquery — Catalyst must decorrelate to a left-semi join on
+# l_orderkey with the date comparison as a residual; at scale that is
+# one shuffle of each side on orderkey, with the date filters pushed to
+# both scans.
+# ---------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("late_shipped_priorities", _Q4_ORACLE)
+def late_shipped_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# wealthy_inactive_customers — TPC-H Q22 shape adapted: customers whose
+# balance beats the positive-balance average (scalar subquery → computed
+# once, broadcast) and who have NO high-value order (anti join), grouped
+# by nation. The average accumulates in DECIMAL so the threshold is
+# identical across engines and partitionings.
+# ---------------------------------------------------------------------------
+
+_Q22_ORACLE = """
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS total_bal
+FROM customer c
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*)
+    FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+  )
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+@query("wealthy_inactive_customers", _Q22_ORACLE)
+def wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(27,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    high_orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(high_orders, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
     )

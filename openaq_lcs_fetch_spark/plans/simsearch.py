@@ -822,3 +822,87 @@ def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("final_score").desc(), F.col("vec_id").asc())
         .limit(_FINAL_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_dim_stats — per-DIMENSION standardization statistics + the
+# applied rescale (the feature-prep pass before training / indexing:
+# z-score normalize each embedding dimension, flag outliers). Exactness
+# scheme: moments accumulate as BIGINT sums of the integer-quantized
+# components (sum and sum-of-squares are order-independent), mean/std
+# derive from the two exact integers in scalar double math, and the
+# outlier test ((x-mean)^2 > 4*var) compares the same doubles on both
+# engines. The stats table is 64 rows → broadcast back for the applied
+# pass; at 100 TB this is two map-only scans plus one 64-key aggregate.
+# ---------------------------------------------------------------------------
+
+
+def _dim_stats_oracle() -> str:
+    return f"""
+WITH qv AS (
+  SELECT vec_id, {_sql_qvec('embedding')} AS q FROM embeddings
+),
+comp AS (
+  SELECT vec_id, unnest(q) AS qc, generate_subscripts(q, 1) AS pos FROM qv
+),
+stats AS (
+  SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qc) AS BIGINT) AS s1,
+         CAST(SUM(qc * qc) AS BIGINT) AS s2
+  FROM comp GROUP BY pos
+),
+derived AS (
+  SELECT pos, n, s1, s2,
+         CAST(s1 AS DOUBLE) / n AS mean_q,
+         sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS std_q
+  FROM stats
+)
+SELECT d.pos, d.n,
+       ROUND(d.mean_q, 6) AS mean_q, ROUND(d.std_q, 6) AS std_q,
+       CAST(COUNT(CASE WHEN (c.qc - d.mean_q) * (c.qc - d.mean_q)
+                            > 4 * d.std_q * d.std_q THEN 1 END) AS BIGINT)
+         AS n_outliers
+FROM comp c JOIN derived d USING (pos)
+GROUP BY d.pos, d.n, d.mean_q, d.std_q
+ORDER BY d.pos
+"""
+
+
+@query("embedding_dim_stats", _dim_stats_oracle())
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized(F.col("embedding")).alias("q")
+    )
+    comp = e.select("vec_id", F.posexplode("q").alias("pos0", "qc")).select(
+        (F.col("pos0") + 1).alias("pos"), "qc"  # 1-based to match SQL subscripts
+    )
+    stats = comp.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qc").alias("s1"),
+        F.sum(F.col("qc") * F.col("qc")).alias("s2"),
+    )
+    mean_q = F.col("s1").cast("double") / F.col("n")
+    std_q = F.sqrt(
+        F.col("s2").cast("double") / F.col("n") - mean_q * mean_q
+    )
+    derived = stats.select("pos", "n", mean_q.alias("mean_q"), std_q.alias("std_q"))
+    out = (
+        comp.join(F.broadcast(derived), "pos")
+        .groupBy("pos", "n", "mean_q", "std_q")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("qc") - F.col("mean_q")) * (F.col("qc") - F.col("mean_q"))
+                    > 4 * F.col("std_q") * F.col("std_q"),
+                    1,
+                )
+            ).alias("n_outliers")
+        )
+    )
+    return out.select(
+        "pos",
+        "n",
+        F.round("mean_q", 6).alias("mean_q"),
+        F.round("std_q", 6).alias("std_q"),
+        "n_outliers",
+    ).orderBy("pos")
