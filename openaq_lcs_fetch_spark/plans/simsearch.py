@@ -725,6 +725,13 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # [0, 1)) — the real-model boundary is the same env-gated stance as
 # functions.multimodal.decode_stub; the fake is SQL-replayable, so the
 # whole retrieve→rerank plan is oracle-verified end to end.
+#
+# Parity scheme: BOTH scores live as integer micro-units (cos_q =
+# round(cos·1e6), model_q = md5-mod), the blend is their exact BIGINT
+# sum, and every surfaced double is ONE correctly-rounded division of
+# an exact integer. Never round a sum of already-rounded doubles: a
+# blend landing exactly on a .5e-6 boundary rounds differently across
+# engines (observed at sf0.001).
 # ---------------------------------------------------------------------------
 
 _RERANK_QID = 42
@@ -732,11 +739,11 @@ _RETRIEVE_K = 20
 _FINAL_K = 5
 
 
-def _fake_model_sql(vid: str = "vec_id", lbl: str = "label") -> str:
+def _fake_model_q_sql(vid: str = "vec_id", lbl: str = "label") -> str:
+    """Integer micro-unit model score (0..999999)."""
     return (
         f"(('0x' || substr(md5(CAST({vid} AS VARCHAR) || ':' "
         f"|| CAST({lbl} AS VARCHAR) || ':rerank'), 1, 15))::BIGINT % 1000000)"
-        f" / 1000000.0"
     )
 
 
@@ -746,21 +753,23 @@ WITH {_ivf_sql_ctes()},
 qcell AS (SELECT cid, v AS qv FROM assigned WHERE vec_id = {_RERANK_QID}),
 retrieved AS (
   SELECT a.vec_id, a.label,
-         ROUND(list_cosine_similarity(a.v, (SELECT qv FROM qcell)), 6) AS cos_sim
+         CAST(ROUND(list_cosine_similarity(a.v, (SELECT qv FROM qcell))
+                    * 1000000.0, 0) AS BIGINT) AS cos_q
   FROM assigned a
   WHERE a.cid = (SELECT cid FROM qcell) AND a.vec_id <> {_RERANK_QID}
-  ORDER BY cos_sim DESC, a.vec_id ASC
+  ORDER BY cos_q DESC, a.vec_id ASC
   LIMIT {_RETRIEVE_K}
 ),
 reranked AS (
-  SELECT vec_id, label, cos_sim,
-         ROUND({_fake_model_sql()}, 6) AS model_score
+  SELECT vec_id, label, cos_q, {_fake_model_q_sql()} AS model_q
   FROM retrieved
 )
-SELECT vec_id, label, cos_sim, model_score,
-       ROUND(0.5 * cos_sim + 0.5 * model_score, 6) AS final_score
+SELECT vec_id, label,
+       CAST(cos_q AS DOUBLE) / 1000000.0 AS cos_sim,
+       CAST(model_q AS DOUBLE) / 1000000.0 AS model_score,
+       CAST(cos_q + model_q AS DOUBLE) / 2000000.0 AS final_score
 FROM reranked
-ORDER BY final_score DESC, vec_id ASC
+ORDER BY cos_q + model_q DESC, vec_id ASC
 LIMIT {_FINAL_K}
 """
 
@@ -784,9 +793,11 @@ def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+            F.round(cosine(F.col("v"), F.col("qv")) * 1_000_000.0, 0)
+            .cast("long")
+            .alias("cos_q"),
         )
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .orderBy(F.col("cos_q").desc(), F.col("vec_id").asc())
         .limit(_RETRIEVE_K)
     )
 
@@ -799,28 +810,29 @@ def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pdf["vec_id"].astype(str) + ":" + pdf["label"].astype(str) + ":rerank"
             )
             pdf = pdf.copy()
-            pdf["model_score"] = [
-                round((int(hashlib.md5(k.encode()).hexdigest()[:15], 16) % 1_000_000)
-                      / 1_000_000.0, 6)
+            pdf["model_q"] = [
+                int(hashlib.md5(k.encode()).hexdigest()[:15], 16) % 1_000_000
                 for k in keys
             ]
             yield pdf
 
     scored = retrieved.mapInPandas(
-        model, "vec_id long, label int, cos_sim double, model_score double"
+        model, "vec_id long, label int, cos_q long, model_q long"
     )
     return (
-        scored.select(
+        scored.orderBy(
+            (F.col("cos_q") + F.col("model_q")).desc(), F.col("vec_id").asc()
+        )
+        .limit(_FINAL_K)
+        .select(
             "vec_id",
             "label",
-            "cos_sim",
-            "model_score",
-            F.round(
-                0.5 * F.col("cos_sim") + 0.5 * F.col("model_score"), 6
+            (F.col("cos_q").cast("double") / 1_000_000.0).alias("cos_sim"),
+            (F.col("model_q").cast("double") / 1_000_000.0).alias("model_score"),
+            (
+                (F.col("cos_q") + F.col("model_q")).cast("double") / 2_000_000.0
             ).alias("final_score"),
         )
-        .orderBy(F.col("final_score").desc(), F.col("vec_id").asc())
-        .limit(_FINAL_K)
     )
 
 

@@ -49,7 +49,10 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           "hourly_rollup", "nation_revenue_share",
           "decontaminate", "doc_repetition", "pq_search",
           "sequence_pack", "semantic_dedup", "asof_calibration",
-          "containment_pairs", "session_window_stats", "token_budget_select"]:
+          "containment_pairs", "session_window_stats", "token_budget_select",
+          "passage_dedup", "doc_lm_score", "weighted_sample",
+          "ivf_pq_search", "ann_rerank", "embedding_dim_stats",
+          "wealthy_inactive_customers"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n
