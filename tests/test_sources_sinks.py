@@ -324,41 +324,24 @@ def test_partitioned_measures_store_prunes(spark, tmp_path):
     assert back.count() == 1
 
 
-def test_bucketed_write_join_is_exchange_free(spark, sf_dir):
-    """The §2.9 co-location lever: two tables bucketed on the same key
-    with the same bucket count must join WITHOUT any Exchange — the
-    write-time layout replaces the per-run shuffle. This is the property
-    that turns a recurring 100 TB fact-fact shuffle into a one-time
-    write cost."""
-    from pyspark.sql import functions as F
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """Compaction: 64 tiny files → few target-sized files, identical
+    data, shuffle-free (coalesce), atomic swap of the directory."""
+    import os
 
-    from openaq_lcs_fetch_spark.sinks.bucketed import read_table, write_bucketed
-    from openaq_lcs_fetch_spark.tables import load
-
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    lineitem = load(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    from openaq_lcs_fetch_spark.sinks.compact import (
+        compact_parquet,
+        parquet_file_count,
     )
-    try:
-        write_bucketed(orders, "bkt_orders", "o_orderkey", n_buckets=8)
-        write_bucketed(lineitem, "bkt_lineitem", "o_orderkey", n_buckets=8)
-        # forbid broadcast so the join must pick SortMergeJoin, the
-        # shape whose Exchange elision we are asserting
-        with_conf = spark.conf
-        prev = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
-        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        try:
-            joined = read_table(spark, "bkt_orders").join(
-                read_table(spark, "bkt_lineitem"), "o_orderkey"
-            )
-            plan = joined._jdf.queryExecution().executedPlan().toString()
-            assert "SortMergeJoin" in plan
-            assert "Exchange" not in plan, plan
-            # and the result is still correct
-            n = joined.count()
-            assert n == lineitem.count()
-        finally:
-            with_conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    finally:
-        spark.sql("DROP TABLE IF EXISTS bkt_orders")
-        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+    path = os.path.join(str(tmp_path), "small_files")
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    df.repartition(64).write.parquet(path)
+    before = parquet_file_count(path)
+    assert before >= 32  # genuinely fragmented
+
+    after = compact_parquet(spark, path, target_file_bytes=64 * 1024)
+    assert after < before
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg({"k": "sum"}).first()[0] == 10_000 * 9_999 // 2
