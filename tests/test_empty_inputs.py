@@ -1,0 +1,53 @@
+"""Zero-row robustness: at 100 TB, empty inputs are routine (an empty
+day partition, a filtered-out source, a fresh table). Every operator
+family must plan and execute over 0-row tables without crashing —
+adaptive branches that .first() a scalar (df caps, certificates,
+watermarks) must tolerate NULL aggregates, and iterative builds
+(k-means, PQ, components) must converge on nothing.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from openaq_lcs_fetch_spark import tables
+from openaq_lcs_fetch_spark.plans import QUERIES
+
+#: one query per operator family, including every round-4 addition
+REPRESENTATIVE = (
+    "pricing_summary", "region_revenue", "top_revenue_orders",
+    "latest_3_per_user", "measurand_normalize", "dedup_exact",
+    "minhash_lsh_pairs", "ngram_jaccard_top", "containment_pairs",
+    "passage_dedup", "doc_lm_score", "weighted_sample", "decontaminate",
+    "corpus_pipeline", "kmv_distinct_users", "sequence_pack",
+    "semantic_dedup", "kmeans_clusters", "pq_search", "ivf_pq_search",
+    "ann_rerank", "embedding_dim_stats", "cosine_topk",
+    "asof_calibration", "views_before_purchase", "session_peak_concurrency",
+    "user_sessions", "approx_event_stats", "salted_type_stats",
+    "dedup_components", "token_budget_select", "media_features",
+    "wealthy_inactive_customers", "event_type_pivot", "stratified_sample",
+)
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, sf_dir, tmp_path_factory):
+    """Every testdata table, schema-identical but 0 rows."""
+    dst = str(tmp_path_factory.mktemp("sf_empty"))
+    for name in tables.TABLE_NAMES:
+        (
+            spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+            .limit(0)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(dst, f"{name}.parquet"))
+        )
+    return dst
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_query_survives_empty_tables(spark, empty_sf_dir, name):
+    # no assertion on the count: global aggregates legitimately emit a
+    # row over empty input; the property is "plans and runs"
+    QUERIES[name].fn(spark, empty_sf_dir).count()
