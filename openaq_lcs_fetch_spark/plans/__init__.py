@@ -30,12 +30,13 @@ made explicit by ``registry.promote``:
   is the round-5 rotation TODO; ``tools/check_all.py`` still re-proves
   the full registry against DuckDB locally every round.
 
-Round-5 rotation TODO: promote the 9 queries registered this round
+Round-5 rotation TODO: promote the 11 queries registered this round
 (``passage_dedup``, ``doc_lm_score``, ``weighted_sample``,
 ``ivf_pq_search``, ``streaming_enriched_hourly``, ``ann_rerank``,
 ``embedding_dim_stats``, ``late_shipped_priorities``,
-``wealthy_inactive_customers`` — no driver row yet) plus the r02-green
-remainder above; backfill with whatever round 4's window left stalest.
+``wealthy_inactive_customers``, ``bm25_scores``, ``doc_chunking`` —
+no driver row yet) plus the r02-green remainder above; backfill with
+whatever round 4's window left stalest.
 """
 
 from . import registry

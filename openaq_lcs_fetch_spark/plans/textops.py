@@ -1433,3 +1433,155 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# bm25_scores — BM25 retrieval scoring for a fixed query over the corpus
+# (k1=1.2, b=0.75, the Robertson/Sparck-Jones idf with +1 floor). The
+# corpus stats (df per term, N, avgdl) are dimension-sized → broadcast;
+# per-(doc, term) partial scores quantize to integer micro-units BEFORE
+# the per-doc sum so accumulation order cannot produce ulp drift. At
+# scale: one explode → filtered tf aggregation on (doc, term), tiny
+# stats joins, top-k via TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("table", "value", "row")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+dl AS (SELECT doc_id, len(tk) AS dl FROM toks),
+n_avg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+  WHERE term IN ({terms})
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+partial AS (
+  SELECT t.doc_id,
+         CAST(ROUND(
+           ln((CAST(a.n_docs - d.df AS DOUBLE) + 0.5) / (d.df + 0.5) + 1.0)
+           * (t.tf * ({_BM25_K1} + 1.0))
+           / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+              + {_BM25_B} * l.dl / a.avgdl))
+           * 1000000.0, 0) AS BIGINT) AS sq
+  FROM tf t
+  JOIN df d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN n_avg a
+)
+SELECT doc_id,
+       CAST(SUM(sq) AS DOUBLE) / 1000000.0 AS bm25
+FROM partial GROUP BY doc_id
+ORDER BY SUM(sq) DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+@query("bm25_scores", _bm25_oracle())
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", TX.tokens(F.col("text")).alias("tk")
+    )
+    dl = d.select("doc_id", F.size("tk").alias("dl"))
+    n_avg = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        d.select("doc_id", F.explode("tk").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        ((F.col("n_docs") - F.col("df")).cast("double") + 0.5)
+        / (F.col("df") + 0.5)
+        + 1.0
+    )
+    score = (
+        idf
+        * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    partial = (
+        tf.join(F.broadcast(df_tab), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_avg))
+        .select("doc_id", F.round(score * 1_000_000.0, 0).cast("long").alias("sq"))
+    )
+    return (
+        partial.groupBy("doc_id")
+        .agg(F.sum("sq").alias("_s"))
+        .orderBy(F.col("_s").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", (F.col("_s").cast("double") / 1_000_000.0).alias("bm25"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_chunking — overlapping sliding-window chunks (size 8, stride 4):
+# the RAG / context-window prep every retrieval corpus runs. Start
+# offsets are 0, 4, 8, ... while start < len; trailing chunks may be
+# short. Map-only: chunking is a transform + posexplode in the scan
+# stage — no shuffle until a downstream consumer aggregates.
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 8
+_CHUNK_STRIDE = 4
+
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents)
+SELECT doc_id, pos AS chunk_id,
+       array_to_string(
+         tk[pos * {_CHUNK_STRIDE} + 1 : pos * {_CHUNK_STRIDE} + {_CHUNK_SIZE}], ' '
+       ) AS chunk_text,
+       CAST(least({_CHUNK_SIZE}, len(tk) - pos * {_CHUNK_STRIDE}) AS INT)
+         AS n_chunk_tokens
+FROM (
+  SELECT doc_id, tk,
+         unnest(generate_series(0,
+           CAST((len(tk) - 1) // {_CHUNK_STRIDE} AS INT))) AS pos
+  FROM toks WHERE len(tk) > 0
+)
+"""
+
+
+@query("doc_chunking", _CHUNK_ORACLE)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", TX.tokens(F.col("text")).alias("tk")
+    )
+    n_chunks = F.expr(f"CAST((size(tk) - 1) DIV {_CHUNK_STRIDE} AS INT) + 1")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.array_join(
+                F.slice(F.col("tk"), i * _CHUNK_STRIDE + 1, _CHUNK_SIZE), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(_CHUNK_SIZE), F.size("tk") - i * _CHUNK_STRIDE
+            ).cast("int").alias("n_chunk_tokens"),
+        ),
+    )
+    return (
+        d.filter(F.size("tk") > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_id", "c"))
+        .select("doc_id", "chunk_id", "c.chunk_text", "c.n_chunk_tokens")
+    )

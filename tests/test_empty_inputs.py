@@ -28,6 +28,7 @@ REPRESENTATIVE = (
     "user_sessions", "approx_event_stats", "salted_type_stats",
     "dedup_components", "token_budget_select", "media_features",
     "wealthy_inactive_customers", "event_type_pivot", "stratified_sample",
+    "bm25_scores", "doc_chunking",
 )
 
 
