@@ -34,7 +34,8 @@ Round-5 rotation TODO: promote the 11 queries registered this round
 (``passage_dedup``, ``doc_lm_score``, ``weighted_sample``,
 ``ivf_pq_search``, ``streaming_enriched_hourly``, ``ann_rerank``,
 ``embedding_dim_stats``, ``late_shipped_priorities``,
-``wealthy_inactive_customers``, ``bm25_scores``, ``doc_chunking`` —
+``wealthy_inactive_customers``, ``bm25_scores``, ``doc_chunking``,
+``funnel_conversion``, ``retention_cohorts``, ``ewma_user_value`` —
 no driver row yet) plus the r02-green remainder above; backfill with
 whatever round 4's window left stalest.
 """

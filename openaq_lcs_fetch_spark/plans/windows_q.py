@@ -594,3 +594,160 @@ def purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("longest_streak").desc(), F.col("user_id").asc())
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel_conversion — ordered-sequence funnel (view → click → purchase):
+# each stage's timestamp must STRICTLY follow the previous stage's, the
+# product-analytics query every event pipeline runs. Expressed as three
+# chained conditional aggregates (min-ts per user, each filtered by the
+# prior stage's time) — joins on user_id reuse one partitioning; no
+# UDF, no per-row state.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after
+"""
+
+
+@query("funnel_conversion", _FUNNEL_ORACLE)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# retention_cohorts — weekly retention triangle: users grouped by their
+# FIRST-event week (cohort), activity counted per whole weeks since.
+# weeks_since is an exact integer floor of the day difference — never a
+# calendar week-boundary count, which differs between engines. Two
+# shuffles: the per-user first-event aggregate and the cohort rollup.
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH first_ts AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id
+)
+SELECT date_trunc('day', f.t0) AS cohort_day,
+       CAST(date_diff('day', CAST(f.t0 AS DATE), CAST(e.ts AS DATE)) // 7
+            AS INT) AS weeks_since,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+FROM events e JOIN first_ts f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@query("retention_cohorts", _RETENTION_ORACLE)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("user_id", "ts")
+    first_ts = e.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    return (
+        e.join(first_ts, "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("day", "t0").alias("cohort_day"),
+            F.floor(
+                F.datediff(F.to_date("ts"), F.to_date("t0")) / 7
+            ).cast("int").alias("weeks_since"),
+        )
+        .groupBy("cohort_day", "weeks_since")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ewma_user_value — exponentially decayed per-user value (half-life
+# decay, a = 0.5): S = sum over events of value * 0.5^(events after it).
+# Parity-exact BY CONSTRUCTION: 0.5^k is a power of two, so each term
+# is one exact double multiply; terms quantize to integer micro-units
+# before the per-user sum (order-independent). A generic alpha would
+# ride libm pow(), which differs in ulps across engines — the one
+# design point where choosing the constant IS the correctness fix.
+# One shuffle (user window), top-50 by decayed value.
+# ---------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+WITH r AS (
+  SELECT user_id, value,
+         COUNT(*) OVER (PARTITION BY user_id) -
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS k
+  FROM events
+),
+q AS (
+  SELECT user_id,
+         CAST(ROUND(value * pow(0.5, k) * 1000000.0, 0) AS BIGINT) AS sq
+  FROM r
+)
+SELECT user_id,
+       CAST(SUM(sq) AS DOUBLE) / 1000000.0 AS decayed_value
+FROM q GROUP BY user_id
+ORDER BY SUM(sq) DESC, user_id ASC
+LIMIT 50
+"""
+
+
+@query("ewma_user_value", _EWMA_ORACLE)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wk = Window.partitionBy("user_id")
+    r = e.select(
+        "user_id",
+        "value",
+        (F.count(F.lit(1)).over(wk) - F.row_number().over(w)).alias("k"),
+    )
+    sq = F.round(
+        F.col("value") * F.pow(F.lit(0.5), F.col("k")) * 1_000_000.0, 0
+    ).cast("long")
+    return (
+        r.select("user_id", sq.alias("sq"))
+        .groupBy("user_id")
+        .agg(F.sum("sq").alias("_s"))
+        .orderBy(F.col("_s").desc(), F.col("user_id").asc())
+        .limit(50)
+        .select(
+            "user_id", (F.col("_s").cast("double") / 1_000_000.0).alias("decayed_value")
+        )
+    )

@@ -29,6 +29,7 @@ REPRESENTATIVE = (
     "dedup_components", "token_budget_select", "media_features",
     "wealthy_inactive_customers", "event_type_pivot", "stratified_sample",
     "bm25_scores", "doc_chunking",
+    "funnel_conversion", "retention_cohorts", "ewma_user_value",
 )
 
 
