@@ -204,3 +204,54 @@ def test_sensor_gaps_across_batches(spark, tmp_path):
     out = run_available_now(sensor_gaps(stream, "sensor", gap="2 hours"))
     rows = [(r.key, r.gap_us) for r in out.collect()]
     assert rows == [("s1", 4 * 3600 * 1_000_000)]
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
+    """T2 exactly-once across RESTARTS: a stopped streaming query that
+    restarts with the same checkpoint must process only files that
+    arrived while it was down — no reprocessing, no gaps. This is the
+    engine-level form of the reference's high-water-mark resume
+    (meta.js MetaDetails): the checkpoint commit log IS the watermark."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def arrive(lo, hi, name):
+        spark.range(lo, hi).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        ).coalesce(1).write.parquet(os.path.join(src, name))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("id long, v long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    arrive(0, 100, "a")
+    run_once()
+    first = spark.read.parquet(out)
+    assert first.count() == 100
+
+    # query is DOWN; two more files arrive
+    arrive(100, 150, "b")
+    arrive(150, 180, "c")
+    run_once()  # restart from the same checkpoint
+    final = spark.read.parquet(out)
+    assert final.count() == 180  # exactly once: no dup of file a
+    assert final.select(F.sum("id")).first()[0] == 180 * 179 // 2
+    assert final.select("id").distinct().count() == 180
