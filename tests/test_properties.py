@@ -233,3 +233,46 @@ def test_max_run_len_matches_counter(spark):
     }
     for i, text in rows:
         assert got[i] == max(Counter(text.split()).values()), (i, text)
+
+
+def test_containment_capped_equals_plain_on_random_corpora(spark):
+    """The df-capped containment (hot-shingle exclusion + hot-array
+    recovery + asymmetric certificate + adaptive fallback) must return
+    EXACTLY the plain join's answer on seeded random corpora spanning
+    the interesting regimes: no hot shingles (vacuous cap), moderate
+    boilerplate (capped path), and hot-dominated docs (fallback)."""
+    import random
+
+    from openaq_lcs_fetch_spark.functions.similarity import ngram_containment_pairs
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial, (n_docs, boiler_runs, thr, cap) in enumerate(
+        [
+            (30, 0, 0.4, 4),   # no shared boilerplate → vacuous cap
+            (40, 1, 0.4, 4),   # one hot run in every doc → capped path
+            (40, 3, 0.3, 4),   # mostly boilerplate → certificate fails → fallback
+        ]
+    ):
+        boiler = "alpha beta gamma delta"
+        docs = []
+        for i in range(n_docs):
+            words = [rng.choice(vocab) for _ in range(rng.randrange(6, 14))]
+            text = " ".join(boiler.split() * boiler_runs + words)
+            docs.append((i, text))
+        # a few exact dups and one excerpt to guarantee passing pairs
+        docs.append((1000, docs[0][1]))
+        docs.append((1001, " ".join(docs[1][1].split()[:6])))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        def pairs(df_cap):
+            return {
+                (r.id_sub, r.id_super, r.containment)
+                for r in ngram_containment_pairs(
+                    df, "doc_id", "text", 3, thr, df_cap=df_cap
+                ).collect()
+            }
+
+        capped, plain = pairs(cap), pairs(10**9)
+        assert capped == plain, f"trial {trial}: capped != plain"
+        assert any(p[0] == 1000 or p[1] == 1000 for p in capped), trial
