@@ -35,9 +35,10 @@ Round-5 rotation TODO: promote the 11 queries registered this round
 ``ivf_pq_search``, ``streaming_enriched_hourly``, ``ann_rerank``,
 ``embedding_dim_stats``, ``late_shipped_priorities``,
 ``wealthy_inactive_customers``, ``bm25_scores``, ``doc_chunking``,
-``funnel_conversion``, ``retention_cohorts``, ``ewma_user_value`` —
-no driver row yet) plus the r02-green remainder above; backfill with
-whatever round 4's window left stalest.
+``funnel_conversion``, ``retention_cohorts``, ``ewma_user_value``,
+``value_interpolate``, ``hourly_completeness`` — no driver row yet)
+plus the r02-green remainder above; backfill with whatever round 4's
+window left stalest.
 """
 
 from . import registry

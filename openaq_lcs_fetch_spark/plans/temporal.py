@@ -112,3 +112,162 @@ def range_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = F.col("marker_ts") + F.expr("INTERVAL 10 MINUTES")
     joined = e.join(F.broadcast(markers), (F.col("ts") >= lo) & (F.col("ts") <= hi))
     return joined.groupBy("marker_id").agg(F.count(F.lit(1)).alias("n_nearby"))
+
+
+# ---------------------------------------------------------------------------
+# value_interpolate — linear gap interpolation per sensor stream: masked
+# readings (a deterministic md5-chosen ~10% simulating sensor dropout —
+# the testdata carries no real NULLs) are reconstructed from the nearest
+# valid neighbour on each side: v = v_prev + (v_next - v_prev)·(t -
+# t_prev)/(t_next - t_prev) on the microsecond axis. The neighbour
+# lookups are IGNORE-NULLS running first/last over the per-user
+# window — one shuffle on user_id, no self-join; the same composition
+# the backward+forward as-of pair would give, fused into one window
+# pass. Interior masked rows (both neighbours exist) are emitted.
+# ---------------------------------------------------------------------------
+
+_INTERP_ORACLE = """
+WITH m AS (
+  SELECT event_id, user_id, ts, value,
+         (('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':vi'), 1, 15))::BIGINT
+          % 10) = 0 AS masked
+  FROM events
+),
+nbr AS (
+  SELECT event_id, user_id, ts, value, masked,
+         last_value(CASE WHEN NOT masked THEN value END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+         last_value(CASE WHEN NOT masked THEN epoch_us(ts) END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_t,
+         first_value(CASE WHEN NOT masked THEN value END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN NOT masked THEN epoch_us(ts) END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_t
+  FROM m
+)
+SELECT event_id, user_id,
+       ROUND(prev_v + (next_v - prev_v)
+             * (CAST(epoch_us(ts) - prev_t AS DOUBLE) / (next_t - prev_t)),
+             6) AS interp_value
+FROM nbr
+WHERE masked AND prev_v IS NOT NULL AND next_v IS NOT NULL
+"""
+
+
+@query("value_interpolate", _INTERP_ORACLE)
+def value_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.timestamps import micros
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":vi"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    m = e.withColumn("masked", (h % 10) == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    wn = w.rowsBetween(1, Window.unboundedFollowing)
+    valid_v = F.when(~F.col("masked"), F.col("value"))
+    valid_t = F.when(~F.col("masked"), micros(F.col("ts")))
+    nbr = m.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "masked",
+        F.last(valid_v, ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(valid_t, ignorenulls=True).over(wp).alias("prev_t"),
+        F.first(valid_v, ignorenulls=True).over(wn).alias("next_v"),
+        F.first(valid_t, ignorenulls=True).over(wn).alias("next_t"),
+    )
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        (micros(F.col("ts")) - F.col("prev_t")).cast("double")
+        / (F.col("next_t") - F.col("prev_t"))
+    )
+    return (
+        nbr.filter(
+            F.col("masked") & F.col("prev_v").isNotNull() & F.col("next_v").isNotNull()
+        )
+        .select("event_id", "user_id", F.round(interp, 6).alias("interp_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# hourly_completeness — expected-vs-actual slot audit (the reference
+# scheduler's core question: which provider-hours are MISSING?). A full
+# (day × hour × event_type) spine generates from the observed date span
+# — sequence + explode, no driver enumeration — then a left anti join
+# against observed hours lists the gaps, rolled up per (day, type).
+# Scale: the spine is days×24×types rows (tiny vs the fact table), the
+# anti join shuffles on the compact (day, hour, type) key.
+# ---------------------------------------------------------------------------
+
+_COMPLETENESS_ORACLE = """
+WITH span AS (
+  SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS d0,
+         CAST(date_trunc('day', MAX(ts)) AS DATE) AS d1
+  FROM events
+),
+types AS (SELECT DISTINCT event_type FROM events),
+spine AS (
+  SELECT CAST(d AS TIMESTAMP) + h * INTERVAL 1 HOUR AS slot, event_type
+  FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM span),
+       (SELECT unnest(generate_series(0, 23)) AS h),
+       types
+),
+observed AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS slot, event_type FROM events
+)
+SELECT date_trunc('day', s.slot) AS day, s.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_missing_hours,
+       MIN(s.slot) AS first_missing
+FROM spine s LEFT JOIN observed o USING (slot, event_type)
+WHERE o.slot IS NULL
+GROUP BY 1, 2
+"""
+
+
+@query("hourly_completeness", _COMPLETENESS_ORACLE)
+def hourly_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("ts", "event_type")
+    span = e.agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("d0"),
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("d1"),
+    )
+    types = e.select("event_type").distinct()
+    days = span.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
+    )
+    spine = (
+        days.crossJoin(
+            F.broadcast(
+                days.sparkSession.range(24).select(F.col("id").alias("h"))
+            )
+        )
+        .select(
+            (
+                F.col("d").cast("timestamp")
+                + F.col("h") * F.expr("INTERVAL 1 HOUR")
+            ).alias("slot")
+        )
+        .crossJoin(F.broadcast(types))
+    )
+    observed = e.select(
+        F.date_trunc("hour", "ts").alias("slot"), "event_type"
+    ).distinct()
+    return (
+        spine.join(observed, ["slot", "event_type"], "left_anti")
+        .groupBy(F.date_trunc("day", "slot").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_missing_hours"),
+            F.min("slot").alias("first_missing"),
+        )
+    )

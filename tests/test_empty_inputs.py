@@ -30,6 +30,7 @@ REPRESENTATIVE = (
     "wealthy_inactive_customers", "event_type_pivot", "stratified_sample",
     "bm25_scores", "doc_chunking",
     "funnel_conversion", "retention_cohorts", "ewma_user_value",
+    "value_interpolate", "hourly_completeness",
 )
 
 

@@ -53,7 +53,8 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           "passage_dedup", "doc_lm_score", "weighted_sample",
           "ivf_pq_search", "ann_rerank", "embedding_dim_stats",
           "wealthy_inactive_customers", "bm25_scores", "doc_chunking",
-          "funnel_conversion", "retention_cohorts", "ewma_user_value"]:
+          "funnel_conversion", "retention_cohorts", "ewma_user_value",
+          "value_interpolate", "hourly_completeness"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n
