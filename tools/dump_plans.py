@@ -195,6 +195,29 @@ COMMENTARY = {
         "BroadcastHashJoin on (m, cid) — the scored rows carry codes "
         "only, never the raw double[] vectors."
     ),
+    "ann_rerank": (
+        "Retrieve → rerank: the IVF top-20 is JVM-side "
+        "(TakeOrderedAndProject over the probed cell); ONE "
+        "ArrowEvalPython/MapInPandas stage scores just those candidates "
+        "— swap the fake scorer for a real cross-encoder and the plan "
+        "is unchanged."
+    ),
+    "ewma_user_value": (
+        "Exponential decay: both window functions (count, row_number) "
+        "share ONE Exchange on user_id; each term is an exact "
+        "0.5^k multiply quantized to BIGINT before the "
+        "order-independent sum; global top-50 is TakeOrderedAndProject."
+    ),
+    "value_interpolate": (
+        "Gap interpolation: ONE Exchange on user_id feeds a single "
+        "Window computing all four IGNORE-NULLS neighbour columns — the "
+        "fused backward+forward as-of, no self-join."
+    ),
+    "hourly_completeness": (
+        "Spine audit: the (day × hour × type) spine builds from "
+        "broadcast sequence explodes; the anti join shuffles only the "
+        "compact (slot, type) key, never event payloads."
+    ),
 }
 
 
