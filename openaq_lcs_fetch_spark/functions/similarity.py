@@ -485,20 +485,31 @@ def prefix_filtered_jaccard_pairs(
 def _containment_emit(j: DataFrame, threshold: float) -> DataFrame:
     """Shared tail of both containment plans: given candidate rows
     (id_a, id_b, inter, sz_a, sz_b), emit one DIRECTED row per passing
-    direction."""
+    direction. ONE pass: both directions explode from the same candidate
+    row — a union of two filtered selects would recompute the whole
+    candidate pipeline once per direction (measured 2×)."""
     c_ab = F.round(F.col("inter").cast("double") / F.col("sz_a"), 6)
     c_ba = F.round(F.col("inter").cast("double") / F.col("sz_b"), 6)
-    fwd = j.filter(c_ab >= threshold).select(
-        F.col("id_a").alias("id_sub"),
-        F.col("id_b").alias("id_super"),
-        c_ab.alias("containment"),
+    both = F.array(
+        F.struct(
+            F.col("id_a").alias("id_sub"),
+            F.col("id_b").alias("id_super"),
+            c_ab.alias("containment"),
+        ),
+        F.struct(
+            F.col("id_b").alias("id_sub"),
+            F.col("id_a").alias("id_super"),
+            c_ba.alias("containment"),
+        ),
     )
-    rev = j.filter(c_ba >= threshold).select(
-        F.col("id_b").alias("id_sub"),
-        F.col("id_a").alias("id_super"),
-        c_ba.alias("containment"),
+    return (
+        j.select(
+            F.explode(
+                F.filter(both, lambda s: s["containment"] >= F.lit(threshold))
+            ).alias("r")
+        )
+        .select("r.id_sub", "r.id_super", "r.containment")
     )
-    return fwd.unionByName(rev)
 
 
 def _containment_plain(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
