@@ -67,6 +67,10 @@ HEADLINE = (
     "weighted_sample",
     "ivf_pq_search",
     "ann_rerank",
+    # round 4b: exact-linear-algebra / substring-dedup / range-frame ops
+    "embedding_covariance",
+    "dup_span_stats",
+    "trailing_1h_stats",
 )
 
 

@@ -36,9 +36,11 @@ Round-5 rotation TODO: promote the 11 queries registered this round
 ``embedding_dim_stats``, ``late_shipped_priorities``,
 ``wealthy_inactive_customers``, ``bm25_scores``, ``doc_chunking``,
 ``funnel_conversion``, ``retention_cohorts``, ``ewma_user_value``,
-``value_interpolate``, ``hourly_completeness`` — no driver row yet)
-plus the r02-green remainder above; backfill with whatever round 4's
-window left stalest.
+``value_interpolate``, ``hourly_completeness``, plus the later
+round-4 additions ``scd2_intervals``, ``locf_fill``,
+``trailing_1h_stats``, ``embedding_covariance``, ``jl_project``,
+``dup_span_stats`` — no driver row yet) plus the r02-green remainder
+above; backfill with whatever round 4's window left stalest.
 """
 
 from . import registry

@@ -918,3 +918,164 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("std_q", 6).alias("std_q"),
         "n_outliers",
     ).orderBy("pos")
+
+
+# ---------------------------------------------------------------------------
+# embedding_covariance — exact d×d covariance of the embedding matrix
+# (the PCA/whitening precursor every embedding pipeline runs before
+# indexing). Exactness scheme: components integer-quantize (×1000, the
+# registry idiom), so Σqᵢqⱼ and Σqᵢ are exact BIGINTs — order- and
+# partitioning-independent — and cov = S₁₂/n − (S₁/n)(S₂/n) derives in
+# scalar double math identically in both engines. Shape: the upper
+# triangle materializes as an equi-join on vec_id (N·d²/2 product rows
+# feeding a d² -key partial aggregate — map-side combine shrinks the
+# shuffle to d² rows per partition; the 64-row moment table broadcasts).
+# At 100 TB the same plan holds: the shuffle is O(partitions·d²), never
+# O(N); a mapInPandas numpy accumulator could cut the product-row
+# materialization 10× but would reintroduce float partial-sum
+# nondeterminism — exactness wins here.
+# ---------------------------------------------------------------------------
+
+
+def _cov_oracle() -> str:
+    return f"""
+WITH qv AS (
+  SELECT vec_id, {_sql_qvec('embedding')} AS q FROM embeddings
+),
+comp AS (
+  SELECT vec_id, unnest(q) AS qc, generate_subscripts(q, 1) AS pos FROM qv
+),
+stats AS (
+  SELECT pos, CAST(SUM(qc) AS BIGINT) AS s1, CAST(COUNT(*) AS BIGINT) AS n
+  FROM comp GROUP BY pos
+),
+pairs AS (
+  SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.qc * b.qc) AS BIGINT) AS s12
+  FROM comp a JOIN comp b USING (vec_id)
+  WHERE a.pos <= b.pos
+  GROUP BY 1, 2
+)
+SELECT p.i, p.j,
+       ROUND(CAST(p.s12 AS DOUBLE) / si.n
+             - (CAST(si.s1 AS DOUBLE) / si.n) * (CAST(sj.s1 AS DOUBLE) / sj.n),
+             6) AS cov_q
+FROM pairs p
+JOIN stats si ON si.pos = p.i
+JOIN stats sj ON sj.pos = p.j
+"""
+
+
+@query("embedding_covariance", _cov_oracle())
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized(F.col("embedding")).alias("q")
+    )
+    comp = e.select("vec_id", F.posexplode("q").alias("pos0", "qc")).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), "qc"
+    )
+    stats = comp.groupBy("pos").agg(
+        F.sum("qc").alias("s1"), F.count(F.lit(1)).alias("n")
+    )
+    a = comp.select("vec_id", F.col("pos").alias("i"), F.col("qc").alias("qa"))
+    b = comp.select("vec_id", F.col("pos").alias("j"), F.col("qc").alias("qb"))
+    pairs = (
+        a.join(b, "vec_id")
+        .filter(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("s12"))
+    )
+    si = stats.select(
+        F.col("pos").alias("i"), F.col("s1").alias("s1_i"), F.col("n").alias("n")
+    )
+    sj = stats.select(F.col("pos").alias("j"), F.col("s1").alias("s1_j"))
+    cov = (
+        F.col("s12").cast("double") / F.col("n")
+        - (F.col("s1_i").cast("double") / F.col("n"))
+        * (F.col("s1_j").cast("double") / F.col("n"))
+    )
+    return (
+        pairs.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select("i", "j", F.round(cov, 6).alias("cov_q"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# jl_project — Johnson–Lindenstrauss random projection to k=8 dims with a
+# DETERMINISTIC ±1 sign matrix derived from md5(i:j:'jl') — the
+# dimensionality-reduction step before cheap near-dup / clustering
+# passes, reproducible across engines and runs (no RNG state to ship).
+# Shape: map-side explode of the k axis (no join — the sign is computed
+# inline from the hash), then a (vec_id, j)-keyed exact BIGINT sum;
+# one shuffle carrying N·k scalar rows. proj = Σqᵢ·signᵢⱼ / (1000·√k)
+# converts the exact integer back to the float scale.
+# ---------------------------------------------------------------------------
+
+_JL_K = 8
+
+
+def _jl_oracle() -> str:
+    return f"""
+WITH qv AS (
+  SELECT vec_id, {_sql_qvec('embedding')} AS q FROM embeddings
+),
+comp AS (
+  SELECT vec_id, unnest(q) AS qc, generate_subscripts(q, 1) AS pos FROM qv
+),
+proj AS (
+  SELECT c.vec_id, ks.j,
+         CAST(SUM(c.qc * (CASE WHEN ('0x' || substr(md5(
+                 CAST(c.pos AS VARCHAR) || ':' || CAST(ks.j AS VARCHAR) || ':jl'
+               ), 1, 15))::BIGINT % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT) AS pq
+  FROM comp c, (SELECT unnest(generate_series(0, {_JL_K - 1})) AS j) ks
+  GROUP BY 1, 2
+)
+SELECT vec_id, j,
+       ROUND(CAST(pq AS DOUBLE) / (1000.0 * sqrt({_JL_K}.0)), 6) AS proj
+FROM proj
+"""
+
+
+@query("jl_project", _jl_oracle())
+def jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized(F.col("embedding")).alias("q")
+    )
+    comp = e.select("vec_id", F.posexplode("q").alias("pos0", "qc")).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), "qc"
+    )
+    fanned = comp.select(
+        "vec_id",
+        "pos",
+        "qc",
+        F.explode(F.sequence(F.lit(0), F.lit(_JL_K - 1))).alias("j"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("pos").cast("string"),
+                    F.lit(":"),
+                    F.col("j").cast("string"),
+                    F.lit(":jl"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    sign = F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    proj = (
+        fanned.groupBy("vec_id", "j")
+        .agg(F.sum(F.col("qc") * sign).alias("pq"))
+        .select(
+            "vec_id",
+            "j",
+            F.round(
+                F.col("pq").cast("double") / (1000.0 * float(_JL_K) ** 0.5), 6
+            ).alias("proj"),
+        )
+    )
+    return proj

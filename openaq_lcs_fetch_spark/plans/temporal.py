@@ -271,3 +271,198 @@ def hourly_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("slot").alias("first_missing"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# scd2_intervals — SCD Type-2 dimension build (gaps-and-islands → validity
+# intervals): each user's event_type run-lengths become (valid_from,
+# valid_to) rows, the last one open-ended (is_current). The reference's
+# station diff-upsert sink (fetcher/lib/station.js) answers "what is the
+# current record"; SCD2 is the warehouse-grade extension that also keeps
+# history. Shape: one window pass (change flag + running island id) and
+# one aggregation, both partitioned by user_id — two shuffles on the same
+# key; at 100 TB the island id never leaves its key's partition.
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+              ) IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+),
+i AS (
+  SELECT user_id, ts, event_type,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM o
+),
+g AS (
+  SELECT user_id, island, MIN(event_type) AS event_type,
+         MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM i GROUP BY 1, 2
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) AS valid_to,
+       n_events,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) IS NULL
+         AS is_current
+FROM g
+"""
+
+
+@query("scd2_intervals", _SCD2_ORACLE)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0)
+    )
+    islands = e.withColumn("chg", chg).withColumn(
+        "island", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    g = islands.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wi = Window.partitionBy("user_id").orderBy("island")
+    valid_to = F.lead("valid_from").over(wi)
+    return g.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        "n_events",
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# locf_fill — last-observation-carried-forward gap fill onto an hourly
+# spine (the step-function twin of value_interpolate's linear fill; the
+# reference backfills provider gaps the same "repeat last reading" way).
+# No as-of join: spine markers union with readings, one IGNORE-NULLS
+# running last per user resolves every marker — a single shuffle on
+# user_id regardless of gap length. Markers order AFTER a same-instant
+# reading (ord 0 vs 1) so an exactly-on-the-hour value is carried into
+# its own slot; event_id (-1 for markers) makes the total order unique
+# in both engines — never rely on NULL-ordering defaults, Spark and
+# DuckDB disagree (NULLS FIRST vs LAST).
+# ---------------------------------------------------------------------------
+
+_LOCF_ORACLE = """
+WITH span AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+         date_trunc('hour', MAX(ts)) AS h1
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS ts
+  FROM span
+),
+u AS (
+  SELECT user_id, ts, value, 0 AS ord, event_id FROM events
+  UNION ALL
+  SELECT user_id, ts, NULL, 1, CAST(-1 AS BIGINT) FROM spine
+),
+f AS (
+  SELECT user_id, ts, ord,
+         last_value(value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, ord, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+  FROM u
+)
+SELECT user_id, ts AS slot, locf_value
+FROM f WHERE ord = 1 AND locf_value IS NOT NULL
+"""
+
+
+@query("locf_fill", _LOCF_ORACLE)
+def locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    spine = (
+        e.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("h0"),
+            F.date_trunc("hour", F.max("ts")).alias("h1"),
+        )
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("ts"),
+        )
+    )
+    u = e.select(
+        "user_id", "ts", "value", F.lit(0).alias("ord"), "event_id"
+    ).unionByName(
+        spine.select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("double").alias("value"),
+            F.lit(1).alias("ord"),
+            F.lit(-1).cast("long").alias("event_id"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "ord", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    f = u.withColumn("locf_value", F.last("value", ignorenulls=True).over(w))
+    return (
+        f.filter((F.col("ord") == 1) & F.col("locf_value").isNotNull())
+        .select("user_id", F.col("ts").alias("slot"), "locf_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# trailing_1h_stats — event-time RANGE frame: every event carries the
+# count and exact sum of its user's events in the trailing hour
+# (inclusive). This is the window-frame shape the rest of the registry
+# lacks: not a fixed row count (ROWS) and not a bucketed tumble
+# (F.window) but a per-row sliding interval — Spark's rangeBetween over
+# a monotone numeric (microseconds) keeps it one shuffle + one sort per
+# user, state bounded by the hour span. Ties at identical micros are
+# frame-PEERS in both engines, so no tiebreaker column is needed for
+# the frame itself. The sum accumulates in DECIMAL (order-independent)
+# per the registry parity rules.
+# ---------------------------------------------------------------------------
+
+_TRAILING_ORACLE = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("trailing_1h_stats", _TRAILING_ORACLE)
+def trailing_1h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.timestamps import micros
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(27,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_1h"),
+    )

@@ -1585,3 +1585,75 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode(chunks).alias("chunk_id", "c"))
         .select("doc_id", "chunk_id", "c.chunk_text", "c.n_chunk_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# dup_span_stats — EXACT substring-duplication coverage (the Lee et al.
+# "Deduplicating Training Data Makes Language Models Better" measure,
+# arXiv:2107.06499): every character 20-gram position in the corpus is
+# checked against every other; a position whose gram occurs anywhere
+# else (same doc or another) is a duplicated span. Per doc: how many
+# positions, how many duplicated, what fraction. This is the exact
+# (suffix-array-equivalent) complement of the MinHash/SimHash sketches:
+# those bound whole-doc similarity, this finds verbatim boilerplate.
+# Shape: positions explode map-side; the gram string immediately
+# collapses to a 60-bit md5 prefix so the groupBy-gram shuffle carries
+# an 8-byte key + count, not 20-char strings (the hash is computed
+# IDENTICALLY in both engines, so any collision affects both equally —
+# parity is exact by construction). Count-join back on the same key,
+# then a doc-keyed rollup. At 100 TB this is the standard two-shuffle
+# suffix-dedup plan; fan-out is n_chars rows per doc, bounded per row.
+# ---------------------------------------------------------------------------
+
+_DUP_SPAN_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         substr(md5(substr(text, CAST(p AS INT), 20)), 1, 15) AS gh
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, CAST(n_chars - 19 AS BIGINT))) AS p)
+  WHERE n_chars >= 20
+),
+c AS (SELECT gh, COUNT(*) AS cnt FROM g GROUP BY gh)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(CASE WHEN cnt > 1 THEN 1 END) AS BIGINT) AS n_dup_grams,
+       ROUND(CAST(COUNT(CASE WHEN cnt > 1 THEN 1 END) AS DOUBLE) / COUNT(*), 6)
+         AS dup_frac
+FROM g JOIN c USING (gh)
+GROUP BY doc_id
+"""
+
+
+@query("dup_span_stats", _DUP_SPAN_ORACLE)
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    grams = (
+        d.filter(F.col("n_chars") >= 20)  # sequence(1, n<1) would DESCEND in Spark
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_chars") - 19)
+            ).alias("p"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.substring(
+                F.md5(F.expr("substring(text, CAST(p AS INT), 20)")), 1, 15
+            ).alias("gh"),
+        )
+    )
+    counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        grams.join(counts, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("cnt") > 1, 1)).alias("n_dup_grams"),
+            F.round(
+                F.count(F.when(F.col("cnt") > 1, 1)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

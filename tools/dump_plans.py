@@ -218,6 +218,40 @@ COMMENTARY = {
         "broadcast sequence explodes; the anti join shuffles only the "
         "compact (slot, type) key, never event payloads."
     ),
+    "scd2_intervals": (
+        "SCD2 build: a SINGLE Exchange on user_id feeds everything — "
+        "change-flag window, running island id, the island rollup "
+        "(SortAggregate reusing the sort) and the lead(valid_from) "
+        "window; the fact table is shuffled exactly once."
+    ),
+    "locf_fill": (
+        "LOCF: spine union readings feeds a single Exchange on user_id "
+        "and ONE running-last Window — no as-of join, no per-gap "
+        "fan-out; markers are generated (sequence explode), not stored."
+    ),
+    "trailing_1h_stats": (
+        "RANGE frame: one Exchange + sort per user_id; the trailing-hour "
+        "count and DECIMAL sum evaluate in the same Window node — "
+        "sliding-interval state bounded by the hour span, no self-join."
+    ),
+    "embedding_covariance": (
+        "Exact covariance: the vec_id equi-join materializes N·d²/2 "
+        "product rows but the groupBy(i,j) aggregates map-side, so the "
+        "Exchange carries d² partial rows per partition; the 64-row "
+        "moment table is broadcast twice."
+    ),
+    "jl_project": (
+        "JL projection: the k-axis fanout is a map-side explode with the "
+        "±1 sign computed inline from md5 — no sign-matrix join; the "
+        "only Exchange is the (vec_id, j) exact-integer sum."
+    ),
+    "dup_span_stats": (
+        "Substring dedup: gram strings collapse to 60-bit hashes before "
+        "the groupBy — the shuffle carries 8-byte keys; at this SF AQE "
+        "broadcasts the count table back (at 100 TB it becomes a "
+        "shuffle join on the same gh key); per-doc rollup is the final "
+        "Exchange."
+    ),
 }
 
 
