@@ -39,8 +39,10 @@ Round-5 rotation TODO: promote the 11 queries registered this round
 ``value_interpolate``, ``hourly_completeness``, plus the later
 round-4 additions ``scd2_intervals``, ``locf_fill``,
 ``trailing_1h_stats``, ``embedding_covariance``, ``jl_project``,
-``dup_span_stats`` — no driver row yet) plus the r02-green remainder
-above; backfill with whatever round 4's window left stalest.
+``dup_span_stats``, ``user_value_trend``, ``zorder_locality``,
+``kmv_daily_merge``, ``cms_user_counts`` — no driver row yet) plus the
+r02-green remainder above; backfill with whatever round 4's window
+left stalest.
 """
 
 from . import registry
@@ -56,6 +58,7 @@ from . import streaming_q  # noqa: F401
 from . import windows_q  # noqa: F401
 from . import textops  # noqa: F401
 from . import simsearch  # noqa: F401
+from . import layout  # noqa: F401
 
 # Round-4 driver window (slots 1-50), stalest-first.
 registry.promote(

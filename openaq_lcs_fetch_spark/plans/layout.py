@@ -1,0 +1,275 @@
+"""Physical-layout queries: z-order clustering math, mergeable sketches.
+
+These demonstrate the 100 TB layout/sketch layer as driver-checkable
+queries: the z-order key itself is deterministic integer arithmetic
+(oracle-able bit-for-bit), and the KMV / CMS sketches are built from
+md5 — portable across engines, so even the *estimates* hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..storage import sql_zorder, zorder_column
+from .registry import query, t
+
+# ---------------------------------------------------------------------------
+# zorder_locality — the data-skipping argument as a query: events key on
+# (user_id, hour-index), z-order the pair, split the z-range into 32
+# contiguous buckets (= the files write_zordered would emit) and report
+# each bucket's envelope in BOTH dimensions. A time-sorted layout gives
+# every file the full user span; the z-order buckets keep both spans
+# bounded — that bound is what parquet min/max stats prune on. Shape:
+# the z key is codegen bit math; zmin/zmax is a 1-row broadcast; one
+# shuffle on the 32-value bucket id.
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+
+def _zorder_oracle() -> str:
+    z = sql_zorder(["((user_id * 5) & 65535)", "(h & 65535)"], 16)
+    return f"""
+WITH b AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) // {_HOUR_US} AS h
+  FROM events
+),
+zed AS (SELECT user_id, h, {z} AS z FROM b),
+ext AS (SELECT MIN(z) AS zmin, MAX(z) AS zmax FROM zed),
+bucketed AS (
+  SELECT user_id, h,
+         CAST(((z - zmin) * 32) // (zmax - zmin + 1) AS BIGINT) AS bucket
+  FROM zed, ext
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(user_id) - MIN(user_id) AS BIGINT) AS user_span,
+       CAST(MAX(h) - MIN(h) AS BIGINT) AS hour_span
+FROM bucketed GROUP BY bucket
+"""
+
+
+@query("zorder_locality", _zorder_oracle())
+def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.timestamps import micros
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts")
+    h = (
+        (micros(F.col("ts")) - micros(F.lit("2024-01-01").cast("timestamp")))
+        / F.lit(_HOUR_US)
+    ).cast("long")  # both operands positive → trunc == floor == DuckDB //
+    b = e.select("user_id", h.alias("h"))
+    # user_id scales ×5 (~150 → ~750) to match the hour index's range —
+    # see zorder_column's docstring on balancing dimensions
+    z = zorder_column(
+        [
+            (F.col("user_id") * 5).bitwiseAND(F.lit(65535)),
+            F.col("h").bitwiseAND(F.lit(65535)),
+        ],
+        bits=16,
+    )
+    zed = b.withColumn("z", z)
+    ext = zed.agg(F.min("z").alias("zmin"), F.max("z").alias("zmax"))
+    # DIV = exact integral division, mirroring DuckDB's `//` — a double
+    # `/` + cast could round across the bucket boundary
+    bucketed = zed.crossJoin(F.broadcast(ext)).select(
+        "user_id",
+        "h",
+        F.expr("CAST(((z - zmin) * 32) DIV (zmax - zmin + 1) AS BIGINT)").alias(
+            "bucket"
+        ),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max("user_id") - F.min("user_id")).alias("user_span"),
+        (F.max("h") - F.min("h")).alias("hour_span"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# kmv_daily_merge — MERGEABLE distinct sketch: a k-minimum-values sketch
+# of distinct users builds PER DAY (the partial), then the 30 partials
+# merge into one global sketch — the aggregation-tree shape a 1000-node
+# cluster needs (each executor sketches its slice; the driver-side merge
+# is k rows per partial, never raw data). md5 hashing makes the sketch —
+# and therefore the ESTIMATE — identical across engines, so the oracle
+# checks the estimate itself, not just bounds. Output: exact distinct,
+# KMV estimate from merged sketch, relative error.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SPACE = float(1 << 60)
+
+_KMV_MERGE_ORACLE = f"""
+WITH hashed AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':kmv'), 1, 15))::BIGINT AS hv
+  FROM events
+),
+daily AS (
+  SELECT day, hv,
+         row_number() OVER (PARTITION BY day ORDER BY hv ASC) AS rk
+  FROM hashed
+),
+partials AS (SELECT day, hv FROM daily WHERE rk <= {_KMV_K}),
+merged AS (
+  SELECT hv, row_number() OVER (ORDER BY hv ASC) AS rk
+  FROM (SELECT DISTINCT hv FROM partials)
+),
+kth AS (SELECT hv AS kth_hv FROM merged WHERE rk = {_KMV_K}),
+exact AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users FROM events)
+SELECT exact_users,
+       ROUND(({_KMV_K} - 1) / (CAST(kth_hv AS DOUBLE) / {_KMV_SPACE!r}), 6)
+         AS kmv_estimate,
+       ROUND(ABS(({_KMV_K} - 1) / (CAST(kth_hv AS DOUBLE) / {_KMV_SPACE!r})
+                 - exact_users) / exact_users, 6) AS rel_err
+FROM exact, kth
+"""
+
+
+@query("kmv_daily_merge", _KMV_MERGE_ORACLE)
+def kmv_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":kmv"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = e.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), hv.alias("hv")
+    ).distinct()
+    wd = Window.partitionBy("day").orderBy(F.col("hv").asc())
+    partials = hashed.withColumn("rk", F.row_number().over(wd)).filter(
+        F.col("rk") <= _KMV_K
+    )
+    # merge: distinct union of the per-day k-minima, then the global k-th
+    # minimum — row_number over a GLOBAL order is fine here because the
+    # merged sketch is ≤ k·days rows (sketch-sized, never data-sized);
+    # rk == k (not max-of-limit) so "fewer than k hashes" yields an
+    # empty result in BOTH engines
+    merged = partials.select("hv").distinct()
+    wg = Window.orderBy(F.col("hv").asc())
+    kth = (
+        merged.withColumn("rk", F.row_number().over(wg))
+        .filter(F.col("rk") == _KMV_K)
+        .select(F.col("hv").alias("kth_hv"))
+    )
+    exact = e.agg(F.countDistinct("user_id").alias("exact_users"))
+    est = (_KMV_K - 1) / (F.col("kth_hv").cast("double") / F.lit(_KMV_SPACE))
+    return (
+        exact.crossJoin(F.broadcast(kth))
+        .select(
+            "exact_users",
+            F.round(est, 6).alias("kmv_estimate"),
+            F.round(
+                F.abs(est - F.col("exact_users")) / F.col("exact_users"), 6
+            ).alias("rel_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cms_user_counts — count-min sketch (d=4 rows × w=256 buckets) over the
+# event stream, evaluated against exact counts for the top-10 users: the
+# point-query estimate min_d(counts[d][h_d(key)]) always OVERcounts
+# (collisions only add), and with md5-derived bucket hashes the whole
+# table — and every estimate — is engine-portable. Shape: the sketch is
+# ONE groupBy over (d, bucket) (4·N map-side rows → d·w=1024 cells);
+# the probe side broadcasts 10 keys against the 1024-cell table.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 256
+
+
+def _cms_oracle() -> str:
+    return f"""
+WITH fanned AS (
+  SELECT user_id, d.d,
+         ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' ||
+                             CAST(user_id AS VARCHAR) || ':cms'), 1, 15))::BIGINT
+           % {_CMS_W} AS bucket
+  FROM events, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS d) d
+),
+cells AS (
+  SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM fanned GROUP BY d, bucket
+),
+topu AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM events GROUP BY user_id
+  ORDER BY exact_n DESC, user_id ASC LIMIT 10
+),
+probes AS (
+  SELECT t.user_id, t.exact_n, d.d,
+         ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' ||
+                             CAST(t.user_id AS VARCHAR) || ':cms'), 1, 15))::BIGINT
+           % {_CMS_W} AS bucket
+  FROM topu t, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS d) d
+)
+SELECT p.user_id, p.exact_n,
+       CAST(MIN(c.cnt) AS BIGINT) AS cms_estimate,
+       CAST(MIN(c.cnt) - p.exact_n AS BIGINT) AS overcount
+FROM probes p JOIN cells c ON c.d = p.d AND c.bucket = p.bucket
+GROUP BY p.user_id, p.exact_n
+"""
+
+
+def _cms_bucket(d_col, key_col):
+    raw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    d_col.cast("string"),
+                    F.lit(":"),
+                    key_col.cast("string"),
+                    F.lit(":cms"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return raw % _CMS_W
+
+
+@query("cms_user_counts", _cms_oracle())
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("user_id")
+    fanned = e.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d"),
+    ).select("d", _cms_bucket(F.col("d"), F.col("user_id")).alias("bucket"))
+    cells = fanned.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    topu = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+    probes = topu.select(
+        "user_id",
+        "exact_n",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d"),
+    ).select(
+        "user_id",
+        "exact_n",
+        "d",
+        _cms_bucket(F.col("d"), F.col("user_id")).alias("bucket"),
+    )
+    return (
+        F.broadcast(probes)
+        .join(cells, ["d", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(
+            F.min("cnt").alias("cms_estimate"),
+            (F.min("cnt") - F.col("exact_n")).alias("overcount"),
+        )
+    )

@@ -466,3 +466,86 @@ def trailing_1h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# user_value_trend — distributed least-squares trend per key WITHOUT any
+# UDF or iteration: OLS slope/intercept derive in closed form from five
+# sufficient statistics (n, Σx, Σy, Σx², Σxy), which are ONE map-side-
+# combined aggregation — the textbook "learn a model per key at 100 TB"
+# shape (each statistic is associative; the shuffle carries 5 scalars
+# per user). Exactness scheme: x = micros since 2024-01-01 (long),
+# y quantizes to micro-units (×1e6, the registry idiom); products
+# accumulate in DECIMAL(38,0) on the Spark side and HUGEINT in DuckDB —
+# both exact integers — and the closed-form solution then evaluates in
+# scalar double math written identically in both engines.
+# ---------------------------------------------------------------------------
+
+_TREND_ORACLE = """
+WITH b AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS x,
+         CAST(round(value * 1000000.0, 0) AS BIGINT) AS q
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(q AS HUGEINT)) AS DOUBLE) AS sq,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x AS HUGEINT) * q) AS DOUBLE) AS sxq
+  FROM b GROUP BY user_id
+),
+d AS (
+  SELECT user_id, n, sx, sq, sxx, sxq,
+         CAST(n AS DOUBLE) * sxq - sx * sq AS num,
+         CAST(n AS DOUBLE) * sxx - sx * sx AS den
+  FROM s
+)
+SELECT user_id, n,
+       ROUND(num / den * 3600.0, 6) AS slope_per_hour,
+       ROUND((sq - num / den * sx) / CAST(n AS DOUBLE) / 1000000.0, 6)
+         AS intercept
+FROM d
+WHERE n >= 2 AND den <> 0
+"""
+
+
+@query("user_value_trend", _TREND_ORACLE)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    from ..functions.timestamps import micros
+
+    x = micros(F.col("ts")) - micros(F.lit("2024-01-01").cast("timestamp"))
+    q = F.round(F.col("value") * 1_000_000.0, 0).cast("long")
+    b = e.select("user_id", x.alias("x"), q.alias("q"))
+    xd = F.col("x").cast("decimal(20,0)")
+    qd = F.col("q").cast("decimal(20,0)")
+    s = b.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(qd).cast("double").alias("sq"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(xd * qd).cast("double").alias("sxq"),
+    )
+    n_d = F.col("n").cast("double")
+    num = n_d * F.col("sxq") - F.col("sx") * F.col("sq")
+    den = n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    d = s.select("user_id", "n", "sx", "sq", num.alias("num"), den.alias("den"))
+    return (
+        d.filter((F.col("n") >= 2) & (F.col("den") != 0))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("num") / F.col("den") * 3600.0, 6).alias(
+                "slope_per_hour"
+            ),
+            F.round(
+                (F.col("sq") - F.col("num") / F.col("den") * F.col("sx"))
+                / F.col("n").cast("double")
+                / 1_000_000.0,
+                6,
+            ).alias("intercept"),
+        )
+    )

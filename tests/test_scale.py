@@ -76,3 +76,54 @@ def test_salted_agg_rejects_non_reaggregable(spark):
     e = spark.createDataFrame([(1, 2.0)], "k int, v double")
     with pytest.raises(ValueError, match="non-re-aggregable"):
         salted_agg(e, ["k"], {"v": "avg"})
+
+
+def test_zorder_write_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    """write_zordered's per-file envelopes are bounded in EVERY clustered
+    dimension; a time-sorted layout leaves the user dimension unpruned
+    (full span in ~every file). This is the parquet min/max data-skipping
+    argument measured, not asserted from prose."""
+    from pyspark.sql import functions as F
+
+    from openaq_lcs_fetch_spark import tables
+    from openaq_lcs_fetch_spark.functions.timestamps import micros
+    from openaq_lcs_fetch_spark.storage import write_zordered, zorder_column
+
+    e = tables.load(spark, sf_dir, "events").select("user_id", "ts")
+    h = (
+        (micros(F.col("ts")) - micros(F.lit("2024-01-01").cast("timestamp")))
+        / F.lit(3_600_000_000)
+    ).cast("long")
+    df = e.select("user_id", h.alias("h"))
+    n_files = 16
+
+    zpath, tpath = str(tmp_path / "zorder"), str(tmp_path / "timesort")
+    z = zorder_column(
+        [
+            (F.col("user_id") * 5).bitwiseAND(F.lit(65535)),
+            F.col("h").bitwiseAND(F.lit(65535)),
+        ],
+        bits=16,
+    )
+    write_zordered(df, zpath, z, n_files=n_files)
+    df.repartitionByRange(n_files, F.col("h").asc()).write.mode(
+        "overwrite"
+    ).parquet(tpath)
+
+    def mean_user_span(path: str) -> float:
+        per_file = (
+            spark.read.parquet(path)
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg((F.max("user_id") - F.min("user_id")).alias("span"))
+        )
+        row = per_file.agg(F.avg("span").alias("m")).collect()[0]
+        return float(row["m"])
+
+    z_span, t_span = mean_user_span(zpath), mean_user_span(tpath)
+    # time-sorted files see ~the full user range; z-ordered files must
+    # cut the mean span at least in half
+    assert z_span < 0.5 * t_span, (z_span, t_span)
+
+    # row fidelity: clustering is a layout change only
+    assert spark.read.parquet(zpath).count() == df.count()

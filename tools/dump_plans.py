@@ -245,6 +245,23 @@ COMMENTARY = {
         "±1 sign computed inline from md5 — no sign-matrix join; the "
         "only Exchange is the (vec_id, j) exact-integer sum."
     ),
+    "user_value_trend": (
+        "Distributed OLS: the five sufficient statistics are ONE "
+        "hash-partitioned aggregate with map-side partials; the "
+        "closed-form solve is a projection — no UDF, no iteration, "
+        "nothing fact-sized after the single Exchange."
+    ),
+    "zorder_locality": (
+        "Z-order audit: the Morton key is pure codegen bit math in the "
+        "scan stage; zmin/zmax is a 1-row broadcast; the only "
+        "fact-sized Exchange is the 32-bucket rollup."
+    ),
+    "kmv_daily_merge": (
+        "Mergeable KMV: per-day k-minima cut by WindowGroupLimit before "
+        "the full sort; the merge input is sketch-sized (k·days rows), "
+        "so the global row_number window is bounded; exact count and "
+        "sketch share one scan."
+    ),
     "dup_span_stats": (
         "Substring dedup: gram strings collapse to 60-bit hashes before "
         "the groupBy — the shuffle carries 8-byte keys; at this SF AQE "
