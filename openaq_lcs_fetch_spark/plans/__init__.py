@@ -40,9 +40,10 @@ Round-5 rotation TODO: promote the 11 queries registered this round
 round-4 additions ``scd2_intervals``, ``locf_fill``,
 ``trailing_1h_stats``, ``embedding_covariance``, ``jl_project``,
 ``dup_span_stats``, ``user_value_trend``, ``zorder_locality``,
-``kmv_daily_merge``, ``cms_user_counts`` — no driver row yet) plus the
-r02-green remainder above; backfill with whatever round 4's window
-left stalest.
+``kmv_daily_merge``, ``cms_user_counts``, ``time_weighted_avg``,
+``conjunctive_search``, ``event_type_affinity`` — no driver row yet)
+plus the r02-green remainder above; backfill with whatever round 4's
+window left stalest.
 """
 
 from . import registry

@@ -549,3 +549,67 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("intercept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_avg — the hypertable signature aggregate: per (user, day)
+# the PIECEWISE-CONSTANT time-weighted mean of `value` (each reading
+# holds until the next one; the final reading holds until midnight — the
+# LOCF integral, à la TimescaleDB's time_weight('LOCF')). A plain AVG
+# over-weights bursts; the time-weighted form is what sensor rollups
+# actually need. Exactness: weights are exact micros (lead() within the
+# day), values quantize ×1e6, and Σq·w accumulates in DECIMAL(38) /
+# HUGEINT — order-independent — before ONE double division at the end.
+# Shape: one window (lead) and one aggregate, both on the same
+# (user, day) partitioning.
+# ---------------------------------------------------------------------------
+
+_TWA_ORACLE = """
+WITH b AS (
+  SELECT user_id, date_trunc('day', ts) AS day, ts,
+         CAST(round(value * 1000000.0, 0) AS BIGINT) AS q,
+         lead(ts) OVER (PARTITION BY user_id, date_trunc('day', ts)
+                        ORDER BY ts, event_id) AS next_ts
+  FROM events
+),
+w AS (
+  SELECT user_id, day, q,
+         epoch_us(COALESCE(next_ts, day + INTERVAL 1 DAY))
+           - epoch_us(ts) AS w_us
+  FROM b
+)
+SELECT user_id, day,
+       ROUND(CAST(SUM(CAST(q AS HUGEINT) * w_us) AS DOUBLE)
+             / CAST(SUM(CAST(w_us AS HUGEINT)) AS DOUBLE) / 1000000.0,
+             6) AS twa
+FROM w GROUP BY user_id, day
+"""
+
+
+@query("time_weighted_avg", _TWA_ORACLE)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.timestamps import micros
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    day = F.date_trunc("day", "ts")
+    b = e.select(
+        "user_id",
+        day.alias("day"),
+        "ts",
+        F.round(F.col("value") * 1_000_000.0, 0).cast("long").alias("q"),
+        "event_id",
+    )
+    wspec = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(wspec)
+    day_end = F.col("day") + F.expr("INTERVAL 1 DAY")
+    w_us = micros(F.coalesce(nxt, day_end)) - micros(F.col("ts"))
+    weighted = b.withColumn("w_us", w_us)
+    num = F.sum(
+        F.col("q").cast("decimal(18,0)") * F.col("w_us").cast("decimal(20,0)")
+    ).cast("double")
+    den = F.sum(F.col("w_us").cast("decimal(20,0)")).cast("double")
+    return weighted.groupBy("user_id", "day").agg(
+        F.round(num / den / 1_000_000.0, 6).alias("twa")
+    )

@@ -1657,3 +1657,46 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# conjunctive_search — inverted-index probe: the two highest-df terms
+# (deterministic tiebreak on the token) AND-ed — docs must contain BOTH.
+# This is the retrieval twin of token_doc_freq's index build: postings
+# are distinct (doc, token) rows, the query side is a 2-row broadcast,
+# and the AND is "count of matched distinct terms == number of query
+# terms" — the standard posting-intersection-as-groupBy shape, which at
+# 100 TB stays one broadcast join + one doc-keyed count (no posting-list
+# materialization on the driver, no self-join).
+# ---------------------------------------------------------------------------
+
+_CONJ_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+postings AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM toks),
+df AS (SELECT tok, COUNT(*) AS df FROM postings GROUP BY tok),
+query_terms AS (
+  SELECT tok FROM df ORDER BY df DESC, tok ASC LIMIT 2
+)
+SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+FROM postings p JOIN query_terms q USING (tok)
+GROUP BY p.doc_id
+HAVING COUNT(*) = 2
+"""
+
+
+@query("conjunctive_search", _CONJ_ORACLE)
+def conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    postings = d.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    ).distinct()
+    df = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    query_terms = (
+        df.orderBy(F.col("df").desc(), F.col("tok").asc()).limit(2).select("tok")
+    )
+    return (
+        postings.join(F.broadcast(query_terms), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .filter(F.col("n_matched") == 2)
+    )

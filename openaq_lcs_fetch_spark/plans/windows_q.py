@@ -751,3 +751,69 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", (F.col("_s").cast("double") / 1_000_000.0).alias("decayed_value")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# event_type_affinity — market-basket association over per-user event
+# sets: for every event-type pair, support / confidence / lift from
+# exact user counts. The self-join runs on DISTINCT (user, type) rows —
+# at most |types| per user, so fan-out per key is bounded by the type
+# vocabulary (25 pairs/user here), never by event volume; the per-type
+# totals are a 5-row broadcast. All three measures derive from exact
+# BIGINTs in mirrored double math.
+# ---------------------------------------------------------------------------
+
+_AFFINITY_ORACLE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n_t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+total AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM ut a JOIN ut b USING (user_id)
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_ab,
+       ROUND(CAST(p.n_ab AS DOUBLE) / t.n_users, 6) AS support,
+       ROUND(CAST(p.n_ab AS DOUBLE) / na.n, 6) AS confidence,
+       ROUND(CAST(p.n_ab AS DOUBLE) * t.n_users / (na.n * nb.n), 6) AS lift
+FROM pairs p
+JOIN n_t na ON na.event_type = p.type_a
+JOIN n_t nb ON nb.event_type = p.type_b
+CROSS JOIN total t
+"""
+
+
+@query("event_type_affinity", _AFFINITY_ORACLE)
+def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("user_id", "event_type")
+    ut = e.distinct()
+    n_t = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    total = e.agg(F.countDistinct("user_id").alias("n_users"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = n_t.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    nb = n_t.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    ab = F.col("n_ab").cast("double")
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(ab / F.col("n_users"), 6).alias("support"),
+            F.round(ab / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                ab * F.col("n_users") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+    )

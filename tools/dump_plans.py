@@ -245,6 +245,17 @@ COMMENTARY = {
         "±1 sign computed inline from md5 — no sign-matrix join; the "
         "only Exchange is the (vec_id, j) exact-integer sum."
     ),
+    "time_weighted_avg": (
+        "LOCF integral: lead() weights and the weighted sum share one "
+        "(user, day) Exchange; the DECIMAL accumulation keeps the "
+        "result partitioning-independent; nothing fact-sized appears "
+        "after the window."
+    ),
+    "event_type_affinity": (
+        "Market basket: the self-join input is DISTINCT (user, type) — "
+        "per-key fan-out bounded by the 5-type vocabulary; totals are "
+        "broadcast; no event-volume-sized join anywhere."
+    ),
     "user_value_trend": (
         "Distributed OLS: the five sufficient statistics are ONE "
         "hash-partitioned aggregate with map-side partials; the "
