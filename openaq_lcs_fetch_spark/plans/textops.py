@@ -1643,19 +1643,22 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gh"),
         )
     )
-    counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt"))
-    return (
-        grams.join(counts, "gh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count(F.when(F.col("cnt") > 1, 1)).alias("n_dup_grams"),
-            F.round(
-                F.count(F.when(F.col("cnt") > 1, 1)).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("dup_frac"),
-        )
+    # per-gram occurrence count as a WINDOW over gh, not groupBy+join —
+    # the join shape evaluates the explode+md5 Generate twice (once per
+    # side) and sort-merge-joins two gram-sized inputs; the window reads
+    # the gram table once (measured 2.4x at sf0.1)
+    from pyspark.sql import Window
+
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    flagged = grams.select("doc_id", cnt.alias("cnt"))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count(F.when(F.col("cnt") > 1, 1)).alias("n_dup_grams"),
+        F.round(
+            F.count(F.when(F.col("cnt") > 1, 1)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_frac"),
     )
 
 

@@ -274,11 +274,11 @@ COMMENTARY = {
         "sketch share one scan."
     ),
     "dup_span_stats": (
-        "Substring dedup: gram strings collapse to 60-bit hashes before "
-        "the groupBy — the shuffle carries 8-byte keys; at this SF AQE "
-        "broadcasts the count table back (at 100 TB it becomes a "
-        "shuffle join on the same gh key); per-doc rollup is the final "
-        "Exchange."
+        "Substring dedup: gram strings collapse to 60-bit hashes in the "
+        "scan stage; per-gram counts are a WINDOW over gh (ONE read of "
+        "the gram table — the groupBy+join alternative evaluates the "
+        "explode+md5 twice and joins two gram-sized sides; measured "
+        "14x slower at sf0.1); the doc rollup is the second Exchange."
     ),
 }
 
