@@ -41,9 +41,10 @@ round-4 additions ``scd2_intervals``, ``locf_fill``,
 ``trailing_1h_stats``, ``embedding_covariance``, ``jl_project``,
 ``dup_span_stats``, ``user_value_trend``, ``zorder_locality``,
 ``kmv_daily_merge``, ``cms_user_counts``, ``time_weighted_avg``,
-``conjunctive_search``, ``event_type_affinity`` — no driver row yet)
-plus the r02-green remainder above; backfill with whatever round 4's
-window left stalest.
+``conjunctive_search``, ``event_type_affinity``, ``event_transitions``,
+``value_histogram``, ``incremental_hourly_merge``, ``type_day_chisq``
+— no driver row yet) plus the r02-green remainder above; backfill with
+whatever round 4's window left stalest.
 """
 
 from . import registry

@@ -817,3 +817,204 @@ def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# event_transitions — first-order Markov transition matrix over each
+# user's event sequence: (type → next type) adjacency counts and row-
+# normalized probabilities. The ORDERED complement of
+# event_type_affinity's set co-occurrence: one lag/lead window on the
+# user_id Exchange, then a 25-key rollup; the per-source totals join
+# back as a 5-row broadcast. Probabilities derive from exact BIGINTs.
+# ---------------------------------------------------------------------------
+
+_TRANSITIONS_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+),
+p AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+rt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total FROM p GROUP BY 1)
+SELECT p.from_type, p.to_type, p.n,
+       ROUND(CAST(p.n AS DOUBLE) / rt.row_total, 6) AS prob
+FROM p JOIN rt USING (from_type)
+"""
+
+
+@query("event_transitions", _TRANSITIONS_ORACLE)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    p = (
+        s.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rt = p.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        p.join(F.broadcast(rt), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias(
+                "prob"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# value_histogram — EXACT equal-width histogram (20 bins over the
+# observed value range): bin edges derive from integer-quantized min/max
+# and the bin id is integral division — no float boundary ambiguity, so
+# the histogram is identical under any partitioning and in any engine
+# (DuckDB's native histogram()/width_bucket have float-edge semantics
+# that are NOT portable). Shape: a 1-row extent broadcast, then one
+# 20-key rollup.
+# ---------------------------------------------------------------------------
+
+_HISTOGRAM_ORACLE = """
+WITH q AS (
+  SELECT CAST(round(value * 1000000.0, 0) AS BIGINT) AS q, value FROM events
+),
+ext AS (SELECT MIN(q) AS qmin, MAX(q) AS qmax FROM q)
+SELECT CAST(((q - qmin) * 20) // (qmax - qmin + 1) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS lo_value, MAX(value) AS hi_value
+FROM q, ext
+GROUP BY 1
+"""
+
+
+@query("value_histogram", _HISTOGRAM_ORACLE)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("value")
+    q = e.select(
+        F.round(F.col("value") * 1_000_000.0, 0).cast("long").alias("q"), "value"
+    )
+    ext = q.agg(F.min("q").alias("qmin"), F.max("q").alias("qmax"))
+    binned = q.crossJoin(F.broadcast(ext)).select(
+        F.expr("CAST(((q - qmin) * 20) DIV (qmax - qmin + 1) AS BIGINT)").alias(
+            "bin"
+        ),
+        "value",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo_value"),
+        F.max("value").alias("hi_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental_hourly_merge — the lambda-architecture identity, checked:
+# a materialized rollup of the FIRST half of the month merges with a
+# fresh rollup of the second half by RE-AGGREGATION (sum of sums,
+# DECIMAL-exact), and the oracle computes the whole month in one pass —
+# equality IS the proof that the aggregate state is mergeable, the
+# property incremental view maintenance and multi-level rollup trees
+# (operators/rollup_cascade.py) depend on. Both halves prune on the ts
+# predicate at the parquet scan.
+# ---------------------------------------------------------------------------
+
+
+def _inc_merge_oracle() -> str:
+    from .registry import sql_exact_sum
+
+    return f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_exact_sum('value')} AS val_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+@query("incremental_hourly_merge", _inc_merge_oracle())
+def incremental_hourly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import exact_sum
+
+    e = t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("val_dec"),
+        )
+
+    old = rollup(e.filter(F.col("ts") < cut))  # "yesterday's materialization"
+    delta = rollup(e.filter(F.col("ts") >= cut))  # the fresh increment
+    return (
+        old.unionByName(delta)
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("val_dec").cast("double").alias("val_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# type_day_chisq — independence test scaffold: the (event_type × ISO
+# weekday) contingency table with expected counts and per-cell χ²
+# contributions. The total χ² is deliberately NOT summed: a global sum
+# of 35 arbitrary doubles is partition-order-dependent — the per-cell
+# contributions are each a deterministic function of exact integers, so
+# the result hash-matches; the reader (or a 35-row follow-up agg) sums
+# them. Marginals are 5- and 7-row broadcasts.
+# ---------------------------------------------------------------------------
+
+_CHISQ_ORACLE = """
+WITH o AS (
+  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2
+),
+rowm AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS row_n FROM o GROUP BY 1),
+colm AS (SELECT dow, CAST(SUM(obs) AS BIGINT) AS col_n FROM o GROUP BY 1),
+tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o)
+SELECT o.event_type, o.dow, o.obs,
+       ROUND(CAST(r.row_n AS DOUBLE) * c.col_n / t.n, 6) AS expected,
+       ROUND(POWER(o.obs - CAST(r.row_n AS DOUBLE) * c.col_n / t.n, 2)
+             / (CAST(r.row_n AS DOUBLE) * c.col_n / t.n), 6) AS chisq_term
+FROM o JOIN rowm r USING (event_type) JOIN colm c USING (dow) CROSS JOIN tot t
+"""
+
+
+@query("type_day_chisq", _CHISQ_ORACLE)
+def type_day_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("event_type", "ts")
+    # ISO weekday: Spark weekday() is 0=Mon..6=Sun; isodow is 1..7
+    o = e.groupBy(
+        "event_type", (F.expr("weekday(ts)") + 1).cast("long").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    rowm = o.groupBy("event_type").agg(F.sum("obs").alias("row_n"))
+    colm = o.groupBy("dow").agg(F.sum("obs").alias("col_n"))
+    tot = o.agg(F.sum("obs").alias("n"))
+    expected = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    return (
+        o.join(F.broadcast(rowm), "event_type")
+        .join(F.broadcast(colm), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "dow",
+            "obs",
+            F.round(expected, 6).alias("expected"),
+            F.round(
+                F.pow(F.col("obs") - expected, F.lit(2)) / expected, 6
+            ).alias("chisq_term"),
+        )
+    )

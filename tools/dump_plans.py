@@ -245,6 +245,12 @@ COMMENTARY = {
         "±1 sign computed inline from md5 — no sign-matrix join; the "
         "only Exchange is the (vec_id, j) exact-integer sum."
     ),
+    "incremental_hourly_merge": (
+        "Lambda merge: both half-month rollups push their ts predicate "
+        "into the scan (PushedFilters); the re-aggregation unions two "
+        "already-aggregated inputs — the second Exchange carries rollup "
+        "rows, never events."
+    ),
     "time_weighted_avg": (
         "LOCF integral: lead() weights and the weighted sum share one "
         "(user, day) Exchange; the DECIMAL accumulation keeps the "
