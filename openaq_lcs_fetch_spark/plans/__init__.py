@@ -11,40 +11,27 @@ made explicit by ``registry.promote``:
 * round 1 verified the relational/etl half (CORRECTNESS_r01, 50 green);
 * round 2 front-loaded textops/simsearch/streaming/windows/temporal
   (CORRECTNESS_r02: 44 green, 6 red — all one timestamp-ingestion bug);
-* round 3 (here) promotes the 12 queries that have NEVER had a driver
-  row (llmops / pq / rangejoin_q, registered mid-round-2 at positions
-  51-62) plus the 6 red-in-r02 queries now fixed, then lets the
-  relational/etl set — unverified since round 1 — fill the remaining
-  32 window slots for re-verification. The r02-green half rotates to
-  the back; ``tools/check_all.py`` still re-proves the full registry
-  against DuckDB locally every round.
+* round 3 promoted the 12 never-verified mid-round-2 queries plus the
+  6 r02 reds, backfilled with the r01 relational/etl set
+  (CORRECTNESS_r03: 49 green + 1 deliberate no_oracle);
+* round 4 (here): never-verified queries outrank everything, and there
+  are 46 of them — 11 late-round-3 (session windows, sequence packing,
+  semantic dedup, recall eval, chained/session streaming, containment,
+  media, lsh-verified, token budget), ``approx_event_stats`` (driver-red
+  ``no_oracle`` in r03, made hash-checkable this round), 16 mid-round-4
+  (passage dedup … hourly completeness), and 18 late-round-4 (SCD2 …
+  record-breaking values). The remaining 4 slots take the stalest
+  signal: r01-verified rollup/profile queries. Everything else —
+  14 more r01-stale relational/etl + the r02-green textops/simsearch
+  set — is the round-5 rotation TODO; ``tools/check_all.py`` (and the
+  repo's own 157-case parity suite) still re-proves the FULL registry
+  against DuckDB locally every round, so rotation only decides which
+  proof the driver itself replays.
 
-* round 4 (here) promotes the 11 queries that have NEVER had a driver
-  row (the late-round-3 six plus containment/media/lsh_verified/
-  token_budget, registered mid-round-3), then ``approx_event_stats``
-  (no_oracle in r03, made driver-checkable this round), then the 18
-  queries last verified in round 1 (three rounds stale), and fills the
-  remaining 20 slots with the oldest half of the r02-green textops set
-  plus ``embedding_near_dups`` (its plan is touched this round). The
-  r02-green remainder (ANN/simsearch + windows/relational, 24 queries)
-  is the round-5 rotation TODO; ``tools/check_all.py`` still re-proves
-  the full registry against DuckDB locally every round.
-
-Round-5 rotation TODO: promote the 11 queries registered this round
-(``passage_dedup``, ``doc_lm_score``, ``weighted_sample``,
-``ivf_pq_search``, ``streaming_enriched_hourly``, ``ann_rerank``,
-``embedding_dim_stats``, ``late_shipped_priorities``,
-``wealthy_inactive_customers``, ``bm25_scores``, ``doc_chunking``,
-``funnel_conversion``, ``retention_cohorts``, ``ewma_user_value``,
-``value_interpolate``, ``hourly_completeness``, plus the later
-round-4 additions ``scd2_intervals``, ``locf_fill``,
-``trailing_1h_stats``, ``embedding_covariance``, ``jl_project``,
-``dup_span_stats``, ``user_value_trend``, ``zorder_locality``,
-``kmv_daily_merge``, ``cms_user_counts``, ``time_weighted_avg``,
-``conjunctive_search``, ``event_type_affinity``, ``event_transitions``,
-``value_histogram``, ``incremental_hourly_merge``, ``type_day_chisq``
-— no driver row yet) plus the r02-green remainder above; backfill with
-whatever round 4's window left stalest.
+Round-5 rotation TODO: promote whatever round 4 registered after this
+list froze (none yet), then the r02-green textops/simsearch set (last
+driver row round 2), then the 14 r01-stale relational/etl queries
+(``hour_ending_rollup``-adjacent group below), newest-signal last.
 """
 
 from . import registry
@@ -62,7 +49,8 @@ from . import textops  # noqa: F401
 from . import simsearch  # noqa: F401
 from . import layout  # noqa: F401
 
-# Round-4 driver window (slots 1-50), stalest-first.
+# Round-4 driver window (slots 1-50): all 46 never-verified queries,
+# then 4 stalest (r01) — see module docstring.
 registry.promote(
     [
         # never driver-verified (registered mid/late round 3)
@@ -79,47 +67,47 @@ registry.promote(
         "token_budget_select",
         # no_oracle in r03; made driver-checkable this round
         "approx_event_stats",
-        # last verified round 1 — three rounds stale
+        # never driver-verified (registered mid-round 4)
+        "passage_dedup",
+        "doc_lm_score",
+        "weighted_sample",
+        "ivf_pq_search",
+        "streaming_enriched_hourly",
+        "ann_rerank",
+        "embedding_dim_stats",
+        "late_shipped_priorities",
+        "wealthy_inactive_customers",
+        "bm25_scores",
+        "doc_chunking",
+        "funnel_conversion",
+        "retention_cohorts",
+        "ewma_user_value",
+        "value_interpolate",
+        "hourly_completeness",
+        # never driver-verified (registered late round 4)
+        "scd2_intervals",
+        "locf_fill",
+        "trailing_1h_stats",
+        "embedding_covariance",
+        "jl_project",
+        "dup_span_stats",
+        "user_value_trend",
+        "zorder_locality",
+        "kmv_daily_merge",
+        "cms_user_counts",
+        "time_weighted_avg",
+        "conjunctive_search",
+        "event_type_affinity",
+        "event_transitions",
+        "value_histogram",
+        "incremental_hourly_merge",
+        "type_day_chisq",
+        "record_breaking_values",
+        # stalest re-verification signal (last driver row: round 1)
         "watermark_summary",
         "distinct_users",
         "hourly_rollup",
         "hour_ending_rollup",
-        "cohort_union",
-        "enrich_misses",
-        "tz_daily",
-        "props_extract",
-        "recent_orders",
-        "latest_complete_hour",
-        "order_calendar",
-        "distinct_pairs",
-        "ingest_id_join",
-        "value_percentiles",
-        "daily_from_hourly",
-        "quarantine_summary",
-        "profile_numerics",
-        "table_manifest",
-        # last verified round 2 — textops (oldest of the r02 set) plus
-        # embedding_near_dups, whose plan is touched this round
-        "embedding_near_dups",
-        "doc_token_stats",
-        "doc_language",
-        "doc_quality",
-        "doc_fingerprint",
-        "dedup_exact",
-        "simhash_docs",
-        "ngram_jaccard_top",
-        "minhash_signatures",
-        "minhash_lsh_pairs",
-        "multimodal_meta",
-        "simhash_near_dups",
-        "corpus_clean",
-        "bpe_token_stats",
-        "token_doc_freq",
-        "doc_winnow",
-        "corpus_sample",
-        "corpus_split",
-        "tfidf_top_terms",
-        "bigram_lift_top",
     ]
 )
 

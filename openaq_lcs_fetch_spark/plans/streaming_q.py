@@ -247,3 +247,49 @@ def streaming_enriched_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("w.start").alias("hour"), "category", "n", "weight_sum", "weighted_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# record_breaking_values — per-user record-breaking rows (value strictly
+# above the running maximum), the BATCH twin of
+# streaming.stateful.running_max — the Spark-4 arbitrary-state operator
+# (transformWithStateInPandas / StatefulProcessor, typed ValueState).
+# That API's Python worker needs google.protobuf, absent from this
+# container, so the streaming twin is env-gated (tests skip without it,
+# same stance as the multimodal codecs) and the driver-visible query is
+# the batch plan: one prev-max window per user. The two share this
+# oracle verbatim — when protobuf is present the bounded replay must
+# match it row-for-row.
+# ---------------------------------------------------------------------------
+
+_RUNNING_MAX_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM events
+)
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+FROM o WHERE prev_max IS NULL OR value > prev_max
+"""
+
+
+@query("record_breaking_values", _RUNNING_MAX_ORACLE)
+def record_breaking_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .registry import t
+
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max("value").over(w)
+    return (
+        e.withColumn("prev_max", prev_max)
+        .filter(F.col("prev_max").isNull() | (F.col("value") > F.col("prev_max")))
+        .select("user_id", "event_id", micros(F.col("ts")).alias("ts_us"), "value")
+    )

@@ -987,7 +987,8 @@ colm AS (SELECT dow, CAST(SUM(obs) AS BIGINT) AS col_n FROM o GROUP BY 1),
 tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o)
 SELECT o.event_type, o.dow, o.obs,
        ROUND(CAST(r.row_n AS DOUBLE) * c.col_n / t.n, 6) AS expected,
-       ROUND(POWER(o.obs - CAST(r.row_n AS DOUBLE) * c.col_n / t.n, 2)
+       ROUND((o.obs - CAST(r.row_n AS DOUBLE) * c.col_n / t.n)
+             * (o.obs - CAST(r.row_n AS DOUBLE) * c.col_n / t.n)
              / (CAST(r.row_n AS DOUBLE) * c.col_n / t.n), 6) AS chisq_term
 FROM o JOIN rowm r USING (event_type) JOIN colm c USING (dow) CROSS JOIN tot t
 """
@@ -1013,8 +1014,12 @@ def type_day_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dow",
             "obs",
             F.round(expected, 6).alias("expected"),
+            # (o-e)*(o-e), not pow(,2): Math.pow and C pow may differ
+            # by 1 ulp; multiplication is correctly rounded in both
             F.round(
-                F.pow(F.col("obs") - expected, F.lit(2)) / expected, 6
+                (F.col("obs") - expected) * (F.col("obs") - expected)
+                / expected,
+                6,
             ).alias("chisq_term"),
         )
     )

@@ -24,7 +24,13 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 #: state: last emitted content hash per station key
 _STATE_SCHEMA = StructType([StructField("content_hash", StringType(), True)])
@@ -146,3 +152,77 @@ def foreach_batch_upsert(stations_stream: DataFrame, store_path: str, key: str):
         diff_upsert(batch_df.sparkSession, batch_df, store_path, key)
 
     return stations_stream.writeStream.foreachBatch(handle)
+
+
+# ---------------------------------------------------------------------------
+# running_max (transformWithState) — the same custom-stateful-operator
+# contract as sensor_gaps, but on Spark 4's NEW arbitrary-state API
+# (StatefulProcessor / transformWithStateInPandas, the successor to
+# applyInPandasWithState): typed state handles, timers, and TTL managed
+# by the engine. State is one double per key; rows sort per key within
+# a batch and a row at-or-below the running max across batches emits
+# nothing — so a bounded availableNow replay matches the batch
+# prev-max-window oracle exactly (the exactly-once argument again).
+# Requires the RocksDB state-store provider (transformWithState's
+# backing store), set per-session in the caller, AND google.protobuf in
+# the Python env (the TWS worker protocol) — absent from this container,
+# so tests skip and the driver-visible query is the batch twin
+# (plans/streaming_q.py:record_breaking_values, shared oracle).
+# ---------------------------------------------------------------------------
+
+
+def running_max(events_stream: DataFrame, key: str = "user_id") -> DataFrame:
+    """Emit each key's record-breaking rows (value strictly above the
+    running maximum), cross-micro-batch via a typed ValueState."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("event_id", LongType(), False),
+            StructField("ts_us", LongType(), False),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+
+    class RunningMax(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._max = handle.getValueState("maxv", "v double")
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf = pdf.sort_values(["ts", "event_id"])
+            prev = self._max.get()
+            cur = prev[0] if prev is not None else None
+            out = []
+            for rec in pdf.itertuples(index=False):
+                v = float(rec.value)
+                if cur is None or v > cur:
+                    out.append(
+                        (
+                            int(key_tuple[0]),
+                            int(rec.event_id),
+                            int(rec.ts.value // 1_000),  # pandas ns → µs
+                            v,
+                        )
+                    )
+                    cur = v
+            if cur is not None:
+                self._max.update((cur,))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["user_id", "event_id", "ts_us", "value"]
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events_stream.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=RunningMax(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="None",
+    )

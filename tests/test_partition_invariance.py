@@ -54,7 +54,13 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           "ivf_pq_search", "ann_rerank", "embedding_dim_stats",
           "wealthy_inactive_customers", "bm25_scores", "doc_chunking",
           "funnel_conversion", "retention_cohorts", "ewma_user_value",
-          "value_interpolate", "hourly_completeness"]:
+          "value_interpolate", "hourly_completeness",
+          "scd2_intervals", "locf_fill", "trailing_1h_stats",
+          "embedding_covariance", "jl_project", "dup_span_stats",
+          "user_value_trend", "zorder_locality", "kmv_daily_merge",
+          "cms_user_counts", "time_weighted_avg", "conjunctive_search",
+          "event_type_affinity", "event_transitions", "value_histogram",
+          "incremental_hourly_merge", "type_day_chisq"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n

@@ -255,3 +255,53 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     assert final.count() == 180  # exactly once: no dup of file a
     assert final.select(F.sum("id")).first()[0] == 180 * 179 // 2
     assert final.select("id").distinct().count() == 180
+
+
+def test_running_max_transform_with_state_matches_batch(spark, sf_dir):
+    """Spark-4 arbitrary-state API twin: bounded replay of running_max
+    (transformWithStateInPandas) equals the batch prev-max window. The
+    TWS Python worker needs google.protobuf — skip honestly without it
+    (same stance as the codec gates)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from openaq_lcs_fetch_spark import tables
+    from openaq_lcs_fetch_spark.functions.timestamps import micros
+    from openaq_lcs_fetch_spark.streaming.pipeline import (
+        read_events_stream,
+        run_available_now,
+    )
+    from openaq_lcs_fetch_spark.streaming.stateful import running_max
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_available_now(
+            running_max(read_events_stream(spark, sf_dir), "user_id")
+        )
+        got = sorted(map(tuple, out.collect()))
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    e = tables.load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    expected = (
+        e.withColumn("prev_max", F.max("value").over(w))
+        .filter(F.col("prev_max").isNull() | (F.col("value") > F.col("prev_max")))
+        .select("user_id", "event_id", micros(F.col("ts")).alias("ts_us"), "value")
+    )
+    assert got == sorted(map(tuple, expected.collect()))
