@@ -276,3 +276,139 @@ def test_containment_capped_equals_plain_on_random_corpora(spark):
         capped, plain = pairs(cap), pairs(10**9)
         assert capped == plain, f"trial {trial}: capped != plain"
         assert any(p[0] == 1000 or p[1] == 1000 for p in capped), trial
+
+
+# --- round-4b operator properties ------------------------------------------
+
+
+def test_zorder_interleave_roundtrip(spark):
+    """The Morton key de-interleaves back to its inputs (bijectivity is
+    what makes contiguous z-ranges = bounded rectangles), and sharing a
+    z-prefix implies sharing coordinate prefixes."""
+    from openaq_lcs_fetch_spark.storage import zorder_column
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(65536), rng.randrange(65536)) for _ in range(300)]
+    df = spark.createDataFrame(pts, "a long, b long")
+    rows = df.select(
+        "a", "b", zorder_column(["a", "b"], bits=16).alias("z")
+    ).collect()
+    for r in rows:
+        a = b = 0
+        for k in range(16):
+            a |= ((r.z >> (2 * k)) & 1) << k
+            b |= ((r.z >> (2 * k + 1)) & 1) << k
+        assert (a, b) == (r.a, r.b), r
+
+
+def test_sql_zorder_matches_column_zorder(spark):
+    """The DuckDB twin emits the identical key for identical inputs."""
+    import duckdb
+
+    from openaq_lcs_fetch_spark.storage import sql_zorder, zorder_column
+
+    rng = random.Random(11)
+    pts = [(rng.randrange(65536), rng.randrange(65536)) for _ in range(200)]
+    df = spark.createDataFrame(pts, "a long, b long")
+    spark_z = [
+        r.z
+        for r in df.select(zorder_column(["a", "b"], bits=16).alias("z"))
+        .orderBy("z")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.register("pts", __import__("pandas").DataFrame(pts, columns=["a", "b"]))
+    duck_z = [
+        r[0]
+        for r in con.sql(
+            f"SELECT {sql_zorder(['a', 'b'], 16)} AS z FROM pts ORDER BY z"
+        ).fetchall()
+    ]
+    assert spark_z == duck_z
+
+
+def test_ols_trend_matches_numpy(spark):
+    """user_value_trend's closed-form sufficient-statistics solve agrees
+    with numpy's least squares on random per-key series."""
+    import numpy as np
+
+    from openaq_lcs_fetch_spark.plans import QUERIES  # ensure session tuned
+    from openaq_lcs_fetch_spark.plans.temporal import user_value_trend
+
+    rng = random.Random(13)
+    base = datetime(2024, 1, 1)
+    rows = []
+    series = {}
+    for uid in range(5):
+        n = rng.randint(5, 30)
+        xs, ys = [], []
+        for i in range(n):
+            t_off = rng.randint(0, 29 * 24 * 3600)
+            v = round(rng.uniform(0, 500), 2)
+            rows.append((len(rows), base + timedelta(seconds=t_off), uid, "click", v, None))
+            xs.append(t_off * 1_000_000)
+            ys.append(round(v * 1_000_000) / 1_000_000)
+        series[uid] = (xs, ys)
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        r.user_id: (r.slope_per_hour, r.intercept)
+        for r in user_value_trend(spark, d).collect()
+    }
+    for uid, (xs, ys) in series.items():
+        A = np.vstack([np.array(xs, dtype=float), np.ones(len(xs))]).T
+        slope_us, intercept = np.linalg.lstsq(A, np.array(ys), rcond=None)[0]
+        want_slope = slope_us * 3.6e9
+        assert got[uid][0] == pytest.approx(want_slope, rel=1e-4, abs=1e-4), uid
+        assert got[uid][1] == pytest.approx(intercept, rel=1e-4, abs=1e-4), uid
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    """Count-min guarantee: estimate >= exact for every probed key."""
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    out = QUERIES["cms_user_counts"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r.cms_estimate >= r.exact_n
+        assert r.overcount >= 0
+
+
+def test_kmv_estimate_within_theory(spark, sf_dir):
+    """KMV relative error stays within ~4/sqrt(k) of the exact count
+    (k=64 -> 50%; the md5 'randomness' is fixed, so this is a
+    deterministic regression pin, not a statistical gamble)."""
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    row = QUERIES["kmv_daily_merge"].fn(spark, sf_dir).collect()[0]
+    assert row.rel_err <= 4.0 / (64 ** 0.5), row
+
+
+def test_twa_bounded_and_constant_exact(spark, sf_dir):
+    """Time-weighted average lies within [min, max] of the user-day's
+    values; a constant series gives exactly that constant."""
+    import os
+    import tempfile
+
+    from openaq_lcs_fetch_spark.plans.temporal import time_weighted_avg
+
+    d = tempfile.mkdtemp()
+    base = datetime(2024, 3, 1)
+    rows = []
+    # user 1: constant 42.5; user 2: varying
+    for i in range(10):
+        rows.append((i, base + timedelta(minutes=17 * i), 1, "view", 42.5, None))
+    rng = random.Random(3)
+    for i in range(10, 30):
+        rows.append(
+            (i, base + timedelta(minutes=11 * i), 2, "view", round(rng.uniform(1, 9), 2), None)
+        )
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r.user_id: r.twa for r in time_weighted_avg(spark, d).collect()}
+    assert out[1] == pytest.approx(42.5, abs=1e-6)
+    assert 1.0 <= out[2] <= 9.0
