@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import h60
 from ..storage import sql_zorder, zorder_column
 from .registry import query, t
 
@@ -133,13 +134,7 @@ def kmv_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = t(spark, sf_dir, "events").select("user_id", "ts")
-    hv = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":kmv"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    hv = h60(F.concat(F.col("user_id").cast("string"), F.lit(":kmv")))
     hashed = e.select(
         F.to_date(F.date_trunc("day", "ts")).alias("day"), hv.alias("hv")
     ).distinct()
@@ -221,22 +216,11 @@ GROUP BY p.user_id, p.exact_n
 
 
 def _cms_bucket(d_col, key_col):
-    raw = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    d_col.cast("string"),
-                    F.lit(":"),
-                    key_col.cast("string"),
-                    F.lit(":cms"),
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    raw = h60(
+        F.concat(
+            d_col.cast("string"), F.lit(":"), key_col.cast("string"), F.lit(":cms")
+        )
+    )
     return raw % _CMS_W
 
 

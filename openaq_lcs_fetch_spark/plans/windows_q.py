@@ -941,8 +941,6 @@ FROM events GROUP BY 1, 2
 
 @query("incremental_hourly_merge", _inc_merge_oracle())
 def incremental_hourly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .registry import exact_sum
-
     e = t(spark, sf_dir, "events").select("ts", "event_type", "value")
     cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
 

@@ -173,7 +173,17 @@ def foreach_batch_upsert(stations_stream: DataFrame, store_path: str, key: str):
 
 def running_max(events_stream: DataFrame, key: str = "user_id") -> DataFrame:
     """Emit each key's record-breaking rows (value strictly above the
-    running maximum), cross-micro-batch via a typed ValueState."""
+    running maximum), cross-micro-batch via a typed ValueState.
+
+    Ordering contract (same stance as sensor_gaps): rows sort per key
+    WITHIN a micro-batch; state never rewinds, so a row arriving in a
+    LATER batch with an EARLIER event time is evaluated against the max
+    of everything already seen — late data, not a replay. Equality with
+    the batch prev-max oracle therefore holds when batches arrive
+    event-time-ordered per key (a single-batch availableNow replay, or
+    time-ordered source files); an out-of-order multi-file source can
+    legitimately suppress a row the batch oracle emits.
+    """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

@@ -60,10 +60,23 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           "user_value_trend", "zorder_locality", "kmv_daily_merge",
           "cms_user_counts", "time_weighted_avg", "conjunctive_search",
           "event_type_affinity", "event_transitions", "value_histogram",
-          "incremental_hourly_merge", "type_day_chisq"]:
+          "incremental_hourly_merge", "type_day_chisq",
+          "record_breaking_values"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n
+
+# kmv_daily_merge is VACUOUS at sf0.001 (fewer than k=64 distinct user
+# hashes -> both engines return 0 rows), so its estimate-parity claim
+# re-proves at sf0.01 under this geometry, non-empty by assertion.
+sf01 = "/root/testdata/sf0.01"
+con01 = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con01.sql(f"CREATE VIEW {{t}} AS SELECT * FROM '{{sf01}}/{{t}}.parquet'")
+kdf = qs["kmv_daily_merge"](spark, sf01).toPandas()
+assert len(kdf) == 1, "kmv must be non-vacuous at sf0.01"
+assert canon(kdf) == canon(con01.sql(osql["kmv_daily_merge"]).df())
 print("INVARIANT_OK")
 """
 
