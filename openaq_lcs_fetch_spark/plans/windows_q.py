@@ -1021,3 +1021,83 @@ def type_day_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chisq_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# week_over_week_reconcile — FULL OUTER reconciliation (the one join
+# type the registry lacked): per (ISO weekday, hour, type) activity of
+# week Jan 8-14 vs week Jan 15-21, slots present in either side kept,
+# absences coalesced to 0 and classified added/removed/changed/same.
+# This is the ops-facing diff report the reference's run log feeds; at
+# scale both sides are already aggregated (compact slot keys), so the
+# full outer join shuffles rollup rows, never events.
+# ---------------------------------------------------------------------------
+
+_WOW_ORACLE = """
+WITH w1 AS (
+  SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hr, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+  GROUP BY 1, 2, 3
+),
+w2 AS (
+  SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hr, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'
+  GROUP BY 1, 2, 3
+)
+SELECT COALESCE(w1.dow, w2.dow) AS dow,
+       COALESCE(w1.hr, w2.hr) AS hr,
+       COALESCE(w1.event_type, w2.event_type) AS event_type,
+       COALESCE(w1.n, 0) AS n_w1,
+       COALESCE(w2.n, 0) AS n_w2,
+       COALESCE(w2.n, 0) - COALESCE(w1.n, 0) AS delta,
+       CASE WHEN w1.n IS NULL THEN 'added'
+            WHEN w2.n IS NULL THEN 'removed'
+            WHEN w1.n = w2.n THEN 'same'
+            ELSE 'changed' END AS status
+FROM w1 FULL OUTER JOIN w2
+  ON w1.dow = w2.dow AND w1.hr = w2.hr AND w1.event_type = w2.event_type
+"""
+
+
+@query("week_over_week_reconcile", _WOW_ORACLE)
+def week_over_week_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("ts", "event_type")
+
+    def week(lo: str, hi: str) -> DataFrame:
+        return (
+            e.filter(
+                (F.col("ts") >= F.lit(lo).cast("timestamp"))
+                & (F.col("ts") < F.lit(hi).cast("timestamp"))
+            )
+            .groupBy(
+                (F.expr("weekday(ts)") + 1).cast("long").alias("dow"),
+                F.hour("ts").cast("long").alias("hr"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    w1 = week("2024-01-08", "2024-01-15")
+    w2 = week("2024-01-15", "2024-01-22").withColumnRenamed("n", "n2")
+    j = w1.join(w2, ["dow", "hr", "event_type"], "full_outer")
+    return j.select(
+        "dow",
+        "hr",
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_w1"),
+        F.coalesce(F.col("n2"), F.lit(0)).alias("n_w2"),
+        (F.coalesce(F.col("n2"), F.lit(0)) - F.coalesce(F.col("n"), F.lit(0))).alias(
+            "delta"
+        ),
+        F.when(F.col("n").isNull(), "added")
+        .when(F.col("n2").isNull(), "removed")
+        .when(F.col("n") == F.col("n2"), "same")
+        .otherwise("changed")
+        .alias("status"),
+    )

@@ -61,7 +61,7 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           "cms_user_counts", "time_weighted_avg", "conjunctive_search",
           "event_type_affinity", "event_transitions", "value_histogram",
           "incremental_hourly_merge", "type_day_chisq",
-          "record_breaking_values"]:
+          "record_breaking_values", "week_over_week_reconcile"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n
