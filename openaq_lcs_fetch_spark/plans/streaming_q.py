@@ -293,3 +293,78 @@ def record_breaking_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev_max").isNull() | (F.col("value") > F.col("prev_max")))
         .select("user_id", "event_id", micros(F.col("ts")).alias("ts_us"), "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming_click_nobuy — STREAM-STREAM LEFT OUTER interval join: every
+# click emits exactly once, matched clicks with their purchase(s) within
+# the following hour, unmatched clicks null-padded. The outer rows are
+# the hard part: Spark holds an unmatched click in the state store until
+# the watermark proves no future purchase can land in its window, so a
+# bounded availableNow replay ends with the tail of the data still held
+# back. read_events_stream_with_heartbeat solves it the way production
+# pipelines do — punctuation records at max(ts)+30d advance BOTH
+# watermark branches, and the final no-data micro-batch evicts (and
+# thereby emits) every real unmatched click. Heartbeat rows are dropped
+# only AFTER the sink materializes: a pre-sink `click_id >= 0` filter is
+# pushed below the watermark node by Catalyst and freezes the click-side
+# watermark at the last real click (measured; see the helper docstring).
+# The batch oracle is the plain left range-join — equality with it is
+# precisely the claim that the streaming plan is complete, not a prefix.
+# At 100 TB: join state is bounded by the watermark delay + 1h window
+# (keys expire continuously), partitioned by user_id hash across the
+# cluster's state stores.
+# ---------------------------------------------------------------------------
+
+_CLICK_NOBUY_ORACLE = """
+SELECT c.user_id,
+       epoch_us(c.ts) AS click_us,
+       c.event_id AS click_id,
+       p.event_id AS buy_id,
+       epoch_us(p.ts) AS buy_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
+@query("streaming_click_nobuy", _CLICK_NOBUY_ORACLE)
+def streaming_click_nobuy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import read_events_stream_with_heartbeat
+
+    raw = read_events_stream_with_heartbeat(spark, sf_dir)
+    clicks = (
+        raw.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    buys = (
+        raw.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    out = run_available_now(joined)
+    # heartbeat rows excluded batch-side, after the watermark did its job
+    return out.filter(F.col("click_id") >= 0).select(
+        F.col("c_user").alias("user_id"),
+        micros(F.col("c_ts")).alias("click_us"),
+        "click_id",
+        "buy_id",
+        micros(F.col("p_ts")).alias("buy_us"),
+    )

@@ -1703,3 +1703,104 @@ def conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_matched"))
         .filter(F.col("n_matched") == 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# bpe_pair_counts — the first BPE merge iteration (Sennrich 2015 shape):
+# count adjacent-token pairs corpus-wide, report the top merge
+# candidates. This is the inner loop of tokenizer training at corpus
+# scale — each iteration is one explode + hash agg on the pair key
+# (strings shuffle once, pre-aggregated map-side), never a driver-side
+# vocabulary walk. Ties at the cut are broken (n DESC, a, b) — a total
+# order, so the top-50 set is deterministic in both engines.
+# ---------------------------------------------------------------------------
+
+_PAIR_ORACLE = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '{_BPE_PATTERN}') AS tk FROM documents
+),
+pairs AS (
+  SELECT p[1] AS a, p[2] AS b
+  FROM (SELECT unnest(list_zip(tk[1:len(tk)-1], tk[2:len(tk)])) AS p FROM toks)
+)
+SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY a, b
+ORDER BY n DESC, a, b LIMIT 50
+"""
+
+
+@query("bpe_pair_counts", _PAIR_ORACLE)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), 0)
+    n_tok = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n_tok - 1),
+        F.slice(toks, 2, n_tok - 1),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    )
+    return (
+        d.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "a", "b")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocab_oov_rate — tokenizer-coverage audit: build the top-500 token
+# vocabulary (count DESC, token ASC — total order, deterministic cut)
+# and measure per-source out-of-vocabulary rates. The corpus-side freq
+# table shuffles token hashes once; the 500-row vocabulary goes back as
+# a broadcast (map-only probe), so the applied pass adds no shuffle —
+# the same two-phase shape a 100 TB tokenizer-coverage job needs.
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 500
+
+_OOV_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok FROM (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok)
+  ORDER BY n DESC, tok LIMIT {_VOCAB_K}
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       (CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE)) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.source
+"""
+
+
+@query("vocab_oov_rate", _OOV_ORACLE)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), 0)
+        ).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    probed = toks.join(F.broadcast(vocab), "tok", "left")
+    oov = F.when(F.col("in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+    return probed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(oov).cast("long").alias("n_oov"),
+        (
+            F.sum(oov).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("oov_rate"),
+    )

@@ -62,6 +62,80 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_ts(stream, "ts")
 
 
+def read_events_stream_with_heartbeat(
+    spark: SparkSession, sf_dir: str, horizon_days: int = 30
+) -> DataFrame:
+    """Events stream plus far-future HEARTBEAT rows (event_id < 0) that
+    advance the event-time watermark past every real record.
+
+    Why: outer stream-stream joins and timeout-based state only emit
+    their held-back rows once the watermark passes them, and a bounded
+    ``availableNow`` replay ends with the watermark still ``max(ts) -
+    delay`` — the tail of the data never flushes. Production streaming
+    systems solve this with heartbeat/punctuation events (Flink calls
+    them watermarks-as-records; Kafka pipelines emit keepalives); we do
+    the same: two sentinel files carrying one 'click' and one 'purchase'
+    row each at ``max(ts) + horizon`` (the event types that feed
+    watermarked branches — a type that is filtered out before its
+    ``withWatermark`` node advances nothing). The final no-data
+    micro-batch then evicts ALL real state, so the bounded replay is a
+    complete answer, not a prefix.
+
+    Sentinel timestamps derive from the data's own max(ts) — fully
+    deterministic, no wall-clock. Callers must drop rows with any
+    sentinel id (``event_id < 0`` / ``user_id < 0``) AFTER
+    materializing the sink: a pre-sink filter like ``click_id >= 0``
+    gets pushed below the watermark node by the optimizer and silently
+    un-heartbeats the plan (measured: the click-side watermark froze at
+    the last REAL click while the sentinel was filtered at the scan).
+    """
+    src_file = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src_file).schema
+    batch = normalize_ts(spark.read.parquet(src_file), "ts")
+    mx = batch.agg(F.max("ts")).first()[0]
+
+    link_dir = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_hb",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    tmp_link = os.path.join(link_dir, f".events.parquet.{os.getpid()}")
+    if os.path.lexists(tmp_link):
+        os.remove(tmp_link)
+    os.symlink(src_file, tmp_link)
+    os.replace(tmp_link, link)
+
+    import datetime as _dt
+    import glob as _glob
+    import shutil as _shutil
+
+    def _write_sentinel(name: str, ts: _dt.datetime) -> None:
+        rows = [
+            (int(-1), None, int(-1), "click", 0.0, None),
+            (int(-2), None, int(-2), "purchase", 0.0, None),
+        ]
+        sdf = spark.createDataFrame(rows, schema=raw_schema).withColumn(
+            "ts", F.lit(ts).cast(raw_schema["ts"].dataType)
+        )
+        tmpd = os.path.join(link_dir, f".tmp_{name}.{os.getpid()}")
+        sdf.coalesce(1).write.mode("overwrite").parquet(tmpd)
+        part = _glob.glob(os.path.join(tmpd, "part-*.parquet"))[0]
+        os.replace(part, os.path.join(link_dir, name))  # atomic into place
+        _shutil.rmtree(tmpd, ignore_errors=True)
+
+    # two files an hour apart: even if the no-data batch is disabled,
+    # the second sentinel's batch evicts state the first one unlocked
+    _write_sentinel("z1_heartbeat.parquet", mx + _dt.timedelta(days=horizon_days))
+    _write_sentinel(
+        "z2_heartbeat.parquet", mx + _dt.timedelta(days=horizon_days, hours=1)
+    )
+
+    stream = spark.readStream.schema(raw_schema).format("parquet").load(link_dir)
+    return normalize_ts(stream, "ts")
+
+
 def hourly_window_counts(stream: DataFrame) -> DataFrame:
     """T6: tumbling 1-hour window counts keyed by event_type."""
     return (
