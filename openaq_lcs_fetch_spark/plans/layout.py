@@ -257,3 +257,98 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("cnt") - F.col("exact_n")).alias("overcount"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom_membership — Bloom filter as a distributed aggregate (the third
+# classic sketch next to KMV and CMS): m=4096 bits, k=5 md5-derived
+# probe positions per key. Members = distinct purchasing users; probes =
+# every distinct user. A user is estimated-member iff ALL k positions
+# are set — false negatives are impossible by construction (the n_fn
+# row the oracle checks is structurally zero), false positives are the
+# sketch's documented trade. Shape: the bit table is a DISTINCT over at
+# most m integers (≤4096 rows) → broadcast to the probe side; probe =
+# k-way fan-out + broadcast left join + per-user AND — the exact plan a
+# 100 TB pre-join membership prune uses (Spark's own runtime bloom
+# pruning is this, JVM-side; here the sketch itself is portable so
+# DuckDB reproduces every bit).
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096
+_BLOOM_K = 5
+
+
+def _bloom_pos(j, user) -> "F.Column":
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", j.cast("string"), user.cast("string"), F.lit("bloom")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BLOOM_M
+    )
+
+
+def _bloom_oracle() -> str:
+    pos = (
+        "('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || "
+        "CAST(user_id AS VARCHAR) || ':bloom'), 1, 15))::BIGINT % {m}"
+    ).format(m=_BLOOM_M)
+    return f"""
+WITH members AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+),
+ks AS (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j),
+bits AS (SELECT DISTINCT {pos} AS pos FROM members, ks),
+probes AS (SELECT DISTINCT user_id FROM events),
+probe_pos AS (SELECT p.user_id, {pos} AS pos FROM probes p, ks),
+probed AS (
+  SELECT pp.user_id,
+         MIN(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS all_hit
+  FROM probe_pos pp LEFT JOIN bits b ON b.pos = pp.pos
+  GROUP BY pp.user_id
+)
+SELECT (m.user_id IS NOT NULL) AS is_member,
+       (probed.all_hit = 1) AS est_member,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM probed LEFT JOIN members m ON probed.user_id = m.user_id
+GROUP BY 1, 2
+"""
+
+
+@query("bloom_membership", _bloom_oracle())
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("user_id", "event_type")
+    members = (
+        e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    ks = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("j")
+    bits = (
+        members.select("user_id", ks)
+        .select(_bloom_pos(F.col("j"), F.col("user_id")).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probes = e.select("user_id").distinct()
+    probed = (
+        probes.select("user_id", ks)
+        .withColumn("pos", _bloom_pos(F.col("j"), F.col("user_id")))
+        .join(F.broadcast(bits), "pos", "left")
+        .groupBy("user_id")
+        .agg(F.min(F.coalesce(F.col("hit"), F.lit(0))).alias("all_hit"))
+    )
+    flagged = probed.join(
+        members.withColumn("is_m", F.lit(True)), "user_id", "left"
+    )
+    return flagged.groupBy(
+        F.coalesce(F.col("is_m"), F.lit(False)).alias("is_member"),
+        (F.col("all_hit") == 1).alias("est_member"),
+    ).agg(F.count(F.lit(1)).alias("n"))

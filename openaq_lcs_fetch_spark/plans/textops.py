@@ -1804,3 +1804,69 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(oov).cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# split_leakage_audit — train/val/test LEAKAGE check: near-duplicate
+# pairs (LSH candidates → exact-Jaccard verified, same machinery and
+# thresholds as lsh_verified_pairs) classified by the split assignment
+# of each side (same content-hash rule as corpus_split). A verified
+# near-dup pair whose endpoints land in different splits IS evaluation
+# leakage — the audit every serious pretraining curation pipeline runs
+# after splitting (val/test examples with a train near-twin overstate
+# model quality). Output: pair counts per unordered (split_a, split_b)
+# cell, cross_split flagged. Composition cost: the verify stage bounds
+# everything (candidates only), and the split columns ride the existing
+# doc-keyed joins — no new shuffle beyond two broadcast-sized maps.
+# ---------------------------------------------------------------------------
+
+
+def _leakage_sql() -> str:
+    split_case = (
+        f"CASE WHEN {_sql_hmod('text')} % 100 < 90 THEN 'train' "
+        f"WHEN {_sql_hmod('text')} % 100 < 95 THEN 'val' "
+        "ELSE 'test' END"
+    )
+    return f"""
+WITH vp AS ({_lsh_verified_sql()}),
+assigned AS (SELECT doc_id, {split_case} AS split FROM documents),
+classified AS (
+  SELECT LEAST(a.split, b.split) AS split_lo,
+         GREATEST(a.split, b.split) AS split_hi
+  FROM vp JOIN assigned a ON vp.id_a = a.doc_id
+          JOIN assigned b ON vp.id_b = b.doc_id
+)
+SELECT split_lo, split_hi,
+       (split_lo <> split_hi) AS cross_split,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM classified GROUP BY split_lo, split_hi
+"""
+
+
+@query("split_leakage_audit", _leakage_sql())
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(spark, sf_dir).select("id_a", "id_b")
+    bucket = TX.hmod(F.col("text")) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    assigned = docs.select("doc_id", split.alias("split"))
+    classified = (
+        pairs.join(
+            assigned.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")),
+            "id_a",
+        )
+        .join(
+            assigned.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")),
+            "id_b",
+        )
+        .select(
+            F.least(F.col("sa"), F.col("sb")).alias("split_lo"),
+            F.greatest(F.col("sa"), F.col("sb")).alias("split_hi"),
+        )
+    )
+    return classified.groupBy("split_lo", "split_hi").agg(
+        (F.col("split_lo") != F.col("split_hi")).alias("cross_split"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )

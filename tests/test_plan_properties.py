@@ -173,3 +173,44 @@ def test_ivf_pq_search_no_raw_vectors_on_search_path(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ivf_pq_search")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_store(spark, tmp_path):
+    """100 TB flagship: a fact table written hive-partitioned by day,
+    joined to a dimension filtered AFTER the scan is planned, must get a
+    runtime DPP subquery filter (dynamicpruning#... in the scan's
+    PartitionFilters) — only the joined days' directories are read. This
+    is what keeps a date-dimension join from scanning the full store."""
+    from pyspark.sql import functions as F
+
+    fact = (
+        spark.range(0, 2000)
+        .withColumn("day", F.concat(F.lit("2024-01-0"), (F.col("id") % 9 + 1)))
+        .withColumn("v", F.col("id") * 2)
+    )
+    path = str(tmp_path / "fact_by_day")
+    fact.write.partitionBy("day").parquet(path)
+    dim_path = str(tmp_path / "day_dim")
+    spark.createDataFrame(
+        [(f"2024-01-0{i}", "keep" if i in (3, 7) else "drop") for i in range(1, 10)],
+        "day string, tag string",
+    ).write.parquet(dim_path)
+    # DPP wants a *filtered* scan on the build side (a bare LocalRelation
+    # doesn't qualify) — the realistic shape anyway: dim table + predicate
+    dim = spark.read.parquet(dim_path).filter(F.col("tag") == "keep")
+    back = spark.read.parquet(path)
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+    # local[] broadcast-exchange reuse is planner-timing-sensitive; allow
+    # the dedicated subquery form so the assertion tests DPP, not reuse
+    spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false"
+    )
+    try:
+        joined = back.join(dim, "day").agg(F.sum("v").alias("s"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        assert joined.first()["s"] is not None
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", prev
+        )
