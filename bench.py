@@ -71,6 +71,10 @@ HEADLINE = (
     "embedding_covariance",
     "dup_span_stats",
     "trailing_1h_stats",
+    # round 4c: streaming outer join, tokenizer ops, leakage audit
+    "streaming_click_nobuy",
+    "bpe_pair_counts",
+    "split_leakage_audit",
 )
 
 

@@ -88,11 +88,14 @@ def read_events_stream_with_heartbeat(
     gets pushed below the watermark node by the optimizer and silently
     un-heartbeats the plan (measured: the click-side watermark froze at
     the last REAL click while the sentinel was filtered at the scan).
+
+    Setup is driver-side pyarrow, NOT Spark jobs (two 2-row sentinel
+    writes as Spark jobs measured 12.9 s of a 17.8 s query at sf0.1),
+    and is keyed on the source file's (path, mtime, size): repeat calls
+    against unchanged data reuse the on-disk sentinels for free.
     """
     src_file = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(src_file).schema
-    batch = normalize_ts(spark.read.parquet(src_file), "ts")
-    mx = batch.agg(F.max("ts")).first()[0]
 
     link_dir = os.path.join(
         tempfile.gettempdir(),
@@ -100,37 +103,74 @@ def read_events_stream_with_heartbeat(
         sf_dir.strip("/").replace("/", "_"),
     )
     os.makedirs(link_dir, exist_ok=True)
-    link = os.path.join(link_dir, "events.parquet")
-    tmp_link = os.path.join(link_dir, f".events.parquet.{os.getpid()}")
-    if os.path.lexists(tmp_link):
-        os.remove(tmp_link)
-    os.symlink(src_file, tmp_link)
-    os.replace(tmp_link, link)
 
-    import datetime as _dt
-    import glob as _glob
-    import shutil as _shutil
+    st = os.stat(src_file)
+    key = f"{os.path.realpath(src_file)}|{st.st_mtime_ns}|{st.st_size}"
+    marker = os.path.join(link_dir, ".hb_key")
+    try:
+        fresh = open(marker).read() == key
+    except OSError:
+        fresh = False
 
-    def _write_sentinel(name: str, ts: _dt.datetime) -> None:
-        rows = [
-            (int(-1), None, int(-1), "click", 0.0, None),
-            (int(-2), None, int(-2), "purchase", 0.0, None),
-        ]
-        sdf = spark.createDataFrame(rows, schema=raw_schema).withColumn(
-            "ts", F.lit(ts).cast(raw_schema["ts"].dataType)
+    if not fresh:
+        import datetime as _dt
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        link = os.path.join(link_dir, "events.parquet")
+        tmp_link = os.path.join(link_dir, f".events.parquet.{os.getpid()}")
+        if os.path.lexists(tmp_link):
+            os.remove(tmp_link)
+        os.symlink(src_file, tmp_link)
+        os.replace(tmp_link, link)
+
+        src_tbl = pq.read_table(src_file, columns=["ts"])
+        arrow_schema = pq.read_schema(src_file)
+        mx = pc.max(src_tbl["ts"]).as_py()
+        if isinstance(mx, int):  # TIMESTAMP(NANOS) read as int64 epochs
+            mx_dt = _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                microseconds=mx // 1000
+            )
+        else:
+            mx_dt = mx.replace(tzinfo=None) if mx.tzinfo else mx
+
+        def _write_sentinel(name: str, ts: _dt.datetime) -> None:
+            cols = []
+            for field in arrow_schema:
+                if field.name == "ts":
+                    if pa.types.is_integer(field.type):
+                        v = int(
+                            (ts - _dt.datetime(1970, 1, 1)).total_seconds() * 1e9
+                        )
+                        cols.append(pa.array([v, v], type=field.type))
+                    else:
+                        cols.append(pa.array([ts, ts], type=field.type))
+                elif field.name == "event_id":
+                    cols.append(pa.array([-1, -2], type=field.type))
+                elif field.name == "user_id":
+                    cols.append(pa.array([-1, -2], type=field.type))
+                elif field.name == "event_type":
+                    cols.append(pa.array(["click", "purchase"], type=field.type))
+                else:
+                    cols.append(pa.nulls(2, type=field.type))
+            tmp = os.path.join(link_dir, f".tmp_{name}.{os.getpid()}")
+            pq.write_table(pa.Table.from_arrays(cols, schema=arrow_schema), tmp)
+            os.replace(tmp, os.path.join(link_dir, name))  # atomic into place
+
+        # two files an hour apart: even if the no-data batch is disabled,
+        # the second sentinel's batch evicts state the first one unlocked
+        _write_sentinel(
+            "z1_heartbeat.parquet", mx_dt + _dt.timedelta(days=horizon_days)
         )
-        tmpd = os.path.join(link_dir, f".tmp_{name}.{os.getpid()}")
-        sdf.coalesce(1).write.mode("overwrite").parquet(tmpd)
-        part = _glob.glob(os.path.join(tmpd, "part-*.parquet"))[0]
-        os.replace(part, os.path.join(link_dir, name))  # atomic into place
-        _shutil.rmtree(tmpd, ignore_errors=True)
-
-    # two files an hour apart: even if the no-data batch is disabled,
-    # the second sentinel's batch evicts state the first one unlocked
-    _write_sentinel("z1_heartbeat.parquet", mx + _dt.timedelta(days=horizon_days))
-    _write_sentinel(
-        "z2_heartbeat.parquet", mx + _dt.timedelta(days=horizon_days, hours=1)
-    )
+        _write_sentinel(
+            "z2_heartbeat.parquet", mx_dt + _dt.timedelta(days=horizon_days, hours=1)
+        )
+        tmp_marker = marker + f".{os.getpid()}"
+        with open(tmp_marker, "w") as fh:
+            fh.write(key)
+        os.replace(tmp_marker, marker)
 
     stream = spark.readStream.schema(raw_schema).format("parquet").load(link_dir)
     return normalize_ts(stream, "ts")
