@@ -101,6 +101,16 @@ def main() -> None:
             # each invocation builds fresh intra-query caches — drop them
             # so later queries aren't squeezed by accumulated storage
             spark.catalog.clearCache()
+            # streaming queries leave their memory-sink tables registered;
+            # dropping them (and nudging the JVM GC) keeps later queries
+            # from paying another query's heap
+            for tbl in spark.catalog.listTables():
+                if tbl.name.startswith("stream_out_"):
+                    spark.catalog.dropTempView(tbl.name)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         per_query[name] = round(min(times), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -1071,3 +1071,87 @@ def jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return proj
+
+
+# ---------------------------------------------------------------------------
+# embedding_int8_quant — scalar int8 quantization (the standard serving
+# format for embedding stores: per-dimension affine [min,max] → 0..255
+# codes). Exactness scheme: components live on the established ×1000
+# integer grid (q), the code is round-half-up((q-qmin)·255/(qmax-qmin))
+# computed entirely in BIGINT ((2·num+den)//(2·den) — no double round,
+# whose half-case Spark and DuckDB disagree on), and the reconstruction
+# error is measured in exact integer units of q/255: e = 255·q −
+# (255·qmin + code·(qmax−qmin)), so SSE and max|e| are order-independent
+# BIGINT aggregates. Shape: posexplode → 64-key min/max agg (map-side
+# partial keeps the 64 reducers thin at any scale) → 64-row broadcast
+# back → map-only code+error pass → 64-key rollup.
+# ---------------------------------------------------------------------------
+
+
+def _int8_oracle() -> str:
+    return f"""
+WITH qv AS (SELECT vec_id, {_sql_qvec('embedding')} AS q FROM embeddings),
+comp AS (
+  SELECT vec_id, unnest(q) AS qc, generate_subscripts(q, 1) AS pos FROM qv
+),
+rng AS (
+  SELECT pos, MIN(qc) AS qmin, MAX(qc) AS qmax FROM comp GROUP BY pos
+),
+coded AS (
+  SELECT c.pos, c.qc, r.qmin, r.qmax,
+         CASE WHEN r.qmax = r.qmin THEN 0
+              ELSE (2 * (c.qc - r.qmin) * 255 + (r.qmax - r.qmin))
+                   // (2 * (r.qmax - r.qmin)) END AS code
+  FROM comp c JOIN rng r USING (pos)
+),
+err AS (
+  SELECT pos, qmin, qmax,
+         255 * qc - (255 * qmin + code * (qmax - qmin)) AS e
+  FROM coded
+)
+SELECT pos, CAST(qmin AS BIGINT) AS qmin, CAST(qmax AS BIGINT) AS qmax,
+       CAST(SUM(e * e) AS BIGINT) AS sse255,
+       CAST(MAX(ABS(e)) AS BIGINT) AS max_abs_e255,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM err GROUP BY pos, qmin, qmax ORDER BY pos
+"""
+
+
+@query("embedding_int8_quant", _int8_oracle())
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized(F.col("embedding")).alias("q")
+    )
+    comp = e.select(F.posexplode("q").alias("pos0", "qc")).select(
+        (F.col("pos0") + 1).alias("pos"), "qc"
+    )
+    rng = comp.groupBy("pos").agg(
+        F.min("qc").alias("qmin"), F.max("qc").alias("qmax")
+    )
+    den = F.col("qmax") - F.col("qmin")
+    # BIGINT `div`, not double `/`+cast: a correctly-rounded double
+    # quotient can land half-an-ulp above an exact integer boundary and
+    # truncate differently than DuckDB's integer `//`
+    coded = (
+        comp.join(F.broadcast(rng), "pos")
+        .withColumn("num", 2 * (F.col("qc") - F.col("qmin")) * 255 + den)
+        .withColumn(
+            "code",
+            F.when(den == 0, F.lit(0).cast("long")).otherwise(
+                F.expr("num div (2 * (qmax - qmin))")
+            ),
+        )
+    )
+    err = coded.withColumn(
+        "e",
+        255 * F.col("qc") - (255 * F.col("qmin") + F.col("code") * den),
+    )
+    return (
+        err.groupBy("pos", "qmin", "qmax")
+        .agg(
+            F.sum(F.col("e") * F.col("e")).alias("sse255"),
+            F.max(F.abs(F.col("e"))).alias("max_abs_e255"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("pos")
+    )

@@ -1870,3 +1870,152 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("split_lo") != F.col("split_hi")).alias("cross_split"),
         F.count(F.lit(1)).alias("n_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ctfidf_top_terms — class-based TF-IDF (the BERTopic/c-TF-IDF shape):
+# aggregate term counts per SOURCE (the "class"), weight by how few
+# classes carry the term, report each source's top-3 label terms. Kept
+# division-only (tf_class · N_classes / class_freq — no log) so the
+# score is one IEEE op from exact integers, same policy as
+# tfidf_top_terms. Shape: one (source, token) agg, a token-keyed
+# class-frequency agg that is vocabulary-sized → broadcast, then a
+# per-source WindowGroupLimit top-3 — the per-class cardinality is
+# bounded by vocabulary, never corpus rows.
+# ---------------------------------------------------------------------------
+
+_CTFIDF_ORACLE = f"""
+WITH toks AS (SELECT source, unnest({_SQL_TOKS}) AS tok FROM documents),
+ctf AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY source, tok),
+cf AS (SELECT tok, CAST(COUNT(DISTINCT source) AS BIGINT) AS cf FROM toks GROUP BY tok),
+nsrc AS (SELECT COUNT(DISTINCT source) AS n FROM documents),
+scored AS (
+  SELECT c.source, c.tok, c.tf,
+         CAST(c.tf * (SELECT n FROM nsrc) AS DOUBLE) / CAST(f.cf AS DOUBLE) AS score
+  FROM ctf c JOIN cf f USING (tok)
+),
+ranked AS (
+  SELECT source, tok, tf, score,
+         row_number() OVER (PARTITION BY source ORDER BY score DESC, tok ASC) AS rn
+  FROM scored
+)
+SELECT source, tok, tf, score, rn FROM ranked WHERE rn <= 3
+"""
+
+
+@query("ctfidf_top_terms", _CTFIDF_ORACLE)
+def ctfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    ctf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    cf = toks.groupBy("tok").agg(F.countDistinct("source").alias("cf"))
+    nsrc = d.agg(F.countDistinct("source").alias("n"))
+    scored = (
+        ctf.join(F.broadcast(cf), "tok")
+        .crossJoin(F.broadcast(nsrc))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n")).cast("double") / F.col("cf").cast("double"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "tok", "tf", "score", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# domain_cap_sample — per-domain quota sampling (cap each source at 10
+# docs so no domain dominates the mixture — the balancing step next to
+# weighted_sample's global reweighting). Deterministic: rank within
+# source by (content-hash, doc_id) — the same hash-rank discipline as
+# corpus_sample, so a doc's in/out status is stable under corpus growth
+# within its domain prefix. Shape: ONE window (WindowGroupLimit prunes
+# to 10 per source before the final shuffle's merge); no joins.
+# ---------------------------------------------------------------------------
+
+_DOMAIN_CAP = 10
+
+_DOMAIN_CAP_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {_sql_hmod('text')} ASC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT doc_id, source, rn FROM ranked WHERE rn <= {_DOMAIN_CAP}
+"""
+
+
+@query("domain_cap_sample", _DOMAIN_CAP_ORACLE)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        TX.hmod(F.col("text")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _DOMAIN_CAP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality_winsorize — robust per-source score conditioning: clip each
+# document's quality at its source's exact p05/p95 (winsorization), flag
+# which tail it came from. Spark `percentile` and DuckDB quantile_cont
+# are bit-identical on doubles (pinned by value_percentiles), and the
+# clip itself is pure comparison — no new arithmetic, so every output
+# double is one of the already-deterministic inputs. Shape: per-source
+# percentile agg (20 rows) → broadcast back → map-only applied pass;
+# the percentile agg is the only shuffle.
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = f"""
+WITH toks AS (SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents),
+scored AS (
+  SELECT doc_id, source,
+         CAST(0.4 AS DOUBLE) * (CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END)
+       + CAST(0.3 AS DOUBLE) * {_sql_stop_ratio('toks', TX.STOPWORDS['en'])}
+       + CAST(0.3 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE), CAST(len(toks) AS DOUBLE) / CAST(64.0 AS DOUBLE))
+         AS quality
+  FROM toks
+),
+cuts AS (
+  SELECT source, quantile_cont(quality, 0.05) AS p05,
+         quantile_cont(quality, 0.95) AS p95
+  FROM scored GROUP BY source
+)
+SELECT s.doc_id, s.source, s.quality,
+       LEAST(GREATEST(s.quality, c.p05), c.p95) AS clipped,
+       (s.quality < c.p05) AS clipped_low,
+       (s.quality > c.p95) AS clipped_high
+FROM scored s JOIN cuts c USING (source)
+"""
+
+
+@query("quality_winsorize", _WINSOR_ORACLE)
+def quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", TX.quality_score(F.col("text")).alias("quality")
+    )
+    cuts = scored.groupBy("source").agg(
+        F.expr("percentile(quality, 0.05)").alias("p05"),
+        F.expr("percentile(quality, 0.95)").alias("p95"),
+    )
+    return scored.join(F.broadcast(cuts), "source").select(
+        "doc_id",
+        "source",
+        "quality",
+        F.least(F.greatest(F.col("quality"), F.col("p05")), F.col("p95")).alias(
+            "clipped"
+        ),
+        (F.col("quality") < F.col("p05")).alias("clipped_low"),
+        (F.col("quality") > F.col("p95")).alias("clipped_high"),
+    )

@@ -286,6 +286,50 @@ COMMENTARY = {
         "explode+md5 twice and joins two gram-sized sides; measured "
         "14x slower at sf0.1); the doc rollup is the second Exchange."
     ),
+    "bpe_pair_counts": (
+        "Tokenizer-training inner loop: adjacent-pair explode feeds a "
+        "partial (map-side) HashAggregate on the pair key, then one "
+        "Exchange and TakeOrderedAndProject for the deterministic "
+        "top-50 cut — no window, no second read of the corpus."
+    ),
+    "vocab_oov_rate": (
+        "Two-phase vocabulary probe: the corpus-wide freq agg shuffles "
+        "token hashes once; the 500-row vocabulary comes back as a "
+        "BroadcastExchange so the applied OOV pass is map-only (the "
+        "per-source rollup is the only other Exchange)."
+    ),
+    "bloom_membership": (
+        "Bloom sketch: the bit table is a DISTINCT over <=4096 ints -> "
+        "BroadcastExchange; the probe side is a k=5 fan-out joined "
+        "against it BuildRight, then one per-user AND aggregate. No "
+        "shuffle carries anything wider than (user_id, pos)."
+    ),
+    "embedding_int8_quant": (
+        "Two-pass exactness at 64-key width: posexplode feeds a partial "
+        "(map-side) min/max HashAggregate, the 64-row range table comes "
+        "back as a BroadcastExchange, and the code+error pass is "
+        "projection-only before the final 64-key rollup — BIGINT `div` "
+        "throughout, no double rounding on the shuffle path."
+    ),
+    "ctfidf_top_terms": (
+        "Class-TF-IDF: (source, token) agg shares the token shuffle with "
+        "the class-frequency agg; cf is vocabulary-sized -> "
+        "BroadcastExchange; the per-source top-3 compiles to "
+        "WindowGroupLimit so only 3 rows per class survive each task."
+    ),
+    "domain_cap_sample": (
+        "One window, no joins: rank-within-source compiles to "
+        "WindowGroupLimit(10) — every task truncates to the cap before "
+        "the exchange, so the shuffle carries at most 10 rows per "
+        "(task, source)."
+    ),
+    "split_leakage_audit": (
+        "Composition cost control: everything upstream is the verified "
+        "near-dup plan (banding equi-join on (band, sig-slice) buckets, "
+        "shingle-intersection verify keyed by candidate pair); the split "
+        "classification rides the existing doc-keyed joins — the audit "
+        "adds only the final 9-cell rollup."
+    ),
 }
 
 
