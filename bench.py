@@ -75,6 +75,8 @@ HEADLINE = (
     "streaming_click_nobuy",
     "bpe_pair_counts",
     "split_leakage_audit",
+    "pca_power_iteration",
+    "token_pagerank",
 )
 
 

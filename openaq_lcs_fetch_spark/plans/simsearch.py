@@ -1155,3 +1155,116 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# pca_power_iteration — distributed top principal direction via
+# MATRIX-FREE power iteration: v ← normalize(Σ_i (x_i·v)·x_i), three
+# iterations, the d×d covariance never materializes (the real
+# large-scale PCA shape — at 100 TB each iteration is a broadcast of
+# the 64-double v, one map-side-combined dot-product agg keyed by
+# vector, one 64-key recombination agg; nothing wider than (vec, dot)
+# shuffles). Exactness scheme per iteration: components on the ×1000
+# integer grid, v re-quantized to the same grid after each normalize,
+# so dot products and the recombined y_j are order-independent BIGINT
+# sums; Σy² accumulates in DECIMAL(38)/HUGEINT; the only double ops are
+# the per-iteration norm sqrt and the 64 divisions — identical IEEE in
+# both engines. Uncentered variant (top singular direction of the raw
+# matrix), all-ones start: both choices documented and mirrored in the
+# oracle. BIGINT headroom: |q|≤578, |vq|≤1000 → y ≤ N·2.1e10; beyond
+# N≈1e8 rows drop the v-grid to ×100.
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 3
+
+
+def _pca_oracle() -> str:
+    head = f"""
+WITH qv AS (SELECT vec_id, {_sql_qvec('embedding')} AS q FROM embeddings),
+comp AS (
+  SELECT vec_id, unnest(q) AS qc, generate_subscripts(q, 1) AS pos FROM qv
+),
+v0 AS (SELECT unnest(generate_series(1, 64)) AS pos, CAST(1000 AS BIGINT) AS vq)"""
+    its = []
+    for i in range(1, _PCA_ITERS + 1):
+        p = i - 1
+        its.append(
+            f""",
+d{i} AS (
+  SELECT c.vec_id, CAST(SUM(c.qc * v.vq) AS BIGINT) AS dot
+  FROM comp c JOIN v{p} v USING (pos) GROUP BY c.vec_id
+),
+y{i} AS (
+  SELECT c.pos, CAST(SUM(d.dot * c.qc) AS BIGINT) AS y
+  FROM comp c JOIN d{i} d USING (vec_id) GROUP BY c.pos
+),
+n{i} AS (SELECT sqrt(CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE)) AS norm FROM y{i}),
+v{i} AS (
+  SELECT pos,
+         CAST(ROUND(CAST(y AS DOUBLE) / (SELECT norm FROM n{i}) * 1000, 0) AS BIGINT) AS vq
+  FROM y{i}
+)"""
+        )
+    last = _PCA_ITERS
+    return (
+        head
+        + "".join(its)
+        + f"""
+SELECT y.pos, v.vq,
+       ROUND(CAST(y.y AS DOUBLE) / (SELECT norm FROM n{last}), 6) AS v,
+       CAST((SELECT norm FROM n{last}) AS BIGINT) AS lam_q
+FROM y{last} y JOIN v{last} v USING (pos)
+ORDER BY y.pos
+"""
+    )
+
+
+@query("pca_power_iteration", _pca_oracle())
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized(F.col("embedding")).alias("q")
+    )
+    comp = (
+        e.select("vec_id", F.posexplode("q").alias("pos0", "qc"))
+        .select("vec_id", (F.col("pos0") + 1).alias("pos"), "qc")
+        .localCheckpoint(eager=False)  # 3 iterations re-read this, not the scan
+    )
+    vq = spark.range(1, 65).select(
+        F.col("id").cast("int").alias("pos"), F.lit(1000).cast("long").alias("vq")
+    )
+    y = norm = None
+    for _ in range(_PCA_ITERS):
+        dots = (
+            comp.join(F.broadcast(vq), "pos")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("qc") * F.col("vq")).alias("dot"))
+        )
+        y = (
+            comp.join(dots, "vec_id")
+            .groupBy("pos")
+            .agg(F.sum(F.col("dot") * F.col("qc")).alias("y"))
+        )
+        dec = F.col("y").cast("decimal(19,0)")
+        norm = y.agg(
+            F.sqrt(F.sum(dec * dec).cast("double")).alias("norm")
+        )
+        vq = (
+            y.crossJoin(F.broadcast(norm))
+            .select(
+                "pos",
+                F.round(F.col("y").cast("double") / F.col("norm") * 1000, 0)
+                .cast("long")
+                .alias("vq"),
+            )
+        )
+    return (
+        y.crossJoin(F.broadcast(norm))
+        .join(vq.withColumnRenamed("vq", "vq_final"), "pos")
+        .select(
+            "pos",
+            F.col("vq_final").alias("vq"),
+            F.round(F.col("y").cast("double") / F.col("norm"), 6).alias("v"),
+            F.col("norm").cast("long").alias("lam_q"),
+        )
+        .orderBy("pos")
+    )

@@ -2019,3 +2019,114 @@ def quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("quality") < F.col("p05")).alias("clipped_low"),
         (F.col("quality") > F.col("p95")).alias("clipped_high"),
     )
+
+
+# ---------------------------------------------------------------------------
+# token_pagerank — PageRank over the token-BIGRAM graph (nodes =
+# BPE-ish tokens, edge a→b weighted by adjacent-pair count): the second
+# classic iterative graph op next to connected-components dedup, and
+# the standard centrality pass over co-occurrence graphs. Integer spec
+# (so three iterations stay bit-identical across engines): PR lives in
+# 1e12 micro-units, per-edge contribution is (pr·w) div out_w (floor —
+# part of the operator's spec, not an approximation), damping is the
+# exact rational 85/100 applied as BIGINT (15·base + 85·Σcontrib) div
+# 100; dangling tokens lose their mass (documented choice). Scale
+# shape: nodes/edges are VOCABULARY-sized (≪ corpus rows); each
+# iteration is one broadcast-joined edge pass + one node-keyed agg —
+# the corpus is read once, in the pair-count stage.
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_UNIT = 10**12
+_PR_TOPK = 20
+
+
+def _pagerank_oracle() -> str:
+    head = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '{_BPE_PATTERN}') AS tk FROM documents
+),
+edges AS (
+  SELECT p[1] AS a, p[2] AS b, CAST(COUNT(*) AS BIGINT) AS w
+  FROM (SELECT unnest(list_zip(tk[1:len(tk)-1], tk[2:len(tk)])) AS p FROM toks)
+  GROUP BY a, b
+),
+nodes AS (
+  SELECT DISTINCT tok FROM (
+    SELECT a AS tok FROM edges UNION SELECT b AS tok FROM edges
+  )
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+outw AS (SELECT a, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY a),
+pr0 AS (SELECT tok, {_PR_UNIT} // (SELECT n FROM nn) AS pr FROM nodes)"""
+    its = []
+    for i in range(1, _PR_ITERS + 1):
+        p = i - 1
+        its.append(
+            f""",
+c{i} AS (
+  SELECT e.b AS tok, CAST(SUM((p.pr * e.w) // o.ow) AS BIGINT) AS cin
+  FROM edges e JOIN pr{p} p ON e.a = p.tok JOIN outw o ON e.a = o.a
+  GROUP BY e.b
+),
+pr{i} AS (
+  SELECT n.tok,
+         (15 * ({_PR_UNIT} // (SELECT n FROM nn)) + 85 * COALESCE(c.cin, 0)) // 100 AS pr
+  FROM nodes n LEFT JOIN c{i} c ON n.tok = c.tok
+)"""
+        )
+    return (
+        head
+        + "".join(its)
+        + f"""
+SELECT tok, CAST(pr AS BIGINT) AS pr_q
+FROM pr{_PR_ITERS} ORDER BY pr DESC, tok ASC LIMIT {_PR_TOPK}
+"""
+    )
+
+
+@query("token_pagerank", _pagerank_oracle())
+def token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), 0)
+    n_tok = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n_tok - 1),
+        F.slice(toks, 2, n_tok - 1),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    )
+    edges = (
+        d.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=False)  # iterations re-read edges, not the corpus
+    )
+    nodes = (
+        edges.select(F.col("a").alias("tok"))
+        .union(edges.select(F.col("b").alias("tok")))
+        .distinct()
+    )
+    outw = edges.groupBy("a").agg(F.sum("w").alias("ow"))
+    n_nodes = nodes.count()  # vocabulary-sized scalar; drives exact literals
+    base = _PR_UNIT // n_nodes
+    pr = nodes.select("tok", F.lit(base).cast("long").alias("pr"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(pr.withColumnRenamed("tok", "a"), "a")
+            .join(outw, "a")
+            .select(F.col("b").alias("tok"), F.expr("(pr * w) div ow").alias("c"))
+            .groupBy("tok")
+            .agg(F.sum("c").alias("cin"))
+        )
+        pr = nodes.join(contrib, "tok", "left").select(
+            "tok",
+            F.expr(f"(15 * {base} + 85 * coalesce(cin, 0)) div 100")
+            .cast("long")
+            .alias("pr"),
+        )
+    return (
+        pr.select("tok", F.col("pr").alias("pr_q"))
+        .orderBy(F.desc("pr_q"), F.asc("tok"))
+        .limit(_PR_TOPK)
+    )

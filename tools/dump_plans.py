@@ -323,6 +323,19 @@ COMMENTARY = {
         "the exchange, so the shuffle carries at most 10 rows per "
         "(task, source)."
     ),
+    "pca_power_iteration": (
+        "Matrix-free power iteration: each round is the 64-row v as a "
+        "BroadcastExchange, a map-side-combined dot agg keyed by vec_id, "
+        "and a 64-key recombination agg — the d x d covariance never "
+        "appears; the localCheckpoint pins the exploded components so "
+        "three rounds do not re-scan parquet."
+    ),
+    "token_pagerank": (
+        "Iterative graph centrality at vocabulary width: edges/nodes are "
+        "token-sized, each round joins the PR table into the edge list "
+        "(broadcast at this SF) and re-aggregates per destination; the "
+        "corpus is read once in the pair-count stage."
+    ),
     "split_leakage_audit": (
         "Composition cost control: everything upstream is the verified "
         "near-dup plan (banding equi-join on (band, sig-slice) buckets, "
