@@ -1171,7 +1171,8 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the per-iteration norm sqrt and the 64 divisions — identical IEEE in
 # both engines. Uncentered variant (top singular direction of the raw
 # matrix), all-ones start: both choices documented and mirrored in the
-# oracle. BIGINT headroom: |q|≤578, |vq|≤1000 → y ≤ N·2.1e10; beyond
+# oracle. (Oracle trap pinned here: DuckDB CAST(double AS BIGINT)
+# ROUNDS while Spark's cast truncates — lam_q floors explicitly.) BIGINT headroom: |q|≤578, |vq|≤1000 → y ≤ N·2.1e10; beyond
 # N≈1e8 rows drop the v-grid to ×100.
 # ---------------------------------------------------------------------------
 
@@ -1212,7 +1213,7 @@ v{i} AS (
         + f"""
 SELECT y.pos, v.vq,
        ROUND(CAST(y.y AS DOUBLE) / (SELECT norm FROM n{last}), 6) AS v,
-       CAST((SELECT norm FROM n{last}) AS BIGINT) AS lam_q
+       CAST(FLOOR((SELECT norm FROM n{last})) AS BIGINT) AS lam_q
 FROM y{last} y JOIN v{last} v USING (pos)
 ORDER BY y.pos
 """

@@ -1967,13 +1967,14 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # quality_winsorize — robust per-source score conditioning: clip each
-# document's quality at its source's exact p05/p95 (winsorization), flag
-# which tail it came from. Spark `percentile` and DuckDB quantile_cont
-# are bit-identical on doubles (pinned by value_percentiles), and the
-# clip itself is pure comparison — no new arithmetic, so every output
-# double is one of the already-deterministic inputs. Shape: per-source
-# percentile agg (20 rows) → broadcast back → map-only applied pass;
-# the percentile agg is the only shuffle.
+# document's quality at its source's p05/p95 (winsorization), flag which
+# tail it came from. The cut is the NEAREST-RANK order statistic (the
+# k=ceil(p·n)-th smallest, k in pure integer math) — interpolated
+# percentiles were measured 1 ulp apart between Spark `percentile` and
+# DuckDB quantile_cont at sf0.001, so the cut value must be an actual
+# data value, making the clip pure comparison with no new float
+# arithmetic anywhere. Shape: one per-source rank window + a 20-row cuts
+# agg broadcast back for the map-only applied pass.
 # ---------------------------------------------------------------------------
 
 _WINSOR_ORACLE = f"""
@@ -1986,10 +1987,17 @@ scored AS (
          AS quality
   FROM toks
 ),
+ranked AS (
+  SELECT doc_id, source, quality,
+         row_number() OVER (PARTITION BY source ORDER BY quality ASC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS cnt
+  FROM scored
+),
 cuts AS (
-  SELECT source, quantile_cont(quality, 0.05) AS p05,
-         quantile_cont(quality, 0.95) AS p95
-  FROM scored GROUP BY source
+  SELECT source,
+         MIN(CASE WHEN rn = (5 * cnt + 99) // 100 THEN quality END) AS p05,
+         MIN(CASE WHEN rn = (95 * cnt + 99) // 100 THEN quality END) AS p95
+  FROM ranked GROUP BY source
 )
 SELECT s.doc_id, s.source, s.quality,
        LEAST(GREATEST(s.quality, c.p05), c.p95) AS clipped,
@@ -2005,9 +2013,20 @@ def quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select(
         "doc_id", "source", TX.quality_score(F.col("text")).alias("quality")
     )
-    cuts = scored.groupBy("source").agg(
-        F.expr("percentile(quality, 0.05)").alias("p05"),
-        F.expr("percentile(quality, 0.95)").alias("p95"),
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("source").orderBy(
+        F.col("quality").asc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("source")
+    ranked = scored.withColumn("rn", F.row_number().over(wq)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wc)
+    )
+    k05 = F.expr("(5 * cnt + 99) div 100")
+    k95 = F.expr("(95 * cnt + 99) div 100")
+    cuts = ranked.groupBy("source").agg(
+        F.min(F.when(F.col("rn") == k05, F.col("quality"))).alias("p05"),
+        F.min(F.when(F.col("rn") == k95, F.col("quality"))).alias("p95"),
     )
     return scored.join(F.broadcast(cuts), "source").select(
         "doc_id",
@@ -2109,7 +2128,7 @@ def token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     outw = edges.groupBy("a").agg(F.sum("w").alias("ow"))
     n_nodes = nodes.count()  # vocabulary-sized scalar; drives exact literals
-    base = _PR_UNIT // n_nodes
+    base = _PR_UNIT // max(n_nodes, 1)  # empty corpus -> no nodes, 0 rows out
     pr = nodes.select("tok", F.lit(base).cast("long").alias("pr"))
     for _ in range(_PR_ITERS):
         contrib = (

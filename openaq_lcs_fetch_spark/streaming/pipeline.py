@@ -129,6 +129,8 @@ def read_events_stream_with_heartbeat(
         src_tbl = pq.read_table(src_file, columns=["ts"])
         arrow_schema = pq.read_schema(src_file)
         mx = pc.max(src_tbl["ts"]).as_py()
+        if mx is None:  # empty table: nothing to flush, epoch anchor
+            mx = _dt.datetime(1970, 1, 1)
         if isinstance(mx, int):  # TIMESTAMP(NANOS) read as int64 epochs
             mx_dt = _dt.datetime(1970, 1, 1) + _dt.timedelta(
                 microseconds=mx // 1000

@@ -33,6 +33,11 @@ REPRESENTATIVE = (
     "value_interpolate", "hourly_completeness",
     # round-4b additions
     "scd2_intervals", "locf_fill", "trailing_1h_stats", "embedding_covariance", "jl_project", "dup_span_stats", "user_value_trend", "zorder_locality", "kmv_daily_merge", "cms_user_counts", "time_weighted_avg", "conjunctive_search", "event_type_affinity", "event_transitions", "value_histogram", "incremental_hourly_merge", "type_day_chisq", "record_breaking_values", "week_over_week_reconcile",
+    # round-4c additions
+    "bpe_pair_counts", "vocab_oov_rate", "bloom_membership",
+    "split_leakage_audit", "embedding_int8_quant", "ctfidf_top_terms",
+    "domain_cap_sample", "quality_winsorize", "pca_power_iteration",
+    "token_pagerank",
 )
 
 

@@ -61,7 +61,11 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           "cms_user_counts", "time_weighted_avg", "conjunctive_search",
           "event_type_affinity", "event_transitions", "value_histogram",
           "incremental_hourly_merge", "type_day_chisq",
-          "record_breaking_values", "week_over_week_reconcile"]:
+          "record_breaking_values", "week_over_week_reconcile",
+          "bpe_pair_counts", "vocab_oov_rate", "bloom_membership",
+          "split_leakage_audit", "embedding_int8_quant", "ctfidf_top_terms",
+          "domain_cap_sample", "quality_winsorize", "pca_power_iteration",
+          "token_pagerank"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n
