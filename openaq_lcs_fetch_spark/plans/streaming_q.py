@@ -368,3 +368,35 @@ def streaming_click_nobuy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "buy_id",
         micros(F.col("p_ts")).alias("buy_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming_user_final_state — timeout-driven state expiry as a
+# driver-visible query: every user's (count, last-seen) summary is
+# emitted by GroupStateTimeout.EventTimeTimeout when the watermark
+# proves them idle — NOT by seeing more data. The heartbeat stream
+# advances the watermark past every real user, so the bounded replay
+# fires every timeout and the output equals the batch GROUP BY — that
+# equality is the exactly-once argument for emit-on-expiry state (the
+# session-store pattern: accumulate, go quiet, flush once, remove).
+# Heartbeat keys (user_id < 0) never time out inside the replay and are
+# dropped after the sink materializes (same pushdown trap as
+# streaming_click_nobuy — see read_events_stream_with_heartbeat).
+# ---------------------------------------------------------------------------
+
+_FINAL_STATE_ORACLE = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       epoch_us(MAX(ts)) AS last_us
+FROM events GROUP BY user_id
+"""
+
+
+@query("streaming_user_final_state", _FINAL_STATE_ORACLE)
+def streaming_user_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import read_events_stream_with_heartbeat
+    from ..streaming.stateful import user_final_state
+
+    raw = read_events_stream_with_heartbeat(spark, sf_dir)
+    summaries = user_final_state(raw.withWatermark("ts", "2 hours"))
+    out = run_available_now(summaries)
+    return out.filter(F.col("user_id") >= 0)

@@ -126,9 +126,23 @@ def read_events_stream_with_heartbeat(
         os.symlink(src_file, tmp_link)
         os.replace(tmp_link, link)
 
-        src_tbl = pq.read_table(src_file, columns=["ts"])
-        arrow_schema = pq.read_schema(src_file)
-        mx = pc.max(src_tbl["ts"]).as_py()
+        # a "table" may be a single file (the testdata layout) or a
+        # Spark-written directory of part files (+ _SUCCESS markers)
+        if os.path.isdir(src_file):
+            import glob as _glob
+
+            parts = sorted(_glob.glob(os.path.join(src_file, "*.parquet")))
+            arrow_schema = pq.read_schema(parts[0])
+            maxes = [
+                pc.max(pq.read_table(p, columns=["ts"])["ts"]).as_py()
+                for p in parts
+            ]
+            maxes = [m for m in maxes if m is not None]
+            mx = max(maxes) if maxes else None
+        else:
+            src_tbl = pq.read_table(src_file, columns=["ts"])
+            arrow_schema = pq.read_schema(src_file)
+            mx = pc.max(src_tbl["ts"]).as_py()
         if mx is None:  # empty table: nothing to flush, epoch anchor
             mx = _dt.datetime(1970, 1, 1)
         if isinstance(mx, int):  # TIMESTAMP(NANOS) read as int64 epochs

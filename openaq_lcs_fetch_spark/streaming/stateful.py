@@ -236,3 +236,77 @@ def running_max(events_stream: DataFrame, key: str = "user_id") -> DataFrame:
         outputMode="append",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# user_final_state — TIMEOUT-driven emission (GroupStateTimeout.
+# EventTimeTimeout): per-user running (n_events, last_seen) state that
+# emits exactly once, when the event-time watermark proves the user has
+# been idle past the horizon — the state-expiry pattern every
+# production session store runs (emit-on-quiet, then state.remove()).
+# Previously untestable in a bounded replay: timeouts only fire in a
+# batch that runs AFTER the watermark passes them, and a plain
+# availableNow replay ends watermark-short. The heartbeat stream
+# (pipeline.read_events_stream_with_heartbeat) advances the watermark
+# 30 days past the data and the final no-data micro-batch fires every
+# real key's timeout — so the bounded replay emits each user's complete
+# summary, verifiable against the plain batch GROUP BY oracle.
+# ---------------------------------------------------------------------------
+
+_FINAL_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType(), True),
+        StructField("last_us", LongType(), True),
+    ]
+)
+
+
+def user_final_state(
+    events_stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    idle: str = "48 hours",
+) -> DataFrame:
+    """Emit (key, n_events, last_us) once per key, on event-time timeout
+    after ``idle`` of silence. State: 16 bytes/key, removed at emission."""
+    idle_ms = int(pd.Timedelta(idle).total_seconds() * 1000)
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("n_events", LongType(), False),
+            StructField("last_us", LongType(), False),
+        ]
+    )
+
+    def fn(
+        key_tuple: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(int(key_tuple[0]), int(n), int(last))],
+                columns=["user_id", "n_events", "last_us"],
+            )
+            return
+        n, last = (state.get if state.exists else (0, None))
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            stamps = [int(v.value) // 1000 for v in pd.to_datetime(pdf[ts_col])]
+            n += len(stamps)
+            mx = max(stamps)
+            last = mx if last is None or mx > last else last
+        if last is not None:
+            state.update((n, last))
+            state.setTimeoutTimestamp(last // 1000 + idle_ms)
+
+    return events_stream.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_FINAL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
