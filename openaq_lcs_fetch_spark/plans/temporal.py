@@ -613,3 +613,58 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted.groupBy("user_id", "day").agg(
         F.round(num / den / 1_000_000.0, 6).alias("twa")
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_apply — CDC / MERGE-INTO apply (the lakehouse upsert-with-deletes
+# fold): the event stream is read as a change log — each row is an
+# operation on its user key ('error' = DELETE, anything else = UPSERT
+# carrying value), ordered by the total sequence (ts, event_id) — and
+# the query produces the final table state: last-writer-wins per key,
+# keys whose LAST operation is a delete are absent. This is what Delta/
+# Hudi/Iceberg MERGE INTO computes before writing; expressed as ONE
+# per-key window pass (rank + count share the same partitioning, so one
+# shuffle total) rather than a join of base vs changes. At 100 TB the
+# window partitions by key hash; no key's history crosses executors.
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM events
+)
+SELECT user_id,
+       value AS last_value,
+       epoch_us(ts) AS last_us,
+       CAST(n_changes AS BIGINT) AS n_changes
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@query("cdc_apply", _CDC_ORACLE)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.timestamps import micros
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id")
+    ranked = e.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_changes", F.count(F.lit(1)).over(wc)
+    )
+    return ranked.filter(
+        (F.col("rn") == 1) & (F.col("event_type") != "error")
+    ).select(
+        "user_id",
+        F.col("value").alias("last_value"),
+        micros(F.col("ts")).alias("last_us"),
+        F.col("n_changes").cast("long").alias("n_changes"),
+    )
