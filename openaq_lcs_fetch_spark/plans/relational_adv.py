@@ -778,3 +778,112 @@ def wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# fk_violation_audit — referential-integrity audit across the schema's
+# four declared foreign keys (the data-quality gate a warehouse load
+# runs before publishing): per relation, total child rows and orphans
+# (child keys with no parent). Shape: each relation is a LEFT ANTI join
+# — at 100 TB the parent key sets hash-join (broadcast where
+# dimension-sized, shuffled otherwise, optimizer's call) and the audit
+# output is 4 rows. NULL child keys are not orphans (SQL FK semantics:
+# NULL references are permitted) — both engines enforce that the same
+# way here.
+# ---------------------------------------------------------------------------
+
+_FK_ORACLE = """
+SELECT 'orders.o_custkey->customer' AS relation,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_custkey IS NOT NULL AND c_custkey IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_orderkey IS NOT NULL AND o_orderkey IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_partkey IS NOT NULL AND p_partkey IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_suppkey IS NOT NULL AND s_suppkey IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+
+@query("fk_violation_audit", _FK_ORACLE)
+def fk_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(child, ckey, parent, pkey, name):
+        j = child.join(parent, child[ckey] == parent[pkey], "left")
+        orphan = F.when(
+            child[ckey].isNotNull() & parent[pkey].isNull(), F.lit(1)
+        ).otherwise(F.lit(0))
+        return j.agg(
+            F.lit(name).alias("relation"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(orphan).cast("long").alias("n_orphans"),
+        )
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        audit(o.select("o_custkey"), "o_custkey", c.select("c_custkey"), "c_custkey",
+              "orders.o_custkey->customer")
+        .unionAll(audit(l.select("l_orderkey"), "l_orderkey",
+                        o.select("o_orderkey"), "o_orderkey",
+                        "lineitem.l_orderkey->orders"))
+        .unionAll(audit(l.select("l_partkey"), "l_partkey",
+                        p.select("p_partkey"), "p_partkey",
+                        "lineitem.l_partkey->part"))
+        .unionAll(audit(l.select("l_suppkey"), "l_suppkey",
+                        s.select("s_suppkey"), "s_suppkey",
+                        "lineitem.l_suppkey->supplier"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_profile — column-level data profiling (the warehouse "profile
+# this table" op: null rates + exact distinct counts per column), long
+# format so adding columns never changes the schema. Shape: ONE
+# aggregate computes every column's count/nulls/distincts (Spark plans
+# multi-distinct via Expand — one shuffle, row multiplied by the number
+# of distinct aggregates, the standard trade); the unpivot to long form
+# is a 1-row stack. At 100 TB swap exact distincts for HLL if ±2% is
+# acceptable — same plan minus the Expand.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS n, "
+    f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+    f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct FROM events"
+    for c in _PROFILE_COLS
+)
+
+
+@query("events_profile", _PROFILE_ORACLE)
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"null_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"dist_{c}"))
+    wide = e.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', null_{c}, dist_{c}" for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS (col, n_null, n_distinct)", "n"
+    ).select("col", "n", "n_null", "n_distinct")

@@ -2149,3 +2149,43 @@ def token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pr_q"), F.asc("tok"))
         .limit(_PR_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# ppjoin_pairs — the PREFIX-FILTERED threshold Jaccard join (PPJoin
+# family, Xiao et al.) as a driver query: two sets with J ≥ t must
+# share an element in the first ⌊(1-t)·|A|⌋+1 of any agreed global
+# ordering, so the self-join runs on the prefix table (a (1-t)
+# fraction) and only surviving candidates pay exact verification. The
+# filter is LOSSLESS — the oracle is the PLAIN unfiltered threshold
+# join, and equality with it is the operator's correctness claim.
+# Complements the df-capped and LSH candidate generators: prefix
+# filtering prunes hardest exactly where they pay most (Zipfian-hot
+# shingles sort to the suffix end and never enter the join).
+# ---------------------------------------------------------------------------
+
+_PPJOIN_T = 0.3
+
+_PPJOIN_ORACLE = f"""
+WITH {_SQL_SHINGLE_TABLE},
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
+SELECT c.id_a, c.id_b,
+       CAST(c.inter AS DOUBLE) / (sa.sz + sb.sz - c.inter) AS jaccard
+FROM cand c
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE CAST(c.inter AS DOUBLE) / (sa.sz + sb.sz - c.inter) >= {_PPJOIN_T}
+"""
+
+
+@query("ppjoin_pairs", _PPJOIN_ORACLE)
+def ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return SIM.prefix_filtered_jaccard_pairs(
+        docs, "doc_id", "text", _PPJOIN_T, shingle_n=3
+    )

@@ -37,7 +37,8 @@ REPRESENTATIVE = (
     "bpe_pair_counts", "vocab_oov_rate", "bloom_membership",
     "split_leakage_audit", "embedding_int8_quant", "ctfidf_top_terms",
     "domain_cap_sample", "quality_winsorize", "pca_power_iteration",
-    "token_pagerank", "streaming_user_final_state", "streaming_click_nobuy", "cdc_apply",
+    "token_pagerank", "streaming_user_final_state", "streaming_click_nobuy", "cdc_apply", "ppjoin_pairs",
+    "fk_violation_audit", "events_profile",
 )
 
 

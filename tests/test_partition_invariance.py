@@ -65,7 +65,8 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           "bpe_pair_counts", "vocab_oov_rate", "bloom_membership",
           "split_leakage_audit", "embedding_int8_quant", "ctfidf_top_terms",
           "domain_cap_sample", "quality_winsorize", "pca_power_iteration",
-          "token_pagerank", "streaming_user_final_state", "cdc_apply"]:
+          "token_pagerank", "streaming_user_final_state", "cdc_apply", "ppjoin_pairs",
+          "fk_violation_audit", "events_profile"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n
