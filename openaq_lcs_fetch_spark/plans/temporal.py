@@ -668,3 +668,69 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         micros(F.col("ts")).alias("last_us"),
         F.col("n_changes").cast("long").alias("n_changes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ohlc_bars — time-series downsampling to OHLC bars (the hypertable
+# continuous-aggregate staple: open/high/low/close per 6-hour bucket
+# and series). High/low are plain min/max; open/close are the values at
+# the bar's FIRST/LAST instant, made deterministic by ranking on the
+# total order (ts, event_id) — min_by/arg_min alone tie-break
+# arbitrarily and won't cross-verify. Shape: both row_number windows
+# and the final aggregate share one (event_type, bar) partitioning →
+# a single shuffle; bar ids are exact integer micros division.
+# ---------------------------------------------------------------------------
+
+_BAR_US = 6 * 3_600_000_000
+
+_OHLC_ORACLE = f"""
+WITH based AS (
+  SELECT event_type, value, ts, event_id,
+         epoch_us(ts) // {_BAR_US} AS bar
+  FROM events
+),
+ranked AS (
+  SELECT event_type, bar, value,
+         row_number() OVER (PARTITION BY event_type, bar
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, bar
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM based
+)
+SELECT event_type, CAST(bar AS BIGINT) AS bar,
+       MIN(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MIN(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM ranked GROUP BY event_type, bar
+"""
+
+
+@query("ohlc_bars", _OHLC_ORACLE)
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.timestamps import micros
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type", "value", "ts", "event_id",
+        micros(F.col("ts")).alias("_us"),
+    )
+    e = e.withColumn("bar", F.expr(f"_us div {_BAR_US}")).drop("_us")
+    wa = Window.partitionBy("event_type", "bar").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("event_type", "bar").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = e.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return ranked.groupBy("event_type", "bar").agg(
+        F.min(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )

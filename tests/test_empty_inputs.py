@@ -38,7 +38,7 @@ REPRESENTATIVE = (
     "split_leakage_audit", "embedding_int8_quant", "ctfidf_top_terms",
     "domain_cap_sample", "quality_winsorize", "pca_power_iteration",
     "token_pagerank", "streaming_user_final_state", "streaming_click_nobuy", "cdc_apply", "ppjoin_pairs",
-    "fk_violation_audit", "events_profile",
+    "fk_violation_audit", "events_profile", "ohlc_bars",
 )
 
 
