@@ -2189,3 +2189,73 @@ def ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.prefix_filtered_jaccard_pairs(
         docs, "doc_id", "text", _PPJOIN_T, shingle_n=3
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_shrink_report — the end-to-end dedup ACCOUNTING pass
+# (RefinedWeb-style): near-dup pairs → connected components →
+# keep-component-canonical, reported as per-source corpus shrink
+# (docs and chars, before → after). This is the number a curation run
+# actually publishes — "dedup removed X% of source Y" — and it rides
+# the same edge set and fixpoint as dedup_components, so the oracle's
+# recursive CTE re-proves convergence while the rollup checks the
+# accounting. Shape: everything upstream is the bounded candidate
+# pipeline; the report adds one broadcast-sized join (doc → component)
+# and a 20-key aggregate.
+# ---------------------------------------------------------------------------
+
+_SHRINK_ORACLE = f"""
+WITH RECURSIVE {_SQL_SHINGLE_TABLE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.3
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.id = s.b
+),
+comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c.component = d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(d.n_chars) AS BIGINT) AS chars_before,
+       CAST(SUM(CASE WHEN c.component = d.doc_id THEN d.n_chars ELSE 0 END)
+            AS BIGINT) AS chars_after
+FROM documents d JOIN comp c USING (doc_id)
+GROUP BY d.source
+"""
+
+
+@query("dedup_shrink_report", _SHRINK_ORACLE)
+def dedup_shrink_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    edges = SIM.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.3)
+    comp = connected_components(
+        d.select("doc_id"), edges, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    kept = F.when(F.col("component") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .join(comp, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("chars_before"),
+            F.sum(F.col("n_chars") * kept).cast("long").alias("chars_after"),
+        )
+    )

@@ -323,6 +323,31 @@ COMMENTARY = {
         "the exchange, so the shuffle carries at most 10 rows per "
         "(task, source)."
     ),
+    "cdc_apply": (
+        "MERGE-INTO fold in one shuffle: rank and per-key count share "
+        "the same user_id window partitioning, so the change-log scan "
+        "exchanges once and the filter is projection-stage."
+    ),
+    "ohlc_bars": (
+        "One (series, bar) exchange feeds both row_number windows AND "
+        "the final aggregate — open/close/high/low/count from a single "
+        "shuffle; bar ids are codegen integer division."
+    ),
+    "ppjoin_pairs": (
+        "The self-join input is the PREFIX table (a (1-t) fraction of "
+        "shingles); candidates verify via id-keyed joins against the "
+        "checkpointed full shingle table. No all-pairs product anywhere."
+    ),
+    "events_profile": (
+        "Single aggregate with Expand for the six exact distincts — one "
+        "pass over the scan, one shuffle; the long-form unpivot is a "
+        "1-row stack, free."
+    ),
+    "dedup_shrink_report": (
+        "Rides the bounded pair pipeline + iterative components; the "
+        "accounting adds one doc->component join and a 20-key rollup — "
+        "no new scan of documents bodies."
+    ),
     "pca_power_iteration": (
         "Matrix-free power iteration: each round is the 64-row v as a "
         "BroadcastExchange, a map-side-combined dot agg keyed by vec_id, "
