@@ -887,3 +887,65 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {stack}) AS (col, n_null, n_distinct)", "n"
     ).select("col", "n", "n_null", "n_distinct")
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_name_match — entity-resolution fuzzy join (edit distance with
+# token blocking): near-miss part names at levenshtein 1..2. Two scale
+# decisions make this the correct 100 TB shape: (1) match DISTINCT
+# values, not rows — the vocabulary is orders of magnitude smaller than
+# the table, and row-level matches recover by broadcasting the matched
+# vocabulary back (multiplicities n_a/n_b are carried in the output);
+# (2) candidates come from shared-token BLOCKING (equi-join on the
+# token table), never an all-pairs product — a hot block would take the
+# same df-cap treatment as hot shingles (similarity.df_capped machinery)
+# on a Zipfian vocabulary. Exact-duplicate pairs (distance 0) are
+# dedup_exact's domain and excluded here. levenshtein is integer DP —
+# bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_FUZZY_MAX_DIST = 2
+
+_FUZZY_ORACLE = f"""
+WITH names AS (
+  SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n
+  FROM part GROUP BY p_name
+),
+toks AS (SELECT name, unnest(string_split(name, ' ')) AS tok FROM names),
+cand AS (
+  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.name < b.name
+)
+SELECT c.name_a, c.name_b,
+       CAST(levenshtein(c.name_a, c.name_b) AS BIGINT) AS dist,
+       na.n AS n_a, nb.n AS n_b
+FROM cand c
+JOIN names na ON na.name = c.name_a
+JOIN names nb ON nb.name = c.name_b
+WHERE levenshtein(c.name_a, c.name_b) BETWEEN 1 AND {_FUZZY_MAX_DIST}
+"""
+
+
+@query("fuzzy_name_match", _FUZZY_ORACLE)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    names = p.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    toks = names.select("name", F.explode(F.split(F.col("name"), " ")).alias("tok"))
+    a = toks.select(F.col("name").alias("name_a"), "tok")
+    b = toks.select(F.col("name").alias("name_b"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        cand.withColumn("dist", dist.cast("long"))
+        .filter((F.col("dist") >= 1) & (F.col("dist") <= _FUZZY_MAX_DIST))
+        .join(names.select(F.col("name").alias("name_a"), F.col("n").alias("n_a")), "name_a")
+        .join(names.select(F.col("name").alias("name_b"), F.col("n").alias("n_b")), "name_b")
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    )

@@ -1269,3 +1269,145 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# logreg_gd_steps — distributed model TRAINING as a query: three full-
+# batch gradient-descent steps of binary logistic regression (y = label
+# mod 2 on the 64-dim embeddings), the map-reduce ML shape (each step =
+# broadcast w → per-row score → per-dimension gradient agg). Engine-
+# exact spec: the link is the ALGEBRAIC sigmoid σ̂(z) = ½ + (z/2)/(1+|z|)
+# — division only, because exp() is only 1-ulp-accurate in Java and
+# libm and a transcendental ulp would cascade through iterations;
+# residuals quantize to 1e-6 BIGINTs, so every distributed sum (z per
+# row, gradient per dim) is order-independent integer math; the update
+# w ← w − S div (2000·N) is TRUNCATED division via sign-split (Spark
+# `div` truncates, DuckDB `//` floors — they differ on negatives).
+# Output: final per-dim weights (exact BIGINT micro-units) + training
+# accuracy from the integer sign of the final logit. At 100 TB each
+# step is one broadcast + two map-side-combined aggs — the textbook
+# distributed-GD cost model.
+# ---------------------------------------------------------------------------
+
+_GD_ITERS = 3
+
+
+def _gd_trunc_div_sql(num: str, den: str) -> str:
+    return f"(CASE WHEN {num} < 0 THEN -((-({num})) // ({den})) ELSE ({num}) // ({den}) END)"
+
+
+def _gd_oracle() -> str:
+    head = f"""
+WITH qv AS (SELECT vec_id, {_sql_qvec('embedding')} AS q FROM embeddings),
+comp AS (
+  SELECT vec_id, unnest(q) AS qc, generate_subscripts(q, 1) AS pos FROM qv
+),
+lab AS (SELECT vec_id, CAST(label % 2 AS BIGINT) AS y FROM embeddings),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+w0 AS (SELECT unnest(generate_series(1, 64)) AS pos, CAST(0 AS BIGINT) AS wq)"""
+    its = []
+    for i in range(1, _GD_ITERS + 1):
+        p = i - 1
+        resid = (
+            "0.5 + ((CAST(z.z AS DOUBLE) / 1000000000.0) / 2.0)"
+            " / (1.0 + ABS(CAST(z.z AS DOUBLE) / 1000000000.0))"
+            " - CAST(l.y AS DOUBLE)"
+        )
+        its.append(
+            f""",
+z{i} AS (
+  SELECT c.vec_id, CAST(SUM(c.qc * w.wq) AS BIGINT) AS z
+  FROM comp c JOIN w{p} w USING (pos) GROUP BY c.vec_id
+),
+r{i} AS (
+  SELECT z.vec_id,
+         CAST(ROUND(({resid}) * 1000000.0, 0) AS BIGINT) AS rq
+  FROM z{i} z JOIN lab l ON z.vec_id = l.vec_id
+),
+g{i} AS (
+  SELECT c.pos, CAST(SUM(r.rq * c.qc) AS BIGINT) AS s
+  FROM comp c JOIN r{i} r USING (vec_id) GROUP BY c.pos
+),
+w{i} AS (
+  SELECT w.pos,
+         w.wq - {_gd_trunc_div_sql('g.s', '2000 * (SELECT n FROM nn)')} AS wq
+  FROM w{p} w JOIN g{i} g USING (pos)
+)"""
+        )
+    last = _GD_ITERS
+    return (
+        head
+        + "".join(its)
+        + f""",
+zf AS (
+  SELECT c.vec_id, CAST(SUM(c.qc * w.wq) AS BIGINT) AS z
+  FROM comp c JOIN w{last} w USING (pos) GROUP BY c.vec_id
+),
+acc AS (
+  SELECT CAST(SUM(CASE WHEN (z.z >= 0) = (l.y = 1) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM zf z JOIN lab l ON z.vec_id = l.vec_id
+)
+SELECT w.pos, CAST(w.wq AS BIGINT) AS wq, acc.n_correct, acc.n
+FROM w{last} w CROSS JOIN acc ORDER BY w.pos
+"""
+    )
+
+
+@query("logreg_gd_steps", _gd_oracle())
+def logreg_gd_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _quantized(F.col("embedding")).alias("q"))
+    comp = (
+        e.select("vec_id", F.posexplode("q").alias("pos0", "qc"))
+        .select("vec_id", (F.col("pos0") + 1).alias("pos"), "qc")
+        .localCheckpoint(eager=False)
+    )
+    lab = emb.select("vec_id", (F.col("label") % 2).cast("long").alias("y"))
+    n = emb.count()  # scalar, drives the exact update denominator
+    den = 2000 * max(n, 1)
+    wq = spark.range(1, 65).select(
+        F.col("id").cast("int").alias("pos"), F.lit(0).cast("long").alias("wq")
+    )
+
+    def logits(w):
+        return (
+            comp.join(F.broadcast(w), "pos")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("qc") * F.col("wq")).alias("z"))
+        )
+
+    for _ in range(_GD_ITERS):
+        z = logits(wq)
+        zd = F.col("z").cast("double") / F.lit(1000000000.0)
+        resid = (
+            F.lit(0.5)
+            + (zd / F.lit(2.0)) / (F.lit(1.0) + F.abs(zd))
+            - F.col("y").cast("double")
+        )
+        r = z.join(lab, "vec_id").select(
+            "vec_id",
+            F.round(resid * F.lit(1000000.0), 0).cast("long").alias("rq"),
+        )
+        g = (
+            comp.join(r, "vec_id")
+            .groupBy("pos")
+            .agg(F.sum(F.col("rq") * F.col("qc")).alias("s"))
+        )
+        step = F.when(
+            F.col("s") < 0, -F.expr(f"(-s) div {den}")
+        ).otherwise(F.expr(f"s div {den}"))
+        wq = wq.join(g, "pos").select("pos", (F.col("wq") - step).alias("wq"))
+    zf = logits(wq)
+    acc = zf.join(lab, "vec_id").agg(
+        F.sum(
+            F.when((F.col("z") >= 0) == (F.col("y") == 1), 1).otherwise(0)
+        ).cast("long").alias("n_correct"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        wq.crossJoin(F.broadcast(acc))
+        .select("pos", "wq", "n_correct", "n")
+        .orderBy("pos")
+    )

@@ -39,7 +39,7 @@ REPRESENTATIVE = (
     "domain_cap_sample", "quality_winsorize", "pca_power_iteration",
     "token_pagerank", "streaming_user_final_state", "streaming_click_nobuy", "cdc_apply", "ppjoin_pairs",
     "fk_violation_audit", "events_profile", "ohlc_bars",
-    "dedup_shrink_report",
+    "dedup_shrink_report", "fuzzy_name_match", "logreg_gd_steps",
 )
 
 
