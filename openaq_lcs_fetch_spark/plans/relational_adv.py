@@ -949,3 +949,75 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(names.select(F.col("name").alias("name_b"), F.col("n").alias("n_b")), "name_b")
         .select("name_a", "name_b", "dist", "n_a", "n_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# pareto_front_parts — 2-D SKYLINE query (classic DB operator family):
+# parts not dominated on (price, size) — no other part is both cheaper
+# and smaller (one strictly). The naive formulation is a quadratic
+# anti-self-join; in 2-D the skyline falls out of ONE window pass:
+# sort by (price, size), take the running MIN of size over all
+# strictly-cheaper rows — a part is on the front iff no strictly
+# cheaper part has size ≤ its own (price ties compare within the same
+# price point via the strictly-cheaper frame, so equal-price parts can
+# coexist on the front). One shuffle, no join — the 100 TB shape for
+# low-dimensional skylines; higher dimensions would partition + merge
+# local fronts.
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH ranked AS (
+  SELECT p_partkey, p_name, p_retailprice, p_size,
+         MIN(p_size) OVER (
+           ORDER BY CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) ASC
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_cheaper_size
+  FROM part
+)
+SELECT p_partkey, p_name, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+FROM ranked
+WHERE best_cheaper_size IS NULL OR p_size < best_cheaper_size
+"""
+
+
+_PARETO_BUCKET_CENTS = 500  # $5-wide price buckets → parallel local fronts
+
+
+@query("pareto_front_parts", _PARETO_ORACLE)
+def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    )
+    # A single global ORDER BY price window would funnel every part
+    # through one task. Distributed shape (the sequence_pack prefix
+    # pattern): fixed-width price buckets run their strictly-cheaper
+    # running-min IN PARALLEL; the cross-bucket term is a prefix min
+    # over the tiny bucket-summary table (every part in an earlier
+    # bucket is strictly cheaper by construction — equal prices share a
+    # bucket), which comes back as a broadcast.
+    cents = F.round(F.col("p_retailprice") * 100, 0).cast("long")
+    b = p.withColumn("_cents", cents).withColumn(
+        "_bkt", F.expr(f"_cents div {_PARETO_BUCKET_CENTS}")
+    )
+    w_local = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("_cents").asc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    local = b.withColumn("local_min", F.min("p_size").over(w_local))
+    bucket_mins = b.groupBy("_bkt").agg(F.min("p_size").alias("bmin"))
+    w_prefix = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = bucket_mins.select(  # bucket-count rows only — tiny
+        "_bkt", F.min("bmin").over(w_prefix).alias("prefix_min")
+    )
+    ranked = local.join(F.broadcast(prefix), "_bkt").withColumn(
+        "best_cheaper_size", F.least("local_min", "prefix_min")
+    )
+    return ranked.filter(
+        F.col("best_cheaper_size").isNull()
+        | (F.col("p_size") < F.col("best_cheaper_size"))
+    ).select(
+        "p_partkey", "p_name", "p_retailprice", F.col("p_size").cast("long").alias("p_size")
+    )
