@@ -1101,3 +1101,125 @@ def week_over_week_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("changed")
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event_motifs — sequential pattern mining (lite): the top-20 per-user
+# event-type TRIGRAMS corpus-wide (behavioral motifs — "view→click→
+# purchase" style paths). Two lead() windows per user build the
+# consecutive triple (consecutive by the total order (ts, event_id)),
+# then one map-side-combined agg on the 125-value motif key; ties at
+# the cut break (n DESC, motif) — a total order. The window shuffle is
+# the only event-volume exchange; the motif agg is vocabulary-bounded.
+# ---------------------------------------------------------------------------
+
+_MOTIF_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events
+)
+SELECT event_type || '>' || e2 || '>' || e3 AS motif,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, motif ASC LIMIT 20
+"""
+
+
+@query("event_motifs", _MOTIF_ORACLE)
+def event_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("motif")
+        )
+        .groupBy("motif")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("motif"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# interval_union_length — covered-time per user: each event opens a
+# 30-minute activity interval; overlaps must not double-count, so the
+# answer is the LENGTH OF THE UNION of intervals (the sibling of
+# session_peak_concurrency's sweep-line, and of session windows — but
+# here the exact union length in µs, the billing/SLA number). Islands
+# form where an interval starts past the running max end (exclusive
+# frame); per-island length = max(end) − min(start); one user-keyed
+# window + one island rollup, both on the same partitioning.
+# ---------------------------------------------------------------------------
+
+_IVL_US = 30 * 60 * 1_000_000
+
+_UNION_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {_IVL_US} AS e
+  FROM events
+),
+marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -9223372036854775808)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+)
+SELECT user_id,
+       CAST(COUNT(DISTINCT island) AS BIGINT) AS n_islands,
+       CAST(SUM(len) AS BIGINT) AS covered_us
+FROM (
+  SELECT user_id, island, MAX(e) - MIN(s) AS len
+  FROM islands GROUP BY user_id, island
+) GROUP BY user_id
+"""
+
+
+@query("interval_union_length", _UNION_ORACLE)
+def interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.timestamps import micros
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        micros(F.col("ts")).alias("s"),
+        (micros(F.col("ts")) + _IVL_US).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = e.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(prev_max_end, F.lit(-(2**63))), 1
+        ).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("len")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.countDistinct("island").alias("n_islands"),
+        F.sum("len").alias("covered_us"),
+    )

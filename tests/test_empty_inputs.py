@@ -40,7 +40,7 @@ REPRESENTATIVE = (
     "token_pagerank", "streaming_user_final_state", "streaming_click_nobuy", "cdc_apply", "ppjoin_pairs",
     "fk_violation_audit", "events_profile", "ohlc_bars",
     "dedup_shrink_report", "fuzzy_name_match", "logreg_gd_steps",
-    "pareto_front_parts",
+    "pareto_front_parts", "event_motifs", "interval_union_length",
 )
 
 

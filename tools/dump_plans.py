@@ -323,6 +323,24 @@ COMMENTARY = {
         "the exchange, so the shuffle carries at most 10 rows per "
         "(task, source)."
     ),
+    "fuzzy_name_match": (
+        "ER at vocabulary width: DISTINCT names only (2000 rows -> ~100 "
+        "values), shared-token blocking equi-join, levenshtein verify on "
+        "candidates; multiplicities ride the output instead of exploding "
+        "row pairs."
+    ),
+    "logreg_gd_steps": (
+        "Three GD steps = three (broadcast w -> per-row logit agg -> "
+        "per-dim gradient agg) rounds over the checkpointed component "
+        "table; every agg is map-side-combined BIGINT. No driver-side "
+        "math beyond the scalar N."
+    ),
+    "pareto_front_parts": (
+        "No global window: local strictly-cheaper running-mins partition "
+        "by price bucket (parallel), the prefix min runs over the "
+        "bucket-count summary table only, and returns via "
+        "BroadcastHashJoin."
+    ),
     "cdc_apply": (
         "MERGE-INTO fold in one shuffle: rank and per-key count share "
         "the same user_id window partitioning, so the change-log scan "
