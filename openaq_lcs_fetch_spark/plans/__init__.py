@@ -20,17 +20,21 @@ made explicit by ``registry.promote``:
   media, lsh-verified, token budget), ``approx_event_stats`` (driver-red
   ``no_oracle`` in r03, made hash-checkable this round), 16 mid-round-4
   (passage dedup … hourly completeness), and 18 late-round-4 (SCD2 …
-  record-breaking values). The remaining 4 slots take the stalest
-  signal: r01-verified rollup/profile queries. Everything else —
+  record-breaking values). The remaining 4 slots take four
+  flagship round-4c additions (stream-stream outer join, timeout state
+  expiry, PCA power iteration, logistic-regression GD) — first-time
+  signal outranks re-verifying r01 greens. Everything else —
   14 more r01-stale relational/etl + the r02-green textops/simsearch
   set — is the round-5 rotation TODO; ``tools/check_all.py`` (and the
   repo's own 181-case parity suite) still re-proves the FULL registry
   against DuckDB locally every round, so rotation only decides which
   proof the driver itself replays.
 
-Round-5 rotation TODO: promote whatever round 4 registered after this
-list froze (``week_over_week_reconcile``, ``streaming_click_nobuy``, ``bpe_pair_counts``, ``vocab_oov_rate``, ``bloom_membership``, ``split_leakage_audit``, ``embedding_int8_quant``, ``ctfidf_top_terms``, ``domain_cap_sample``, ``quality_winsorize``, ``pca_power_iteration``, ``token_pagerank``, ``streaming_user_final_state``, ``cdc_apply``, ``ppjoin_pairs``, ``fk_violation_audit``, ``events_profile``, ``ohlc_bars``, ``dedup_shrink_report``, ``fuzzy_name_match``, ``logreg_gd_steps``, ``pareto_front_parts``, ``event_motifs``, ``interval_union_length``), then the r02-green textops/simsearch set (last
-driver row round 2), then the 14 r01-stale relational/etl queries
+Round-5 rotation TODO: promote the round-4c queries without a driver
+row (``week_over_week_reconcile``, ``bpe_pair_counts``, ``vocab_oov_rate``, ``bloom_membership``, ``split_leakage_audit``, ``embedding_int8_quant``, ``ctfidf_top_terms``, ``domain_cap_sample``, ``quality_winsorize``, ``token_pagerank``, ``cdc_apply``, ``ppjoin_pairs``, ``fk_violation_audit``, ``events_profile``, ``ohlc_bars``, ``dedup_shrink_report``, ``fuzzy_name_match``, ``pareto_front_parts``, ``event_motifs``,
+``interval_union_length``), then the r02-green textops/simsearch set
+(last driver row round 2), then the stale r01 rollup/relational/etl
+queries
 (``hour_ending_rollup``-adjacent group below), newest-signal last.
 """
 
@@ -103,11 +107,13 @@ registry.promote(
         "incremental_hourly_merge",
         "type_day_chisq",
         "record_breaking_values",
-        # stalest re-verification signal (last driver row: round 1)
-        "watermark_summary",
-        "distinct_users",
-        "hourly_rollup",
-        "hour_ending_rollup",
+        # flagship round-4c additions (never driver-verified; first-time
+        # signal beats re-verifying r01 greens — swapped in before the
+        # round-4 driver run)
+        "streaming_click_nobuy",
+        "streaming_user_final_state",
+        "pca_power_iteration",
+        "logreg_gd_steps",
     ]
 )
 
