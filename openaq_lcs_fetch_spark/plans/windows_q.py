@@ -1223,3 +1223,79 @@ def interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("island").alias("n_islands"),
         F.sum("len").alias("covered_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ab_test_zstat — experimentation analytics: a deterministic A/B split
+# (user_id parity — in production, the hash-rank assignment of
+# corpus_split), conversion = "user ever purchased", and the
+# two-proportion z-statistic. All counts are exact integers from two
+# shuffles (per-user any-purchase flag, then per-variant totals → 2
+# rows); the statistic itself is a single scalar expression over four
+# exact BIGINTs — the only doubles are the final divisions and one
+# sqrt, identical IEEE in both engines. The experiment read-out a
+# product analytics pipeline computes at any scale.
+# ---------------------------------------------------------------------------
+
+_AB_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 3
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS conv
+  FROM per_user GROUP BY variant
+),
+w AS (
+  SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+         MAX(CASE WHEN variant = 0 THEN conv END) AS c0,
+         MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+         MAX(CASE WHEN variant = 1 THEN conv END) AS c1
+  FROM v
+)
+SELECT n0, c0, n1, c1,
+       CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL
+            ELSE ROUND((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 6) END AS z
+FROM w
+"""
+
+
+@query("ab_test_zstat", _AB_ORACLE)
+def ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = e.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 3
+        ).cast("int").alias("converted")
+    ).withColumn("variant", (F.col("user_id") % 2).cast("long"))
+    v = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").cast("long").alias("conv")
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (p0 - p1) / F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    degenerate = (F.col("c0") + F.col("c1") == 0) | (
+        F.col("c0") + F.col("c1") == F.col("n0") + F.col("n1")
+    )
+    return w.select(
+        "n0", "c0", "n1", "c1",
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(z, 6))
+        .alias("z"),
+    )
