@@ -971,12 +971,16 @@ WITH ranked AS (
          MIN(p_size) OVER (
            ORDER BY CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) ASC
            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-           AS best_cheaper_size
+           AS best_cheaper_size,
+         MIN(p_size) OVER (
+           PARTITION BY CAST(ROUND(p_retailprice * 100, 0) AS BIGINT))
+           AS price_group_min
   FROM part
 )
 SELECT p_partkey, p_name, p_retailprice, CAST(p_size AS BIGINT) AS p_size
 FROM ranked
-WHERE best_cheaper_size IS NULL OR p_size < best_cheaper_size
+WHERE (best_cheaper_size IS NULL OR p_size < best_cheaper_size)
+  AND p_size = price_group_min
 """
 
 
@@ -1012,12 +1016,21 @@ def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = bucket_mins.select(  # bucket-count rows only — tiny
         "_bkt", F.min("bmin").over(w_prefix).alias("prefix_min")
     )
-    ranked = local.join(F.broadcast(prefix), "_bkt").withColumn(
-        "best_cheaper_size", F.least("local_min", "prefix_min")
+    # equal-price group: only its min size is non-dominated (price tie +
+    # strictly smaller size IS domination; exact duplicates coexist) —
+    # the tie window partitions by the exact cents value, still parallel
+    w_tie = Window.partitionBy("_cents")
+    ranked = (
+        local.join(F.broadcast(prefix), "_bkt")
+        .withColumn("best_cheaper_size", F.least("local_min", "prefix_min"))
+        .withColumn("price_group_min", F.min("p_size").over(w_tie))
     )
     return ranked.filter(
-        F.col("best_cheaper_size").isNull()
-        | (F.col("p_size") < F.col("best_cheaper_size"))
+        (
+            F.col("best_cheaper_size").isNull()
+            | (F.col("p_size") < F.col("best_cheaper_size"))
+        )
+        & (F.col("p_size") == F.col("price_group_min"))
     ).select(
         "p_partkey", "p_name", "p_retailprice", F.col("p_size").cast("long").alias("p_size")
     )

@@ -214,3 +214,44 @@ def test_dynamic_partition_pruning_on_partitioned_store(spark, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", prev
         )
+
+
+def test_pareto_front_no_global_window(spark, sf_dir):
+    """The skyline must NOT run a global single-partition window over
+    the full table: the event-volume window partitions by the price
+    bucket; only the bucket-summary prefix (tiny) is unpartitioned."""
+    plan = _plan(spark, sf_dir, "pareto_front_parts")
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*?)\)", plan)
+    assert specs
+    full_data = [s for s in specs if "_cents" in s]
+    assert full_data, specs
+    for s in full_data:
+        # a windowspec's leading element is a PARTITION column unless it
+        # carries a sort direction — an order-only (unpartitioned) window
+        # over table data is the single-task funnel this test forbids.
+        # Both parallel partitionings are fine: _bkt (price buckets) and
+        # _cents (exact-price tie groups).
+        first = s.split(",")[0]
+        assert "_bkt" in s or ("ASC" not in first and "DESC" not in first), (
+            f"full-table window unpartitioned: {s}"
+        )
+    assert "BroadcastHashJoin" in plan  # prefix table returns broadcast
+
+
+def test_bloom_membership_broadcasts_bits(spark, sf_dir):
+    """The bit table is <= m=4096 ints — the probe join must build on a
+    BroadcastExchange, never shuffle the probe fan-out for the join."""
+    plan = _plan(spark, sf_dir, "bloom_membership")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_logreg_each_step_broadcasts_weights(spark, sf_dir):
+    """Three GD steps = three broadcast joins of the 64-row weight
+    table into the component table; gradients must be partial
+    (map-side) aggregates and nothing may cartesian."""
+    plan = _plan(spark, sf_dir, "logreg_gd_steps")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan

@@ -412,3 +412,131 @@ def test_twa_bounded_and_constant_exact(spark, sf_dir):
     out = {r.user_id: r.twa for r in time_weighted_avg(spark, d).collect()}
     assert out[1] == pytest.approx(42.5, abs=1e-6)
     assert 1.0 <= out[2] <= 9.0
+
+
+def _write_embeddings(spark, d, vecs, labels):
+    import os
+
+    rows = [
+        (i, [float(x) for x in v], int(lab))
+        for i, (v, lab) in enumerate(zip(vecs, labels))
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+
+
+def test_pca_power_iteration_matches_numpy_spec(spark):
+    """The distributed PCA plan must equal an INDEPENDENT single-process
+    implementation of the same integer spec (quantize -> 3 x (dot,
+    recombine, normalize, requantize)) bit-for-bit — the strongest
+    convergence check available without a second SQL engine."""
+    import tempfile
+
+    import numpy as np
+
+    from openaq_lcs_fetch_spark.plans.simsearch import pca_power_iteration
+
+    rng = random.Random(7)
+    n, dim = 40, 64
+    vecs = [[rng.uniform(-0.6, 0.6) for _ in range(dim)] for _ in range(n)]
+    d = tempfile.mkdtemp()
+    _write_embeddings(spark, d, vecs, [0] * n)
+
+    # independent reference: float32 load, x1000 half-up quantize
+    q = np.array(
+        [[int(round(float(np.float32(x)) * 1000.0)) for x in v] for v in vecs],
+        dtype=np.int64,
+    )
+    vq = np.full(dim, 1000, dtype=np.int64)
+    for _ in range(3):
+        dots = q @ vq                       # exact int64
+        y = q.T @ dots                      # exact int64
+        norm = float(np.sqrt(float(sum(int(v) ** 2 for v in y))))
+        vq = np.array(
+            [int(np.floor(abs(v / norm * 1000) + 0.5) * (1 if v >= 0 else -1))
+             for v in y],
+            dtype=np.int64,
+        )
+    got = {r.pos: r.vq for r in pca_power_iteration(spark, d).collect()}
+    want = {i + 1: int(vq[i]) for i in range(dim)}
+    assert got == want
+
+
+def test_logreg_gd_matches_numpy_spec(spark):
+    """Same contract for the GD steps: the distributed integer spec
+    (algebraic sigmoid, 1e-6 residual grid, truncated-div update)
+    replayed in NumPy must reproduce the weights exactly."""
+    import tempfile
+
+    import numpy as np
+
+    from openaq_lcs_fetch_spark.plans.simsearch import logreg_gd_steps
+
+    rng = random.Random(11)
+    n, dim = 50, 64
+    vecs = [[rng.uniform(-0.6, 0.6) for _ in range(dim)] for _ in range(n)]
+    labels = [rng.randrange(25) for _ in range(n)]
+    d = tempfile.mkdtemp()
+    _write_embeddings(spark, d, vecs, labels)
+
+    q = np.array(
+        [[int(round(float(np.float32(x)) * 1000.0)) for x in v] for v in vecs],
+        dtype=np.int64,
+    )
+    y = np.array([lab % 2 for lab in labels], dtype=np.int64)
+    wq = np.zeros(dim, dtype=np.int64)
+    den = 2000 * n
+
+    def trunc_div(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    for _ in range(3):
+        z = q @ wq
+        zd = z.astype(float) / 1e9
+        s = 0.5 + (zd / 2.0) / (1.0 + np.abs(zd))
+        r = s - y.astype(float)
+        rq = np.array(
+            [int(np.floor(abs(v * 1e6) + 0.5) * (1 if v >= 0 else -1)) for v in r],
+            dtype=np.int64,
+        )
+        g = q.T @ rq
+        wq = wq - np.array([trunc_div(int(v), den) for v in g], dtype=np.int64)
+    rows = logreg_gd_steps(spark, d).collect()
+    got = {r.pos: r.wq for r in rows}
+    want = {i + 1: int(wq[i]) for i in range(dim)}
+    assert got == want
+    # and the reported accuracy equals the integer-sign rule
+    zf = q @ wq
+    n_correct = int(np.sum((zf >= 0) == (y == 1)))
+    assert rows[0].n_correct == n_correct and rows[0].n == n
+
+
+def test_pareto_front_is_exactly_the_skyline(spark, sf_dir):
+    """Dominance law on real data: no returned part is dominated by
+    another part, and every excluded part is dominated by some part
+    (price <= and size <=, one strict)."""
+    from openaq_lcs_fetch_spark.plans.relational_adv import pareto_front_parts
+    from openaq_lcs_fetch_spark.plans.registry import t as load
+
+    front = {
+        (round(r.p_retailprice, 2), r.p_size)
+        for r in pareto_front_parts(spark, sf_dir).collect()
+    }
+    allp = [
+        (round(r.p_retailprice, 2), r.p_size)
+        for r in load(spark, sf_dir, "part").select("p_retailprice", "p_size").collect()
+    ]
+
+    def dominated(p, by):
+        return (
+            by[0] <= p[0] and by[1] <= p[1] and (by[0] < p[0] or by[1] < p[1])
+        )
+
+    for p in allp:
+        is_front = p in front
+        dom = any(dominated(p, q) for q in set(allp) if q != p)
+        if is_front:
+            assert not dom, f"front point {p} is dominated"
+        else:
+            assert dom, f"excluded point {p} dominated by nobody"
