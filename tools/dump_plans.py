@@ -341,6 +341,16 @@ COMMENTARY = {
         "bucket-count summary table only, and returns via "
         "BroadcastHashJoin."
     ),
+    "interval_union_length": (
+        "Union-of-intervals in one user-keyed shuffle: the running "
+        "max(end) window (exclusive frame), the island cumsum, and both "
+        "rollups all share the user_id partitioning."
+    ),
+    "event_motifs": (
+        "Two lead() windows share one user partitioning; the motif agg "
+        "is map-side-combined on a 125-value key, and the top-20 "
+        "compiles to TakeOrderedAndProject."
+    ),
     "cdc_apply": (
         "MERGE-INTO fold in one shuffle: rank and per-key count share "
         "the same user_id window partitioning, so the change-log scan "
