@@ -1034,3 +1034,60 @@ def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "p_partkey", "p_name", "p_retailprice", F.col("p_size").cast("long").alias("p_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# region_monthly_growth — month-over-month revenue growth per region
+# (the BI trend read-out): aggregate once to (region, month) in exact
+# DECIMAL cents, then one lag() window over the TINY rollup — the
+# growth ratio is a single double division of two exact integers. The
+# event-volume work is all in the first aggregate; the window runs on
+# region × month rows only.
+# ---------------------------------------------------------------------------
+
+_GROWTH_ORACLE = """
+WITH monthly AS (
+  SELECT r.r_name AS region, date_trunc('month', o.o_orderdate) AS month,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, month, rev_cents,
+       CAST(rev_cents AS DOUBLE)
+         / lag(rev_cents) OVER (PARTITION BY region ORDER BY month) - 1.0
+         AS growth
+FROM monthly
+"""
+
+
+@query("region_monthly_growth", _GROWTH_ORACLE)
+def region_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("region").orderBy("month")
+    growth = (
+        F.col("rev_cents").cast("double") / F.lag("rev_cents").over(w) - 1.0
+    )
+    return monthly.select("region", "month", "rev_cents", growth.alias("growth"))

@@ -2259,3 +2259,48 @@ def dedup_shrink_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_chars") * kept).cast("long").alias("chars_after"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_percent_rank — rank-based score normalization per source (the
+# distribution-free sibling of quality_winsorize: map each doc's
+# quality to its within-source percentile, the transform that makes
+# scores comparable across heterogeneous domains before mixing). Exact
+# rational: percent_rank = (rank-1)/(n-1) where rank ties share the
+# SQL-standard minimum rank — integers from one window pass, a single
+# IEEE division. n=1 groups define pr = 0 in both engines.
+# ---------------------------------------------------------------------------
+
+_PRANK_ORACLE = f"""
+WITH toks AS (SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents),
+scored AS (
+  SELECT doc_id, source,
+         CAST(0.4 AS DOUBLE) * (CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE CAST(0.0 AS DOUBLE) END)
+       + CAST(0.3 AS DOUBLE) * {_sql_stop_ratio('toks', TX.STOPWORDS['en'])}
+       + CAST(0.3 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE), CAST(len(toks) AS DOUBLE) / CAST(64.0 AS DOUBLE))
+         AS quality
+  FROM toks
+)
+SELECT doc_id, source,
+       CASE WHEN COUNT(*) OVER (PARTITION BY source) = 1 THEN 0.0
+            ELSE CAST(RANK() OVER (PARTITION BY source ORDER BY quality) - 1 AS DOUBLE)
+                 / (COUNT(*) OVER (PARTITION BY source) - 1) END AS pr
+FROM scored
+"""
+
+
+@query("quality_percent_rank", _PRANK_ORACLE)
+def quality_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", TX.quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy("quality")
+    wc = Window.partitionBy("source")
+    n = F.count(F.lit(1)).over(wc)
+    pr = F.when(n == 1, F.lit(0.0)).otherwise(
+        (F.rank().over(w) - 1).cast("double") / (n - 1)
+    )
+    return scored.select("doc_id", "source", pr.alias("pr"))

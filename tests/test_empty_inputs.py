@@ -41,7 +41,7 @@ REPRESENTATIVE = (
     "fk_violation_audit", "events_profile", "ohlc_bars",
     "dedup_shrink_report", "fuzzy_name_match", "logreg_gd_steps",
     "pareto_front_parts", "event_motifs", "interval_union_length",
-    "ab_test_zstat",
+    "ab_test_zstat", "quality_percent_rank", "region_monthly_growth",
 )
 
 
