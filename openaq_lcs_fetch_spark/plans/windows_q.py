@@ -1299,3 +1299,78 @@ def ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(z, 6))
         .alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# feature_auc — exact AUC (Mann-Whitney, tie-corrected) of `value` as a
+# discriminator for purchase events: the model-eval staple, computed
+# the DISTRIBUTED way — never rank 10^11 rows globally. Histogram
+# method: quantize scores to an integer grid (round(value·100) — exact
+# cents), aggregate (n_pos, n_neg) per distinct score (one shuffle,
+# map-side combined), then the pairwise statistic folds over the score
+# groups: 2·U = Σ_s [2·n_pos(s)·N_neg(<s) + n_pos(s)·n_neg(s)] — ties
+# contribute the exact ½ in doubled units, so U is an exact BIGINT and
+# AUC is one division by P·N. The prefix sum runs over the score-group
+# table, bounded by the GRID cardinality, not the event count (the
+# same reason histogram-AUC is how large-scale eval actually computes
+# it); a wider grid would take the bucketed-prefix treatment of
+# sequence_pack. Oracle mirrors every step.
+# ---------------------------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH scored AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS q,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events WHERE value IS NOT NULL
+),
+grp AS (
+  SELECT q, CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+  FROM scored GROUP BY q
+),
+pre AS (
+  SELECT q, n_pos, n_neg,
+         COALESCE(SUM(n_neg) OVER (ORDER BY q
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+  FROM grp
+),
+tot AS (
+  SELECT CAST(SUM(n_pos) AS BIGINT) AS p, CAST(SUM(n_neg) AS BIGINT) AS n,
+         CAST(SUM(2 * n_pos * neg_below + n_pos * n_neg) AS BIGINT) AS u2
+  FROM pre
+)
+SELECT p, n, u2,
+       ROUND(CAST(u2 AS DOUBLE) / (2.0 * p * n), 6) AS auc
+FROM tot
+"""
+
+
+@query("feature_auc", _AUC_ORACLE)
+def feature_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    scored = e.select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("q"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    grp = scored.groupBy("q").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("pos")).cast("long").alias("n_neg"),
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    pre = grp.withColumn(
+        "neg_below", F.coalesce(F.sum("n_neg").over(w), F.lit(0))
+    )
+    tot = pre.agg(
+        F.sum("n_pos").cast("long").alias("p"),
+        F.sum("n_neg").cast("long").alias("n"),
+        F.sum(
+            2 * F.col("n_pos") * F.col("neg_below")
+            + F.col("n_pos") * F.col("n_neg")
+        ).cast("long").alias("u2"),
+    )
+    auc = F.round(
+        F.col("u2").cast("double") / (2.0 * F.col("p") * F.col("n")), 6
+    )
+    return tot.select("p", "n", "u2", auc.alias("auc"))

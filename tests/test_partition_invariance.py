@@ -69,7 +69,8 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           "fk_violation_audit", "events_profile", "ohlc_bars",
           "dedup_shrink_report", "fuzzy_name_match", "logreg_gd_steps",
           "pareto_front_parts", "event_motifs", "interval_union_length",
-          "ab_test_zstat", "quality_percent_rank", "region_monthly_growth"]:
+          "ab_test_zstat", "quality_percent_rank", "region_monthly_growth",
+          "feature_auc"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n
