@@ -540,3 +540,49 @@ def test_pareto_front_is_exactly_the_skyline(spark, sf_dir):
             assert not dom, f"front point {p} is dominated"
         else:
             assert dom, f"excluded point {p} dominated by nobody"
+
+
+def test_token_pagerank_matches_pure_python_spec(spark):
+    """Third-engine check for the third iterative operator: the
+    PageRank integer spec (1e12 micro-units, per-edge floor-div
+    contribution, BIGINT 85/100 damping) replayed in pure Python over
+    a tiny corpus must reproduce pr_q exactly."""
+    import os
+    import re
+    import tempfile
+
+    from openaq_lcs_fetch_spark.plans.textops import _BPE_PATTERN, token_pagerank
+
+    docs = [
+        "the cat sat on the mat",
+        "the cat ran",
+        "a dog sat on a log",
+        "the dog and the cat",
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    # pure-python replay of the spec
+    edges: dict[tuple[str, str], int] = {}
+    for t in docs:
+        toks = re.findall(_BPE_PATTERN, t.lower())
+        for a, b in zip(toks, toks[1:]):
+            edges[(a, b)] = edges.get((a, b), 0) + 1
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    unit = 10**12
+    base = unit // len(nodes)
+    outw = {}
+    for (a, _), w in edges.items():
+        outw[a] = outw.get(a, 0) + w
+    pr = {t: base for t in nodes}
+    for _ in range(3):
+        cin = {t: 0 for t in nodes}
+        for (a, b), w in edges.items():
+            cin[b] += (pr[a] * w) // outw[a]
+        pr = {t: (15 * base + 85 * cin[t]) // 100 for t in nodes}
+    want = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r.tok, r.pr_q) for r in token_pagerank(spark, d).collect()]
+    assert got == want
