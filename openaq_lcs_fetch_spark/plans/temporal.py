@@ -758,32 +758,34 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ISO_ORACLE = """
 WITH s AS (
-  SELECT event_id, ts,
+  SELECT event_id, event_type, ts,
          CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
-         row_number() OVER (ORDER BY ts, event_id) AS i
-  FROM events WHERE event_type = 'purchase'
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS i
+  FROM events
 ),
 ps AS (
-  SELECT event_id, i, cents,
-         SUM(cents) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS cum
+  SELECT event_id, event_type, i, cents,
+         SUM(cents) OVER (PARTITION BY event_type ORDER BY i
+                          ROWS UNBOUNDED PRECEDING) AS cum
   FROM s
 ),
 spans AS (
-  SELECT j.i AS j, k.i AS k,
+  SELECT j.event_type, j.i AS j, k.i AS k,
          CAST(k.cum - j.cum + j.cents AS DOUBLE) / (k.i - j.i + 1) AS avg_v
-  FROM ps j JOIN ps k ON k.i >= j.i
+  FROM ps j JOIN ps k ON k.event_type = j.event_type AND k.i >= j.i
 ),
 tmin AS (
-  SELECT j, k, MIN(avg_v) OVER (PARTITION BY j ORDER BY k DESC
-                                ROWS UNBOUNDED PRECEDING) AS suffix_min
+  SELECT event_type, j, k,
+         MIN(avg_v) OVER (PARTITION BY event_type, j ORDER BY k DESC
+                          ROWS UNBOUNDED PRECEDING) AS suffix_min
   FROM spans
 ),
 fit AS (
-  SELECT p.i, p.event_id, MAX(t.suffix_min) AS fitted_raw
-  FROM ps p JOIN tmin t ON t.j <= p.i AND t.k = p.i
-  GROUP BY p.i, p.event_id
+  SELECT p.event_type, p.i, p.event_id, MAX(t.suffix_min) AS fitted_raw
+  FROM ps p JOIN tmin t ON t.event_type = p.event_type AND t.j <= p.i AND t.k = p.i
+  GROUP BY p.event_type, p.i, p.event_id
 )
-SELECT event_id, ROUND(fitted_raw / 100.0, 6) AS fitted
+SELECT event_id, event_type, ROUND(fitted_raw / 100.0, 6) AS fitted
 FROM fit
 """
 
@@ -799,19 +801,18 @@ def isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    e = (
-        t(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            "event_id",
-            "ts",
-            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
-            F.lit(1).alias("g"),  # single series here; real use keys by sensor
-        )
+    from pyspark.sql.types import StringType
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
     out_schema = StructType(
         [
             StructField("event_id", LongType(), False),
+            StructField("event_type", StringType(), False),
             StructField("fitted", DoubleType(), False),
         ]
     )
@@ -838,6 +839,12 @@ def isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             # built-in round is half-even and would diverge on ties
             r = math.floor(abs(v) * 1e6 + 0.5) / 1e6
             fitted.extend([r if v >= 0 else -r] * c)
-        return pd.DataFrame({"event_id": ids, "fitted": fitted})
+        return pd.DataFrame(
+            {
+                "event_id": ids,
+                "event_type": pdf["event_type"].iloc[0],
+                "fitted": fitted,
+            }
+        )
 
-    return e.groupBy("g").applyInPandas(pav, schema=out_schema)
+    return e.groupBy("event_type").applyInPandas(pav, schema=out_schema)
