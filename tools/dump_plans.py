@@ -351,6 +351,26 @@ COMMENTARY = {
         "is map-side-combined on a 125-value key, and the top-20 "
         "compiles to TakeOrderedAndProject."
     ),
+    "feature_auc": (
+        "Histogram AUC: one map-side-combined agg to score groups, a "
+        "prefix window bounded by the GRID cardinality (not event "
+        "count), and a scalar fold — 2*U stays an exact BIGINT."
+    ),
+    "isotonic_fit": (
+        "The one genuine applyInPandas stage: FlatMapGroupsInPandas "
+        "(ArrowEvalPython) after a single event_type exchange — each "
+        "series is one O(n) task; no other shuffle appears."
+    ),
+    "ab_test_zstat": (
+        "Two aggregates: per-user conversion flag, then a 2-row variant "
+        "rollup folded to one scalar row — no joins, two exchanges "
+        "total."
+    ),
+    "region_monthly_growth": (
+        "All event-volume work in the first DECIMAL-cents aggregate "
+        "(nation/region broadcast); the lag window runs on region x "
+        "month rollup rows only."
+    ),
     "cdc_apply": (
         "MERGE-INTO fold in one shuffle: rank and per-key count share "
         "the same user_id window partitioning, so the change-log scan "
