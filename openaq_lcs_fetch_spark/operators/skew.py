@@ -99,3 +99,27 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return f.join(d, on=[on, "_salt"]).drop("_salt")
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Pre-salted equi-join for a known-hot join key: every fact row
+    takes the deterministic content salt (same retry/AQE-replan
+    stability argument as salted_agg), the DIMENSION side replicates
+    ``salt_buckets``× (dimension-sized by contract, so the blow-up is
+    bounded), and the join key becomes (key, _salt) — each hot key's
+    rows spread over ``salt_buckets`` reducers instead of one. Use when
+    the dim is too big to broadcast but the fact key is Zipfian; when
+    the dim broadcasts, broadcast beats salting (no shuffle at all),
+    and AQE's runtime skew split handles moderate skew without the
+    dimension replication cost."""
+    salted_fact = fact.withColumn("_salt", _row_salt(fact, salt_buckets))
+    rep_dim = dim.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("_salt"),
+    )
+    return salted_fact.join(rep_dim, [key, "_salt"]).drop("_salt")

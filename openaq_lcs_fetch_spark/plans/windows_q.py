@@ -1374,3 +1374,60 @@ def feature_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u2").cast("double") / (2.0 * F.col("p") * F.col("n")), 6
     )
     return tot.select("p", "n", "u2", auc.alias("auc"))
+
+
+# ---------------------------------------------------------------------------
+# salted_join_stats — the skew-salted JOIN as a driver-graded query
+# (sibling of salted_type_stats' salted aggregation): events join the
+# 5-value category dimension on the Zipfian event_type key with the
+# dimension pre-replicated 16× and the fact side content-salted, so
+# each hot type spreads over 16 reducers. The oracle is the PLAIN join
+# + rollup — equality certifies salting is a pure execution-strategy
+# change, invisible in the result. (With a 5-row dim you'd broadcast in
+# practice; the query pins the salted plan's correctness for the case
+# where the dim is fact-adjacent in size. The join is forced non-
+# broadcast via hint so the salted shuffle path actually executes.)
+# ---------------------------------------------------------------------------
+
+
+#: same 5-row category dim as streaming_q._ENRICH_DIM (defined locally:
+#: streaming_q imports after windows_q, so importing it here would cycle)
+_SALT_DIM: list[tuple[str, str, int]] = [
+    ("click", "engagement", 1),
+    ("view", "engagement", 1),
+    ("purchase", "conversion", 3),
+    ("signup", "conversion", 2),
+    ("error", "ops", 0),
+]
+
+
+def _salted_join_oracle() -> str:
+    from .registry import sql_exact_sum
+
+    values = ", ".join(f"('{t}', '{c}', {w})" for t, c, w in _SALT_DIM)
+    return f"""
+WITH dim(event_type, category, weight) AS (VALUES {values})
+SELECT category,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(weight) AS BIGINT) AS weight_sum,
+       {sql_exact_sum('value * weight')} AS weighted_value
+FROM events JOIN dim USING (event_type)
+GROUP BY category
+"""
+
+
+@query("salted_join_stats", _salted_join_oracle())
+def salted_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+    from .registry import exact_sum
+
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    dim = spark.createDataFrame(
+        _SALT_DIM, "event_type string, category string, weight int"
+    ).hint("shuffle_hash")  # defeat auto-broadcast: exercise the salted shuffle
+    joined = salted_join(e, dim, "event_type", salt_buckets=16)
+    return joined.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("weight").cast("long").alias("weight_sum"),
+        exact_sum(F.col("value") * F.col("weight"), alias="weighted_value"),
+    )

@@ -42,7 +42,7 @@ REPRESENTATIVE = (
     "dedup_shrink_report", "fuzzy_name_match", "logreg_gd_steps",
     "pareto_front_parts", "event_motifs", "interval_union_length",
     "ab_test_zstat", "quality_percent_rank", "region_monthly_growth",
-    "feature_auc", "isotonic_fit",
+    "feature_auc", "isotonic_fit", "salted_join_stats",
 )
 
 
