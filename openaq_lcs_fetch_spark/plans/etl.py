@@ -777,3 +777,67 @@ def table_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         for n in _MANIFEST_TABLES
     ]
     return reduce(lambda a, b: a.unionByName(b), counts)
+
+
+# ---------------------------------------------------------------------------
+# weighted_median_value — exact WEIGHTED median per event type (robust
+# weighted aggregation: each reading weighted by its payload's k field,
+# the shape of sample-weighted percentiles in survey/telemetry data).
+# Definition (lower weighted median): the first value, in (value,
+# event_id) order, whose running weight doubles to >= the total —
+# cumulative and total weights are exact BIGINTs from one window + one
+# rollup on the same key partitioning, and the pick is a plain integer
+# comparison, so the answer is an actual data value (no interpolation
+# to disagree on, the quantile_cont lesson from quality_winsorize).
+# Zero-weight rows participate with weight 0 and can never be picked
+# unless everything is zero-weight (then W=0 and the first row wins).
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH weighted AS (
+  SELECT event_type, value, event_id,
+         COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS w
+  FROM events
+),
+cum AS (
+  SELECT event_type, value, event_id, w,
+         SUM(w) OVER (PARTITION BY event_type ORDER BY value, event_id
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY event_type) AS tw
+  FROM weighted
+),
+picked AS (
+  SELECT event_type, value, cw, tw,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn
+  FROM cum WHERE 2 * cw >= tw
+)
+SELECT event_type, value AS wmedian, CAST(tw AS BIGINT) AS total_weight
+FROM picked WHERE rn = 1
+"""
+
+
+@query("weighted_median_value", _WMEDIAN_ORACLE)
+def weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        "event_id",
+        F.coalesce(
+            F.get_json_object(F.col("props"), "$.k").cast("long"), F.lit(0)
+        ).alias("w"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wt = Window.partitionBy("event_type")
+    cum = e.withColumn(
+        "cw", F.sum("w").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("tw", F.sum("w").over(wt))
+    picked = cum.filter(2 * F.col("cw") >= F.col("tw")).withColumn(
+        "rn", F.row_number().over(wo)
+    )
+    return picked.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.col("value").alias("wmedian"),
+        F.col("tw").cast("long").alias("total_weight"),
+    )

@@ -70,7 +70,8 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           "dedup_shrink_report", "fuzzy_name_match", "logreg_gd_steps",
           "pareto_front_parts", "event_motifs", "interval_union_length",
           "ab_test_zstat", "quality_percent_rank", "region_monthly_growth",
-          "feature_auc", "isotonic_fit", "salted_join_stats"]:
+          "feature_auc", "isotonic_fit", "salted_join_stats",
+          "weighted_median_value"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n
