@@ -848,3 +848,87 @@ def isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return e.groupBy("event_type").applyInPandas(pav, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# cusum_changepoint — CUSUM change-point detection per series (the
+# monitoring staple: where did the level shift?): the point maximizing
+# |S_i| where S_i = Σ_{j≤i}(v_j − mean). Exactness: multiply through by
+# N so the deviation is the INTEGER d_i = N·cents_i − total_cents
+# (mean never materializes as a float); S_i is then an exact BIGINT
+# running sum and the argmax is a rank over (|S|, ts, event_id) — all
+# integer comparisons. Shape: per-type totals (5 rows) broadcast back,
+# one cumsum window + one rank window sharing the series partitioning.
+# Magnitude: |d| ≤ N·max_cents → S ≤ N²·max_cents ≈ 5e9·N at sf-scale
+# values; int64-safe through sf10 (≈2e6 rows/type → 2e16).
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH c AS (
+  SELECT event_type, event_id, ts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS total
+  FROM c GROUP BY event_type
+),
+dev AS (
+  SELECT c.event_type, c.event_id, c.ts,
+         c.cents * t.n - t.total AS d
+  FROM c JOIN tot t USING (event_type)
+),
+cs AS (
+  SELECT event_type, event_id, ts,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS s
+  FROM dev
+),
+ranked AS (
+  SELECT event_type, event_id, ts, s,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ABS(s) DESC, ts ASC, event_id ASC) AS rn
+  FROM cs
+)
+SELECT event_type, event_id AS change_event, epoch_us(ts) AS change_us,
+       CAST(s AS BIGINT) AS s_scaled
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("cusum_changepoint", _CUSUM_ORACLE)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.timestamps import micros
+
+    c = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    tot = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total")
+    )
+    dev = c.join(F.broadcast(tot), "event_type").withColumn(
+        "d", F.col("cents") * F.col("n") - F.col("total")
+    )
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    cs = dev.withColumn(
+        "s", F.sum("d").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        cs.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("event_id").alias("change_event"),
+            micros(F.col("ts")).alias("change_us"),
+            F.col("s").cast("long").alias("s_scaled"),
+        )
+    )

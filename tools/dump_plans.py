@@ -371,6 +371,17 @@ COMMENTARY = {
         "(nation/region broadcast); the lag window runs on region x "
         "month rollup rows only."
     ),
+    "salted_join_stats": (
+        "The join key widens to (event_type, _salt): the Exchange "
+        "hash-partitions on both, so a Zipfian-hot type spreads over 16 "
+        "reducers; the replicated dim side is explode over a 5-row "
+        "local relation."
+    ),
+    "cusum_changepoint": (
+        "5-row totals BroadcastExchange back into the scan; cumsum and "
+        "argmax-rank windows share one event_type partitioning — a "
+        "single event-volume shuffle end to end."
+    ),
     "cdc_apply": (
         "MERGE-INTO fold in one shuffle: rank and per-key count share "
         "the same user_id window partitioning, so the change-log scan "
