@@ -1431,3 +1431,57 @@ def salted_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("weight").cast("long").alias("weight_sum"),
         exact_sum(F.col("value") * F.col("weight"), alias="weighted_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# longest_streak — longest run of CONSECUTIVE active days per user (the
+# engagement-streak metric): distinct activity days, then the classic
+# difference trick — day_index − row_number() is constant exactly
+# within a consecutive run — then the max run length. Every quantity is
+# an exact integer (days since epoch from micros division), and all
+# three steps share the single user_id partitioning: distinct, the
+# rank window, and both rollups — one event-volume shuffle total.
+# ---------------------------------------------------------------------------
+
+_STREAK_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+runs AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS run_id
+  FROM days
+),
+lens AS (
+  SELECT user_id, run_id, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id,
+       CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_runs
+FROM lens GROUP BY user_id
+"""
+
+
+@query("longest_streak", _STREAK_ORACLE)
+def longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.timestamps import micros
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", micros(F.col("ts")).alias("us")
+    )
+    days = e.select(
+        "user_id", F.expr("us div 86400000000").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = days.withColumn("run_id", F.col("day") - F.row_number().over(w))
+    lens = runs.groupBy("user_id", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return lens.groupBy("user_id").agg(
+        F.max("run_len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_runs"),
+    )

@@ -43,7 +43,7 @@ REPRESENTATIVE = (
     "pareto_front_parts", "event_motifs", "interval_union_length",
     "ab_test_zstat", "quality_percent_rank", "region_monthly_growth",
     "feature_auc", "isotonic_fit", "salted_join_stats",
-    "weighted_median_value", "cusum_changepoint",
+    "weighted_median_value", "cusum_changepoint", "longest_streak",
 )
 
 
