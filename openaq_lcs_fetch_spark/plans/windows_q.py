@@ -1485,3 +1485,60 @@ def longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").cast("long").alias("longest_streak"),
         F.count(F.lit(1)).alias("n_runs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dau_wau_stickiness — DAU / trailing-7-day WAU per day (the product
+# stickiness ratio): EXACT distincts over a sliding window, which no
+# window function gives (distinct doesn't decompose) — the scale-right
+# shape dedups to (day, user) pairs FIRST (event volume collapses to
+# at most days × actives), then fans each pair out to the ≤7 spine
+# days it supports via a bounded equi-join on day, and counts distinct
+# per spine day. All integers; the ratio is one division.
+# ---------------------------------------------------------------------------
+
+_DAU_WAU_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+),
+spine AS (SELECT DISTINCT day FROM du),
+wau AS (
+  SELECT s.day, CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS wau
+  FROM spine s JOIN du d ON d.day BETWEEN s.day - 6 AND s.day
+  GROUP BY s.day
+),
+dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+)
+SELECT d.day, d.dau, w.wau,
+       CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+FROM dau d JOIN wau w USING (day)
+"""
+
+
+@query("dau_wau_stickiness", _DAU_WAU_ORACLE)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.timestamps import micros
+
+    e = t(spark, sf_dir, "events").select(
+        micros(F.col("ts")).alias("us"), "user_id"
+    )
+    du = e.select(F.expr("us div 86400000000").alias("day"), "user_id").distinct()
+    spine = du.select("day").distinct()
+    # fan each (day, user) out to the <=7 spine days it supports — a
+    # bounded explode + EQUI semi-join on the tiny spine, never a
+    # nested-loop range join of pairs x spine
+    fanned = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + 6)
+        ).alias("day"),
+        "user_id",
+    ).join(F.broadcast(spine), "day", "left_semi")
+    wau = fanned.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+    )

@@ -71,7 +71,8 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           "pareto_front_parts", "event_motifs", "interval_union_length",
           "ab_test_zstat", "quality_percent_rank", "region_monthly_growth",
           "feature_auc", "isotonic_fit", "salted_join_stats",
-          "weighted_median_value", "cusum_changepoint", "longest_streak"]:
+          "weighted_median_value", "cusum_changepoint", "longest_streak",
+          "dau_wau_stickiness"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n
