@@ -1091,3 +1091,73 @@ def region_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_cents").cast("double") / F.lag("rev_cents").over(w) - 1.0
     )
     return monthly.select("region", "month", "rev_cents", growth.alias("growth"))
+
+
+# ---------------------------------------------------------------------------
+# cohort_ltv — cumulative-revenue-by-cohort-age curves (the LTV table
+# every growth team maintains): customers cohort by FIRST-order month,
+# revenue accrues per months-since-first, and the running total per
+# cohort is the curve. Exactness: month indices are pure integers
+# (year*12+month), revenue accumulates in BIGINT cents, and the cumsum
+# window runs over the cohort × age rollup (tiny), not order rows.
+# Shape: first-order agg and revenue rollup share the o_custkey
+# shuffle; everything after is rollup-sized.
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey,
+         MIN(CAST(date_part('year', o_orderdate) AS BIGINT) * 12
+             + CAST(date_part('month', o_orderdate) AS BIGINT)) AS cohort_m
+  FROM orders GROUP BY o_custkey
+),
+accr AS (
+  SELECT f.cohort_m,
+         (CAST(date_part('year', o.o_orderdate) AS BIGINT) * 12
+          + CAST(date_part('month', o.o_orderdate) AS BIGINT)) - f.cohort_m
+           AS age_m,
+         CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+),
+cell AS (
+  SELECT cohort_m, age_m, CAST(SUM(cents) AS BIGINT) AS rev_cents
+  FROM accr GROUP BY cohort_m, age_m
+)
+SELECT cohort_m, age_m, rev_cents,
+       CAST(SUM(rev_cents) OVER (PARTITION BY cohort_m ORDER BY age_m
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_rev_cents
+FROM cell
+"""
+
+
+@query("cohort_ltv", _LTV_ORACLE)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year("o_orderdate").cast("long") * 12
+            + F.month("o_orderdate").cast("long")
+        ).alias("m"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    accr = o.join(firsts, "o_custkey").select(
+        "cohort_m", (F.col("m") - F.col("cohort_m")).alias("age_m"), "cents"
+    )
+    cell = accr.groupBy("cohort_m", "age_m").agg(
+        F.sum("cents").cast("long").alias("rev_cents")
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cell.select(
+        "cohort_m",
+        "age_m",
+        "rev_cents",
+        F.sum("rev_cents").over(w).cast("long").alias("cum_rev_cents"),
+    )
