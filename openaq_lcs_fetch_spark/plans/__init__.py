@@ -26,13 +26,13 @@ made explicit by ``registry.promote``:
   signal outranks re-verifying r01 greens. Everything else —
   14 more r01-stale relational/etl + the r02-green textops/simsearch
   set — is the round-5 rotation TODO; ``tools/check_all.py`` (and the
-  repo's own 192-case parity suite) still re-proves the FULL registry
+  repo's own 193-case parity suite) still re-proves the FULL registry
   against DuckDB locally every round, so rotation only decides which
   proof the driver itself replays.
 
 Round-5 rotation TODO: promote the round-4c queries without a driver
 row (``week_over_week_reconcile``, ``bpe_pair_counts``, ``vocab_oov_rate``, ``bloom_membership``, ``split_leakage_audit``, ``embedding_int8_quant``, ``ctfidf_top_terms``, ``domain_cap_sample``, ``quality_winsorize``, ``token_pagerank``, ``cdc_apply``, ``ppjoin_pairs``, ``fk_violation_audit``, ``events_profile``, ``ohlc_bars``, ``dedup_shrink_report``, ``fuzzy_name_match``, ``pareto_front_parts``, ``event_motifs``,
-``interval_union_length``, ``ab_test_zstat``, ``quality_percent_rank``, ``region_monthly_growth``, ``feature_auc``, ``isotonic_fit``, ``salted_join_stats``, ``weighted_median_value``, ``cusum_changepoint``, ``longest_streak``, ``dau_wau_stickiness``, ``cohort_ltv``), then the r02-green textops/simsearch set
+``interval_union_length``, ``ab_test_zstat``, ``quality_percent_rank``, ``region_monthly_growth``, ``feature_auc``, ``isotonic_fit``, ``salted_join_stats``, ``weighted_median_value``, ``cusum_changepoint``, ``longest_streak``, ``dau_wau_stickiness``, ``cohort_ltv``, ``seasonal_naive_error``), then the r02-green textops/simsearch set
 (last driver row round 2), then the stale r01 rollup/relational/etl
 queries
 (``hour_ending_rollup``-adjacent group below), newest-signal last.

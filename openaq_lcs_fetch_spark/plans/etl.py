@@ -841,3 +841,60 @@ def weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("wmedian"),
         F.col("tw").cast("long").alias("total_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal_naive_error — forecast BACKTEST as a query: predict each
+# hour's event count per type with the seasonal-naive rule (same hour,
+# previous day) and score MAE — the baseline every real forecasting
+# pipeline must beat, and the evaluation harness shape (join truth to
+# lagged prediction, aggregate the error). Exactness: hour indices and
+# counts are integers; |err| sums as BIGINT; MAE is one division.
+# The lag is a self-join of the HOURLY ROLLUP on (type, h-24) — rollup
+# rows, never events; only hours with a prior-day observation score.
+# ---------------------------------------------------------------------------
+
+_SNAIVE_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT t.event_type, t.n AS actual, p.n AS predicted,
+         ABS(t.n - p.n) AS abs_err
+  FROM hourly t JOIN hourly p
+    ON p.event_type = t.event_type AND p.h = t.h - 24
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(abs_err) AS BIGINT) AS sum_abs_err,
+       CAST(SUM(abs_err) AS DOUBLE) / COUNT(*) AS mae
+FROM scored GROUP BY event_type
+"""
+
+
+@query("seasonal_naive_error", _SNAIVE_ORACLE)
+def seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.timestamps import micros
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type", micros(F.col("ts")).alias("us")
+    )
+    hourly = (
+        e.select("event_type", F.expr("us div 3600000000").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    truth = hourly.select("event_type", "h", F.col("n").alias("actual"))
+    pred = hourly.select(
+        "event_type", (F.col("h") + 24).alias("h"), F.col("n").alias("predicted")
+    )
+    scored = truth.join(pred, ["event_type", "h"]).withColumn(
+        "abs_err", F.abs(F.col("actual") - F.col("predicted"))
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum("abs_err").cast("long").alias("sum_abs_err"),
+        (F.sum("abs_err").cast("double") / F.count(F.lit(1))).alias("mae"),
+    )

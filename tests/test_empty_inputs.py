@@ -44,7 +44,7 @@ REPRESENTATIVE = (
     "ab_test_zstat", "quality_percent_rank", "region_monthly_growth",
     "feature_auc", "isotonic_fit", "salted_join_stats",
     "weighted_median_value", "cusum_changepoint", "longest_streak",
-    "dau_wau_stickiness", "cohort_ltv",
+    "dau_wau_stickiness", "cohort_ltv", "seasonal_naive_error",
 )
 
 
