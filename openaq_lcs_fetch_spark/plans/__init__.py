@@ -30,12 +30,15 @@ made explicit by ``registry.promote``:
   against DuckDB locally every round, so rotation only decides which
   proof the driver itself replays.
 
-Round-5 rotation TODO: promote the round-4c queries without a driver
-row (``week_over_week_reconcile``, ``bpe_pair_counts``, ``vocab_oov_rate``, ``bloom_membership``, ``split_leakage_audit``, ``embedding_int8_quant``, ``ctfidf_top_terms``, ``domain_cap_sample``, ``quality_winsorize``, ``token_pagerank``, ``cdc_apply``, ``ppjoin_pairs``, ``fk_violation_audit``, ``events_profile``, ``ohlc_bars``, ``dedup_shrink_report``, ``fuzzy_name_match``, ``pareto_front_parts``, ``event_motifs``,
-``interval_union_length``, ``ab_test_zstat``, ``quality_percent_rank``, ``region_monthly_growth``, ``feature_auc``, ``isotonic_fit``, ``salted_join_stats``, ``weighted_median_value``, ``cusum_changepoint``, ``longest_streak``, ``dau_wau_stickiness``, ``cohort_ltv``, ``seasonal_naive_error``), then the r02-green textops/simsearch set
-(last driver row round 2), then the stale r01 rollup/relational/etl
-queries
-(``hour_ending_rollup``-adjacent group below), newest-signal last.
+* round 5 (here): the 32 round-4c queries that never had a driver row,
+  then r05-new queries as they land, then the stalest r02-green textops
+  backfill. Remaining rotation debt for round 6: the r02-green
+  simsearch set (``cosine_topk`` … ``embedding_near_dups``), the rest
+  of the r02 windows/etl group (``pricing_rollup`` …
+  ``range_window_counts``), then the stale r01 relational/etl queries.
+``tools/check_all.py`` still re-proves the FULL registry against DuckDB
+locally every round; rotation only decides which proof the driver
+itself replays.
 """
 
 from . import registry
@@ -53,67 +56,65 @@ from . import textops  # noqa: F401
 from . import simsearch  # noqa: F401
 from . import layout  # noqa: F401
 
-# Round-4 driver window (slots 1-50): all 46 never-verified queries,
-# then 4 stalest (r01) — see module docstring.
+# Round-5 driver window (slots 1-50): the 32 round-4c queries that have
+# never had a driver row (CORRECTNESS_r04 retired the previous 46+4), then
+# r05-new queries as they land (first-time signal beats re-verification),
+# then the stalest r02-green textops set backfilling to 50.
 registry.promote(
     [
-        # never driver-verified (registered mid/late round 3)
-        "session_window_stats",
-        "sequence_pack",
-        "semantic_dedup",
-        "ann_recall_eval",
-        "streaming_dedup_hourly",
-        "streaming_sessions",
-        "containment_pairs",
-        "media_features",
-        "media_frame_sample",
-        "lsh_verified_pairs",
-        "token_budget_select",
-        # no_oracle in r03; made driver-checkable this round
-        "approx_event_stats",
-        # never driver-verified (registered mid-round 4)
-        "passage_dedup",
-        "doc_lm_score",
-        "weighted_sample",
-        "ivf_pq_search",
-        "streaming_enriched_hourly",
-        "ann_rerank",
-        "embedding_dim_stats",
-        "late_shipped_priorities",
-        "wealthy_inactive_customers",
-        "bm25_scores",
-        "doc_chunking",
-        "funnel_conversion",
-        "retention_cohorts",
-        "ewma_user_value",
-        "value_interpolate",
-        "hourly_completeness",
-        # never driver-verified (registered late round 4)
-        "scd2_intervals",
-        "locf_fill",
-        "trailing_1h_stats",
-        "embedding_covariance",
-        "jl_project",
-        "dup_span_stats",
-        "user_value_trend",
-        "zorder_locality",
-        "kmv_daily_merge",
-        "cms_user_counts",
-        "time_weighted_avg",
-        "conjunctive_search",
-        "event_type_affinity",
-        "event_transitions",
-        "value_histogram",
-        "incremental_hourly_merge",
-        "type_day_chisq",
-        "record_breaking_values",
-        # flagship round-4c additions (never driver-verified; first-time
-        # signal beats re-verifying r01 greens — swapped in before the
-        # round-4 driver run)
-        "streaming_click_nobuy",
-        "streaming_user_final_state",
-        "pca_power_iteration",
-        "logreg_gd_steps",
+        # never driver-verified (registered round 4c)
+        "week_over_week_reconcile",
+        "bpe_pair_counts",
+        "vocab_oov_rate",
+        "bloom_membership",
+        "split_leakage_audit",
+        "embedding_int8_quant",
+        "ctfidf_top_terms",
+        "domain_cap_sample",
+        "quality_winsorize",
+        "token_pagerank",
+        "cdc_apply",
+        "ppjoin_pairs",
+        "fk_violation_audit",
+        "events_profile",
+        "ohlc_bars",
+        "dedup_shrink_report",
+        "fuzzy_name_match",
+        "pareto_front_parts",
+        "event_motifs",
+        "interval_union_length",
+        "ab_test_zstat",
+        "quality_percent_rank",
+        "region_monthly_growth",
+        "feature_auc",
+        "isotonic_fit",
+        "salted_join_stats",
+        "weighted_median_value",
+        "cusum_changepoint",
+        "longest_streak",
+        "dau_wau_stickiness",
+        "cohort_ltv",
+        "seasonal_naive_error",
+        # r05-new queries are inserted here as they land (see below)
+        # stalest backfill: last driver row round 2 (textops)
+        "doc_token_stats",
+        "doc_language",
+        "doc_quality",
+        "doc_fingerprint",
+        "dedup_exact",
+        "simhash_docs",
+        "ngram_jaccard_top",
+        "minhash_signatures",
+        "minhash_lsh_pairs",
+        "multimodal_meta",
+        "simhash_near_dups",
+        "corpus_clean",
+        "bpe_token_stats",
+        "token_doc_freq",
+        "doc_winnow",
+        "corpus_sample",
+        "corpus_split",
+        "tfidf_top_terms",
     ]
 )
 
