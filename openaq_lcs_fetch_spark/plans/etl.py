@@ -784,13 +784,26 @@ def table_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weighted aggregation: each reading weighted by its payload's k field,
 # the shape of sample-weighted percentiles in survey/telemetry data).
 # Definition (lower weighted median): the first value, in (value,
-# event_id) order, whose running weight doubles to >= the total —
-# cumulative and total weights are exact BIGINTs from one window + one
-# rollup on the same key partitioning, and the pick is a plain integer
-# comparison, so the answer is an actual data value (no interpolation
-# to disagree on, the quantile_cont lesson from quality_winsorize).
+# event_id) order, whose running weight doubles to >= the total.
+# Distributed shape (NOT a per-type window over raw events — that caps
+# parallelism at the 5 event types): a quantized-value GRID prefix sum,
+# the feature_auc / sequence_pack machinery. (1) one rollup gets per-
+# type (min, max, total weight); (2) events map onto a 4096-cell value
+# grid (monotone affine bucketing, so bucket order == value order) and
+# a map-side-combined groupBy sums weight per (type, cell); (3) the
+# crossing cell — first cell whose cumulative weight doubles past the
+# total — falls out of a window over the TINY grid table (<=4096 rows
+# per type); (4) only rows landing in that one broadcast-selected cell
+# are re-read, collapsed to distinct values (same-value rows are
+# adjacent in the order, so the lower median is the first distinct
+# value whose through-cum crosses), and the final window runs over the
+# in-cell distinct values. Every event-volume pass is a scan + map-side
+# agg; no window ever sees raw-event cardinality. Pathological value
+# skew (all mass in one cell) degrades to distinct-values-in-cell rows
+# through step 4 — a second grid level would recurse, not needed here.
 # Zero-weight rows participate with weight 0 and can never be picked
-# unless everything is zero-weight (then W=0 and the first row wins).
+# unless everything is zero-weight (then W=0 and the smallest value
+# wins — the grid picks the first populated cell the same way).
 # ---------------------------------------------------------------------------
 
 _WMEDIAN_ORACLE = """
@@ -816,27 +829,81 @@ FROM picked WHERE rn = 1
 """
 
 
+_WMEDIAN_GRID = 4096
+
+
 @query("weighted_median_value", _WMEDIAN_ORACLE)
 def weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    B = _WMEDIAN_GRID
     e = t(spark, sf_dir, "events").select(
         "event_type",
         "value",
-        "event_id",
         F.coalesce(
             F.get_json_object(F.col("props"), "$.k").cast("long"), F.lit(0)
         ).alias("w"),
     )
-    wo = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wt = Window.partitionBy("event_type")
-    cum = e.withColumn(
-        "cw", F.sum("w").over(wo.rowsBetween(Window.unboundedPreceding, 0))
-    ).withColumn("tw", F.sum("w").over(wt))
-    picked = cum.filter(2 * F.col("cw") >= F.col("tw")).withColumn(
-        "rn", F.row_number().over(wo)
+    stats = e.groupBy("event_type").agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.sum("w").alias("tw"),
     )
-    return picked.filter(F.col("rn") == 1).select(
+    # monotone affine bucketing: floor((v-vmin)/(vmax-vmin)*B), clipped.
+    # IEEE subtraction/division/multiplication by positive constants are
+    # monotone, so cell order == value order (exactness never depends on
+    # where the cell boundaries land).
+    bucket = F.when(
+        F.col("vmax") > F.col("vmin"),
+        F.least(
+            F.lit(B - 1),
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * B
+            ),
+        ),
+    ).otherwise(F.lit(0))
+    eb = (
+        e.join(F.broadcast(stats), "event_type")
+        .withColumn("bkt", bucket.cast("int"))
+        .select("event_type", "value", "w", "bkt")
+    )
+    grid = eb.groupBy("event_type", "bkt").agg(F.sum("w").alias("bw"))
+    wb = Window.partitionBy("event_type").orderBy("bkt")
+    crossing = (
+        grid.withColumn(
+            "cumb", F.sum("bw").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .join(F.broadcast(stats.select("event_type", "tw")), "event_type")
+        .filter(2 * F.col("cumb") >= F.col("tw"))
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("bkt").alias("sel_bkt"),
+            (F.col("cumb") - F.col("bw")).alias("cw_before"),
+            "tw",
+        )
+    )
+    inb = eb.join(F.broadcast(crossing), "event_type").filter(
+        F.col("bkt") == F.col("sel_bkt")
+    )
+    vals = inb.groupBy("event_type", "value").agg(
+        F.sum("w").alias("vw"),
+        F.min("cw_before").alias("cw_before"),
+        F.min("tw").alias("tw"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("value")
+    picked = (
+        vals.withColumn(
+            "cumv", F.sum("vw").over(wv.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .filter(2 * (F.col("cw_before") + F.col("cumv")) >= F.col("tw"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+    )
+    return picked.select(
         "event_type",
         F.col("value").alias("wmedian"),
         F.col("tw").cast("long").alias("total_weight"),

@@ -891,17 +891,32 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # fuzzy_name_match — entity-resolution fuzzy join (edit distance with
-# token blocking): near-miss part names at levenshtein 1..2. Two scale
-# decisions make this the correct 100 TB shape: (1) match DISTINCT
-# values, not rows — the vocabulary is orders of magnitude smaller than
-# the table, and row-level matches recover by broadcasting the matched
-# vocabulary back (multiplicities n_a/n_b are carried in the output);
-# (2) candidates come from shared-token BLOCKING (equi-join on the
-# token table), never an all-pairs product — a hot block would take the
-# same df-cap treatment as hot shingles (similarity.df_capped machinery)
-# on a Zipfian vocabulary. Exact-duplicate pairs (distance 0) are
-# dedup_exact's domain and excluded here. levenshtein is integer DP —
-# bit-identical across engines.
+# deletion-neighborhood blocking): near-miss part names at levenshtein
+# 1..2. Scale decisions: (1) match DISTINCT values, not rows — the
+# vocabulary is orders of magnitude smaller than the table, and
+# row-level matches recover by broadcasting the matched vocabulary back
+# (multiplicities n_a/n_b are carried in the output); (2) candidates
+# come from SymSpell/FastSS DELETION-VARIANT blocking, not shared-token
+# blocking: every name emits its ≤2-character-deletion neighborhood
+# (pure codegen expressions — nested transform over substring splices,
+# hashed to int64 keys), and lev(a,b) ≤ 2 guarantees the neighborhoods
+# intersect (align a,b on an optimal edit script with s subs, i ins,
+# d dels, s+i+d ≤ 2; deleting a's unmatched chars (≤ s+d) and b's
+# unmatched chars (≤ s+i) yields the same string — pigeonhole on the
+# alignment). Token blocking's failure mode — a stop-token shared by m
+# names emits C(m,2) candidates (the round-4 verdict flag) — cannot
+# happen here: a shared deletion variant pins the pair to edit distance
+# ≤ 4, so per-key fan-out is proportional to genuinely-near name
+# clusters (≈ the output), not to vocabulary hotness. The ~L²/2 keys
+# per name are a linear, embarrassingly-parallel map-side blowup on the
+# deduped VOCABULARY (dimension-sized), shuffled as (int64, name) pairs.
+# 64-bit hash collisions only ever ADD candidates; the exact
+# levenshtein + shared-token post-filters (both JVM built-ins) keep the
+# result identical to the oracle's shared-token ∧ lev∈[1,2] semantics
+# (shared-variant ⊇ lev≤2 ⊇ oracle candidates with lev≤2).
+# Exact-duplicate pairs (distance 0) are dedup_exact's domain and
+# excluded here. levenshtein is integer DP — bit-identical across
+# engines.
 # ---------------------------------------------------------------------------
 
 _FUZZY_MAX_DIST = 2
@@ -926,25 +941,50 @@ WHERE levenshtein(c.name_a, c.name_b) BETWEEN 1 AND {_FUZZY_MAX_DIST}
 """
 
 
+# one character deletion, as a pure codegen expression over `name`
+_DEL1 = (
+    "transform(sequence(1, length({s})), i -> "
+    "concat(substring({s}, 1, i - 1), substring({s}, i + 1, length({s}))))"
+)
+
+
 @query("fuzzy_name_match", _FUZZY_ORACLE)
 def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part")
     names = p.groupBy(F.col("p_name").alias("name")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    toks = names.select("name", F.explode(F.split(F.col("name"), " ")).alias("tok"))
-    a = toks.select(F.col("name").alias("name_a"), "tok")
-    b = toks.select(F.col("name").alias("name_b"), "tok")
+    # SymSpell neighborhood: the name itself, every 1-deletion, every
+    # 2-deletion (1-deletions of 1-deletions), deduped per name
+    del1 = _DEL1.format(s="name")
+    del2 = f"flatten(transform({del1}, v -> {_DEL1.format(s='v')}))"
+    variants = F.array_distinct(
+        F.concat(F.array(F.col("name")), F.expr(del1), F.expr(del2))
+    )
+    # hash inside the array so only (name, int64) rows ever shuffle
+    v = names.select(
+        "name",
+        F.explode(
+            F.array_distinct(F.transform(variants, lambda c: F.xxhash64(c)))
+        ).alias("vk"),
+    )
+    a = v.select(F.col("name").alias("name_a"), "vk")
+    b = v.select(F.col("name").alias("name_b"), "vk")
     cand = (
-        a.join(b, "tok")
+        a.join(b, "vk")
         .filter(F.col("name_a") < F.col("name_b"))
         .select("name_a", "name_b")
         .distinct()
     )
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    share_tok = F.arrays_overlap(
+        F.split(F.col("name_a"), " "), F.split(F.col("name_b"), " ")
+    )
     return (
         cand.withColumn("dist", dist.cast("long"))
-        .filter((F.col("dist") >= 1) & (F.col("dist") <= _FUZZY_MAX_DIST))
+        .filter(
+            (F.col("dist") >= 1) & (F.col("dist") <= _FUZZY_MAX_DIST) & share_tok
+        )
         .join(names.select(F.col("name").alias("name_a"), F.col("n").alias("n_a")), "name_a")
         .join(names.select(F.col("name").alias("name_b"), F.col("n").alias("n_b")), "name_b")
         .select("name_a", "name_b", "dist", "n_a", "n_b")

@@ -255,3 +255,123 @@ def test_logreg_each_step_broadcasts_weights(spark, sf_dir):
     plan = _plan(spark, sf_dir, "logreg_gd_steps")
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_cusum_prefix_sum_is_distributed(spark, sf_dir):
+    """The round-4 verdict flag: the CUSUM cumsum must NOT be a window
+    partitioned only by event_type (5 keys) over raw events. Event-level
+    cumsum windows partition on (event_type, hour bucket); the only
+    type-partitioned window runs over the HOURLY offset rollup; the
+    argmax is a map-side-combinable max(struct), never a rank window."""
+    import re
+
+    plan = _plan(spark, sf_dir, "cusum_changepoint")
+    assert "row_number" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*?)\)", plan)
+    assert specs
+    event_level = [s for s in specs if "event_id" in s]
+    assert event_level, specs
+    for s in event_level:
+        assert "h#" in s, f"event-level cumsum not hour-bucketed: {s}"
+    assert "partial_max" in plan  # argmax is an aggregate, not a window
+
+
+def test_weighted_median_windows_only_on_grid_rollups(spark, sf_dir):
+    """The round-4 verdict flag: no window over raw events on a 5-key
+    partitioning. Every window must order the quantized-value GRID
+    (bkt) or the in-cell distinct-value rollup (value after groupBy) —
+    both aggregate outputs — and the event passes must be map-side
+    partial aggregates feeding broadcast-selected cells."""
+    import re
+
+    plan = _plan(spark, sf_dir, "weighted_median_value")
+    specs = re.findall(r"windowspecdefinition\(([^)]*?)\)", plan)
+    assert specs
+    for s in specs:
+        assert "bkt" in s or "value" in s, f"unexpected window input: {s}"
+        assert "event_id" not in s, f"window over raw events: {s}"
+    assert "partial_sum" in plan  # grid construction is map-side combined
+    assert "BroadcastHashJoin" in plan  # crossing cell comes back broadcast
+
+
+def test_isotonic_group_is_calendar_bounded_and_guarded(spark, sf_dir):
+    """The applyInPandas group must be the HOURLY rollup (calendar-
+    bounded), not raw events: the plan aggregates to (type, h) BEFORE
+    the Python stage, and the UDF refuses oversized groups instead of
+    OOM-ing."""
+    import pandas as pd
+    import pytest
+
+    from openaq_lcs_fetch_spark.plans import temporal as T
+
+    plan = _plan(spark, sf_dir, "isotonic_fit")
+    assert "FlatMapGroupsInPandas" in plan
+    # hourly rollup (map-side combined) precedes the Python stage, and
+    # per-event identity columns are pruned at the scan — raw events
+    # never reach pandas
+    assert "partial_sum" in plan and "partial_count" in plan
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "event_id" not in read_schema
+
+    # guard: a group past the cap fails loudly (exercise the UDF shape
+    # via a tiny cap rather than materializing 2M rows)
+    orig = T._ISO_MAX_GROUP
+    T._ISO_MAX_GROUP = 10
+    try:
+        df = QUERIES["isotonic_fit"].fn(spark, sf_dir)
+        with pytest.raises(Exception, match="group cap"):
+            df.collect()
+    finally:
+        T._ISO_MAX_GROUP = orig
+
+
+def test_fuzzy_match_blocking_is_hot_token_immune(spark, sf_dir):
+    """The round-4 verdict flag: token blocking fans out C(m,2) on a
+    stop-token shared by m names. Deletion-neighborhood blocking keys
+    cannot collide across names that aren't within edit distance 4, so
+    a hot shared TOKEN must produce zero candidate pairs for far-apart
+    names. Synthetic hot-token fixture: 200 names all sharing token
+    'corp' but pairwise lev > 2 → candidate row count must stay ~0, not
+    ~C(200,2)=19900."""
+    import pandas as pd
+
+    import hashlib
+
+    # md5 suffixes: any two are ~surely at edit distance >> 4, so the
+    # ONLY thing these names share is the hot token
+    names = [
+        f"corp {hashlib.md5(str(i).encode()).hexdigest()[:12]} unit"
+        for i in range(200)
+    ]
+    pdf = pd.DataFrame({"p_name": names})
+    sdf = spark.createDataFrame(pdf)
+
+    from pyspark.sql import functions as F
+
+    from openaq_lcs_fetch_spark.plans.relational_adv import _DEL1
+
+    del1 = _DEL1.format(s="name")
+    del2 = f"flatten(transform({del1}, v -> {_DEL1.format(s='v')}))"
+    variants = F.array_distinct(
+        F.concat(F.array(F.col("name")), F.expr(del1), F.expr(del2))
+    )
+    v = (
+        sdf.select(F.col("p_name").alias("name"))
+        .select(
+            "name",
+            F.explode(
+                F.array_distinct(F.transform(variants, lambda c: F.xxhash64(c)))
+            ).alias("vk"),
+        )
+    )
+    a = v.select(F.col("name").alias("name_a"), "vk")
+    b = v.select(F.col("name").alias("name_b"), "vk")
+    n_cand = (
+        a.join(b, "vk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+        .count()
+    )
+    # names sharing only the hot token never share a deletion variant
+    assert n_cand < 50, n_cand

@@ -324,10 +324,13 @@ COMMENTARY = {
         "(task, source)."
     ),
     "fuzzy_name_match": (
-        "ER at vocabulary width: DISTINCT names only (2000 rows -> ~100 "
-        "values), shared-token blocking equi-join, levenshtein verify on "
-        "candidates; multiplicities ride the output instead of exploding "
-        "row pairs."
+        "ER on the deduped vocabulary via SymSpell deletion-neighborhood "
+        "blocking: ~L^2/2 codegen-generated deletion variants per name, "
+        "hashed to int64 before the explode so only (int64, name) rows "
+        "shuffle; a shared variant pins a pair to edit distance <= 4, so "
+        "per-key fan-out tracks genuine near-matches, never token "
+        "hotness (the round-4 stop-token flag); levenshtein + "
+        "shared-token verify on candidates."
     ),
     "logreg_gd_steps": (
         "Three GD steps = three (broadcast w -> per-row logit agg -> "
@@ -357,9 +360,12 @@ COMMENTARY = {
         "count), and a scalar fold — 2*U stays an exact BIGINT."
     ),
     "isotonic_fit": (
-        "The one genuine applyInPandas stage: FlatMapGroupsInPandas "
-        "(ArrowEvalPython) after a single event_type exchange — each "
-        "series is one O(n) task; no other shuffle appears."
+        "The one genuine applyInPandas stage, now calendar-bounded: a "
+        "map-side-combined (type, hour) rollup precedes "
+        "FlatMapGroupsInPandas, so the pandas group holds #hours "
+        "(sum, count) blocks — never N/5 raw events (the round-4 "
+        "unbounded-group flag) — and an in-UDF cap refuses oversized "
+        "groups loudly."
     ),
     "ab_test_zstat": (
         "Two aggregates: per-user conversion flag, then a 2-row variant "
@@ -378,9 +384,19 @@ COMMENTARY = {
         "local relation."
     ),
     "cusum_changepoint": (
-        "5-row totals BroadcastExchange back into the scan; cumsum and "
-        "argmax-rank windows share one event_type partitioning — a "
-        "single event-volume shuffle end to end."
+        "Bucketed exact prefix sum (the sequence_pack shape): the "
+        "event-level cumsum window partitions on (event_type, hour), "
+        "the per-hour offsets come from a window over the HOURLY rollup "
+        "and return broadcast, and the argmax is a map-side-combinable "
+        "max(struct) — no 5-key window over raw events anywhere (the "
+        "round-4 flag)."
+    ),
+    "weighted_median_value": (
+        "Quantized-value grid prefix sum: per-(type, cell) weights from "
+        "a map-side-combined agg, crossing cell from a window over the "
+        "<=4096-row grid, in-cell resolution over broadcast-selected "
+        "distinct values — no event-volume window on the 5-key "
+        "partitioning (the round-4 flag)."
     ),
     "cdc_apply": (
         "MERGE-INTO fold in one shuffle: rank and per-key count share "
