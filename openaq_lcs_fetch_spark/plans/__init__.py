@@ -95,7 +95,17 @@ registry.promote(
         "dau_wau_stickiness",
         "cohort_ltv",
         "seasonal_naive_error",
-        # r05-new queries are inserted here as they land (see below)
+        # r05-new queries (never verified — first-time signal)
+        "equi_depth_quantiles",
+        "value_outliers_3sigma",
+        "lag_features",
+        "max_drawdown",
+        "theil_sen_daily_slope",
+        "fuzzy_er_clusters",
+        "part_cheapest_offer",
+        "value_mad",
+        "customers_all_brands",
+        "copurchase_triangles",
         # stalest backfill: last driver row round 2 (textops)
         "doc_token_stats",
         "doc_language",
@@ -105,16 +115,6 @@ registry.promote(
         "simhash_docs",
         "ngram_jaccard_top",
         "minhash_signatures",
-        "minhash_lsh_pairs",
-        "multimodal_meta",
-        "simhash_near_dups",
-        "corpus_clean",
-        "bpe_token_stats",
-        "token_doc_freq",
-        "doc_winnow",
-        "corpus_sample",
-        "corpus_split",
-        "tfidf_top_terms",
     ]
 )
 

@@ -829,14 +829,10 @@ FROM picked WHERE rn = 1
 """
 
 
-_WMEDIAN_GRID = 4096
-
-
 @query("weighted_median_value", _WMEDIAN_ORACLE)
 def weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.quantiles import grid_quantiles
 
-    B = _WMEDIAN_GRID
     e = t(spark, sf_dir, "events").select(
         "event_type",
         "value",
@@ -844,69 +840,11 @@ def weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object(F.col("props"), "$.k").cast("long"), F.lit(0)
         ).alias("w"),
     )
-    stats = e.groupBy("event_type").agg(
-        F.min("value").alias("vmin"),
-        F.max("value").alias("vmax"),
-        F.sum("w").alias("tw"),
-    )
-    # monotone affine bucketing: floor((v-vmin)/(vmax-vmin)*B), clipped.
-    # IEEE subtraction/division/multiplication by positive constants are
-    # monotone, so cell order == value order (exactness never depends on
-    # where the cell boundaries land).
-    bucket = F.when(
-        F.col("vmax") > F.col("vmin"),
-        F.least(
-            F.lit(B - 1),
-            F.floor(
-                (F.col("value") - F.col("vmin"))
-                / (F.col("vmax") - F.col("vmin"))
-                * B
-            ),
-        ),
-    ).otherwise(F.lit(0))
-    eb = (
-        e.join(F.broadcast(stats), "event_type")
-        .withColumn("bkt", bucket.cast("int"))
-        .select("event_type", "value", "w", "bkt")
-    )
-    grid = eb.groupBy("event_type", "bkt").agg(F.sum("w").alias("bw"))
-    wb = Window.partitionBy("event_type").orderBy("bkt")
-    crossing = (
-        grid.withColumn(
-            "cumb", F.sum("bw").over(wb.rowsBetween(Window.unboundedPreceding, 0))
-        )
-        .join(F.broadcast(stats.select("event_type", "tw")), "event_type")
-        .filter(2 * F.col("cumb") >= F.col("tw"))
-        .withColumn("rn", F.row_number().over(wb))
-        .filter(F.col("rn") == 1)
-        .select(
-            "event_type",
-            F.col("bkt").alias("sel_bkt"),
-            (F.col("cumb") - F.col("bw")).alias("cw_before"),
-            "tw",
-        )
-    )
-    inb = eb.join(F.broadcast(crossing), "event_type").filter(
-        F.col("bkt") == F.col("sel_bkt")
-    )
-    vals = inb.groupBy("event_type", "value").agg(
-        F.sum("w").alias("vw"),
-        F.min("cw_before").alias("cw_before"),
-        F.min("tw").alias("tw"),
-    )
-    wv = Window.partitionBy("event_type").orderBy("value")
-    picked = (
-        vals.withColumn(
-            "cumv", F.sum("vw").over(wv.rowsBetween(Window.unboundedPreceding, 0))
-        )
-        .filter(2 * (F.col("cw_before") + F.col("cumv")) >= F.col("tw"))
-        .withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") == 1)
-    )
-    return picked.select(
+    q = grid_quantiles(e, "event_type", "value", weight=F.col("w"))
+    return q.select(
         "event_type",
-        F.col("value").alias("wmedian"),
-        F.col("tw").cast("long").alias("total_weight"),
+        F.col("qvalue").alias("wmedian"),
+        F.col("total_weight").cast("long").alias("total_weight"),
     )
 
 

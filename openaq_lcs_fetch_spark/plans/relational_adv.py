@@ -948,12 +948,9 @@ _DEL1 = (
 )
 
 
-@query("fuzzy_name_match", _FUZZY_ORACLE)
-def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = t(spark, sf_dir, "part")
-    names = p.groupBy(F.col("p_name").alias("name")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
+def _fuzzy_pairs(names: DataFrame) -> DataFrame:
+    """(name_a, name_b, dist) pairs at lev 1..2 sharing >=1 token, via
+    SymSpell deletion-neighborhood blocking over a (name) frame."""
     # SymSpell neighborhood: the name itself, every 1-deletion, every
     # 2-deletion (1-deletions of 1-deletions), deduped per name
     del1 = _DEL1.format(s="name")
@@ -980,11 +977,20 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     share_tok = F.arrays_overlap(
         F.split(F.col("name_a"), " "), F.split(F.col("name_b"), " ")
     )
+    return cand.withColumn("dist", dist.cast("long")).filter(
+        (F.col("dist") >= 1) & (F.col("dist") <= _FUZZY_MAX_DIST) & share_tok
+    )
+
+
+@query("fuzzy_name_match", _FUZZY_ORACLE)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    names = p.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pairs = _fuzzy_pairs(names.select("name"))
     return (
-        cand.withColumn("dist", dist.cast("long"))
-        .filter(
-            (F.col("dist") >= 1) & (F.col("dist") <= _FUZZY_MAX_DIST) & share_tok
-        )
+        pairs
         .join(names.select(F.col("name").alias("name_a"), F.col("n").alias("n_a")), "name_a")
         .join(names.select(F.col("name").alias("name_b"), F.col("n").alias("n_b")), "name_b")
         .select("name_a", "name_b", "dist", "n_a", "n_b")
@@ -1201,3 +1207,269 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_cents",
         F.sum("rev_cents").over(w).cast("long").alias("cum_rev_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_er_clusters — the full entity-resolution pipeline: SymSpell-
+# blocked fuzzy pairs (the fuzzy_name_match machinery) fed through
+# distributed connected components, yielding a cluster id (min member
+# name) per distinct name — match → cluster, the same composition the
+# dedup layer proves on documents (dedup_components), here on the
+# string-keyed ER graph. Scale: pairs are output-bounded (deletion
+# blocking), components is the shared min-label-propagation operator
+# (one label shuffle per round, rounds = cluster diameter, and ER
+# clusters are shallow). Oracle: DuckDB recursive CTE reachability over
+# the same shared-token ∧ lev∈[1,2] edge set.
+# ---------------------------------------------------------------------------
+
+_ER_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part),
+toks AS (SELECT name, unnest(string_split(name, ' ')) AS tok FROM names),
+cand AS (
+  SELECT DISTINCT a.name AS na, b.name AS nb
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.name < b.name
+),
+edges AS (
+  SELECT na, nb FROM cand
+  WHERE levenshtein(na, nb) BETWEEN 1 AND {_FUZZY_MAX_DIST}
+),
+sym AS (SELECT na AS a, nb AS b FROM edges
+        UNION ALL SELECT nb, na FROM edges),
+reach(id, r) AS (
+  SELECT name, name FROM names
+  UNION
+  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.id = s.b
+)
+SELECT id AS name, MIN(r) AS cluster,
+       CAST(MIN(r) = id AS BOOLEAN) AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
+@query("fuzzy_er_clusters", _ER_CLUSTERS_ORACLE)
+def fuzzy_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    names = (
+        t(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    pairs = _fuzzy_pairs(names)
+    comp = connected_components(
+        names, pairs, id_col="name", src_col="name_a", dst_col="name_b"
+    )
+    return comp.select(
+        "name",
+        F.col("component").alias("cluster"),
+        (F.col("component") == F.col("name")).alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# part_cheapest_offer — ARGMIN join (TPC-H Q2's core shape on the
+# tables this corpus has): for every part traded, the supplier behind
+# its cheapest line offer. The classic formulation is a correlated
+# min-subquery re-join; the scale shape is ONE map-side-combinable
+# min(struct) aggregate over the fact table — price quantized to exact
+# integer cents, supplier key as the deterministic tiebreaker riding
+# in the struct — then a supplier-name join on the part-sized result.
+# No window over lineitem, no self-join.
+# ---------------------------------------------------------------------------
+
+_CHEAPEST_ORACLE = """
+WITH offers AS (
+  SELECT l_partkey,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         l_suppkey
+  FROM lineitem
+),
+best AS (
+  SELECT l_partkey, cents, l_suppkey,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY cents, l_suppkey) AS rn
+  FROM offers
+)
+SELECT b.l_partkey AS p_partkey,
+       CAST(b.cents AS DOUBLE) / 100.0 AS best_price,
+       b.l_suppkey AS s_suppkey, s.s_name
+FROM best b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+WHERE rn = 1
+"""
+
+
+@query("part_cheapest_offer", _CHEAPEST_ORACLE)
+def part_cheapest_offer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        "l_suppkey",
+    )
+    best = li.groupBy("l_partkey").agg(
+        F.min(F.struct(F.col("cents"), F.col("l_suppkey"))).alias("m")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("m.cents").cast("double") / F.lit(100.0)).alias("best_price"),
+            F.col("m.l_suppkey").alias("s_suppkey"),
+        )
+        .join(s, "s_suppkey")
+        .select("p_partkey", "best_price", "s_suppkey", "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# customers_all_brands — RELATIONAL DIVISION (the classic "for all"
+# query textbook engines special-case): customers who have ordered
+# parts of EVERY target brand. The scale shape is the standard
+# division-as-counting rewrite: distinct (customer, brand) pairs
+# restricted to the broadcast target set, one map-side-combinable
+# distinct-count per customer, keep counts equal to the divisor size —
+# no per-brand joins, no NOT EXISTS double negation, one fact pass.
+# ---------------------------------------------------------------------------
+
+_DIVISION_BRANDS = ("Brand#4", "Brand#19", "Brand#2", "Brand#16")
+
+_DIVISION_ORACLE = f"""
+WITH target AS (
+  SELECT unnest({list(_DIVISION_BRANDS)!r}) AS p_brand
+),
+pairs AS (
+  SELECT DISTINCT o.o_custkey, p.p_brand
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN part p     ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand IN (SELECT p_brand FROM target)
+)
+SELECT c.c_custkey, c.c_name,
+       CAST(COUNT(*) AS BIGINT) AS n_brands
+FROM pairs
+JOIN customer c ON c.c_custkey = pairs.o_custkey
+GROUP BY c.c_custkey, c.c_name
+HAVING COUNT(*) = {len(_DIVISION_BRANDS)}
+"""
+
+
+@query("customers_all_brands", _DIVISION_ORACLE)
+def customers_all_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin(*_DIVISION_BRANDS))
+        .select("p_partkey", "p_brand")
+    )
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "p_brand")
+        .distinct()
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        pairs.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_brands"))
+        .filter(F.col("n_brands") == len(_DIVISION_BRANDS))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "n_brands")
+    )
+
+
+# ---------------------------------------------------------------------------
+# copurchase_triangles — triangle counting on the co-purchase graph
+# (parts appearing in the same order), the graph-analytics primitive
+# behind clustering coefficients and community features. Scale shape:
+# (1) edges from a WITHIN-ORDER pair expansion — fan-out is C(items, 2)
+# per order, bounded by order size, never a part-key self-join; (2) the
+# standard DEGREE-ORDERED orientation: each edge points from its
+# lower-(degree, id) endpoint, so every wedge enumeration fans out as
+# the SMALLER endpoint's oriented out-degree — the hub-node wedge
+# explosion (a part in m orders generating O(m²) wedges) is bounded to
+# O(E^1.5) total candidates (Schank-Wagner); (3) closure is one
+# equi-join of wedge candidates against oriented edges. All joins are
+# equi-joins on int keys; output is one summary row.
+# ---------------------------------------------------------------------------
+
+_TRIANGLES_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+  FROM edges e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+),
+keyed AS (
+  SELECT o.src, o.dst, ds.d AS sd, dd.d AS dd
+  FROM oriented o
+  JOIN deg ds ON ds.node = o.src
+  JOIN deg dd ON dd.node = o.dst
+),
+wedges AS (
+  SELECT e1.dst AS v1, e2.dst AS v2
+  FROM keyed e1 JOIN keyed e2
+    ON e1.src = e2.src AND (e1.dd, e1.dst) < (e2.dd, e2.dst)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM wedges w JOIN oriented o ON o.src = w.v1 AND o.dst = w.v2
+"""
+
+
+@query("copurchase_triangles", _TRIANGLES_ORACLE)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        edges.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+    )
+    w1 = oriented.select("src", F.col("dst").alias("v1"), F.col("dd").alias("d1"))
+    w2 = oriented.select("src", F.col("dst").alias("v2"), F.col("dd").alias("d2"))
+    wedges = w1.join(w2, "src").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("v1"), F.col("dst").alias("v2")),
+        ["v1", "v2"],
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return n_nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_tri))

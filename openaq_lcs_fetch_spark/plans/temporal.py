@@ -995,3 +995,184 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("m.neg_us")).alias("change_us"),
         F.col("m.s").cast("long").alias("s_scaled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# max_drawdown — maximum peak-to-trough decline of the value series per
+# type (the risk/monitoring staple: largest drop from a running high).
+# Exactness: integer cents; drawdown_i = runmax_{<=i} - cents_i is an
+# exact BIGINT; the argmax is integer struct comparison. Distributed
+# shape (the cusum_changepoint bucketed-prefix pattern, for MAX instead
+# of SUM — running max is just as decomposable): per-(type, hour) local
+# running-max windows in parallel, an EXCLUSIVE prefix max over the
+# hourly-max rollup broadcast back, global runmax = greatest(local,
+# hour-prefix), and the final argmax is a map-side-combinable
+# max(struct) — no 5-key window over raw events.
+# ---------------------------------------------------------------------------
+
+_DRAWDOWN_ORACLE = """
+WITH c AS (
+  SELECT event_type, event_id, epoch_us(ts) AS us,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, event_id, us, cents,
+         MAX(cents) OVER (PARTITION BY event_type ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS runmax
+  FROM c
+),
+ranked AS (
+  SELECT event_type, event_id, us, runmax - cents AS dd,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY runmax - cents DESC, us ASC,
+                                     event_id ASC) AS rn
+  FROM r
+)
+SELECT event_type, CAST(dd AS BIGINT) AS drawdown_cents,
+       event_id AS trough_event, us AS trough_us
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("max_drawdown", _DRAWDOWN_ORACLE)
+def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.timestamps import micros
+
+    c = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        micros(F.col("ts")).alias("us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    ).withColumn("h", F.expr("us div 3600000000"))
+    w_in = (
+        Window.partitionBy("event_type", "h")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # exclusive prefix max over the hourly-max rollup (rollup-sized)
+    hour_prefix = (
+        c.groupBy("event_type", "h")
+        .agg(F.max("cents").alias("hmax"))
+        .withColumn(
+            "prevmax",
+            F.max("hmax").over(
+                Window.partitionBy("event_type")
+                .orderBy("h")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .select("event_type", "h", "prevmax")
+    )
+    dd = (
+        c.withColumn("local_max", F.max("cents").over(w_in))
+        .join(hour_prefix, ["event_type", "h"])
+        .withColumn(
+            "runmax",
+            F.greatest(F.col("local_max"), F.coalesce("prevmax", F.col("local_max"))),
+        )
+        .withColumn("dd", F.col("runmax") - F.col("cents"))
+    )
+    best = dd.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                F.col("dd").alias("dd"),
+                (-F.col("us")).alias("neg_us"),
+                (-F.col("event_id")).alias("neg_id"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "event_type",
+        F.col("m.dd").cast("long").alias("drawdown_cents"),
+        (-F.col("m.neg_id")).alias("trough_event"),
+        (-F.col("m.neg_us")).alias("trough_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_daily_slope — robust trend estimate per type: the Theil-Sen
+# estimator (median of pairwise slopes) over the DAILY average-value
+# series. Scale: slopes come from a self-join of the daily rollup —
+# C(days, 2) pairs is calendar-bounded (a decade is ~6.6M pairs per
+# type), never event-volume; the median is picked off the pair table
+# with one rollup-level window. Exactness: daily sums/counts are exact
+# BIGINTs; each slope is two correctly-rounded IEEE divisions and one
+# subtraction — bit-identical across engines — and the LOWER median is
+# a selection (no averaging), so ties in slope cannot change the picked
+# value.
+# ---------------------------------------------------------------------------
+
+_THEILSEN_ORACLE = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.event_type,
+         (CAST(b.s AS DOUBLE) / b.n - CAST(a.s AS DOUBLE) / a.n)
+           / (b.d - a.d) AS slope
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.d > a.d
+),
+ranked AS (
+  SELECT event_type, slope,
+         row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS np
+  FROM slopes
+)
+SELECT event_type, CAST(MAX(np) AS BIGINT) AS n_pairs,
+       MIN(CASE WHEN 2 * rn >= np + 1 THEN slope END) / 100.0
+         AS slope_per_day
+FROM ranked GROUP BY event_type
+"""
+
+
+@query("theil_sen_daily_slope", _THEILSEN_ORACLE)
+def theil_sen_daily_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.timestamps import micros
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            micros(F.col("ts")).alias("us"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .withColumn("d", F.expr("us div 86400000000"))
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    a = daily.select("event_type", F.col("d").alias("d1"), F.col("s").alias("s1"), F.col("n").alias("n1"))
+    b = daily.select("event_type", F.col("d").alias("d2"), F.col("s").alias("s2"), F.col("n").alias("n2"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("d2") > F.col("d1"))
+        .withColumn(
+            "slope",
+            (
+                F.col("s2").cast("double") / F.col("n2")
+                - F.col("s1").cast("double") / F.col("n1")
+            )
+            / (F.col("d2") - F.col("d1")),
+        )
+        .select("event_type", "slope")
+    )
+    wv = Window.partitionBy("event_type").orderBy("slope")
+    wt = Window.partitionBy("event_type")
+    ranked = slopes.withColumn("rn", F.row_number().over(wv)).withColumn(
+        "np", F.count(F.lit(1)).over(wt)
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("np").cast("long").alias("n_pairs"),
+        (
+            F.min(F.when(2 * F.col("rn") >= F.col("np") + 1, F.col("slope")))
+            / F.lit(100.0)
+        ).alias("slope_per_day"),
+    )

@@ -1542,3 +1542,207 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# equi_depth_quantiles — EXACT lower quartiles (p25/p50/p75) of value
+# per event type, by the quantized-value GRID prefix sum (the
+# weighted_median_value machinery generalized to a quantile VECTOR):
+# one per-type (min, max, n) rollup; one map-side-combined (type, cell)
+# count grid; ONE window over the <=4096-row grid crossed with the
+# 3-row quantile spec finds each quantile's crossing cell; only rows in
+# the broadcast-selected cells are re-read and resolved over in-cell
+# DISTINCT values. Exactness: lower quantile = value at row
+# ceil(q·n) of the (value, event_id) order — for q = k/4 that is the
+# integer predicate 4·cum >= k·n, so the answer is an actual data
+# value (no interpolation) and ties collapse harmlessly (same-value
+# rows are adjacent). No window ever sees event-volume cardinality.
+# ---------------------------------------------------------------------------
+
+_EQD_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       MIN(CASE WHEN 4 * rn >= n THEN value END) AS p25,
+       MIN(CASE WHEN 2 * rn >= n THEN value END) AS p50,
+       MIN(CASE WHEN 4 * rn >= 3 * n THEN value END) AS p75
+FROM ranked GROUP BY event_type
+"""
+
+@query("equi_depth_quantiles", _EQD_ORACLE)
+def equi_depth_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import grid_quantiles
+
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    q = grid_quantiles(
+        e, "event_type", "value", fractions=[(1, 4), (2, 4), (3, 4)]
+    )
+    return q.groupBy("event_type").agg(
+        F.max("total_weight").cast("long").alias("n"),
+        F.min(F.when(F.col("num") == 1, F.col("qvalue"))).alias("p25"),
+        F.min(F.when(F.col("num") == 2, F.col("qvalue"))).alias("p50"),
+        F.min(F.when(F.col("num") == 3, F.col("qvalue"))).alias("p75"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# value_mad — median absolute deviation per type (the robust scale
+# estimate paired with the median, immune to the outliers that wreck a
+# stddev): mad = median(|x − median(x)|). Two passes of the SAME grid
+# order-statistics operator (operators/quantiles.py): the 5-row median
+# table broadcasts into the deviation scan, whose median resolves on a
+# fresh grid. |x − m| is one IEEE subtraction of an exactly-agreed
+# median — bit-identical across engines — and both medians are
+# selections, never interpolations.
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type, MAX(n) AS n,
+         MIN(CASE WHEN 2 * rn >= n THEN value END) AS med
+  FROM ranked GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+ranked2 AS (
+  SELECT event_type, adev,
+         row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+)
+SELECT d.event_type, MAX(m.med) AS med,
+       MIN(CASE WHEN 2 * d.rn >= d.n THEN d.adev END) AS mad,
+       CAST(MAX(d.n) AS BIGINT) AS n
+FROM ranked2 d JOIN med m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+@query("value_mad", _MAD_ORACLE)
+def value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import grid_quantiles
+
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    med = grid_quantiles(e, "event_type", "value").select(
+        "event_type", F.col("qvalue").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("adev"), "med"
+    )
+    mad = grid_quantiles(dev, "event_type", "adev").select(
+        "event_type",
+        F.col("qvalue").alias("mad"),
+        F.col("total_weight").cast("long").alias("n"),
+    )
+    return med.join(mad, "event_type").select("event_type", "med", "mad", "n")
+
+
+# ---------------------------------------------------------------------------
+# value_outliers_3sigma — DECIMAL-exact 3-sigma outlier counts per
+# type: flag x when (x − mean)² > 9·var without EVER materializing
+# mean or var as floats. Multiply through by n²:
+#   (n·x − S)² > 9·(n·Q − S²),   S = Σ cents, Q = Σ cents²
+# — all terms exact integers, evaluated in DECIMAL(38,0) on the Spark
+# side and HUGEINT (int128) in DuckDB, so the flag is a pure integer
+# comparison with no cross-engine float hazard. Shape: one map-side
+# (n, S, Q) rollup broadcast back into a second scan; the flag and
+# count are map-side too — two scans, zero windows, zero joins wider
+# than 5 rows. DECIMAL(38) headroom: |n·x − S| <= n·max_cents ≈ 2e13
+# at 2e9 rows/type → squared 4e26 << 1e38.
+# ---------------------------------------------------------------------------
+
+_OUTLIER_ORACLE = """
+WITH c AS (
+  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(cents) AS HUGEINT) AS s,
+         CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS q
+  FROM c GROUP BY event_type
+)
+SELECT c.event_type,
+       CAST(MAX(t.n) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN (t.n * c.cents - t.s) * (t.n * c.cents - t.s)
+                          > 9 * (t.n * t.q - t.s * t.s)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM c JOIN tot t USING (event_type)
+GROUP BY c.event_type
+"""
+
+
+@query("value_outliers_3sigma", _OUTLIER_ORACLE)
+def value_outliers_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0)
+        .cast("long")
+        .cast("decimal(38,0)")
+        .alias("cents"),
+    )
+    tot = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("decimal(38,0)").alias("q"),
+    )
+    dev = F.col("n") * F.col("cents") - F.col("s")
+    is_out = (dev * dev) > (
+        F.lit(9).cast("decimal(38,0)")
+        * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    )
+    return (
+        c.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# lag_features — training-feature extraction: each event carries its
+# user's previous three values (the lag-feature matrix every
+# sequential-model pipeline materializes before training). One window
+# shuffle partitioned by user_id — key cardinality scales WITH the
+# data, so this is the scale-safe window shape (unlike a 5-key type
+# partitioning); lags are pure frame offsets, no joins, no UDFs.
+# ---------------------------------------------------------------------------
+
+_LAG_ORACLE = """
+SELECT event_id, user_id, value,
+       lag(value, 1) OVER w AS lag1,
+       lag(value, 2) OVER w AS lag2,
+       lag(value, 3) OVER w AS lag3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("lag_features", _LAG_ORACLE)
+def lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value", 1).over(w).alias("lag1"),
+        F.lag("value", 2).over(w).alias("lag2"),
+        F.lag("value", 3).over(w).alias("lag3"),
+    )
