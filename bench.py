@@ -84,6 +84,12 @@ HEADLINE = (
     "cusum_changepoint",
     "dau_wau_stickiness",
     "cohort_ltv",
+    "equi_depth_quantiles",
+    "value_mad",
+    "max_drawdown",
+    "theil_sen_daily_slope",
+    "fuzzy_er_clusters",
+    "copurchase_triangles",
 )
 
 

@@ -106,6 +106,7 @@ registry.promote(
         "value_mad",
         "customers_all_brands",
         "copurchase_triangles",
+        "streaming_dedup_ww",
         # stalest backfill: last driver row round 2 (textops)
         "doc_token_stats",
         "doc_language",
@@ -114,7 +115,6 @@ registry.promote(
         "dedup_exact",
         "simhash_docs",
         "ngram_jaccard_top",
-        "minhash_signatures",
     ]
 )
 

@@ -400,3 +400,39 @@ def streaming_user_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     summaries = user_final_state(raw.withWatermark("ts", "2 hours"))
     out = run_available_now(summaries)
     return out.filter(F.col("user_id") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# streaming_dedup_ww — dropDuplicatesWithinWatermark (Spark ≥3.5), the
+# state-EVICTING dedup: unlike plain dropDuplicates (whose key state
+# grows forever on an unbounded stream), within-watermark dedup drops a
+# key's state once the watermark passes it — the only dedup shape whose
+# state is bounded at 100 TB/day. Exercised against a genuinely
+# duplicated input: the same source unioned with itself (every event
+# arrives exactly twice in the replay), then deduped on event_id and
+# rolled up hourly — chained stateful ops, state #1 evicting. The
+# oracle is the plain hourly rollup: exact dedup of the doubled stream
+# must reproduce it bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_DEDUP_WW_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+@query("streaming_dedup_ww", _DEDUP_WW_ORACLE)
+def streaming_dedup_ww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import read_events_stream, run_available_now
+
+    doubled = read_events_stream(spark, sf_dir).unionAll(
+        read_events_stream(spark, sf_dir)
+    )
+    deduped = doubled.withWatermark("ts", "3 hours").dropDuplicatesWithinWatermark(
+        ["event_id", "event_type"]
+    )
+    windowed = deduped.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = run_available_now(windowed, output_mode="complete")
+    return out.select(F.col("w.start").alias("hour"), "event_type", "n")

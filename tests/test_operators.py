@@ -827,3 +827,76 @@ def test_doc_lm_score_orders_by_typicality(spark, tmp_path):
     assert scores[0] > scores[100]
     # typical doc: p(w2|w1)=1 for every transition except 'the'->{cat,mat}
     assert scores[0] > -1.0
+
+
+def test_grid_quantiles_matches_naive_reference(spark):
+    """grid_quantiles (operators/quantiles.py) vs a sorted-python naive
+    lower-quantile on adversarial fixtures: zero weights, all-zero
+    groups, heavy value ties, constant-value groups, negative values,
+    mass concentrated in one grid cell."""
+    import random
+
+    from openaq_lcs_fetch_spark.operators.quantiles import grid_quantiles
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = []
+    # group a: heavy ties + zero weights
+    rows += [("a", float(rng.choice([1, 2, 2, 3])), rng.choice([0, 1, 5]))
+             for _ in range(400)]
+    # group b: constant values
+    rows += [("b", 42.0, rng.randint(0, 3)) for _ in range(50)]
+    # group c: all-zero weights (median = smallest value by convention)
+    rows += [("c", float(v), 0) for v in (9, 4, 7)]
+    # group d: negative + one-cell mass concentration
+    rows += [("d", -1e9, 1)] + [("d", rng.uniform(0, 1e-6), 1) for _ in range(200)]
+    df = spark.createDataFrame(rows, "k string, v double, w long")
+
+    fracs = [(1, 4), (1, 2), (3, 4)]
+    got = {
+        (r.k, r.num, r.den): (r.qvalue, r.total_weight)
+        for r in grid_quantiles(
+            df, "k", "v", weight=F.col("w"), fractions=fracs
+        ).collect()
+    }
+
+    by_k: dict = {}
+    for k, v, w in rows:
+        by_k.setdefault(k, []).append((v, w))
+    for k, vals in by_k.items():
+        vals.sort()
+        tw = sum(w for _, w in vals)
+        for num, den in fracs:
+            cum = 0
+            expect = vals[0][0]
+            for v, w in vals:
+                cum += w
+                if den * cum >= num * tw:
+                    expect = v
+                    break
+            qv, got_tw = got[(k, num, den)]
+            assert got_tw == tw, (k, num, den)
+            assert qv == expect, (k, num, den, qv, expect)
+
+
+def test_copurchase_triangles_known_graph(spark, tmp_path):
+    """Hand-built order basket whose co-purchase graph has exactly two
+    triangles: orders {1,2,3}, {1,2,4}... edges (1,2)(1,3)(2,3)(1,4)(2,4)
+    → triangles {1,2,3} and {1,2,4}."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    li = [
+        (100, 1), (100, 2), (100, 3),   # order 100 → triangle 1-2-3
+        (200, 1), (200, 2), (200, 4),   # order 200 → triangle 1-2-4
+        (300, 5),                       # isolated node never makes edges
+    ]
+    rows = [(ok, pk, 1.0) for ok, pk in li]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long, x double")
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(sf, "lineitem.parquet"))
+    out = QUERIES["copurchase_triangles"].fn(spark, sf).collect()[0]
+    assert out.n_nodes == 4          # node 5 has no edges
+    assert out.n_edges == 5
+    assert out.n_triangles == 2

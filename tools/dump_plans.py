@@ -408,6 +408,60 @@ COMMENTARY = {
         "the final aggregate — open/close/high/low/count from a single "
         "shuffle; bar ids are codegen integer division."
     ),
+    "equi_depth_quantiles": (
+        "The shared grid order-statistics operator (operators/"
+        "quantiles.py): map-side cell counts, ONE <=4096-row grid window "
+        "crossed with the 3-row fraction spec, in-cell resolution over "
+        "broadcast-selected distinct values — the whole quantile vector "
+        "from one grid; no window ever sees event-volume rows."
+    ),
+    "value_mad": (
+        "Two passes of the shared grid operator: the 5-row median table "
+        "broadcasts into the |x - med| scan, whose own median resolves "
+        "on a fresh grid. Zero event-volume windows."
+    ),
+    "value_outliers_3sigma": (
+        "Mean/variance never float: one map-side (n, S, Q) DECIMAL(38) "
+        "rollup broadcasts back into a second scan where the flag "
+        "(n*x - S)^2 > 9(nQ - S^2) and its count are map-side too — two "
+        "scans, zero windows."
+    ),
+    "max_drawdown": (
+        "Running max via the cusum bucketed-prefix shape: per-(type, "
+        "hour) local running-max windows, EXCLUSIVE prefix max over the "
+        "hourly rollup broadcast back, argmax as map-side max(struct)."
+    ),
+    "theil_sen_daily_slope": (
+        "Pairwise slopes from a DAILY-rollup self-join — calendar-"
+        "squared, never event-volume; the lower-median pick is one "
+        "rollup-level window."
+    ),
+    "lag_features": (
+        "One window whose partition key (user_id) scales WITH the data "
+        "— the scale-safe window shape by construction; lags are frame "
+        "offsets, no joins."
+    ),
+    "fuzzy_er_clusters": (
+        "SymSpell deletion-blocked pairs (output-bounded) feed the "
+        "shared min-label components operator: one label shuffle per "
+        "round, rounds = cluster diameter."
+    ),
+    "part_cheapest_offer": (
+        "ARGMIN as a map-side-combinable min(struct(cents, suppkey)) "
+        "over the fact — no window over lineitem, no correlated "
+        "re-join; supplier names join onto the part-sized result."
+    ),
+    "customers_all_brands": (
+        "Relational division as counting: distinct (customer, brand) "
+        "restricted to the broadcast divisor, one distinct-count, a "
+        "HAVING filter — no per-brand joins, no NOT-EXISTS chain."
+    ),
+    "copurchase_triangles": (
+        "Degree-ordered triangle counting: within-order pair expansion "
+        "(fan-out bounded by order size), orientation by (degree, id) "
+        "bounds wedge enumeration to O(E^1.5) (Schank-Wagner), closure "
+        "is one equi-join; scalar counts recombine via 1-row broadcasts."
+    ),
     "ppjoin_pairs": (
         "The self-join input is the PREFIX table (a (1-t) fraction of "
         "shingles); candidates verify via id-keyed joins against the "
