@@ -45,6 +45,11 @@ REPRESENTATIVE = (
     "feature_auc", "isotonic_fit", "salted_join_stats",
     "weighted_median_value", "cusum_changepoint", "longest_streak",
     "dau_wau_stickiness", "cohort_ltv", "seasonal_naive_error",
+    # round-5 additions
+    "equi_depth_quantiles", "value_outliers_3sigma", "lag_features",
+    "max_drawdown", "theil_sen_daily_slope", "value_mad",
+    "fuzzy_er_clusters", "part_cheapest_offer", "customers_all_brands",
+    "copurchase_triangles", "streaming_dedup_ww",
 )
 
 
