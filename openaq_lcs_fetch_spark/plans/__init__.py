@@ -14,7 +14,7 @@ made explicit by ``registry.promote``:
 * round 3 promoted the 12 never-verified mid-round-2 queries plus the
   6 r02 reds, backfilled with the r01 relational/etl set
   (CORRECTNESS_r03: 49 green + 1 deliberate no_oracle);
-* round 4 (here): never-verified queries outrank everything, and there
+* round 4: never-verified queries outrank everything, and there
   are 46 of them — 11 late-round-3 (session windows, sequence packing,
   semantic dedup, recall eval, chained/session streaming, containment,
   media, lsh-verified, token budget), ``approx_event_stats`` (driver-red
@@ -107,6 +107,7 @@ registry.promote(
         "customers_all_brands",
         "copurchase_triangles",
         "streaming_dedup_ww",
+        "basket_lift_rules",
         # stalest backfill: last driver row round 2 (textops)
         "doc_token_stats",
         "doc_language",
@@ -114,7 +115,6 @@ registry.promote(
         "doc_fingerprint",
         "dedup_exact",
         "simhash_docs",
-        "ngram_jaccard_top",
     ]
 )
 

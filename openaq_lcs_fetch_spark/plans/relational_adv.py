@@ -1473,3 +1473,98 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
     return n_nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_tri))
+
+
+# ---------------------------------------------------------------------------
+# basket_lift_rules — association-rule mining over order baskets (the
+# Apriori 2-itemset pass): support, confidence and lift for co-purchased
+# BRAND pairs with a minimum-support gate. The Apriori property IS the
+# scale story: 1-itemset supports computed first (map-side agg), the
+# frequent set broadcast back so the pair expansion only touches
+# orders' frequent brands, and the within-order pair fan-out is bounded
+# by basket size — never a brand-key self-join. Counts are exact
+# BIGINTs; confidence/lift are ratios of those integers, bit-identical
+# across engines.
+# ---------------------------------------------------------------------------
+
+_BASKET_MIN_SUPPORT = 50  # orders
+
+_BASKET_ORACLE = f"""
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets),
+brand_supp AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS supp
+  FROM baskets GROUP BY p_brand
+  HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+),
+pair_supp AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(COUNT(*) AS BIGINT) AS supp_ab
+  FROM baskets a
+  JOIN baskets b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  JOIN brand_supp sa ON sa.p_brand = a.p_brand
+  JOIN brand_supp sb ON sb.p_brand = b.p_brand
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+)
+SELECT ps.brand_a, ps.brand_b, ps.supp_ab,
+       CAST(ps.supp_ab AS DOUBLE) / sa.supp AS conf_a_to_b,
+       CAST(ps.supp_ab AS DOUBLE) * (SELECT n FROM n_orders)
+         / (sa.supp * sb.supp) AS lift
+FROM pair_supp ps
+JOIN brand_supp sa ON sa.p_brand = ps.brand_a
+JOIN brand_supp sb ON sb.p_brand = ps.brand_b
+"""
+
+
+@query("basket_lift_rules", _BASKET_ORACLE)
+def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    brand_supp = (
+        baskets.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= _BASKET_MIN_SUPPORT)
+    )
+    # Apriori prune: only frequent brands enter the pair expansion
+    frequent = baskets.join(F.broadcast(brand_supp), "p_brand").select(
+        "l_orderkey", "p_brand"
+    )
+    a = frequent.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = frequent.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    pair_supp = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+        .filter(F.col("supp_ab") >= _BASKET_MIN_SUPPORT)
+    )
+    sa = brand_supp.select(F.col("p_brand").alias("brand_a"), F.col("supp").alias("supp_a"))
+    sb = brand_supp.select(F.col("p_brand").alias("brand_b"), F.col("supp").alias("supp_b"))
+    return (
+        pair_supp.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "supp_ab",
+            (F.col("supp_ab").cast("double") / F.col("supp_a")).alias("conf_a_to_b"),
+            (
+                F.col("supp_ab").cast("double")
+                * F.col("n")
+                / (F.col("supp_a") * F.col("supp_b"))
+            ).alias("lift"),
+        )
+    )
