@@ -108,13 +108,13 @@ registry.promote(
         "copurchase_triangles",
         "streaming_dedup_ww",
         "basket_lift_rules",
+        "hourly_autocorr24",
         # stalest backfill: last driver row round 2 (textops)
         "doc_token_stats",
         "doc_language",
         "doc_quality",
         "doc_fingerprint",
         "dedup_exact",
-        "simhash_docs",
     ]
 )
 

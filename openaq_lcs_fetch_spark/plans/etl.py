@@ -903,3 +903,83 @@ def seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("abs_err").cast("long").alias("sum_abs_err"),
         (F.sum("abs_err").cast("double") / F.count(F.lit(1))).alias("mae"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hourly_autocorr24 — lag-24h Pearson autocorrelation of the hourly
+# event-count series per type (the seasonality-strength read-out that
+# decides whether seasonal_naive_error's baseline is even sensible).
+# Exactness: counts are integers, so every moment (Σx, Σy, Σxy, Σx²,
+# Σy²) is exact in DECIMAL(38,0)/HUGEINT; the correlation assembles
+# num = mΣxy − ΣxΣy and den factors as exact integers first, and the
+# ONLY floats are one division and one sqrt of exactly-agreed integers
+# — bit-identical across engines. Shape: hourly rollup (map-side),
+# rollup self-join on (type, h+24), one scalar-row aggregate per type.
+# ---------------------------------------------------------------------------
+
+_AUTOCORR_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type, a.n AS x, b.n AS y
+  FROM hourly a JOIN hourly b
+    ON b.event_type = a.event_type AND b.h = a.h + 24
+),
+mom AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS HUGEINT) AS m,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM pairs GROUP BY event_type
+)
+SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
+       CAST(m * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                * CAST(m * syy - sy * sy AS DOUBLE)) AS autocorr24
+FROM mom
+"""
+
+
+@query("hourly_autocorr24", _AUTOCORR_ORACLE)
+def hourly_autocorr24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.timestamps import micros
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type", micros(F.col("ts")).alias("us")
+    )
+    hourly = (
+        e.select("event_type", F.expr("us div 3600000000").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = hourly.select("event_type", "h", F.col("n").alias("x"))
+    b = hourly.select(
+        "event_type", (F.col("h") - 24).alias("h"), F.col("n").alias("y")
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    pairs = a.join(b, ["event_type", "h"]).select(
+        "event_type", d38("x").alias("x"), d38("y").alias("y")
+    )
+    mom = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return mom.select(
+        "event_type",
+        F.col("m").cast("long").alias("n_pairs"),
+        (num / den).alias("autocorr24"),
+    )
