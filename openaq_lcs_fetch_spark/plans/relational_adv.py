@@ -1379,10 +1379,14 @@ def customers_all_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # copurchase_triangles — triangle counting on the co-purchase graph
-# (parts appearing in the same order), the graph-analytics primitive
-# behind clustering coefficients and community features. Scale shape:
-# (1) edges from a WITHIN-ORDER pair expansion — fan-out is C(items, 2)
-# per order, bounded by order size, never a part-key self-join; (2) the
+# (parts co-purchased in >= 2 orders — the SUPPORT-FILTERED signal
+# graph; unfiltered single-co-occurrence edges are order-count noise
+# that quadratically inflates wedge work), the graph-analytics
+# primitive behind clustering coefficients and community features.
+# Scale shape: (1) edges from a WITHIN-ORDER pair expansion — fan-out
+# is C(items, 2) per order, bounded by order size, never a part-key
+# self-join — aggregated once so the support gate is a map-side-
+# combined HAVING; (2) the
 # standard DEGREE-ORDERED orientation: each edge points from its
 # lower-(degree, id) endpoint, so every wedge enumeration fans out as
 # the SMALLER endpoint's oriented out-degree — the hub-node wedge
@@ -1392,14 +1396,18 @@ def customers_all_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # equi-joins on int keys; output is one summary row.
 # ---------------------------------------------------------------------------
 
-_TRIANGLES_ORACLE = """
+_TRIANGLES_MIN_SUPPORT = 2
+
+_TRIANGLES_ORACLE = f"""
 WITH items AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ),
 edges AS (
-  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM items a JOIN items b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_TRIANGLES_MIN_SUPPORT}
 ),
 deg AS (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
@@ -1439,7 +1447,12 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
     edges = (
-        a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= _TRIANGLES_MIN_SUPPORT)
+        .select("u", "v")
     )
     deg = (
         edges.select(F.col("u").alias("node"))

@@ -889,8 +889,11 @@ def test_copurchase_triangles_known_graph(spark, tmp_path):
 
     li = [
         (100, 1), (100, 2), (100, 3),   # order 100 → triangle 1-2-3
+        (101, 1), (101, 2), (101, 3),   # repeat → pairs reach support 2
         (200, 1), (200, 2), (200, 4),   # order 200 → triangle 1-2-4
-        (300, 5),                       # isolated node never makes edges
+        (201, 1), (201, 2), (201, 4),
+        (300, 5), (301, 5), (302, 5, ), # isolated node never makes edges
+        (400, 6), (400, 7),             # support-1 pair → filtered out
     ]
     rows = [(ok, pk, 1.0) for ok, pk in li]
     df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long, x double")

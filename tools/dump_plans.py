@@ -458,9 +458,11 @@ COMMENTARY = {
     ),
     "copurchase_triangles": (
         "Degree-ordered triangle counting: within-order pair expansion "
-        "(fan-out bounded by order size), orientation by (degree, id) "
-        "bounds wedge enumeration to O(E^1.5) (Schank-Wagner), closure "
-        "is one equi-join; scalar counts recombine via 1-row broadcasts."
+        "(fan-out bounded by order size) into a map-side support gate "
+        "(co-occurrence >= 2 prunes noise edges and their quadratic "
+        "wedge work), orientation by (degree, id) bounds wedges to "
+        "O(E^1.5) (Schank-Wagner), closure is one equi-join; scalar "
+        "counts recombine via 1-row broadcasts."
     ),
     "ppjoin_pairs": (
         "The self-join input is the PREFIX table (a (1-t) fraction of "
