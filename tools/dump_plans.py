@@ -464,6 +464,17 @@ COMMENTARY = {
         "O(E^1.5) (Schank-Wagner), closure is one equi-join; scalar "
         "counts recombine via 1-row broadcasts."
     ),
+    "basket_lift_rules": (
+        "Apriori 2-itemset pass: 1-itemset supports aggregate map-side "
+        "and broadcast back as the frequent-set prune BEFORE the "
+        "within-basket pair expansion; pair supports are a second "
+        "map-side agg; confidence/lift assemble from broadcast scalars."
+    ),
+    "hourly_autocorr24": (
+        "Hourly rollup self-joined on (type, h+24); all five moments "
+        "are exact DECIMAL(38) integers from one map-side agg; the "
+        "correlation is one division + one sqrt at the very end."
+    ),
     "ppjoin_pairs": (
         "The self-join input is the PREFIX table (a (1-t) fraction of "
         "shingles); candidates verify via id-keyed joins against the "
