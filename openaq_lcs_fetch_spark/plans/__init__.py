@@ -109,12 +109,12 @@ registry.promote(
         "streaming_dedup_ww",
         "basket_lift_rules",
         "hourly_autocorr24",
+        "reliability_bins",
         # stalest backfill: last driver row round 2 (textops)
         "doc_token_stats",
         "doc_language",
         "doc_quality",
         "doc_fingerprint",
-        "dedup_exact",
     ]
 )
 

@@ -1746,3 +1746,65 @@ def lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("value", 2).over(w).alias("lag2"),
         F.lag("value", 3).over(w).alias("lag3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# reliability_bins — calibration curve (reliability diagram) for the
+# same value-as-score / purchase-as-label setup feature_auc evaluates:
+# bin the score into deciles of its RANGE, report observed positive
+# rate per bin — the diagram isotonic_fit's calibrator would be judged
+# against. One global (min, max) scalar broadcast, one map-side
+# (bin → n, n_pos, Σscore) aggregate; bin assignment is pure integer
+# arithmetic (never float: ((c-lo)·10) div (hi-lo+1)) and rates are
+# ratios of exact BIGINTs (score sums in integer cents), bit-identical
+# across engines. ≤10 output rows regardless of data volume.
+# ---------------------------------------------------------------------------
+
+_RELIABILITY_ORACLE = """
+WITH scored AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events WHERE value IS NOT NULL
+),
+bounds AS (
+  SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM scored
+),
+binned AS (
+  SELECT LEAST(9, ((cents - lo) * 10) // (hi - lo + 1)) AS bin,
+         pos, cents
+  FROM scored, bounds
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(pos) AS DOUBLE) / COUNT(*) AS pos_rate,
+       CAST(SUM(cents) AS DOUBLE) / (100.0 * COUNT(*)) AS mean_score
+FROM binned GROUP BY bin
+"""
+
+
+@query("reliability_bins", _RELIABILITY_ORACLE)
+def reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    scored = e.select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    bounds = scored.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    # integer bin arithmetic (never float): ((c-lo)*10) div (hi-lo+1)
+    binned = scored.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(9),
+            F.expr("((cents - lo) * 10) div (hi - lo + 1)"),
+        ).alias("bin"),
+        "pos",
+        "cents",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.sum("pos").cast("double") / F.count(F.lit(1))).alias("pos_rate"),
+        (F.sum("cents").cast("double") / (F.lit(100.0) * F.count(F.lit(1)))).alias(
+            "mean_score"
+        ),
+    )
