@@ -110,11 +110,11 @@ registry.promote(
         "basket_lift_rules",
         "hourly_autocorr24",
         "reliability_bins",
+        "global_rank_sample",
         # stalest backfill: last driver row round 2 (textops)
         "doc_token_stats",
         "doc_language",
         "doc_quality",
-        "doc_fingerprint",
     ]
 )
 

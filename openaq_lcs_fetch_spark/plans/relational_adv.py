@@ -1581,3 +1581,81 @@ def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# global_rank_sample — EXACT global ranking without a single-partition
+# window: every 500th order in the total (price DESC, orderkey ASC)
+# order, with its exact global rank. The naive ROW_NUMBER() OVER
+# (ORDER BY ...) funnels the table through one reducer; the scale shape
+# is the grid/bucket prefix trick a third time, for RANKS: value-grid
+# cells partition the total order, per-cell local ranks run in
+# parallel, cell COUNTS (a tiny rollup) prefix-sum into offsets that
+# broadcast back, and global rank = offset + local rank. Equal prices
+# land in the same cell by construction, so the cross-cell order is
+# total. Integer cents; the sampled output is ~N/500 rows.
+# ---------------------------------------------------------------------------
+
+_GLOBAL_RANK_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (
+           ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) DESC,
+                    o_orderkey ASC) AS rnk
+  FROM orders
+)
+SELECT o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk % 500 = 0 OR rnk = 1
+"""
+
+_RANK_GRID = 4096
+
+
+@query("global_rank_sample", _GLOBAL_RANK_ORACLE)
+def global_rank_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = _RANK_GRID
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    stats = o.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    # cells ascend with cents; rank order is cents DESC, so offsets
+    # accumulate from the HIGH cell downward
+    eb = o.crossJoin(F.broadcast(stats)).withColumn(
+        "cell",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.lit(B - 1),
+                F.expr(f"((cents - lo) * {B}) div (hi - lo + 1)"),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    w_local = Window.partitionBy("cell").orderBy(
+        F.col("cents").desc(), F.col("o_orderkey").asc()
+    )
+    offsets = (
+        eb.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("cn").over(
+                    Window.orderBy(F.col("cell").desc()).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("cell", "offset")
+    )
+    ranked = (
+        eb.withColumn("lr", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "cell")
+        .withColumn("rnk", (F.col("offset") + F.col("lr")).cast("long"))
+    )
+    return ranked.filter((F.col("rnk") % 500 == 0) | (F.col("rnk") == 1)).select(
+        "o_orderkey", "o_totalprice", "rnk"
+    )

@@ -475,6 +475,17 @@ COMMENTARY = {
         "are exact DECIMAL(38) integers from one map-side agg; the "
         "correlation is one division + one sqrt at the very end."
     ),
+    "reliability_bins": (
+        "Scalar (min,max) broadcast + ONE map-side aggregate; decile "
+        "assignment is pure integer arithmetic — <=10 rows out at any "
+        "volume, zero windows."
+    ),
+    "global_rank_sample": (
+        "Exact global ranking without the single-reducer ORDER BY "
+        "window: per-cell local ranks partition on the 4096-way value "
+        "grid (parallel), cell-count prefix offsets broadcast back, "
+        "global rank = offset + local rank."
+    ),
     "ppjoin_pairs": (
         "The self-join input is the PREFIX table (a (1-t) fraction of "
         "shingles); candidates verify via id-keyed joins against the "
