@@ -288,7 +288,9 @@ def test_weighted_median_windows_only_on_grid_rollups(spark, sf_dir):
     specs = re.findall(r"windowspecdefinition\(([^)]*?)\)", plan)
     assert specs
     for s in specs:
-        assert "bkt" in s or "value" in s, f"unexpected window input: {s}"
+        # the shared grid operator's windows order the cell grid (_bkt)
+        # or the in-cell distinct values (_v) — both aggregate outputs
+        assert "_bkt" in s or "_v#" in s, f"unexpected window input: {s}"
         assert "event_id" not in s, f"window over raw events: {s}"
     assert "partial_sum" in plan  # grid construction is map-side combined
     assert "BroadcastHashJoin" in plan  # crossing cell comes back broadcast
