@@ -377,3 +377,19 @@ def test_fuzzy_match_blocking_is_hot_token_immune(spark, sf_dir):
     )
     # names sharing only the hot token never share a deletion variant
     assert n_cand < 50, n_cand
+
+
+def test_global_rank_no_global_window_over_orders(spark, sf_dir):
+    """Exact global ranking must NOT be a single-partition ROW_NUMBER
+    over the table: the order-volume window partitions on the value
+    grid cell; only the <=4096-row cell-count prefix is unpartitioned."""
+    import re
+
+    plan = _plan(spark, sf_dir, "global_rank_sample")
+    specs = re.findall(r"windowspecdefinition\(([^)]*?)\)", plan)
+    assert specs
+    row_level = [s for s in specs if "o_orderkey" in s]
+    assert row_level, specs
+    for s in row_level:
+        assert "cell" in s, f"row-level rank not cell-partitioned: {s}"
+    assert "BroadcastHashJoin" in plan  # offsets return broadcast
