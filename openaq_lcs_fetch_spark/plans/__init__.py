@@ -111,10 +111,10 @@ registry.promote(
         "hourly_autocorr24",
         "reliability_bins",
         "global_rank_sample",
+        "k_anonymity_audit",
         # stalest backfill: last driver row round 2 (textops)
         "doc_token_stats",
         "doc_language",
-        "doc_quality",
     ]
 )
 

@@ -1659,3 +1659,84 @@ def global_rank_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter((F.col("rnk") % 500 == 0) | (F.col("rnk") == 1)).select(
         "o_orderkey", "o_totalprice", "rnk"
     )
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity_audit — privacy/data-governance audit (complements the
+# PII scrub): how re-identifiable is the customer table under the
+# quasi-identifier (market segment, nation, account-balance decile)?
+# For each k in (2, 5, 10): how many QI equivalence classes fall below
+# k, and what fraction of rows would generalization/suppression have to
+# touch. Shape: one map-side QI rollup (classes are the SMALL side by
+# construction), then a 3-row threshold spec crossed against the
+# class-size table — all counts exact BIGINTs, the rate one division.
+# The balance decile uses pure integer arithmetic on cents (the
+# reliability_bins lesson: float-division bucketing diverges engines).
+# ---------------------------------------------------------------------------
+
+_KANON_ORACLE = """
+WITH q AS (
+  SELECT c_mktsegment, c_nationkey,
+         LEAST(9, ((CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
+                    - (SELECT MIN(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) FROM customer))
+                   * 10)
+                  // ((SELECT MAX(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT))
+                       - MIN(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) + 1 FROM customer)))
+           AS bal_decile
+  FROM customer
+),
+classes AS (
+  SELECT c_mktsegment, c_nationkey, bal_decile,
+         CAST(COUNT(*) AS BIGINT) AS sz
+  FROM q GROUP BY 1, 2, 3
+),
+ks AS (SELECT unnest([2, 5, 10]) AS k)
+SELECT k,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT) AS small_classes,
+       CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT) AS exposed_rows,
+       CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS DOUBLE)
+         / SUM(sz) AS exposed_rate
+FROM classes, ks
+GROUP BY k
+"""
+
+
+@query("k_anonymity_audit", _KANON_ORACLE)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    bounds = c.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    q = c.crossJoin(F.broadcast(bounds)).select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.least(
+            F.lit(9), F.expr("((cents - lo) * 10) div (hi - lo + 1)")
+        ).alias("bal_decile"),
+    )
+    classes = q.groupBy("c_mktsegment", "c_nationkey", "bal_decile").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    ks = spark.createDataFrame([(2,), (5,), (10,)], "k int")
+    return (
+        classes.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(F.col("sz") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("small_classes"),
+            F.sum(F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias("exposed_rows"),
+            (
+                F.sum(
+                    F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0)
+                ).cast("double")
+                / F.sum("sz")
+            ).alias("exposed_rate"),
+        )
+    )
