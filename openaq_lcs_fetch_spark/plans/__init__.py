@@ -112,9 +112,9 @@ registry.promote(
         "reliability_bins",
         "global_rank_sample",
         "k_anonymity_audit",
+        "geo_tz_counts",
         # stalest backfill: last driver row round 2 (textops)
         "doc_token_stats",
-        "doc_language",
     ]
 )
 

@@ -983,3 +983,67 @@ def hourly_autocorr24(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").cast("long").alias("n_pairs"),
         (num / den).alias("autocorr24"),
     )
+
+
+# ---------------------------------------------------------------------------
+# geo_tz_counts — the C9 geo path as a driver-verified query (it was
+# pytest-only before round 5): events get deterministic synthetic
+# coordinates (md5-derived integer degrees — the testdata carries no
+# geo columns; same portable-hash trick as value_interpolate's mask),
+# then resolve a timezone via the broadcast bounding-box dimension
+# (functions/geo.py:tz_lookup_join) and count per zone. The box dim is
+# dimension-sized → broadcast nested-loop range join; the fact side
+# never shuffles except for the final 6-row rollup. Box membership is
+# integer comparison — no float hazard.
+# ---------------------------------------------------------------------------
+
+_GEO_TZ_ORACLE = """
+WITH pts AS (
+  SELECT event_id,
+         -60 + (('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':lat'), 1, 15))::BIGINT
+                % 120) AS lat,
+         -180 + (('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':lon'), 1, 15))::BIGINT
+                 % 360) AS lon
+  FROM events
+),
+boxes(lon_min, lon_max, lat_min, lat_max, tz) AS (
+  VALUES (-130.0, -100.0, 25.0, 50.0, 'America/Denver'),
+         (-100.0, -75.0, 25.0, 50.0, 'America/New_York'),
+         (-15.0, 20.0, 35.0, 60.0, 'Europe/Paris'),
+         (65.0, 90.0, 5.0, 35.0, 'Asia/Kolkata'),
+         (100.0, 125.0, 20.0, 45.0, 'Asia/Shanghai')
+)
+SELECT COALESCE(b.tz, 'UTC') AS timezone, CAST(COUNT(*) AS BIGINT) AS n
+FROM pts p
+LEFT JOIN boxes b
+  ON p.lon >= b.lon_min AND p.lon < b.lon_max
+ AND p.lat >= b.lat_min AND p.lat < b.lat_max
+GROUP BY 1
+"""
+
+
+@query("geo_tz_counts", _GEO_TZ_ORACLE)
+def geo_tz_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.geo import tz_dim, tz_lookup_join
+
+    def hmod(salt: str, m: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("event_id").cast("string"), F.lit(salt))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m
+        )
+
+    pts = t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.lit(-60) + hmod(":lat", 120)).alias("lat"),
+        (F.lit(-180) + hmod(":lon", 360)).alias("lon"),
+    )
+    resolved = tz_lookup_join(pts, "lat", "lon", tz_dim(spark))
+    return resolved.groupBy("timezone").agg(F.count(F.lit(1)).alias("n"))
