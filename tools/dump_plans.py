@@ -486,6 +486,17 @@ COMMENTARY = {
         "grid (parallel), cell-count prefix offsets broadcast back, "
         "global rank = offset + local rank."
     ),
+    "k_anonymity_audit": (
+        "QI equivalence classes from one map-side rollup (classes are "
+        "the small side by construction); the 3-row k spec crosses as a "
+        "broadcast; integer decile bucketing, exact BIGINT counts."
+    ),
+    "geo_tz_counts": (
+        "Broadcast bounding-box range join (BroadcastNestedLoopJoin "
+        "against the 5-row dim — correct here BECAUSE the dim is "
+        "dimension-sized); the fact side's only exchange is the 6-row "
+        "rollup."
+    ),
     "ppjoin_pairs": (
         "The self-join input is the PREFIX table (a (1-t) fraction of "
         "shingles); candidates verify via id-keyed joins against the "
