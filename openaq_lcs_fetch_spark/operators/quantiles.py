@@ -52,6 +52,11 @@ def grid_quantiles(
     fraction (keys whose total weight is 0 still resolve — the first
     populated cell/value wins, matching the all-zero-weight convention
     of a running-sum formulation).
+
+    Contract: ``value`` must be non-NULL. NULLs would sort NULLS FIRST
+    in Spark's window but NULLS LAST in a DuckDB oracle's ORDER BY —
+    filter them (or impute) BEFORE calling, as reliability-style
+    callers do with ``isNotNull``.
     """
     spark = df.sparkSession
     w = weight if weight is not None else F.lit(1)
