@@ -135,3 +135,21 @@ def grid_quantiles(
         F.col("_v").alias("qvalue"),
         F.col("_tw").alias("total_weight"),
     )
+
+
+def range_bucket(x: str, lo: str, hi: str, k: int) -> Column:
+    """Integer-exact range bucketing: ((x−lo)·k) div (hi−lo+1), clipped
+    to [0, k−1]. Operands must be non-negative-ordered integers
+    (x ∈ [lo, hi]). Paired with :func:`sql_range_bucket` so the Spark
+    plan and its DuckDB oracle compute the same function — the float
+    variant is a measured cross-engine trap (DuckDB `/` is float
+    division and its BIGINT cast rounds half-even; see
+    docs/ORACLE_NOTES.md and the reliability_bins 9-vs-10-bin split)."""
+    return F.least(
+        F.lit(k - 1), F.expr(f"(({x} - {lo}) * {k}) div ({hi} - {lo} + 1)")
+    )
+
+
+def sql_range_bucket(x: str, lo: str, hi: str, k: int) -> str:
+    """DuckDB twin of :func:`range_bucket` (integer `//`, same clip)."""
+    return f"LEAST({k - 1}, (({x} - ({lo})) * {k}) // (({hi}) - ({lo}) + 1))"

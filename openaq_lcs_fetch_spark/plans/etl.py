@@ -810,7 +810,7 @@ _WMEDIAN_ORACLE = """
 WITH weighted AS (
   SELECT event_type, value, event_id,
          COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS w
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 cum AS (
   SELECT event_type, value, event_id, w,
@@ -833,12 +833,16 @@ FROM picked WHERE rn = 1
 def weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quantiles import grid_quantiles
 
-    e = t(spark, sf_dir, "events").select(
-        "event_type",
-        "value",
-        F.coalesce(
-            F.get_json_object(F.col("props"), "$.k").cast("long"), F.lit(0)
-        ).alias("w"),
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            F.coalesce(
+                F.get_json_object(F.col("props"), "$.k").cast("long"), F.lit(0)
+            ).alias("w"),
+        )
     )
     q = grid_quantiles(e, "event_type", "value", weight=F.col("w"))
     return q.select(
@@ -978,10 +982,12 @@ def hourly_autocorr24(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
         * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     )
+    # try_divide: a zero-variance series (den = 0) must yield NULL like
+    # DuckDB's double /0 does, not an ANSI DIVIDE_BY_ZERO error
     return mom.select(
         "event_type",
         F.col("m").cast("long").alias("n_pairs"),
-        (num / den).alias("autocorr24"),
+        F.try_divide(num, den).alias("autocorr24"),
     )
 
 
@@ -1025,20 +1031,10 @@ GROUP BY 1
 @query("geo_tz_counts", _GEO_TZ_ORACLE)
 def geo_tz_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.geo import tz_dim, tz_lookup_join
+    from ..functions.text import h60
 
     def hmod(salt: str, m: int):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col("event_id").cast("string"), F.lit(salt))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % m
-        )
+        return h60(F.concat(F.col("event_id").cast("string"), F.lit(salt))) % m
 
     pts = t(spark, sf_dir, "events").select(
         "event_id",

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.quantiles import range_bucket, sql_range_bucket
 from .registry import query, t
 
 # Integer-cents revenue term (see relational.py): exact and
@@ -1622,15 +1623,9 @@ def global_rank_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = o.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
     # cells ascend with cents; rank order is cents DESC, so offsets
     # accumulate from the HIGH cell downward
+    # range_bucket handles the degenerate hi == lo case (div by 1 -> 0)
     eb = o.crossJoin(F.broadcast(stats)).withColumn(
-        "cell",
-        F.when(
-            F.col("hi") > F.col("lo"),
-            F.least(
-                F.lit(B - 1),
-                F.expr(f"((cents - lo) * {B}) div (hi - lo + 1)"),
-            ),
-        ).otherwise(F.lit(0)),
+        "cell", range_bucket("cents", "lo", "hi", B)
     )
     w_local = Window.partitionBy("cell").orderBy(
         F.col("cents").desc(), F.col("o_orderkey").asc()
@@ -1677,11 +1672,7 @@ def global_rank_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KANON_ORACLE = """
 WITH q AS (
   SELECT c_mktsegment, c_nationkey,
-         LEAST(9, ((CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
-                    - (SELECT MIN(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) FROM customer))
-                   * 10)
-                  // ((SELECT MAX(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT))
-                       - MIN(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) + 1 FROM customer)))
+         LEAST(9, ((CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) - (SELECT MIN(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) FROM customer)) * 10) // ((SELECT MAX(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) FROM customer) - (SELECT MIN(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) FROM customer) + 1))
            AS bal_decile
   FROM customer
 ),
@@ -1713,9 +1704,7 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = c.crossJoin(F.broadcast(bounds)).select(
         "c_mktsegment",
         "c_nationkey",
-        F.least(
-            F.lit(9), F.expr("((cents - lo) * 10) div (hi - lo + 1)")
-        ).alias("bal_decile"),
+        range_bucket("cents", "lo", "hi", 10).alias("bal_decile"),
     )
     classes = q.groupBy("c_mktsegment", "c_nationkey", "bal_decile").agg(
         F.count(F.lit(1)).alias("sz")

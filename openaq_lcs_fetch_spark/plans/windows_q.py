@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.timestamps import micros
+from ..operators.quantiles import sql_range_bucket as _sql_range_bucket
 from .registry import query, sql_exact_sum, t
 
 # ---------------------------------------------------------------------------
@@ -1565,7 +1566,7 @@ WITH ranked AS (
          row_number() OVER (PARTITION BY event_type
                             ORDER BY value, event_id) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
        MIN(CASE WHEN 4 * rn >= n THEN value END) AS p25,
@@ -1578,7 +1579,11 @@ FROM ranked GROUP BY event_type
 def equi_depth_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quantiles import grid_quantiles
 
-    e = t(spark, sf_dir, "events").select("event_type", "value")
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
     q = grid_quantiles(
         e, "event_type", "value", fractions=[(1, 4), (2, 4), (3, 4)]
     )
@@ -1607,7 +1612,7 @@ WITH ranked AS (
          row_number() OVER (PARTITION BY event_type
                             ORDER BY value, event_id) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 med AS (
   SELECT event_type, MAX(n) AS n,
@@ -1617,6 +1622,7 @@ med AS (
 dev AS (
   SELECT e.event_type, ABS(e.value - m.med) AS adev
   FROM events e JOIN med m USING (event_type)
+  WHERE e.value IS NOT NULL
 ),
 ranked2 AS (
   SELECT event_type, adev,
@@ -1636,7 +1642,11 @@ GROUP BY d.event_type
 def value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quantiles import grid_quantiles
 
-    e = t(spark, sf_dir, "events").select("event_type", "value")
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
     med = grid_quantiles(e, "event_type", "value").select(
         "event_type", F.col("qvalue").alias("med")
     )
@@ -1770,7 +1780,7 @@ bounds AS (
   SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM scored
 ),
 binned AS (
-  SELECT LEAST(9, ((cents - lo) * 10) // (hi - lo + 1)) AS bin,
+  SELECT {bucket} AS bin,
          pos, cents
   FROM scored, bounds
 )
@@ -1780,7 +1790,7 @@ SELECT bin,
        CAST(SUM(pos) AS DOUBLE) / COUNT(*) AS pos_rate,
        CAST(SUM(cents) AS DOUBLE) / (100.0 * COUNT(*)) AS mean_score
 FROM binned GROUP BY bin
-"""
+""".format(bucket=_sql_range_bucket("cents", "lo", "hi", 10))
 
 
 @query("reliability_bins", _RELIABILITY_ORACLE)
@@ -1792,11 +1802,10 @@ def reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bounds = scored.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
     # integer bin arithmetic (never float): ((c-lo)*10) div (hi-lo+1)
+    from ..operators.quantiles import range_bucket
+
     binned = scored.crossJoin(F.broadcast(bounds)).select(
-        F.least(
-            F.lit(9),
-            F.expr("((cents - lo) * 10) div (hi - lo + 1)"),
-        ).alias("bin"),
+        range_bucket("cents", "lo", "hi", 10).alias("bin"),
         "pos",
         "cents",
     )
