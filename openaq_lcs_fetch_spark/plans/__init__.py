@@ -38,7 +38,10 @@ made explicit by ``registry.promote``:
   ``range_window_counts``), then the stale r01 relational/etl queries.
 ``tools/check_all.py`` still re-proves the FULL registry against DuckDB
 locally every round; rotation only decides which proof the driver
-itself replays.
+itself replays. Three late-round-5 additions land AFTER slot 50 on
+purpose (``corpus_mix_weights``, ``hour_of_day_profile``,
+``streaming_value_histogram``) — they head the round-6 rotation
+together with the stale r02 textops/simsearch backfill listed above.
 """
 
 from . import registry

@@ -1043,3 +1043,61 @@ def geo_tz_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resolved = tz_lookup_join(pts, "lat", "lon", tz_dim(spark))
     return resolved.groupBy("timezone").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# hour_of_day_profile — diurnal seasonality profile per type (the
+# companion read-out to hourly_autocorr24 / seasonal_naive_error): for
+# each (type, hour-of-day) the event count, the share of the type's
+# volume, and the mean value — one map-side rollup over integer hour
+# buckets; shares/means are single divisions of exact BIGINTs.
+# ---------------------------------------------------------------------------
+
+_HOD_ORACLE = """
+WITH c AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hod,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+rolled AS (
+  SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s
+  FROM c GROUP BY 1, 2
+)
+SELECT event_type, hod, n,
+       CAST(n AS DOUBLE)
+         / SUM(n) OVER (PARTITION BY event_type) AS share,
+       CAST(s AS DOUBLE) / (100.0 * n) AS mean_value
+FROM rolled
+"""
+
+
+@query("hour_of_day_profile", _HOD_ORACLE)
+def hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.timestamps import micros
+
+    c = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            micros(F.col("ts")).alias("us"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .withColumn("hod", F.expr("(us div 3600000000) % 24"))
+    )
+    rolled = c.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    # 24-row-per-type rollup → the type-share window is rollup-sized
+    wt = Window.partitionBy("event_type")
+    return rolled.select(
+        "event_type",
+        "hod",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wt)).alias("share"),
+        (F.col("s").cast("double") / (F.lit(100.0) * F.col("n"))).alias(
+            "mean_value"
+        ),
+    )

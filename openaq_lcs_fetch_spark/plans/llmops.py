@@ -603,3 +603,67 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seq_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_mix_weights — training-data MIXING: per-source sampling factors
+# that move the corpus toward a target domain distribution
+# (downsample-only, factor capped at 1 — the standard pretraining-mix
+# shape: you can drop from over-represented sources but not invent
+# rows). One map-side source rollup joined to the broadcast target
+# spec; factors and the resulting effective sizes are ratios/products
+# of exact BIGINTs with one final double division per row. Sources
+# absent from the spec get target share 0 → factor 0 (excluded).
+# ---------------------------------------------------------------------------
+
+_MIX_TARGETS = (("src0", 40), ("src1", 25), ("src2", 20), ("src3", 15))  # percent
+
+_MIX_VALUES_SQL = ", ".join(f"('{s}', {p})" for s, p in _MIX_TARGETS)
+
+_MIX_ORACLE = f"""
+WITH actual AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM actual),
+spec(source, target_pct) AS (VALUES {_MIX_VALUES_SQL})
+SELECT a.source, a.n_docs, a.n_chars,
+       CAST(a.n_chars AS DOUBLE) / t.total_chars AS actual_share,
+       COALESCE(s.target_pct, 0) / 100.0 AS target_share,
+       LEAST(1.0, (COALESCE(s.target_pct, 0) * t.total_chars)
+                  / (100.0 * a.n_chars)) AS sample_factor
+FROM actual a
+LEFT JOIN spec s ON s.source = a.source
+CROSS JOIN tot t
+"""
+
+
+@query("corpus_mix_weights", _MIX_ORACLE)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    actual = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    tot = actual.agg(F.sum("n_chars").cast("long").alias("total_chars"))
+    spec = spark.createDataFrame(
+        list(_MIX_TARGETS), "source string, target_pct int"
+    )
+    j = actual.join(F.broadcast(spec), "source", "left").crossJoin(
+        F.broadcast(tot)
+    )
+    tp = F.coalesce(F.col("target_pct"), F.lit(0))
+    return j.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        (F.col("n_chars").cast("double") / F.col("total_chars")).alias(
+            "actual_share"
+        ),
+        (tp / F.lit(100.0)).alias("target_share"),
+        F.least(
+            F.lit(1.0),
+            (tp * F.col("total_chars")) / (F.lit(100.0) * F.col("n_chars")),
+        ).alias("sample_factor"),
+    )

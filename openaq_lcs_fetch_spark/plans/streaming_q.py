@@ -436,3 +436,39 @@ def streaming_dedup_ww(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
     out = run_available_now(windowed, output_mode="complete")
     return out.select(F.col("w.start").alias("hour"), "event_type", "n")
+
+
+# ---------------------------------------------------------------------------
+# streaming_value_histogram — distributional monitoring as a stream:
+# tumbling-hour × fixed $5 value cell counts (the drift-detection
+# input: compare each hour's histogram against a reference). Cells are
+# FIXED-width integer buckets (cents div 500) — a streaming aggregate
+# can't do data-dependent min/max bucketing, and fixed cells are what
+# makes consecutive windows comparable anyway. State: one count per
+# (window, type, cell), watermark-evicted.
+# ---------------------------------------------------------------------------
+
+_STREAM_HIST_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(ROUND(value * 100, 0) AS BIGINT) // 500 AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+@query("streaming_value_histogram", _STREAM_HIST_ORACLE)
+def streaming_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import read_events_stream, run_available_now
+
+    stream = read_events_stream(spark, sf_dir)
+    windowed = (
+        stream.withColumn(
+            "cell",
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT) div 500"),
+        )
+        .withWatermark("ts", "3 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_available_now(windowed, output_mode="complete")
+    return out.select(F.col("w.start").alias("hour"), "event_type", "cell", "n")

@@ -49,7 +49,7 @@ REPRESENTATIVE = (
     "equi_depth_quantiles", "value_outliers_3sigma", "lag_features",
     "max_drawdown", "theil_sen_daily_slope", "value_mad",
     "fuzzy_er_clusters", "part_cheapest_offer", "customers_all_brands",
-    "copurchase_triangles", "streaming_dedup_ww", "basket_lift_rules", "hourly_autocorr24", "reliability_bins", "global_rank_sample", "k_anonymity_audit", "geo_tz_counts",
+    "copurchase_triangles", "streaming_dedup_ww", "basket_lift_rules", "hourly_autocorr24", "reliability_bins", "global_rank_sample", "k_anonymity_audit", "geo_tz_counts", "corpus_mix_weights", "hour_of_day_profile", "streaming_value_histogram",
 )
 
 

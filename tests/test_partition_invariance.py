@@ -74,7 +74,8 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           "weighted_median_value", "cusum_changepoint", "longest_streak",
           "dau_wau_stickiness", "cohort_ltv", "seasonal_naive_error",
           "equi_depth_quantiles", "value_outliers_3sigma", "lag_features", "max_drawdown", "theil_sen_daily_slope",
-          "value_mad", "fuzzy_er_clusters", "part_cheapest_offer", "customers_all_brands", "copurchase_triangles", "basket_lift_rules", "hourly_autocorr24", "reliability_bins", "global_rank_sample", "k_anonymity_audit", "geo_tz_counts"]:
+          "value_mad", "fuzzy_er_clusters", "part_cheapest_offer", "customers_all_brands", "copurchase_triangles", "basket_lift_rules", "hourly_autocorr24", "reliability_bins", "global_rank_sample", "k_anonymity_audit", "geo_tz_counts",
+          "corpus_mix_weights", "hour_of_day_profile"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n
