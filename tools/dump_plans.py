@@ -497,6 +497,15 @@ COMMENTARY = {
         "dimension-sized); the fact side's only exchange is the 6-row "
         "rollup."
     ),
+    "corpus_mix_weights": (
+        "Source rollup (map-side) x broadcast target spec + scalar "
+        "total; factors are ratios of exact BIGINTs capped at 1 — one "
+        "shuffle at source cardinality."
+    ),
+    "hour_of_day_profile": (
+        "One map-side rollup to 24 rows per type; the share window "
+        "runs over that rollup only."
+    ),
     "ppjoin_pairs": (
         "The self-join input is the PREFIX table (a (1-t) fraction of "
         "shingles); candidates verify via id-keyed joins against the "
