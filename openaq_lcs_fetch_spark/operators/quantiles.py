@@ -53,10 +53,25 @@ def grid_quantiles(
     populated cell/value wins, matching the all-zero-weight convention
     of a running-sum formulation).
 
-    Contract: ``value`` must be non-NULL. NULLs would sort NULLS FIRST
-    in Spark's window but NULLS LAST in a DuckDB oracle's ORDER BY —
-    filter them (or impute) BEFORE calling, as reliability-style
-    callers do with ``isNotNull``.
+    Contract (three clauses):
+
+    * ``value`` must be non-NULL. NULLs would sort NULLS FIRST in
+      Spark's window but NULLS LAST in a DuckDB oracle's ORDER BY —
+      filter them (or impute) BEFORE calling.
+    * ``value`` must be non-NaN when the column is floating: a NaN
+      passes ``isNotNull`` but its bucket expression NULLs out after
+      the int cast, landing NaN mass in a NULL cell that sorts first
+      in Spark while DuckDB orders NaN last — a silent cross-engine
+      divergence. Callers on double columns filter
+      ``isNotNull() & ~isnan()`` on the Spark side and
+      ``IS NOT NULL AND NOT isnan(...)`` in their oracles, keeping
+      both engines on the same row set even if NaN enters the data.
+    * ``key`` must be DIMENSION-sized (e.g. the 5 event types): the
+      per-key stats and the keys×fractions crossing table are
+      broadcast, so a high-cardinality key would blow past the
+      broadcast threshold / driver memory. For big keys use a plain
+      windowed rank per key instead — with many keys the per-key row
+      count is small and the window parallelizes on its own.
     """
     spark = df.sparkSession
     w = weight if weight is not None else F.lit(1)

@@ -42,6 +42,12 @@ itself replays. Three late-round-5 additions land AFTER slot 50 on
 purpose (``corpus_mix_weights``, ``hour_of_day_profile``,
 ``streaming_value_histogram``) — they head the round-6 rotation
 together with the stale r02 textops/simsearch backfill listed above.
+
+* round 6 (here): the 3 never-verified round-5-tail queries, round-6's
+  new queries, the 18 round-1-stale queries, then round-2-stale
+  backfill (simsearch → windows/etl → textops head). Remaining debt
+  for round 7: the rest of the r02 textops set plus whatever round 6
+  pushes past slot 50.
 """
 
 from . import registry
@@ -59,65 +65,73 @@ from . import textops  # noqa: F401
 from . import simsearch  # noqa: F401
 from . import layout  # noqa: F401
 
-# Round-5 driver window (slots 1-50): the 32 round-4c queries that have
-# never had a driver row (CORRECTNESS_r04 retired the previous 46+4), then
-# r05-new queries as they land (first-time signal beats re-verification),
-# then the stalest r02-green textops set backfilling to 50.
+# Round-6 driver window (slots 1-50), executing the rotation drafted in
+# round 5: (1) the 3 round-5 additions that landed after slot 50 and
+# have never had a driver row; (2) round-6's new queries as they land
+# (first-time signal outranks re-verification); (3) the 18 queries whose
+# most recent driver row is ROUND 1 — the stalest re-verification debt;
+# (4) backfill from the round-2-stale set, simsearch first (the order
+# the round-5 verdict prescribed), then windows/etl, then textops.
+# Whatever misses the 50-slot window stays covered by the local
+# whole-registry canary (tools/check_all.py) and heads round 7.
 registry.promote(
     [
-        # never driver-verified (registered round 4c)
-        "week_over_week_reconcile",
-        "bpe_pair_counts",
-        "vocab_oov_rate",
-        "bloom_membership",
-        "split_leakage_audit",
-        "embedding_int8_quant",
-        "ctfidf_top_terms",
-        "domain_cap_sample",
-        "quality_winsorize",
-        "token_pagerank",
-        "cdc_apply",
-        "ppjoin_pairs",
-        "fk_violation_audit",
-        "events_profile",
-        "ohlc_bars",
-        "dedup_shrink_report",
-        "fuzzy_name_match",
-        "pareto_front_parts",
-        "event_motifs",
-        "interval_union_length",
-        "ab_test_zstat",
-        "quality_percent_rank",
-        "region_monthly_growth",
-        "feature_auc",
-        "isotonic_fit",
-        "salted_join_stats",
-        "weighted_median_value",
-        "cusum_changepoint",
-        "longest_streak",
-        "dau_wau_stickiness",
-        "cohort_ltv",
-        "seasonal_naive_error",
-        # r05-new queries (never verified — first-time signal)
-        "equi_depth_quantiles",
-        "value_outliers_3sigma",
-        "lag_features",
-        "max_drawdown",
-        "theil_sen_daily_slope",
-        "fuzzy_er_clusters",
-        "part_cheapest_offer",
-        "value_mad",
-        "customers_all_brands",
-        "copurchase_triangles",
-        "streaming_dedup_ww",
-        "basket_lift_rules",
-        "hourly_autocorr24",
-        "reliability_bins",
-        "global_rank_sample",
-        "k_anonymity_audit",
-        "geo_tz_counts",
-        # stalest backfill: last driver row round 2 (textops)
-        "doc_token_stats",
+        # (1) never driver-verified round-5 tail
+        "corpus_mix_weights",
+        "hour_of_day_profile",
+        "streaming_value_histogram",
+        # (2) round-6 new queries are inserted here as they land
+        # (3) last driver row = round 1
+        "watermark_summary",
+        "distinct_users",
+        "hourly_rollup",
+        "hour_ending_rollup",
+        "cohort_union",
+        "enrich_misses",
+        "tz_daily",
+        "props_extract",
+        "recent_orders",
+        "latest_complete_hour",
+        "order_calendar",
+        "distinct_pairs",
+        "ingest_id_join",
+        "value_percentiles",
+        "daily_from_hourly",
+        "quarantine_summary",
+        "profile_numerics",
+        "table_manifest",
+        # (4) round-2-stale backfill: simsearch set
+        "cosine_topk",
+        "ann_lsh_buckets",
+        "ann_bucket_search",
+        "label_centroids",
+        "embedding_norms",
+        "ann_ivf_search",
+        "ann_multiprobe_search",
+        "kmeans_clusters",
+        "ann_ivf_probe2",
+        "embedding_near_dups",
+        # (4) round-2-stale backfill: windows/etl group
+        "pricing_rollup",
+        "sliding_3h_counts",
+        "orders_cube",
+        "value_changes",
+        "customer_deciles",
+        "cumulative_monthly_revenue",
+        "event_type_pivot",
+        "stratified_sample",
+        "salted_type_stats",
+        "brand_weighted_price",
+        "purchase_streaks",
+        "range_window_counts",
+        # (4) round-2-stale backfill: textops head
+        "doc_language",
+        "doc_quality",
+        "doc_fingerprint",
+        "dedup_exact",
+        "simhash_docs",
+        "ngram_jaccard_top",
+        "minhash_signatures",
     ]
 )
 

@@ -810,7 +810,7 @@ _WMEDIAN_ORACLE = """
 WITH weighted AS (
   SELECT event_type, value, event_id,
          COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS w
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 ),
 cum AS (
   SELECT event_type, value, event_id, w,
@@ -835,7 +835,7 @@ def weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = (
         t(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
         .select(
             "event_type",
             "value",

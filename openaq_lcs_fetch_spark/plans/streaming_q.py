@@ -1,6 +1,20 @@
 """Driver-visible streaming query: a real Structured Streaming job whose
 bounded result is verifiable against a batch SQL oracle (tumbling-hour
-windows align exactly with date_trunc('hour'))."""
+windows align exactly with date_trunc('hour')).
+
+Every windowed rollup here runs in APPEND mode over the heartbeat
+stream (``read_events_stream_with_heartbeat``): the far-future
+punctuation rows advance the event-time watermark past every real
+window, so ``withWatermark`` genuinely EVICTS finalized window state
+and the bounded replay's sink holds each window exactly once — the
+shape whose state is bounded on an unbounded 100 TB/day stream.
+(Complete mode, the previous bridge, retains and re-emits every
+window's state forever; its ``withWatermark`` evicts nothing.) The
+sentinel rows themselves land in far-future windows that the final
+watermark — ``sentinel_max − delay`` — never passes, so they stay in
+state and never reach the sink: no post-sink filtering is needed for
+keyless rollups, and the oracle equality below is exact.
+"""
 
 from __future__ import annotations
 
@@ -11,6 +25,7 @@ from ..functions.timestamps import micros
 from ..streaming.pipeline import (
     hourly_window_counts,
     read_events_stream,
+    read_events_stream_with_heartbeat,
     run_available_now,
 )
 from .registry import query
@@ -23,9 +38,9 @@ FROM events GROUP BY 1, 2
 
 @query("streaming_hourly", _STREAMING_ORACLE)
 def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = read_events_stream(spark, sf_dir)
+    stream = read_events_stream_with_heartbeat(spark, sf_dir)
     windowed = hourly_window_counts(stream)
-    out = run_available_now(windowed, output_mode="complete")
+    out = run_available_now(windowed, output_mode="append")
     return out.select(
         F.col("w.start").alias("hour"), "event_type", "n"
     )
@@ -142,9 +157,9 @@ GROUP BY 1, 2
 def streaming_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import dedup_then_hourly_counts
 
-    stream = read_events_stream(spark, sf_dir)
+    stream = read_events_stream_with_heartbeat(spark, sf_dir)
     out = run_available_now(
-        dedup_then_hourly_counts(stream), output_mode="complete"
+        dedup_then_hourly_counts(stream), output_mode="append"
     )
     return out.select(F.col("w.start").alias("hour"), "event_type", "n")
 
@@ -163,14 +178,19 @@ def streaming_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .windows_q import _SESSION_WINDOW_ORACLE  # shared oracle; see below
 
-    stream = read_events_stream(spark, sf_dir)
+    stream = read_events_stream_with_heartbeat(spark, sf_dir)
     sw = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    out = run_available_now(sw, output_mode="complete")
-    return out.select(
+    # append mode: a session is emitted (and its merge state evicted)
+    # once the watermark proves no event can extend it; the heartbeat
+    # rows push the watermark past every real session. Sentinel sessions
+    # (user_id < 0) are themselves never watermark-closed, but sessions
+    # are keyed — filter defensively AFTER the sink materializes.
+    out = run_available_now(sw, output_mode="append")
+    return out.filter(F.col("user_id") >= 0).select(
         "user_id",
         F.col("w.start").alias("session_start"),
         F.col("w.end").alias("session_end"),
@@ -229,10 +249,14 @@ GROUP BY 1, 2
 def streaming_enriched_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry import exact_sum
 
-    stream = read_events_stream(spark, sf_dir)
+    stream = read_events_stream_with_heartbeat(spark, sf_dir)
     dim = spark.createDataFrame(
         _ENRICH_DIM, "event_type string, category string, weight int"
     )
+    # the broadcast join is stateless and keeps the sentinel rows (their
+    # types, click/purchase, are in the dim) so the watermark node
+    # downstream still sees them; their NULL value only touches sentinel
+    # windows, which the final watermark never closes.
     enriched = stream.join(F.broadcast(dim), "event_type")
     agg = (
         enriched.withWatermark("ts", "3 hours")
@@ -243,7 +267,7 @@ def streaming_enriched_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(F.col("value") * F.col("weight"), alias="weighted_value"),
         )
     )
-    out = run_available_now(agg, output_mode="complete")
+    out = run_available_now(agg, output_mode="append")
     return out.select(
         F.col("w.start").alias("hour"), "category", "n", "weight_sum", "weighted_value"
     )
@@ -413,6 +437,16 @@ def streaming_user_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rolled up hourly — chained stateful ops, state #1 evicting. The
 # oracle is the plain hourly rollup: exact dedup of the doubled stream
 # must reproduce it bit-for-bit.
+#
+# Why the oracle equality is robust even if a replay splits the two
+# copies of an event across micro-batches (maxFilesPerTrigger etc.):
+# the dedup delay (3h) is >= the window size (1h), so by the time the
+# watermark evicts an event's dedup state (watermark > ts + 3h) its
+# hour window (end <= ts + 1h) is already finalized — a late-arriving
+# second copy is then dropped by the windowed aggregate as late data,
+# never double-counted. A delay SHORTER than the window would reopen
+# the double-count hazard; keep delay >= window when chaining
+# within-watermark dedup into a windowed rollup.
 # ---------------------------------------------------------------------------
 
 _DEDUP_WW_ORACLE = """
@@ -423,10 +457,8 @@ FROM events GROUP BY 1, 2
 
 @query("streaming_dedup_ww", _DEDUP_WW_ORACLE)
 def streaming_dedup_ww(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.pipeline import read_events_stream, run_available_now
-
-    doubled = read_events_stream(spark, sf_dir).unionAll(
-        read_events_stream(spark, sf_dir)
+    doubled = read_events_stream_with_heartbeat(spark, sf_dir).unionAll(
+        read_events_stream_with_heartbeat(spark, sf_dir)
     )
     deduped = doubled.withWatermark("ts", "3 hours").dropDuplicatesWithinWatermark(
         ["event_id", "event_type"]
@@ -434,7 +466,7 @@ def streaming_dedup_ww(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed = deduped.groupBy(
         F.window("ts", "1 hour").alias("w"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
-    out = run_available_now(windowed, output_mode="complete")
+    out = run_available_now(windowed, output_mode="append")
     return out.select(F.col("w.start").alias("hour"), "event_type", "n")
 
 
@@ -442,10 +474,18 @@ def streaming_dedup_ww(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming_value_histogram — distributional monitoring as a stream:
 # tumbling-hour × fixed $5 value cell counts (the drift-detection
 # input: compare each hour's histogram against a reference). Cells are
-# FIXED-width integer buckets (cents div 500) — a streaming aggregate
-# can't do data-dependent min/max bucketing, and fixed cells are what
-# makes consecutive windows comparable anyway. State: one count per
-# (window, type, cell), watermark-evicted.
+# FIXED-width integer buckets (floor(cents / 500)) — a streaming
+# aggregate can't do data-dependent min/max bucketing, and fixed cells
+# are what makes consecutive windows comparable anyway. State: one
+# count per (window, type, cell), watermark-evicted for real (append
+# mode over the heartbeat stream — finalized windows flush and leave
+# the state store). Cell-id sign semantics: Spark `div` and DuckDB's
+# integer `//` BOTH truncate toward zero (measured on this container's
+# engines and pinned for negatives by
+# tests/test_operators.py::test_integer_div_matches_duckdb_on_negatives),
+# so the bucketing agrees for any cents sign — no non-negativity
+# fixture dependency. (The actual cross-engine trap is `//` on DOUBLE
+# operands, which DuckDB does not floor — see docs/ORACLE_NOTES.md.)
 # ---------------------------------------------------------------------------
 
 _STREAM_HIST_ORACLE = """
@@ -458,9 +498,7 @@ FROM events GROUP BY 1, 2, 3
 
 @query("streaming_value_histogram", _STREAM_HIST_ORACLE)
 def streaming_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.pipeline import read_events_stream, run_available_now
-
-    stream = read_events_stream(spark, sf_dir)
+    stream = read_events_stream_with_heartbeat(spark, sf_dir)
     windowed = (
         stream.withColumn(
             "cell",
@@ -470,5 +508,5 @@ def streaming_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type", "cell")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    out = run_available_now(windowed, output_mode="complete")
+    out = run_available_now(windowed, output_mode="append")
     return out.select(F.col("w.start").alias("hour"), "event_type", "cell", "n")

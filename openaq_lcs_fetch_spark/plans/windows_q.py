@@ -1566,7 +1566,7 @@ WITH ranked AS (
          row_number() OVER (PARTITION BY event_type
                             ORDER BY value, event_id) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 )
 SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
        MIN(CASE WHEN 4 * rn >= n THEN value END) AS p25,
@@ -1581,7 +1581,7 @@ def equi_depth_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = (
         t(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
         .select("event_type", "value")
     )
     q = grid_quantiles(
@@ -1612,7 +1612,7 @@ WITH ranked AS (
          row_number() OVER (PARTITION BY event_type
                             ORDER BY value, event_id) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 ),
 med AS (
   SELECT event_type, MAX(n) AS n,
@@ -1622,7 +1622,7 @@ med AS (
 dev AS (
   SELECT e.event_type, ABS(e.value - m.med) AS adev
   FROM events e JOIN med m USING (event_type)
-  WHERE e.value IS NOT NULL
+  WHERE e.value IS NOT NULL AND NOT isnan(e.value)
 ),
 ranked2 AS (
   SELECT event_type, adev,
@@ -1644,7 +1644,7 @@ def value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = (
         t(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
         .select("event_type", "value")
     )
     med = grid_quantiles(e, "event_type", "value").select(

@@ -879,6 +879,38 @@ def test_grid_quantiles_matches_naive_reference(spark):
             assert qv == expect, (k, num, den, qv, expect)
 
 
+def test_integer_div_matches_duckdb_on_negatives(spark):
+    """Negative-operand division audit (round-6 de-trap): Spark `div`
+    and DuckDB's integer `//` BOTH truncate toward zero — measured here
+    across both signs, exact multiples, and the cells bracketing zero —
+    so `div`-bucketing oracles (streaming_value_histogram et al.) carry
+    NO hidden non-negativity fixture dependency. The genuine remaining
+    trap is `//` on DOUBLE operands, which DuckDB does NOT floor (it is
+    plain division there); the second assertion pins that so no oracle
+    ever bucketizes an un-cast double with `//`."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    cents = [-1250, -1000, -999, -501, -500, -499, -1, 0, 1, 499, 500, 501, 999, 1000, 1250]
+    df = spark.createDataFrame([(c,) for c in cents], "c long")
+    got = {
+        r.c: r.cell
+        for r in df.withColumn("cell", F.expr("c div 500")).collect()
+    }
+    want = {
+        c: cell
+        for c, cell in duckdb.sql(
+            "SELECT c, c // 500 FROM (SELECT UNNEST($1::BIGINT[]) AS c)",
+            params=[cents],
+        ).fetchall()
+    }
+    assert got == want
+    # DOUBLE `//` in DuckDB is NOT floor division — integer-cast first,
+    # always (docs/ORACLE_NOTES.md "Integer division" bullet)
+    assert duckdb.sql("SELECT -5.0 // 2").fetchone()[0] == -2.5
+
+
 def test_copurchase_triangles_known_graph(spark, tmp_path):
     """Hand-built order basket whose co-purchase graph has exactly two
     triangles: orders {1,2,3}, {1,2,4}... edges (1,2)(1,3)(2,3)(1,4)(2,4)
