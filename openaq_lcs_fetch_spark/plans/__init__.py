@@ -80,7 +80,20 @@ registry.promote(
         "corpus_mix_weights",
         "hour_of_day_profile",
         "streaming_value_histogram",
-        # (2) round-6 new queries are inserted here as they land
+        # (2) round-6 new queries (never verified — first-time signal)
+        "item_item_cosine",
+        "gini_revenue",
+        "benford_digits",
+        "order_price_reconcile",
+        "kaplan_meier",
+        "hourly_type_correlation",
+        "ma_crossover",
+        "new_vs_returning",
+        "iqr_fences_outliers",
+        "user_type_impurity",
+        "source_lang_tv",
+        "centroid_lang_classifier",
+        "streaming_sliding_counts",
         # (3) last driver row = round 1
         "watermark_summary",
         "distinct_users",

@@ -14,6 +14,7 @@ from ..functions.ids import sensor_id
 from ..operators.aggregates import distinct_count, watermark_bounds
 from ..operators.dedup import dedup_events, first_per_key
 from ..operators.joins import enrich_with_miss_report, semi_filter, union_all
+from ..operators.quantiles import sql_range_bucket
 from ..operators.topk import top_k_per_key
 from .registry import query, sql_exact_sum, t
 
@@ -1100,4 +1101,77 @@ def hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s").cast("double") / (F.lit(100.0) * F.col("n"))).alias(
             "mean_value"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# user_type_impurity — behavioral-diversity segmentation: the Gini
+# IMPURITY of each user's event-type mix (0 = single-type specialist,
+# →0.8 = uniform over 5 types), rolled up by activity decile. Impurity
+# 1 − Σ(c_i/n)² is rational, so it stays integer-exact as parts-per-
+# million: ppm = (1e6·(n² − Σc²)) div n², evaluated in DECIMAL(38,0)
+# (n² ≤ 1e12 at 1e6 events/user — headroom to spare) with truncating
+# div on both engines. The activity decile uses the integer
+# range_bucket (the reliability_bins float-division lesson), and the
+# per-decile average is one division of an exact ppm sum. Shape: two
+# map-side rollups (user×type, then user) and a 10-row output — no
+# window, no skew exposure (the rollup key is user, naturally spread).
+# ---------------------------------------------------------------------------
+
+_IMPURITY_ORACLE = f"""
+WITH ut AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+u AS (
+  SELECT user_id, SUM(c) AS n, SUM(c * c) AS ssq FROM ut GROUP BY 1
+),
+scored AS (
+  SELECT user_id, n,
+         (1000000 * (CAST(n AS HUGEINT) * n - ssq)) // (CAST(n AS HUGEINT) * n)
+           AS ppm
+  FROM u
+),
+bounds AS (SELECT MIN(n) AS lo, MAX(n) AS hi FROM scored)
+SELECT CAST({sql_range_bucket('s.n', 'b.lo', 'b.hi', 10)} AS BIGINT)
+         AS activity_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(s.ppm) AS BIGINT) AS sum_impurity_ppm,
+       CAST(SUM(s.ppm) AS DOUBLE) / COUNT(*) AS avg_impurity_ppm
+FROM scored s CROSS JOIN bounds b
+GROUP BY 1
+"""
+
+
+@query("user_type_impurity", _IMPURITY_ORACLE)
+def user_type_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import range_bucket
+
+    ut = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    u = ut.groupBy("user_id").agg(
+        F.sum("c").alias("n"), F.sum(F.col("c") * F.col("c")).alias("ssq")
+    )
+    d38 = "decimal(38,0)"
+    scored = u.select(
+        "n",
+        F.expr(
+            "(1000000 * (CAST(n AS DECIMAL(38,0)) * n - ssq))"
+            " div (CAST(n AS DECIMAL(38,0)) * n)"
+        ).alias("ppm"),
+    )
+    bounds = scored.agg(F.min("n").alias("lo"), F.max("n").alias("hi"))
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .groupBy(range_bucket("n", "lo", "hi", 10).alias("activity_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("ppm").cast("long").alias("sum_impurity_ppm"),
+            (F.sum("ppm").cast("double") / F.count(F.lit(1))).alias(
+                "avg_impurity_ppm"
+            ),
+        )
     )

@@ -1729,3 +1729,321 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exposed_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# item_item_cosine — item-item collaborative-filtering similarity over
+# co-purchase baskets (the classic "customers who bought X also bought
+# Y" precompute): cosine(i, j) = |orders with both| / sqrt(|orders
+# with i| * |orders with j|), support-filtered, global top-100 pairs.
+# Scale shape shared with copurchase_triangles: the pair build is a
+# basket self-join bounded by per-order basket size (never item
+# popularity), the >=2-orders support filter kills the singleton noise
+# that dominates pair volume, and the per-item counts join back on the
+# pair's two keys — shuffle joins AQE can broadcast when small. The
+# cosine is one double division of exact integers (co, n_u, n_v) after
+# one IEEE sqrt — bit-identical cross-engine. Top-k orders by (cosine
+# DESC, u, v): the float sort key is the same bits on both engines and
+# the integer pair is a total tiebreaker.
+# ---------------------------------------------------------------------------
+
+_ITEM_COSINE_MIN_SUPPORT = 2
+_ITEM_COSINE_K = 100
+
+_ITEM_COSINE_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+cnt AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY 1
+),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS co
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_ITEM_COSINE_MIN_SUPPORT}
+)
+SELECT p.u AS part_u, p.v AS part_v, p.co AS co_orders,
+       cu.n AS n_u, cv.n AS n_v,
+       CAST(p.co AS DOUBLE) / sqrt(CAST(cu.n * cv.n AS DOUBLE)) AS cosine
+FROM pairs p
+JOIN cnt cu ON cu.l_partkey = p.u
+JOIN cnt cv ON cv.l_partkey = p.v
+ORDER BY cosine DESC, part_u, part_v
+LIMIT {_ITEM_COSINE_K}
+"""
+
+
+@query("item_item_cosine", _ITEM_COSINE_ORACLE)
+def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= _ITEM_COSINE_MIN_SUPPORT)
+    )
+    scored = (
+        pairs.join(cnt.select(F.col("l_partkey").alias("u"), F.col("n").alias("n_u")), "u")
+        .join(cnt.select(F.col("l_partkey").alias("v"), F.col("n").alias("n_v")), "v")
+        .select(
+            F.col("u").alias("part_u"),
+            F.col("v").alias("part_v"),
+            F.col("co").alias("co_orders"),
+            "n_u",
+            "n_v",
+            (
+                F.col("co").cast("double")
+                / F.sqrt((F.col("n_u") * F.col("n_v")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(
+        F.col("cosine").desc(), "part_u", "part_v"
+    ).limit(_ITEM_COSINE_K)
+
+
+# ---------------------------------------------------------------------------
+# gini_revenue — revenue-concentration audit: the Gini coefficient of
+# per-customer order revenue, exactly, from the closed form over the
+# ascending-sorted values  G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)).
+# The rank i is the EXACT distributed global rank (the grid-cell shape
+# of global_rank_sample: per-cell ROW_NUMBER + broadcast prefix-count
+# offsets — no single-reducer global window over customers). All sums
+# accumulate integer cents in DECIMAL(38,0) (sum(i*x) is ~n*rank*cents
+# ~ 5e26 at a 1e9-customer scale — still inside DECIMAL(38)); the Gini
+# is ONE double division of two exact integers. Customers with no
+# orders are out of scope (revenue undefined, not zero): the
+# population is "revenue-generating customers", stated here so the
+# oracle matches by construction.
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_custkey) AS rnk
+  FROM rev
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS total_cents,
+       CAST(2 * SUM(CAST(rnk AS HUGEINT) * cents)
+            - (COUNT(*) + 1) * SUM(CAST(cents AS HUGEINT)) AS DOUBLE)
+         / CAST(COUNT(*) * SUM(CAST(cents AS HUGEINT)) AS DOUBLE) AS gini
+FROM ranked
+"""
+
+_GINI_GRID = 4096
+
+
+@query("gini_revenue", _GINI_ORACLE)
+def gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = _GINI_GRID
+    rev = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("c").alias("cents"))
+    )
+    bounds = rev.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    eb = rev.crossJoin(F.broadcast(bounds)).withColumn(
+        "cell", range_bucket("cents", "lo", "hi", B)
+    )
+    # ascending rank: offsets accumulate from the LOW cell upward; the
+    # only unpartitioned window runs over the <=4096-row cell-count table
+    offsets = (
+        eb.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("cn").over(
+                    Window.orderBy(F.col("cell").asc()).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("cell", "offset")
+    )
+    w_local = Window.partitionBy("cell").orderBy(
+        F.col("cents").asc(), F.col("o_custkey").asc()
+    )
+    ranked = (
+        eb.withColumn("lr", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "cell")
+        .withColumn("rnk", (F.col("offset") + F.col("lr")).cast("long"))
+    )
+    d38 = "decimal(38,0)"
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast(d38)).alias("s1"),
+        F.sum((F.col("rnk").cast(d38) * F.col("cents"))).alias("s2"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("s1").cast("long").alias("total_cents"),
+        (
+            (F.lit(2).cast(d38) * F.col("s2")
+             - (F.col("n") + 1).cast(d38) * F.col("s1")).cast("double")
+            / (F.col("n").cast(d38) * F.col("s1")).cast("double")
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benford_digits — data-forensics audit: the first-significant-digit
+# distribution of lineitem prices against Benford's law, with an
+# integer-exact chi-square decomposition. Expected shares are FIXED
+# ppm constants (log10(1+1/d) precomputed — no engine-side log, no
+# float disagreement); each digit's chi-square term is computed wholly
+# in DECIMAL(38,0)/HUGEINT integer arithmetic scaled by 1e6:
+#   term_micro = (1e6*obs - n*exp_ppm)^2 div (n*exp_ppm)
+# (numerator ~(1e6*rows)^2 stays under DECIMAL(38) up to ~1e12 rows).
+# Shape: one map-side digit rollup (9 groups) x a broadcast 9-row
+# spec — a pure scan-aggregate at any scale. The first digit comes
+# from the cents STRING head (cents > 0 for prices), not from float
+# log10/pow, so bucketing is engine-exact.
+# ---------------------------------------------------------------------------
+
+#: ppm shares of Benford's law, round(log10(1+1/d) * 1e6); sums to 1e6.
+_BENFORD_PPM = [
+    (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+    (6, 66947), (7, 57992), (8, 51153), (9, 45757),
+]
+
+_BENFORD_ORACLE = f"""
+WITH obs AS (
+  SELECT CAST(SUBSTR(CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT SUM(n_obs) AS n FROM obs),
+spec(digit, exp_ppm) AS (VALUES {', '.join(f'({d}, {p})' for d, p in _BENFORD_PPM)})
+SELECT s.digit, COALESCE(o.n_obs, 0) AS n_obs, s.exp_ppm,
+       CAST((1000000 * CAST(COALESCE(o.n_obs, 0) AS HUGEINT) - t.n * s.exp_ppm)
+            * (1000000 * CAST(COALESCE(o.n_obs, 0) AS HUGEINT) - t.n * s.exp_ppm)
+            // (t.n * s.exp_ppm) AS BIGINT) AS term_micro
+FROM spec s LEFT JOIN obs o USING (digit) CROSS JOIN tot t
+"""
+
+
+@query("benford_digits", _BENFORD_ORACLE)
+def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    obs = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    spec = spark.createDataFrame(_BENFORD_PPM, "digit int, exp_ppm long")
+    d38 = "decimal(38,0)"
+    joined = (
+        F.broadcast(spec)
+        .join(obs, "digit", "left")
+        .withColumn("n_obs", F.coalesce(F.col("n_obs"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    return joined.select(
+        "digit",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        "exp_ppm",
+        F.expr(
+            "(CAST(1000000 AS DECIMAL(38,0)) * n_obs"
+            " - CAST(n AS DECIMAL(38,0)) * exp_ppm)"
+            " * (CAST(1000000 AS DECIMAL(38,0)) * n_obs"
+            " - CAST(n AS DECIMAL(38,0)) * exp_ppm)"
+            " div (CAST(n AS DECIMAL(38,0)) * exp_ppm)"
+        ).alias("term_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# order_price_reconcile — double-entry reconciliation audit (the
+# invoice-vs-ledger check every billing pipeline runs): recompute each
+# order's total from its line items — sum(extendedprice * (1-discount)
+# * (1+tax)) — in EXACT integer micro-units (the pricing_summary cents
+# triple product) and compare to o_totalprice in the same units.
+# Shape: one shuffle join on the natural co-partitioning key
+# (o_orderkey), map-side partial sums on the lineitem side, then a
+# per-status rollup — scan-dominated at any scale. Inner join: an
+# order with zero line items has no recomputable total and is out of
+# scope (every TPC-H order has lines). The per-status mismatch counts,
+# max and total absolute drift are all exact BIGINTs.
+# ---------------------------------------------------------------------------
+
+_RECONCILE_ORACLE = """
+WITH line_tot AS (
+  SELECT l_orderkey,
+         SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+             * (100 + CAST(ROUND(l_tax * 100, 0) AS BIGINT))) AS charge_u
+  FROM lineitem GROUP BY 1
+),
+d AS (
+  SELECT o.o_orderstatus,
+         lt.charge_u - CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) * 10000
+           AS diff_u
+  FROM orders o JOIN line_tot lt ON lt.l_orderkey = o.o_orderkey
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN diff_u <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mismatch,
+       CAST(MAX(ABS(diff_u)) AS BIGINT) AS max_abs_diff_u,
+       CAST(SUM(CAST(ABS(diff_u) AS HUGEINT)) AS BIGINT) AS total_abs_diff_u
+FROM d GROUP BY 1
+"""
+
+
+@query("order_price_reconcile", _RECONCILE_ORACLE)
+def order_price_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def cents(col: str) -> Column:
+        return F.round(F.col(col) * 100, 0).cast("long")
+
+    charge = (
+        cents("l_extendedprice")
+        * (F.lit(100) - cents("l_discount"))
+        * (F.lit(100) + cents("l_tax"))
+    )
+    line_tot = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", charge.alias("ch"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("ch").alias("charge_u"))
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), "o_orderstatus",
+        (cents("o_totalprice") * 10000).alias("total_u"),
+    )
+    d = o.join(line_tot, o.o_orderkey == line_tot.l_orderkey).select(
+        "o_orderstatus", (F.col("charge_u") - F.col("total_u")).alias("diff_u")
+    )
+    return d.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("diff_u") != 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_mismatch"),
+        F.max(F.abs(F.col("diff_u"))).cast("long").alias("max_abs_diff_u"),
+        F.sum(F.abs(F.col("diff_u")).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("total_abs_diff_u"),
+    )

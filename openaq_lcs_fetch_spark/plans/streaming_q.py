@@ -510,3 +510,39 @@ def streaming_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_available_now(windowed, output_mode="append")
     return out.select(F.col("w.start").alias("hour"), "event_type", "cell", "n")
+
+
+# ---------------------------------------------------------------------------
+# streaming_sliding_counts — SLIDING windows in Structured Streaming
+# (T6's second window kind after tumbling/session): 2-hour windows
+# advancing every hour, so each event lands in exactly two overlapping
+# windows — the over-sampled rollup behind smooth rate dashboards.
+# Same watermark-evicting bridge as the rest of the family: heartbeat
+# stream + append mode, finalized windows flush and leave the state
+# store (state is two live windows per type at any watermark, bounded
+# forever). The oracle materializes the two-window membership
+# explicitly: each event contributes to the windows starting at its
+# hour and the hour before.
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = """
+SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT date_trunc('hour', ts) AS win_start, event_type FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events
+)
+GROUP BY 1, 2
+"""
+
+
+@query("streaming_sliding_counts", _SLIDING_ORACLE)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream_with_heartbeat(spark, sf_dir)
+    windowed = (
+        stream.withWatermark("ts", "3 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_available_now(windowed, output_mode="append")
+    return out.select(F.col("w.start").alias("win_start"), "event_type", "n")

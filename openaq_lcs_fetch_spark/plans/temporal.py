@@ -1176,3 +1176,389 @@ def theil_sen_daily_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("slope_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier — survival analysis over user lifetimes (the churn
+# staple: what fraction of users "survive" to activity-span t?).
+# Lifetime = last-minus-first event in whole days; a user is an
+# observed churn (event) if their last event is >= 7 days before the
+# dataset's end, else right-CENSORED (still active when observation
+# stopped) — the distinction Kaplan-Meier exists for. The estimator
+#   S(t) = prod_{t_i <= t} (1 - d_i / n_i)
+# is a sequential product, kept EXACT cross-engine in integer
+# parts-per-trillion: S_0 = 1e12; S_t = (S_{t-1} * (n_t - d_t)) div n_t
+# — arbitrary-precision ints in the Python fold, HUGEINT in the DuckDB
+# recursive CTE, truncating division both sides (operands are
+# non-negative, where Python // == truncation). Distributed shape: the
+# event volume is reduced map-side to per-user spans, then to the
+# DAY-LEVEL life table (<= #distinct lifetimes rows); only that tiny
+# table enters the single-group applyInPandas fold, with a loud group
+# cap like isotonic_fit's. n_at_risk derives from the life table
+# itself (N - running prior exits), so the fold needs no side input.
+# ---------------------------------------------------------------------------
+
+_KM_CENSOR_DAYS = 7
+_KM_MAX_DAYS = 100_000  # life-table rows the driver-side fold will accept
+
+_KM_ORACLE = f"""
+WITH RECURSIVE spans AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS f, MAX(epoch_us(ts)) AS l
+  FROM events GROUP BY user_id
+),
+obs AS (SELECT MAX(l) AS endus FROM spans),
+marked AS (
+  SELECT (l - f) // 86400000000 AS dur,
+         CASE WHEN o.endus - l >= {_KM_CENSOR_DAYS}::BIGINT * 86400000000
+              THEN 1 ELSE 0 END AS ev
+  FROM spans CROSS JOIN obs o
+),
+life AS (
+  SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(SUM(1 - ev) AS BIGINT) AS c
+  FROM marked GROUP BY dur
+),
+days AS (
+  SELECT dur, d, c,
+         (SELECT COUNT(*) FROM marked)
+           - COALESCE(SUM(d + c) OVER (ORDER BY dur
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk,
+         row_number() OVER (ORDER BY dur) AS rn
+  FROM life
+),
+fold AS (
+  SELECT rn, dur, d, c, n_risk,
+         (1000000000000::HUGEINT * (n_risk - d)) // n_risk AS s
+  FROM days WHERE rn = 1
+  UNION ALL
+  SELECT dy.rn, dy.dur, dy.d, dy.c, dy.n_risk,
+         (f.s * (dy.n_risk - dy.d)) // dy.n_risk
+  FROM fold f JOIN days dy ON dy.rn = f.rn + 1
+)
+SELECT dur AS t_days, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+       c AS n_censored, CAST(s AS BIGINT) AS surv_ppt
+FROM fold
+"""
+
+
+@query("kaplan_meier", _KM_ORACLE)
+def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..functions.timestamps import micros
+
+    spans = (
+        t(spark, sf_dir, "events")
+        .select("user_id", micros(F.col("ts")).alias("us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("f"), F.max("us").alias("l"))
+    )
+    obs = spans.agg(F.max("l").alias("endus"))
+    marked = spans.crossJoin(F.broadcast(obs)).select(
+        F.expr("(l - f) div 86400000000").alias("dur"),
+        F.when(
+            F.col("endus") - F.col("l")
+            >= F.lit(_KM_CENSOR_DAYS) * 86400000000,
+            1,
+        )
+        .otherwise(0)
+        .alias("ev"),
+    )
+    life = marked.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).cast("long").alias("c"),
+    )
+    out_schema = StructType(
+        [
+            StructField("t_days", LongType(), False),
+            StructField("n_risk", LongType(), False),
+            StructField("n_events", LongType(), False),
+            StructField("n_censored", LongType(), False),
+            StructField("surv_ppt", LongType(), False),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > _KM_MAX_DAYS:
+            raise ValueError(
+                f"kaplan_meier: life table of {len(pdf)} rows exceeds the "
+                f"{_KM_MAX_DAYS}-row fold cap — coarsen the duration unit"
+            )
+        pdf = pdf.sort_values("dur")
+        total = int((pdf["d"] + pdf["c"]).sum())
+        s = 1_000_000_000_000
+        exited = 0
+        rows = []
+        for dur, d, c in zip(pdf["dur"], pdf["d"], pdf["c"]):
+            n_risk = total - exited
+            s = s * (n_risk - int(d)) // n_risk
+            rows.append((int(dur), n_risk, int(d), int(c), s))
+            exited += int(d) + int(c)
+        return pd.DataFrame(
+            rows, columns=["t_days", "n_risk", "n_events", "n_censored", "surv_ppt"]
+        )
+
+    return (
+        life.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(lambda key, pdf: fold(pdf), schema=out_schema)
+    )
+
+
+# ---------------------------------------------------------------------------
+# hourly_type_correlation — cross-series Pearson correlation between
+# event types' hourly volumes (the co-movement matrix behind alert
+# grouping and capacity planning). The series live on a SHARED hourly
+# spine (distinct hours x distinct types, zeros filled) so absence
+# counts as 0 instead of silently dropping rows. All five moments
+# (Sx, Sy, Sxy, Sxx, Syy) accumulate as exact integers in
+# DECIMAL(38,0)/HUGEINT; r is then a fixed sequence of IEEE ops on
+# identical inputs (two sqrt — correctly rounded by spec — one
+# multiply, one divide), zero-variance pairs explicitly NULL. Shape:
+# event volume collapses map-side to the (hour, type) rollup; the
+# spine densify and the pair join run on rollup-sized data (hours x 5
+# types), and the pair count is C(5,2)=10 — nothing downstream of the
+# first aggregate scales with raw rows.
+# ---------------------------------------------------------------------------
+
+_HOURLY_CORR_ORACLE = """
+WITH counts AS (
+  SELECT epoch_us(ts) // 3600000000 AS h, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+spine AS (SELECT DISTINCT h FROM counts),
+types AS (SELECT DISTINCT event_type FROM counts),
+dense AS (
+  SELECT s.h, ty.event_type, COALESCE(c.n, 0) AS n
+  FROM spine s CROSS JOIN types ty
+  LEFT JOIN counts c ON c.h = s.h AND c.event_type = ty.event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(a.n AS HUGEINT)) AS sx,
+         SUM(CAST(b.n AS HUGEINT)) AS sy,
+         SUM(CAST(a.n AS HUGEINT) * b.n) AS sxy,
+         SUM(CAST(a.n AS HUGEINT) * a.n) AS sxx,
+         SUM(CAST(b.n AS HUGEINT) * b.n) AS syy
+  FROM dense a JOIN dense b
+    ON a.h = b.h AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, CAST(n AS BIGINT) AS n_hours,
+       CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+            END AS pearson_r
+FROM pairs
+"""
+
+
+@query("hourly_type_correlation", _HOURLY_CORR_ORACLE)
+def hourly_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.timestamps import micros
+
+    d38 = "decimal(38,0)"
+    e = t(spark, sf_dir, "events").select(
+        (micros(F.col("ts"))).alias("us"), "event_type"
+    )
+    counts = (
+        e.select(F.expr("us div 3600000000").alias("h"), "event_type")
+        .groupBy("h", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = counts.select("h").distinct()
+    types = counts.select("event_type").distinct()
+    dense = (
+        spine.crossJoin(F.broadcast(types))
+        .join(counts, ["h", "event_type"], "left")
+        .select("h", "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    )
+    a = dense.select("h", F.col("event_type").alias("type_a"), F.col("n").alias("xa"))
+    b = dense.select("h", F.col("event_type").alias("type_b"), F.col("n").alias("xb"))
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("n"),
+            F.sum(F.col("xa").cast(d38)).alias("sx"),
+            F.sum(F.col("xb").cast(d38)).alias("sy"),
+            F.sum(F.col("xa").cast(d38) * F.col("xb")).alias("sxy"),
+            F.sum(F.col("xa").cast(d38) * F.col("xa")).alias("sxx"),
+            F.sum(F.col("xb").cast(d38) * F.col("xb")).alias("syy"),
+        )
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.col("n").cast("long").alias("n_hours"),
+        num.cast("long").alias("cov_num"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            num.cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+        ).alias("pearson_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ma_crossover — moving-average crossover signals on daily revenue
+# (the momentum/trend primitive): days where the 7-day calendar
+# average crosses the 28-day calendar average, with direction. The
+# comparison is EXACT: averages are never materialized — s7/c7 >
+# s28/c28 is cross-multiplied to the integer test s7*c28 > s28*c7
+# (counts positive, cents sums int64 through very large scales). The
+# windows are calendar-true RANGE frames over the integer day index,
+# so missing days shrink the window instead of stretching it. Shape:
+# orders collapse map-side to the daily rollup; the only window runs
+# over that rollup-sized series (one row per calendar day with
+# orders) — a deliberately unpartitioned window over a tiny table,
+# same stance as global_rank's cell table.
+# ---------------------------------------------------------------------------
+
+_MA_CROSSOVER_ORACLE = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_idx,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+ma AS (
+  SELECT day_idx, cents,
+         SUM(cents) OVER w7 AS s7, COUNT(*) OVER w7 AS c7,
+         SUM(cents) OVER w28 AS s28, COUNT(*) OVER w28 AS c28
+  FROM daily
+  WINDOW w7 AS (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+         w28 AS (ORDER BY day_idx RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)
+),
+sig AS (
+  SELECT day_idx, s7, c7, s28, c28,
+         CASE WHEN s7 * c28 > s28 * c7 THEN 1 ELSE 0 END AS above,
+         LAG(CASE WHEN s7 * c28 > s28 * c7 THEN 1 ELSE 0 END)
+           OVER (ORDER BY day_idx) AS prev_above
+  FROM ma
+)
+SELECT day_idx,
+       CASE WHEN above = 1 THEN 'golden' ELSE 'death' END AS direction,
+       CAST(s7 AS BIGINT) AS s7_cents, CAST(c7 AS BIGINT) AS c7,
+       CAST(s28 AS BIGINT) AS s28_cents, CAST(c28 AS BIGINT) AS c28
+FROM sig WHERE prev_above IS NOT NULL AND above <> prev_above
+"""
+
+
+@query("ma_crossover", _MA_CROSSOVER_ORACLE)
+def ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day_idx"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
+        )
+        .groupBy("day_idx")
+        .agg(F.sum("c").alias("cents"))
+    )
+    w7 = Window.orderBy("day_idx").rangeBetween(-6, 0)
+    w28 = Window.orderBy("day_idx").rangeBetween(-27, 0)
+    ma = daily.select(
+        "day_idx",
+        F.sum("cents").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("c7"),
+        F.sum("cents").over(w28).alias("s28"),
+        F.count(F.lit(1)).over(w28).alias("c28"),
+    )
+    above = F.when(
+        F.col("s7") * F.col("c28") > F.col("s28") * F.col("c7"), 1
+    ).otherwise(0)
+    sig = ma.withColumn("above", above).withColumn(
+        "prev_above", F.lag("above").over(Window.orderBy("day_idx"))
+    )
+    return sig.filter(
+        F.col("prev_above").isNotNull() & (F.col("above") != F.col("prev_above"))
+    ).select(
+        "day_idx",
+        F.when(F.col("above") == 1, "golden").otherwise("death").alias("direction"),
+        F.col("s7").alias("s7_cents"),
+        "c7",
+        F.col("s28").alias("s28_cents"),
+        "c28",
+    )
+
+
+# ---------------------------------------------------------------------------
+# new_vs_returning — growth accounting (the activation dashboard):
+# per day, how many active users are brand-new vs returning, plus the
+# cumulative registered-user curve. Shape: events collapse to distinct
+# (day, user) map-side; first-seen days are a per-user MIN; both roll
+# up to DAY-level tables and the cumulative sum is a window over that
+# tiny series (one row per day) — nothing post-rollup scales with
+# events. All counts exact BIGINTs.
+# ---------------------------------------------------------------------------
+
+_NEW_RETURNING_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+),
+firsts AS (
+  SELECT user_id, MIN(day) AS fday FROM du GROUP BY 1
+),
+newu AS (
+  SELECT fday AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM firsts GROUP BY 1
+),
+act AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS active_users FROM du GROUP BY 1
+)
+SELECT a.day, a.active_users,
+       COALESCE(n.new_users, 0) AS new_users,
+       a.active_users - COALESCE(n.new_users, 0) AS returning_users,
+       CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY a.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM act a LEFT JOIN newu n ON n.day = a.day
+"""
+
+
+@query("new_vs_returning", _NEW_RETURNING_ORACLE)
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.timestamps import micros
+
+    du = (
+        t(spark, sf_dir, "events")
+        .select(micros(F.col("ts")).alias("us"), "user_id")
+        .select(F.expr("us div 86400000000").alias("day"), "user_id")
+        .distinct()
+    )
+    firsts = du.groupBy("user_id").agg(F.min("day").alias("fday"))
+    newu = firsts.groupBy(F.col("fday").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    act = du.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("active_users")
+    )
+    joined = act.join(newu, "day", "left").select(
+        "day",
+        "active_users",
+        F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "day",
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users")).alias("returning_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )

@@ -2304,3 +2304,187 @@ def quality_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.rank().over(w) - 1).cast("double") / (n - 1)
     )
     return scored.select("doc_id", "source", pr.alias("pr"))
+
+
+# ---------------------------------------------------------------------------
+# source_lang_tv — distribution-drift audit across corpus slices: for
+# each source, the total-variation distance between its language mix
+# and the whole corpus's (the drift score monitoring pipelines alarm
+# on). TV = ½·Σ|p_l − q_l| stays EXACT by clearing denominators:
+# tv_num = Σ_l |c_{s,l}·N − C_l·n_s| (integers in HUGEINT/DECIMAL38),
+# and the reported tv is the single division tv_num / (2·n_s·N).
+# Missing (source, lang) combos count as 0 via the dense source×lang
+# matrix (langs are a broadcast dimension). Shape: one map-side
+# (source, lang) rollup; everything downstream is rollup-sized.
+# ---------------------------------------------------------------------------
+
+_LANG_TV_ORACLE = """
+WITH sl AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+srcs AS (SELECT source, SUM(c) AS n_s FROM sl GROUP BY 1),
+langs AS (SELECT lang, SUM(c) AS c_l FROM sl GROUP BY 1),
+tot AS (SELECT SUM(c) AS n FROM sl),
+dense AS (
+  SELECT s.source, l.lang, s.n_s, l.c_l, COALESCE(x.c, 0) AS c
+  FROM srcs s CROSS JOIN langs l
+  LEFT JOIN sl x ON x.source = s.source AND x.lang = l.lang
+)
+SELECT d.source, CAST(MIN(d.n_s) AS BIGINT) AS n_docs,
+       CAST(SUM(ABS(CAST(d.c AS HUGEINT) * t.n - d.c_l * d.n_s)) AS BIGINT)
+         AS tv_num,
+       CAST(SUM(ABS(CAST(d.c AS HUGEINT) * t.n - d.c_l * d.n_s)) AS DOUBLE)
+         / CAST(2 * MIN(d.n_s) * t.n AS DOUBLE) AS tv
+FROM dense d CROSS JOIN tot t
+GROUP BY d.source, t.n
+"""
+
+
+@query("source_lang_tv", _LANG_TV_ORACLE)
+def source_lang_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d38 = "decimal(38,0)"
+    sl = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    srcs = sl.groupBy("source").agg(F.sum("c").alias("n_s"))
+    langs = sl.groupBy("lang").agg(F.sum("c").alias("c_l"))
+    tot = sl.agg(F.sum("c").alias("n"))
+    dense = (
+        srcs.crossJoin(F.broadcast(langs))
+        .join(sl, ["source", "lang"], "left")
+        .select(
+            "source", "lang", "n_s", "c_l",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    term = F.abs(
+        F.col("c").cast(d38) * F.col("n") - F.col("c_l").cast(d38) * F.col("n_s")
+    )
+    return dense.groupBy("source").agg(
+        F.min("n_s").cast("long").alias("n_docs"),
+        F.sum(term).cast("long").alias("tv_num"),
+        (
+            F.sum(term).cast("double")
+            / (F.lit(2).cast(d38) * F.min("n_s") * F.min("n")).cast("double")
+        ).alias("tv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# centroid_lang_classifier — a complete train→score→evaluate ML loop
+# as one declarative plan: a nearest-centroid language classifier over
+# character-frequency vectors ('a'–'z' + space), trained on the
+# content-hash 80% split and evaluated on the held-out 20% as a
+# confusion matrix. The distance is scale-normalized L2 cleared of
+# fractions: argmin_l Σ_ch (f_ch·T_l − F_{l,ch}·n_d)² — every term an
+# exact integer (DECIMAL(38,0)/HUGEINT), so train, score and argmin
+# are all engine-portable with (dist, lang) as the deterministic
+# tiebreak. Shape: char counts are 27 length/replace expressions per
+# doc (map-only, no tokenizer state); centroids collapse to a
+# 5×27-row broadcast; scoring is a map-side join + per-doc rollup and
+# the argmin window sees 5 rows per doc. The hash split reuses the
+# corpus_split idiom — a doc's split never changes as the corpus
+# grows.
+# ---------------------------------------------------------------------------
+
+_CLF_CHARS = tuple(" abcdefghijklmnopqrstuvwxyz")
+
+_CLF_ORACLE = f"""
+WITH chars(ch) AS (VALUES {', '.join("(' ')" if c == ' ' else f"('{c}')" for c in _CLF_CHARS)}),
+docs AS (
+  SELECT doc_id, lang, text,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5)
+           AS fold
+  FROM documents
+),
+feat AS (
+  SELECT d.doc_id, d.lang, d.fold, c.ch,
+         CAST(length(d.text) - length(replace(d.text, c.ch, '')) AS BIGINT)
+           AS cnt
+  FROM docs d CROSS JOIN chars c
+),
+centroid AS (
+  SELECT lang, ch, CAST(SUM(cnt) AS HUGEINT) AS fc
+  FROM feat WHERE fold <> 0 GROUP BY 1, 2
+),
+ctot AS (SELECT lang, SUM(fc) AS tl FROM centroid GROUP BY 1),
+test AS (
+  SELECT doc_id, lang AS true_lang, ch, CAST(cnt AS HUGEINT) AS f,
+         SUM(CAST(cnt AS HUGEINT)) OVER (PARTITION BY doc_id) AS nd
+  FROM feat WHERE fold = 0
+),
+dist AS (
+  SELECT te.doc_id, te.true_lang, c.lang,
+         SUM((te.f * ct.tl - c.fc * te.nd) * (te.f * ct.tl - c.fc * te.nd))
+           AS d2
+  FROM test te
+  JOIN centroid c ON c.ch = te.ch
+  JOIN ctot ct ON ct.lang = c.lang
+  GROUP BY 1, 2, 3
+),
+picked AS (
+  SELECT doc_id, true_lang, lang AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY d2, lang) AS rn
+  FROM dist
+)
+SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM picked WHERE rn = 1
+GROUP BY 1, 2
+"""
+
+
+@query("centroid_lang_classifier", _CLF_ORACLE)
+def centroid_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        (TX.h60(F.col("doc_id").cast("string")) % 5).alias("fold"),
+    )
+    chars = spark.createDataFrame([(c,) for c in _CLF_CHARS], "ch string")
+    feat = docs.crossJoin(F.broadcast(chars)).select(
+        "doc_id",
+        "lang",
+        "fold",
+        "ch",
+        F.expr("CAST(length(text) - length(replace(text, ch, '')) AS BIGINT)")
+        .alias("cnt"),
+    )
+    centroid = (
+        feat.filter(F.col("fold") != 0)
+        .groupBy("lang", "ch")
+        .agg(F.sum(F.col("cnt").cast(d38)).alias("fc"))
+    )
+    ctot = centroid.groupBy("lang").agg(F.sum("fc").alias("tl"))
+    test = feat.filter(F.col("fold") == 0).select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        "ch",
+        F.col("cnt").cast(d38).alias("f"),
+        F.sum(F.col("cnt").cast(d38))
+        .over(Window.partitionBy("doc_id"))
+        .alias("nd"),
+    )
+    cc = centroid.join(F.broadcast(ctot), "lang").select(
+        F.col("lang").alias("pred"), "ch", "fc", "tl"
+    )
+    diff = F.col("f") * F.col("tl") - F.col("fc") * F.col("nd")
+    dist = (
+        test.join(F.broadcast(cc), "ch")
+        .groupBy("doc_id", "true_lang", "pred")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("d2", "pred")
+    picked = dist.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return picked.groupBy(
+        F.col("true_lang"), F.col("pred").alias("pred_lang")
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -1817,3 +1817,89 @@ def reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_score"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# iqr_fences_outliers — Tukey fences per type (the box-plot outlier
+# rule: beyond quartile ± 1.5·IQR), the FOURTH query surface of the
+# shared grid order-statistics operator (operators/quantiles.py —
+# weighted median, equi-depth, MAD, now fences): one grid pass
+# resolves both quartiles, the 5-row fence table broadcasts back into
+# a counting scan. Quartiles are actual data values (lower quantiles),
+# and the fences are the same short IEEE sequence on both engines
+# (one subtract, one multiply by 1.5, one add/subtract) over identical
+# bits — so the per-row comparisons agree exactly. NULL/NaN values are
+# excluded on BOTH sides per the grid operator's contract.
+# ---------------------------------------------------------------------------
+
+_IQR_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+q AS (
+  SELECT event_type,
+         MIN(CASE WHEN 4 * rn >= n THEN value END) AS p25,
+         MIN(CASE WHEN 4 * rn >= 3 * n THEN value END) AS p75
+  FROM ranked GROUP BY event_type
+),
+fences AS (
+  SELECT event_type, p25, p75,
+         p25 - 1.5 * (p75 - p25) AS lo,
+         p75 + 1.5 * (p75 - p25) AS hi
+  FROM q
+)
+SELECT e.event_type, MIN(f.p25) AS p25, MIN(f.p75) AS p75,
+       CAST(SUM(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low,
+       CAST(SUM(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events e JOIN fences f USING (event_type)
+WHERE e.value IS NOT NULL AND NOT isnan(e.value)
+GROUP BY e.event_type
+"""
+
+
+@query("iqr_fences_outliers", _IQR_ORACLE)
+def iqr_fences_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import grid_quantiles
+
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select("event_type", "value")
+    )
+    q = (
+        grid_quantiles(e, "event_type", "value", fractions=[(1, 4), (3, 4)])
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("num") == 1, F.col("qvalue"))).alias("p25"),
+            F.min(F.when(F.col("num") == 3, F.col("qvalue"))).alias("p75"),
+        )
+    )
+    fences = q.select(
+        "event_type",
+        "p25",
+        "p75",
+        (F.col("p25") - F.lit(1.5) * (F.col("p75") - F.col("p25"))).alias("lo"),
+        (F.col("p75") + F.lit(1.5) * (F.col("p75") - F.col("p25"))).alias("hi"),
+    )
+    return (
+        e.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("p25").alias("p25"),
+            F.min("p75").alias("p75"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_low"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_high"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

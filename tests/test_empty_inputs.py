@@ -50,6 +50,12 @@ REPRESENTATIVE = (
     "max_drawdown", "theil_sen_daily_slope", "value_mad",
     "fuzzy_er_clusters", "part_cheapest_offer", "customers_all_brands",
     "copurchase_triangles", "streaming_dedup_ww", "basket_lift_rules", "hourly_autocorr24", "reliability_bins", "global_rank_sample", "k_anonymity_audit", "geo_tz_counts", "corpus_mix_weights", "hour_of_day_profile", "streaming_value_histogram",
+    # round-6 additions
+    "item_item_cosine", "gini_revenue", "benford_digits",
+    "order_price_reconcile", "kaplan_meier", "hourly_type_correlation",
+    "ma_crossover", "new_vs_returning", "iqr_fences_outliers",
+    "user_type_impurity", "source_lang_tv", "centroid_lang_classifier",
+    "streaming_sliding_counts",
 )
 
 

@@ -935,3 +935,104 @@ def test_copurchase_triangles_known_graph(spark, tmp_path):
     assert out.n_nodes == 4          # node 5 has no edges
     assert out.n_edges == 5
     assert out.n_triangles == 2
+
+
+def test_item_item_cosine_known_baskets(spark, tmp_path):
+    """Hand-built baskets with a known similarity order: items 1 and 2
+    co-occur in 3 of their 4/4 orders (cosine 0.75); items 1 and 3 in
+    2 of 4/2 (cosine 1/sqrt(2) ~= 0.707); the support-1 pair (4, 5) is
+    filtered out entirely."""
+    import math
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    baskets = {
+        100: [1, 2], 101: [1, 2], 102: [1, 2, 3], 103: [1, 3],
+        104: [2], 105: [2], 200: [4, 5],
+    }
+    rows = [(ok, pk) for ok, parts in baskets.items() for pk in parts]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(sf, "lineitem.parquet"))
+    out = {
+        (r.part_u, r.part_v): r
+        for r in QUERIES["item_item_cosine"].fn(spark, sf).collect()
+    }
+    assert set(out) == {(1, 2), (1, 3)}  # (4,5) has support 1 -> dropped
+    r12, r13 = out[(1, 2)], out[(1, 3)]
+    # item 1 in orders {100,101,102,103}; item 2 in {100,101,102,104,105}
+    assert (r12.co_orders, r12.n_u, r12.n_v) == (3, 4, 5)
+    assert abs(r12.cosine - 3 / math.sqrt(20)) < 1e-12
+    assert (r13.co_orders, r13.n_u, r13.n_v) == (2, 4, 2)
+    assert abs(r13.cosine - 2 / math.sqrt(8)) < 1e-12
+
+
+def test_kaplan_meier_textbook_fold(spark, tmp_path):
+    """Textbook KM check on a hand-built cohort: 4 users with lifetimes
+    0/0/1/2 days, the 2-day user censored (last event at the dataset
+    end). Life table: t=0 (n=4, d=2), t=1 (n=2, d=1), t=2 (n=1, c=1).
+    S = 1/2 after t=0, 1/4 after t=1, unchanged by the censoring."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+    rows = [
+        # user 1, 2: single-burst users (dur 0), churned well before end
+        (1, base), (1, base + dt.timedelta(hours=1)),
+        (2, base),
+        # user 3: dur 1 day, churned
+        (3, base), (3, base + day),
+        # user 4: dur 2 days, last event AT the end -> censored
+        (4, base + dt.timedelta(days=8)), (4, base + dt.timedelta(days=10)),
+    ]
+    df = spark.createDataFrame(
+        [(u, ts, u, "click", 1.0, "{}") for u, ts in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+    out = {
+        r.t_days: r for r in QUERIES["kaplan_meier"].fn(spark, sf).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert (out[0].n_risk, out[0].n_events, out[0].n_censored) == (4, 2, 0)
+    assert out[0].surv_ppt == 500_000_000_000
+    assert (out[1].n_risk, out[1].n_events) == (2, 1)
+    assert out[1].surv_ppt == 250_000_000_000
+    assert (out[2].n_risk, out[2].n_events, out[2].n_censored) == (1, 0, 1)
+    assert out[2].surv_ppt == 250_000_000_000
+
+
+def test_ma_crossover_detects_level_shift(spark, tmp_path):
+    """Daily revenue flat at 100 for 40 days then stepped to 200: the
+    7-day average crosses above the 28-day average exactly once, a few
+    days after the shift; no death cross inside the horizon."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    base = dt.date(2024, 1, 1)
+    rows = []
+    for i in range(60):
+        price = 100.0 if i < 40 else 200.0
+        rows.append((i, base + dt.timedelta(days=i), price))
+    df = spark.createDataFrame(
+        [(ok, d, p, 1, "O", "x") for ok, d, p in rows],
+        "o_orderkey long, o_orderdate date, o_totalprice double,"
+        " o_custkey long, o_orderstatus string, o_orderpriority string",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+    out = QUERIES["ma_crossover"].fn(spark, sf).collect()
+    assert len(out) == 1
+    sig = out[0]
+    assert sig.direction == "golden"
+    # the cross happens once the short window holds step-up days
+    shift_idx = (base + dt.timedelta(days=40) - dt.date(1970, 1, 1)).days
+    assert shift_idx <= sig.day_idx <= shift_idx + 7

@@ -393,3 +393,57 @@ def test_global_rank_no_global_window_over_orders(spark, sf_dir):
     for s in row_level:
         assert "cell" in s, f"row-level rank not cell-partitioned: {s}"
     assert "BroadcastHashJoin" in plan  # offsets return broadcast
+
+
+def test_gini_rank_is_cell_partitioned(spark, sf_dir):
+    """gini_revenue's Lorenz ranking must keep the global_rank shape:
+    the customer-volume ROW_NUMBER partitions on the value-grid cell;
+    the only unpartitioned window is the cell-count prefix sum over the
+    <=4096-row grid table."""
+    import re
+
+    plan = _plan(spark, sf_dir, "gini_revenue")
+    specs = re.findall(r"windowspecdefinition\(([^)]*?)\)", plan)
+    assert specs
+    row_level = [s for s in specs if "o_custkey" in s]
+    assert row_level, specs
+    for s in row_level:
+        assert "cell" in s, f"customer-level rank not cell-partitioned: {s}"
+
+
+def test_item_cosine_no_all_pairs_product(spark, sf_dir):
+    """item_item_cosine candidate pairs come from the within-order
+    basket self-join (equi-join on l_orderkey), never a cross product
+    of the item vocabulary; the global top-100 compiles to
+    TakeOrderedAndProject."""
+    plan = _plan(spark, sf_dir, "item_item_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kaplan_meier_fold_input_is_life_table(spark, sf_dir):
+    """The applyInPandas fold must sit ABOVE both aggregations (events →
+    user spans → day-level life table): exactly one FlatMapGroupsInPandas
+    with at least two HashAggregate pairs below it, so the Python
+    boundary only ever sees life-table-sized data."""
+    plan = _plan(spark, sf_dir, "kaplan_meier")
+    # formatted mode prints each operator twice (tree + numbered detail)
+    assert plan.count("FlatMapGroupsInPandas") == 2
+    above, below = plan.split("FlatMapGroupsInPandas", 1)
+    # the fold's input subtree (printed after the operator in formatted
+    # mode tree order) contains the span and life-table aggregations
+    assert below.count("HashAggregate") >= 4
+
+
+def test_streaming_family_is_append_mode():
+    """No driver-visible windowed streaming rollup may fall back to
+    complete-mode retention (the round-5 weak flag): every
+    run_available_now call in plans/streaming_q.py either uses the
+    default append or states it explicitly; 'complete' must not appear."""
+    import inspect
+
+    from openaq_lcs_fetch_spark.plans import streaming_q
+
+    src = inspect.getsource(streaming_q)
+    assert 'output_mode="complete"' not in src

@@ -541,6 +541,82 @@ COMMENTARY = {
         "classification rides the existing doc-keyed joins — the audit "
         "adds only the final 9-cell rollup."
     ),
+    # --- round 6 ---
+    "item_item_cosine": (
+        "CF similarity without an all-pairs product: within-order pair "
+        "expansion (fan-out bounded by basket size) + support-2 gate, "
+        "per-item counts join back on the pair keys; cosine is one "
+        "sqrt + one divide of exact integers; top-100 compiles to "
+        "TakeOrderedAndProject."
+    ),
+    "gini_revenue": (
+        "Exact Lorenz ranking on the 4096-cell value grid (per-cell "
+        "ROW_NUMBER + broadcast prefix offsets — no single-reducer "
+        "global window over customers); both moment sums accumulate in "
+        "DECIMAL(38,0); Gini is one double division at the end."
+    ),
+    "benford_digits": (
+        "One map-side digit rollup (9 groups) x broadcast 9-row ppm "
+        "spec; the chi-square term is wholly integer (DECIMAL(38) "
+        "numerator, truncating div) — a pure scan-aggregate."
+    ),
+    "order_price_reconcile": (
+        "Lineitem collapses to per-order charge sums map-side, then one "
+        "shuffle join on the natural key o_orderkey; all drift stats "
+        "exact BIGINT/DECIMAL — scan-dominated."
+    ),
+    "kaplan_meier": (
+        "Event volume reduces map-side to per-user spans, then to the "
+        "day-level life table; only that tiny table enters the "
+        "single-group fold (cap-guarded applyInPandas, same stance as "
+        "isotonic PAV) — nothing driver-side scales with events."
+    ),
+    "hourly_type_correlation": (
+        "Events collapse to the (hour, type) rollup in one map-side "
+        "agg; spine densify, pair join and the 10-row moment rollup all "
+        "run on rollup-sized data; r is sqrt/divide over DECIMAL(38) "
+        "integer moments."
+    ),
+    "ma_crossover": (
+        "Orders collapse to the daily rollup map-side; the RANGE-frame "
+        "windows and lag run over that one-row-per-day series (the "
+        "deliberately tiny unpartitioned window, global_rank stance); "
+        "the crossover test is integer cross-multiplication, never an "
+        "average."
+    ),
+    "new_vs_returning": (
+        "Distinct (day, user) and first-seen MIN are both map-side-"
+        "combinable; day-level join + a cumulative window over the "
+        "day table only."
+    ),
+    "iqr_fences_outliers": (
+        "Fourth surface of the shared grid order-statistics operator: "
+        "one grid pass resolves both quartiles, the 5-row fence table "
+        "broadcasts into a counting scan — two event-volume passes, "
+        "both scan + map-side agg."
+    ),
+    "user_type_impurity": (
+        "Two map-side rollups (user x type, then user) with the "
+        "naturally-spread user key; ppm impurity is integer-exact "
+        "DECIMAL(38) div; 10 rows out."
+    ),
+    "source_lang_tv": (
+        "One map-side (source, lang) rollup; the dense matrix, totals "
+        "and TV sums are all rollup-sized with broadcast dimensions; "
+        "drift number is one division of exact integers."
+    ),
+    "centroid_lang_classifier": (
+        "Char features are 27 map-only length/replace expressions (no "
+        "tokenizer shuffle); centroids collapse to a 5x27 broadcast; "
+        "scoring is a map-side join + per-doc rollup and the argmin "
+        "window sees exactly 5 rows per doc."
+    ),
+    "streaming_sliding_counts": (
+        "Sliding windows in append mode over the heartbeat stream: "
+        "each event expands to its two windows inside the stateful agg; "
+        "watermark evicts finalized windows, so live state is two "
+        "windows per type regardless of stream length."
+    ),
 }
 
 
