@@ -94,6 +94,10 @@ registry.promote(
         "source_lang_tv",
         "centroid_lang_classifier",
         "streaming_sliding_counts",
+        "weekday_anova",
+        "cramers_v",
+        "churn_features",
+        "nearest_poi",
         # (3) last driver row = round 1
         "watermark_summary",
         "distinct_users",

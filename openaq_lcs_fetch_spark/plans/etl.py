@@ -1175,3 +1175,91 @@ def user_type_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# nearest_poi — broadcast K-nearest-neighbor assignment (the spatial
+# "closest store/station/depot" join): every customer point snaps to
+# its nearest point-of-interest. The POI set is DIMENSION-sized, so
+# the scalable plan is exactly this one: broadcast the K POIs, compute
+# the K distances per row map-side, and take the argmin as a
+# map-side-combinable min(struct(d2, poi_id)) — the fact side never
+# shuffles except for the final POI-sized rollup. Distances are EXACT
+# integer squared-euclidean in micro-degrees (|dlon| ≤ 3.6e8 → d2 ≤
+# 1.5e17, comfortably int64); coordinates derive from md5 like
+# geo_tz_counts so the query is oracle-checkable, and ties break on
+# poi_id identically in both engines. (True great-circle distance
+# needs trig — engine-divergent floats — and changes no nearest
+# assignment at city scales; the integer metric IS the contract.)
+# ---------------------------------------------------------------------------
+
+#: deterministic POI grid: Knuth-hash scatter, fixed constants shared
+#: verbatim by the Spark plan and the SQL oracle.
+_POIS = [
+    (
+        i,
+        -60_000_000 + (i * 2654435761) % 120_000_000,
+        -180_000_000 + (i * 40503) % 360_000_000,
+    )
+    for i in range(40)
+]
+
+
+def _poi_values() -> str:
+    return ", ".join(f"({i}, {la}, {lo})" for i, la, lo in _POIS)
+
+
+_NEAREST_POI_ORACLE = f"""
+WITH pois(poi_id, plat, plon) AS (VALUES {_poi_values()}),
+pts AS (
+  SELECT c_custkey,
+         -60000000 + (('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':lat'), 1, 15))::BIGINT
+                      % 120000000) AS lat,
+         -180000000 + (('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':lon'), 1, 15))::BIGINT
+                       % 360000000) AS lon
+  FROM customer
+),
+scored AS (
+  SELECT p.c_custkey, q.poi_id,
+         (p.lat - q.plat) * (p.lat - q.plat)
+           + (p.lon - q.plon) * (p.lon - q.plon) AS d2,
+         row_number() OVER (PARTITION BY p.c_custkey
+                            ORDER BY (p.lat - q.plat) * (p.lat - q.plat)
+                                   + (p.lon - q.plon) * (p.lon - q.plon),
+                                     q.poi_id) AS rn
+  FROM pts p CROSS JOIN pois q
+)
+SELECT poi_id, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(MIN(d2) AS BIGINT) AS min_d2, CAST(MAX(d2) AS BIGINT) AS max_d2
+FROM scored WHERE rn = 1
+GROUP BY poi_id
+"""
+
+
+@query("nearest_poi", _NEAREST_POI_ORACLE)
+def nearest_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import h60
+
+    def hmod(salt: str, m: int):
+        return h60(F.concat(F.col("c_custkey").cast("string"), F.lit(salt))) % m
+
+    pts = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.lit(-60_000_000) + hmod(":lat", 120_000_000)).alias("lat"),
+        (F.lit(-180_000_000) + hmod(":lon", 360_000_000)).alias("lon"),
+    )
+    pois = spark.createDataFrame(_POIS, "poi_id long, plat long, plon long")
+    d2 = (F.col("lat") - F.col("plat")) * (F.col("lat") - F.col("plat")) + (
+        F.col("lon") - F.col("plon")
+    ) * (F.col("lon") - F.col("plon"))
+    nearest = (
+        pts.crossJoin(F.broadcast(pois))
+        .select("c_custkey", F.struct(d2.alias("d2"), F.col("poi_id")).alias("sc"))
+        .groupBy("c_custkey")
+        .agg(F.min("sc").alias("best"))
+    )
+    return nearest.groupBy(F.col("best.poi_id").alias("poi_id")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("best.d2").alias("min_d2"),
+        F.max("best.d2").alias("max_d2"),
+    )

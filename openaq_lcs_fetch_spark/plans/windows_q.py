@@ -1903,3 +1903,258 @@ def iqr_fences_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# weekday_anova — one-way ANOVA F-statistic: does event value differ by
+# weekday? (The seasonality hypothesis test behind staffing/capacity
+# decisions.) Groups are the 7 integer weekdays derived from pure
+# epoch-day arithmetic ((day+3) % 7, 0 = Monday — engine calendar
+# functions never run). All sufficient statistics are exact integers:
+# per-group (n, Σcents, Σcents²) in DECIMAL(38,0)/HUGEINT; the
+# between/within sums of squares are defined in micro-units with
+# truncating division (term_g = (S_g²·1e6) div n_g — a FIXED spec both
+# engines compute bit-identically; magnitude S_g²·1e6 stays inside
+# DECIMAL(38) through ~1e12-row groups at 1e4-cent values). The F
+# statistic is ONE double division of two exact integer products.
+# Shape: one map-side 7-group rollup, then a 1-row recombination.
+# ---------------------------------------------------------------------------
+
+_ANOVA_ORACLE = """
+WITH c AS (
+  SELECT ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+g AS (
+  SELECT dow, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(cents AS HUGEINT)) AS s,
+         SUM(CAST(cents AS HUGEINT) * cents) AS q
+  FROM c GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(n) AS nn, SUM(s) AS ss, SUM(q) AS qq,
+         SUM((s * s * 1000000) // n) AS sterm
+  FROM g
+)
+SELECT k AS n_groups, CAST(nn AS BIGINT) AS n,
+       CAST(sterm - (ss * ss * 1000000) // nn AS BIGINT) AS ssb_micro,
+       CAST(qq * 1000000 - sterm AS BIGINT) AS ssw_micro,
+       CASE WHEN qq * 1000000 - sterm > 0 AND k > 1
+            THEN CAST((sterm - (ss * ss * 1000000) // nn) * (nn - k) AS DOUBLE)
+                 / CAST((qq * 1000000 - sterm) * (k - 1) AS DOUBLE)
+            END AS f_stat
+FROM tot
+"""
+
+
+@query("weekday_anova", _ANOVA_ORACLE)
+def weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.timestamps import micros
+
+    d38 = "decimal(38,0)"
+    c = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select(
+            micros(F.col("ts")).alias("us"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .select(
+            F.expr("((us div 86400000000) + 3) % 7").alias("dow"), "cents"
+        )
+    )
+    g = c.groupBy("dow").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("cents").cast(d38)).alias("s"),
+        F.sum(F.col("cents").cast(d38) * F.col("cents")).alias("q"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.sum(F.expr("(s * s * 1000000) div n").cast(d38)).alias("sterm"),
+    )
+    ssb = F.col("sterm") - F.expr("(ss * ss * 1000000) div nn")
+    ssw = F.col("qq") * 1000000 - F.col("sterm")
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").cast("long").alias("n"),
+        ssb.cast("long").alias("ssb_micro"),
+        ssw.cast("long").alias("ssw_micro"),
+        F.when(
+            (ssw > 0) & (F.col("k") > 1),
+            (ssb * (F.col("nn") - F.col("k"))).cast("double")
+            / (ssw * (F.col("k") - 1)).cast("double"),
+        ).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cramers_v — effect size for the type × weekday association (the
+# companion number to type_day_chisq's per-cell scaffold: one scalar
+# answering "HOW MUCH does behavior depend on weekday?"). The global
+# chi-square — a float-sum trap across 35 rational cells — is made
+# summable by quantizing each cell to micro-units with truncating
+# division: term = ((o·N − rs·cs)²·1e6) div (N·rs·cs), all in
+# DECIMAL(38,0)/HUGEINT (exact while (o·N)²·1e6 fits DECIMAL(38) —
+# up to ~1e9 rows per partition-of-analysis; chunk by day beyond
+# that). V = sqrt of ONE division of exact integers. Shape: map-side
+# 35-cell rollup; marginals and the final scalar are cell-table-sized.
+# ---------------------------------------------------------------------------
+
+_CRAMER_ORACLE = """
+WITH c AS (
+  SELECT event_type, ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow
+  FROM events
+),
+cells AS (
+  SELECT event_type, dow, CAST(COUNT(*) AS HUGEINT) AS o
+  FROM c GROUP BY 1, 2
+),
+rs AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY 1),
+cs AS (SELECT dow, SUM(o) AS s FROM cells GROUP BY 1),
+tot AS (SELECT SUM(o) AS n,
+               CAST(COUNT(DISTINCT event_type) AS HUGEINT) AS nr,
+               CAST(COUNT(DISTINCT dow) AS HUGEINT) AS nc
+        FROM cells),
+terms AS (
+  SELECT SUM(((ce.o * t.n - r.r * s.s) * (ce.o * t.n - r.r * s.s) * 1000000)
+             // (t.n * r.r * s.s)) AS chi2_micro
+  FROM cells ce
+  JOIN rs r USING (event_type)
+  JOIN cs s USING (dow)
+  CROSS JOIN tot t
+)
+SELECT CAST(t.n AS BIGINT) AS n,
+       CAST(te.chi2_micro AS BIGINT) AS chi2_micro,
+       sqrt(CAST(te.chi2_micro AS DOUBLE)
+            / CAST(1000000 * t.n * (LEAST(t.nr, t.nc) - 1) AS DOUBLE))
+         AS cramers_v
+FROM terms te CROSS JOIN tot t
+"""
+
+
+@query("cramers_v", _CRAMER_ORACLE)
+def cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.timestamps import micros
+
+    d38 = "decimal(38,0)"
+    c = t(spark, sf_dir, "events").select(
+        "event_type", micros(F.col("ts")).alias("us")
+    ).select(
+        "event_type", F.expr("((us div 86400000000) + 3) % 7").alias("dow")
+    )
+    cells = c.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast(d38).alias("o")
+    )
+    rs = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cs = cells.groupBy("dow").agg(F.sum("o").alias("s"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").cast(d38).alias("nr"),
+        F.countDistinct("dow").cast(d38).alias("nc"),
+    )
+    terms = (
+        cells.join(F.broadcast(rs), "event_type")
+        .join(F.broadcast(cs), "dow")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.expr(
+                    "((o * n - r * s) * (o * n - r * s) * 1000000)"
+                    " div (n * r * s)"
+                ).cast(d38)
+            ).alias("chi2_micro")
+        )
+    )
+    return terms.crossJoin(F.broadcast(tot)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("chi2_micro").cast("long").alias("chi2_micro"),
+        F.sqrt(
+            F.col("chi2_micro").cast("double")
+            / (
+                F.lit(1000000).cast(d38)
+                * F.col("n")
+                * (F.least(F.col("nr"), F.col("nc")) - 1)
+            ).cast("double")
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# churn_features — the feature-store assembly query: one wide
+# training-matrix row per user (recency, tenure, frequency, monetary,
+# active days, type diversity) plus the churn label the features would
+# predict (no activity in the final 7 days). Everything is exact
+# integer arithmetic off ONE user-keyed aggregate (multi-distinct via
+# Expand — the events_profile shape); the observation end is a 1-row
+# broadcast scalar. The user key scales WITH the data — the
+# embarrassingly-parallel rollup shape by construction.
+# ---------------------------------------------------------------------------
+
+_CHURN_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         epoch_us(ts) // 86400000000 AS day,
+         event_type,
+         CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+obs AS (SELECT MAX(us) AS endus FROM e),
+u AS (
+  SELECT user_id,
+         MIN(us) AS f, MAX(us) AS l,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(cents) AS BIGINT) AS total_cents,
+         CAST(COUNT(DISTINCT day) AS BIGINT) AS active_days,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+  FROM e GROUP BY 1
+)
+SELECT u.user_id,
+       (o.endus - u.l) // 86400000000 AS recency_days,
+       (u.l - u.f) // 86400000000 AS tenure_days,
+       u.n_events, u.total_cents, u.active_days, u.n_types,
+       CASE WHEN o.endus - u.l >= 7 * CAST(86400000000 AS BIGINT)
+            THEN 1 ELSE 0 END AS churned
+FROM u CROSS JOIN obs o
+"""
+
+
+@query("churn_features", _CHURN_ORACLE)
+def churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.timestamps import micros
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        micros(F.col("ts")).alias("us"),
+        "event_type",
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    ).withColumn("day", F.expr("us div 86400000000"))
+    obs = e.agg(F.max("us").alias("endus"))
+    u = e.groupBy("user_id").agg(
+        F.min("us").alias("f"),
+        F.max("us").alias("l"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("total_cents"),
+        F.countDistinct("day").alias("active_days"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+    return u.crossJoin(F.broadcast(obs)).select(
+        "user_id",
+        F.expr("(endus - l) div 86400000000").alias("recency_days"),
+        F.expr("(l - f) div 86400000000").alias("tenure_days"),
+        "n_events",
+        "total_cents",
+        "active_days",
+        "n_types",
+        F.when(
+            F.col("endus") - F.col("l") >= F.lit(7) * 86400000000, 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )

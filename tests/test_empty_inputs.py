@@ -55,7 +55,8 @@ REPRESENTATIVE = (
     "order_price_reconcile", "kaplan_meier", "hourly_type_correlation",
     "ma_crossover", "new_vs_returning", "iqr_fences_outliers",
     "user_type_impurity", "source_lang_tv", "centroid_lang_classifier",
-    "streaming_sliding_counts",
+    "streaming_sliding_counts", "weekday_anova", "cramers_v",
+    "churn_features", "nearest_poi",
 )
 
 

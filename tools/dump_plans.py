@@ -617,6 +617,26 @@ COMMENTARY = {
         "watermark evicts finalized windows, so live state is two "
         "windows per type regardless of stream length."
     ),
+    "weekday_anova": (
+        "One map-side 7-group rollup of exact integer moments, then a "
+        "1-row recombination; F is one double division of exact "
+        "integer products — calendar math is pure epoch-day integers."
+    ),
+    "cramers_v": (
+        "35-cell map-side contingency rollup; marginals broadcast back; "
+        "the chi-square sum is micro-unit integers (summable, unlike "
+        "raw rational cells); V = one sqrt of one division."
+    ),
+    "churn_features": (
+        "One user-keyed aggregate with Expand multi-distinct plus a "
+        "1-row observation-end broadcast — the embarrassingly-parallel "
+        "feature-matrix shape; user key scales with the data."
+    ),
+    "nearest_poi": (
+        "KNN assignment against a broadcast dimension: K distances per "
+        "row map-side, argmin as map-side-combinable min(struct) — the "
+        "fact never shuffles except the POI-sized rollup."
+    ),
 }
 
 
