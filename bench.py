@@ -99,6 +99,13 @@ HEADLINE = (
     "geo_tz_counts",
     "streaming_dedup_ww",
     "streaming_value_histogram",
+    # round 6: one representative per new family (CF join, grid rank,
+    # pandas fold, ML train/score loop, sliding streaming windows)
+    "item_item_cosine",
+    "gini_revenue",
+    "kaplan_meier",
+    "centroid_lang_classifier",
+    "streaming_sliding_counts",
 )
 
 
