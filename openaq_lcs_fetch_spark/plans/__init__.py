@@ -98,6 +98,8 @@ registry.promote(
         "cramers_v",
         "churn_features",
         "nearest_poi",
+        "hll_distinct_events",
+        "bfs_hops",
         # (3) last driver row = round 1
         "watermark_summary",
         "distinct_users",

@@ -352,3 +352,121 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("is_m"), F.lit(False)).alias("is_member"),
         (F.col("all_hit") == 1).alias("est_member"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# hll_distinct_events — a REAL HyperLogLog built from md5-portable
+# primitives, so (unlike engine-native approx_count_distinct, whose
+# estimates are engine-specific — see approx_event_stats' bound-flag
+# contract) the ESTIMATE ITSELF hash-matches the oracle bit-for-bit:
+# m=512 registers (sized so the oracle SF's per-type event
+# cardinality ~2000 clears the 2.5m=1280 small-range switch),
+# register = low 9 bits of h60, rank = leading-zero
+# count of the remaining 51-bit payload via length(bin(w)) — identical
+# integer semantics on both engines (w=0 maps to rank PAYLOAD-1 by the shared
+# bin('0') convention; p=2⁻⁵⁰, consistent either way). The harmonic
+# mean is kept EXACT: Σ2^(62−M_j) accumulates integer powers of two in
+# DECIMAL(38,0)/HUGEINT (never a float pow), and the estimate is the
+# fixed literal alpha·m²·2⁶² over that sum — one identical double
+# expression both sides. No small-range correction (it needs ln();
+# the sketched key is event_id, whose per-type cardinality sits far
+# above the 2.5m switch at the oracle SF — measured: per-type USER
+# cardinality at sf0.01 is 150 ≪ 2.5·m, squarely in the regime
+# where uncorrected HLL overestimates ~5×, which is WHY this sketch
+# counts events; the within_3sigma flag is the regime contract and
+# goes honestly false below the switch). The error-bound flag against
+# the exact count (rsd for m=1024 is 1.04/√1024 ≈ 3.3%; flagged at
+# 3σ ≈ 10%) rides along like approx_event_stats'. Shape: one map-side
+# (type, register) MAX rollup — registers are fixed-memory and
+# mergeable, which is the whole point at 100 TB.
+# ---------------------------------------------------------------------------
+
+_HLL_M = 512
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # 0.71978...
+_HLL_PAYLOAD = 60 - (_HLL_M.bit_length() - 1)  # 51 payload bits at m=512
+
+_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+),
+rho AS (
+  SELECT event_type, hv % {_HLL_M} AS reg,
+         {_HLL_PAYLOAD + 1} - length(bin(hv // {_HLL_M})) AS rank
+  FROM h
+),
+regs AS (
+  SELECT event_type, reg, MAX(rank) AS m FROM rho GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM events),
+spine AS (
+  SELECT t.event_type, g.range AS reg
+  FROM types t CROSS JOIN range({_HLL_M}) g
+),
+filled AS (
+  SELECT s.event_type, COALESCE(r.m, 0) AS m
+  FROM spine s LEFT JOIN regs r
+    ON r.event_type = s.event_type AND r.reg = s.reg
+),
+est AS (
+  SELECT event_type,
+         SUM(CAST(1::BIGINT << (62 - m) AS HUGEINT)) AS s2
+  FROM filled GROUP BY 1
+),
+exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_events
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, x.exact_events,
+       CAST({_HLL_ALPHA!r} AS DOUBLE) * CAST({_HLL_M} AS DOUBLE)
+         * CAST({_HLL_M} AS DOUBLE) * CAST(4611686018427387904 AS DOUBLE)
+         / CAST(e.s2 AS DOUBLE) AS hll_events,
+       ABS(CAST({_HLL_ALPHA!r} AS DOUBLE) * CAST({_HLL_M} AS DOUBLE)
+           * CAST({_HLL_M} AS DOUBLE) * CAST(4611686018427387904 AS DOUBLE)
+           / CAST(e.s2 AS DOUBLE) - x.exact_events)
+         <= 0.14 * x.exact_events AS within_3sigma
+FROM est e JOIN exact x USING (event_type)
+"""
+
+
+@query("hll_distinct_events", _HLL_ORACLE)
+def hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("event_type", "event_id")
+    h = e.distinct().select(
+        "event_type", h60(F.col("event_id").cast("string")).alias("hv")
+    )
+    rho = h.select(
+        "event_type",
+        (F.col("hv") % _HLL_M).alias("reg"),
+        (F.lit(_HLL_PAYLOAD + 1) - F.length(F.bin(F.expr(f"hv div {_HLL_M}")))).alias("rank"),
+    )
+    regs = rho.groupBy("event_type", "reg").agg(F.max("rank").alias("m"))
+    types = e.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(spark.range(_HLL_M).select(F.col("id").alias("reg"))))
+    filled = spine.join(regs, ["event_type", "reg"], "left").select(
+        "event_type", F.coalesce(F.col("m"), F.lit(0)).alias("m")
+    )
+    est = filled.groupBy("event_type").agg(
+        F.sum(
+            F.expr("CAST(shiftleft(1L, CAST(62 - m AS INT)) AS DECIMAL(38,0))")
+        ).alias("s2")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("exact_events")
+    )
+    hll = (
+        F.lit(_HLL_ALPHA)
+        * F.lit(float(_HLL_M))
+        * F.lit(float(_HLL_M))
+        * F.lit(4611686018427387904.0)
+        / F.col("s2").cast("double")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "exact_events",
+        hll.alias("hll_events"),
+        (F.abs(hll - F.col("exact_events")) <= 0.14 * F.col("exact_events")).alias(
+            "within_3sigma"
+        ),
+    )

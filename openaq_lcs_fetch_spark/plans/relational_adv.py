@@ -2047,3 +2047,99 @@ def order_price_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_abs_diff_u"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops — breadth-first hop distances from the co-purchase graph's
+# hub (highest-degree part, tie-broken by id — fully deterministic
+# seed): how much of the catalog is within k hops of the bestseller?
+# The iterative frontier expansion is the Pregel/GraphX shape expressed
+# as a driver loop of DataFrame ops (the connected-components /
+# PageRank stance): per round, one equi-join of the frontier into the
+# directed edge list + an anti-join against visited, localCheckpoint
+# to keep lineage flat, early exit on an empty frontier. Rounds are
+# capped at MAX_HOPS (the output's semantic horizon, not a
+# convergence guess). The oracle is the same bounded expansion as a
+# recursive CTE with UNION-dedup. Edges reuse the support>=2 filter
+# (copurchase_triangles' noise gate), so the graph — and the fan-out —
+# is the curated co-purchase structure, not raw pair noise.
+# ---------------------------------------------------------------------------
+
+_BFS_MAX_HOPS = 6
+_BFS_MIN_SUPPORT = 2
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_BFS_MIN_SUPPORT}
+),
+dedges AS (
+  SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+),
+deg AS (
+  SELECT u AS node, COUNT(*) AS d FROM dedges GROUP BY 1
+),
+seed AS (
+  SELECT node FROM deg ORDER BY d DESC, node ASC LIMIT 1
+),
+bfs AS (
+  SELECT node, 0 AS hop FROM seed
+  UNION
+  SELECT e.v AS node, b.hop + 1 AS hop
+  FROM bfs b JOIN dedges e ON e.u = b.node
+  WHERE b.hop < {_BFS_MAX_HOPS}
+),
+dist AS (
+  SELECT node, MIN(hop) AS hop FROM bfs GROUP BY 1
+)
+SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM dist GROUP BY 1
+"""
+
+
+@query("bfs_hops", _BFS_ORACLE)
+def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= _BFS_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    dedges = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    deg = dedges.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    seed = deg.orderBy(F.col("d").desc(), F.col("node").asc()).limit(1).select(
+        "node", F.lit(0).alias("hop")
+    )
+    dist = seed.localCheckpoint()
+    frontier = dist
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        expanded = (
+            frontier.join(dedges, frontier.node == dedges.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).alias("hop"))
+            .localCheckpoint()
+        )
+        if expanded.isEmpty():
+            break
+        dist = dist.unionAll(expanded).localCheckpoint()
+        frontier = expanded
+    return dist.groupBy("hop").agg(F.count(F.lit(1)).alias("n_nodes"))

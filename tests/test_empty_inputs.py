@@ -56,7 +56,7 @@ REPRESENTATIVE = (
     "ma_crossover", "new_vs_returning", "iqr_fences_outliers",
     "user_type_impurity", "source_lang_tv", "centroid_lang_classifier",
     "streaming_sliding_counts", "weekday_anova", "cramers_v",
-    "churn_features", "nearest_poi",
+    "churn_features", "nearest_poi", "hll_distinct_events", "bfs_hops",
 )
 
 

@@ -1036,3 +1036,115 @@ def test_ma_crossover_detects_level_shift(spark, tmp_path):
     # the cross happens once the short window holds step-up days
     shift_idx = (base + dt.timedelta(days=40) - dt.date(1970, 1, 1)).days
     assert shift_idx <= sig.day_idx <= shift_idx + 7
+
+
+def test_kaplan_meier_matches_naive_reference_random_cohorts(spark, tmp_path):
+    """Property check: the distributed KM pipeline equals a brute pure-
+    python estimator (sorted fold with arbitrary-precision ints) on
+    seeded random cohorts — independent of the DuckDB oracle, which
+    shares the recursive fold's *shape* and could in principle share a
+    bug with it."""
+    import datetime as dt
+    import os
+    import random
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    rng = random.Random(42)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    horizon = 40  # days of observation
+    for uid in range(1, 120):
+        start = rng.randint(0, horizon - 1)
+        life = rng.randint(0, horizon - 1 - start)
+        rows.append((uid, base + dt.timedelta(days=start, hours=1)))
+        if life:
+            rows.append((uid, base + dt.timedelta(days=start + life, hours=1)))
+    df = spark.createDataFrame(
+        [(i, ts, u, "click", 1.0, "{}") for i, (u, ts) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    # naive reference
+    spans: dict = {}
+    for u, ts in rows:
+        f, l = spans.get(u, (ts, ts))
+        spans[u] = (min(f, ts), max(l, ts))
+    end = max(l for _, l in spans.values())
+    marked = [
+        (
+            (l - f).days,
+            1 if (end - l) >= dt.timedelta(days=7) else 0,
+        )
+        for f, l in spans.values()
+    ]
+    from collections import defaultdict
+
+    life_tab: dict = defaultdict(lambda: [0, 0])
+    for dur, ev in marked:
+        life_tab[dur][0 if ev else 1] += 1
+    total = len(marked)
+    s, exited = 10**12, 0
+    expect = {}
+    for dur in sorted(life_tab):
+        d, c = life_tab[dur]
+        n_risk = total - exited
+        s = s * (n_risk - d) // n_risk
+        expect[dur] = (n_risk, d, c, s)
+        exited += d + c
+
+    got = {
+        r.t_days: (r.n_risk, r.n_events, r.n_censored, r.surv_ppt)
+        for r in QUERIES["kaplan_meier"].fn(spark, sf).collect()
+    }
+    assert got == expect
+
+
+def test_hll_distinct_within_bound_and_portable_registers(spark, sf_dir):
+    """The md5-register HLL must (a) land inside its 3-sigma bound for
+    every type at the oracle SF (event_id cardinality sits above the
+    2.5m small-range switch there — the documented regime contract;
+    USER cardinality does not, which is why the sketch counts events)
+    and (b) be a deterministic pure function of the input — two runs
+    produce identical estimate BITS."""
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    run1 = {
+        r.event_type: (r.hll_events, r.within_3sigma, r.exact_events)
+        for r in QUERIES["hll_distinct_events"].fn(spark, sf_dir).collect()
+    }
+    assert all(ex > 2.5 * 512 for _, _, ex in run1.values()), run1
+    assert all(ok for _, ok, _ in run1.values()), run1
+    run2 = {
+        r.event_type: r.hll_events
+        for r in QUERIES["hll_distinct_events"].fn(spark, sf_dir).collect()
+    }
+    assert {k: v[0] for k, v in run1.items()} == run2
+
+
+def test_bfs_hops_known_graph(spark, tmp_path):
+    """Path graph A-B-C-D (each edge co-purchased twice) plus an
+    isolated supported edge E-F: the hub is the max-degree node (B or C
+    -> min id wins among degree-2 nodes = B... in a path A-B-C-D, B and
+    C both have degree 2; min node id tie-break picks B). Hops from B:
+    {B:0, A:1, C:1, D:2}; E/F unreachable."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    A, B, C, D, E, Fn = 1, 2, 3, 4, 5, 6
+    pairs = [(A, B), (B, C), (C, D), (E, Fn)]
+    rows = []
+    ok = 100
+    for u, v in pairs:
+        for _ in range(2):  # support 2
+            rows += [(ok, u), (ok, v)]
+            ok += 1
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(sf, "lineitem.parquet"))
+    out = {r.hop: r.n_nodes for r in QUERIES["bfs_hops"].fn(spark, sf).collect()}
+    assert out == {0: 1, 1: 2, 2: 1}

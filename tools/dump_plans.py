@@ -637,6 +637,17 @@ COMMENTARY = {
         "row map-side, argmin as map-side-combinable min(struct) — the "
         "fact never shuffles except the POI-sized rollup."
     ),
+    "hll_distinct_events": (
+        "A real HyperLogLog whose ESTIMATE hash-matches the oracle: "
+        "md5-portable registers, one map-side (type, register) MAX "
+        "rollup — fixed-memory mergeable state, the 100 TB shape."
+    ),
+    "bfs_hops": (
+        "Pregel-style frontier expansion as a driver loop: per round "
+        "one frontier-edge equi-join + visited anti-join, "
+        "localCheckpoint keeps lineage flat, early exit on empty "
+        "frontier; bounded by the 6-hop semantic horizon."
+    ),
 }
 
 
