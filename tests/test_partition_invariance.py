@@ -75,7 +75,13 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           "dau_wau_stickiness", "cohort_ltv", "seasonal_naive_error",
           "equi_depth_quantiles", "value_outliers_3sigma", "lag_features", "max_drawdown", "theil_sen_daily_slope",
           "value_mad", "fuzzy_er_clusters", "part_cheapest_offer", "customers_all_brands", "copurchase_triangles", "basket_lift_rules", "hourly_autocorr24", "reliability_bins", "global_rank_sample", "k_anonymity_audit", "geo_tz_counts",
-          "corpus_mix_weights", "hour_of_day_profile"]:
+          "corpus_mix_weights", "hour_of_day_profile",
+          "item_item_cosine", "gini_revenue", "benford_digits",
+          "order_price_reconcile", "kaplan_meier", "hourly_type_correlation",
+          "ma_crossover", "new_vs_returning", "iqr_fences_outliers",
+          "user_type_impurity", "source_lang_tv", "centroid_lang_classifier",
+          "weekday_anova", "cramers_v", "churn_features", "nearest_poi",
+          "hll_distinct_events", "bfs_hops"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n
