@@ -106,6 +106,9 @@ HEADLINE = (
     "kaplan_meier",
     "centroid_lang_classifier",
     "streaming_sliding_counts",
+    # round 6b: grid-rank normalization + exact-integer EMD drift
+    "quality_quantile_map",
+    "hourly_value_emd",
 )
 
 

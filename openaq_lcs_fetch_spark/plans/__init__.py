@@ -100,6 +100,8 @@ registry.promote(
         "nearest_poi",
         "hll_distinct_events",
         "bfs_hops",
+        "quality_quantile_map",
+        "hourly_value_emd",
         # (3) last driver row = round 1
         "watermark_summary",
         "distinct_users",

@@ -1562,3 +1562,138 @@ def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("active_users") - F.col("new_users")).alias("returning_users"),
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hourly_value_emd — distribution drift as 1-D earth-mover distance:
+# for every hour, the EMD between that hour's value histogram and the
+# whole dataset's, on the same fixed $5 cells as the streaming
+# histogram (comparable across windows by construction). In 1-D the
+# EMD is the area between CDFs; on an integer cell axis that is
+#   Σ_segments |cumH·N − cumG·N_h| · segment_width
+# with denominators cleared — every term an exact integer in
+# DECIMAL(38,0)/HUGEINT (cum·N ≈ 1e24 at 1e12-row scale, inside
+# DECIMAL(38)), and the reported emd_cells is ONE division by N·N_h.
+# Segment widths come from the global distinct-cell spine (gaps where
+# neither distribution moves still carry the flat |ΔCDF| — dropping
+# them is the classic sparse-EMD bug). Shape: events collapse map-side
+# to the (hour, cell) rollup; the dense spine, both CDF windows and
+# the final rollup are all rollup-sized (hours × occupied cells).
+# ---------------------------------------------------------------------------
+
+_EMD_ORACLE = """
+WITH c AS (
+  SELECT epoch_us(ts) // 3600000000 AS h,
+         CAST(ROUND(value * 100, 0) AS BIGINT) // 500 AS cell
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+hc AS (
+  SELECT h, cell, CAST(COUNT(*) AS HUGEINT) AS n FROM c GROUP BY 1, 2
+),
+spine AS (
+  SELECT cell,
+         COALESCE(LEAD(cell) OVER (ORDER BY cell) - cell, 1) AS width
+  FROM (SELECT DISTINCT cell FROM hc)
+),
+hours AS (SELECT h, SUM(n) AS nh FROM hc GROUP BY 1),
+tot AS (SELECT SUM(n) AS n FROM hc),
+gcum AS (
+  SELECT cell, SUM(gn) OVER (ORDER BY cell ROWS UNBOUNDED PRECEDING) AS cumg
+  FROM (SELECT cell, SUM(n) AS gn FROM hc GROUP BY 1)
+),
+dense AS (
+  SELECT hr.h, sp.cell, sp.width, hr.nh, COALESCE(x.n, 0) AS n
+  FROM hours hr CROSS JOIN spine sp
+  LEFT JOIN hc x ON x.h = hr.h AND x.cell = sp.cell
+),
+hcum AS (
+  SELECT h, cell, width, nh,
+         SUM(n) OVER (PARTITION BY h ORDER BY cell ROWS UNBOUNDED PRECEDING)
+           AS cumh
+  FROM dense
+)
+SELECT hc2.h,
+       CAST(MIN(hc2.nh) AS BIGINT) AS n,
+       CAST(SUM(ABS(hc2.cumh * t.n - g.cumg * hc2.nh) * hc2.width) AS BIGINT)
+         AS emd_num,
+       CAST(SUM(ABS(hc2.cumh * t.n - g.cumg * hc2.nh) * hc2.width) AS DOUBLE)
+         / CAST(MIN(hc2.nh) * t.n AS DOUBLE) AS emd_cells
+FROM hcum hc2 JOIN gcum g USING (cell) CROSS JOIN tot t
+GROUP BY hc2.h, t.n
+"""
+
+
+@query("hourly_value_emd", _EMD_ORACLE)
+def hourly_value_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.timestamps import micros
+
+    d38 = "decimal(38,0)"
+    c = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select(
+            micros(F.col("ts")).alias("us"),
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT) div 500").alias("cell"),
+        )
+        .select(F.expr("us div 3600000000").alias("h"), "cell")
+    )
+    hc = c.groupBy("h", "cell").agg(F.count(F.lit(1)).cast(d38).alias("n"))
+    spine = (
+        hc.select("cell")
+        .distinct()
+        .withColumn(
+            "width",
+            F.coalesce(
+                F.lead("cell").over(Window.orderBy("cell")) - F.col("cell"),
+                F.lit(1),
+            ),
+        )
+    )
+    hours = hc.groupBy("h").agg(F.sum("n").alias("nh"))
+    tot = hc.agg(F.sum("n").alias("n_tot"))
+    gcum = (
+        hc.groupBy("cell")
+        .agg(F.sum("n").alias("gn"))
+        .withColumn(
+            "cumg",
+            F.sum("gn").over(
+                Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select("cell", "cumg")
+    )
+    dense = (
+        hours.crossJoin(F.broadcast(spine))
+        .join(hc, ["h", "cell"], "left")
+        .select(
+            "h", "cell", "width", "nh", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+        )
+    )
+    hcum = dense.withColumn(
+        "cumh",
+        F.sum("n").over(
+            Window.partitionBy("h")
+            .orderBy("cell")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    term = (
+        F.abs(F.col("cumh") * F.col("n_tot") - F.col("cumg") * F.col("nh"))
+        * F.col("width")
+    )
+    return (
+        hcum.join(F.broadcast(gcum), "cell")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("h", "n_tot")
+        .agg(
+            F.min("nh").cast("long").alias("n"),
+            F.sum(term).cast("long").alias("emd_num"),
+            (
+                F.sum(term).cast("double")
+                / (F.min("nh") * F.col("n_tot")).cast("double")
+            ).alias("emd_cells"),
+        )
+        .drop("n_tot")
+    )

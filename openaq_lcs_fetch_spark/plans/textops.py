@@ -2488,3 +2488,110 @@ def centroid_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.groupBy(
         F.col("true_lang"), F.col("pred").alias("pred_lang")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# quality_quantile_map — quantile NORMALIZATION across corpus slices
+# (the cross-domain feature transform: replace each doc's within-source
+# rank statistic with the corresponding global quantile VALUE, so
+# every source's distribution maps onto the corpus's). Everything is
+# rank arithmetic on exact integers: within-source rank r of n_s maps
+# to target global rank g = 1 + ((r−1)·(N−1)) div max(n_s−1, 1)
+# (endpoints map to endpoints), and the mapped value is the global
+# order statistic at g. BOTH rankings use the grid-cell distributed
+# shape (global_rank_sample): per-(key, cell) ROW_NUMBERs partition on
+# the 4096-way value grid — the within-source window is NEVER
+# partitioned by source alone (20 sources at 100 TB = 20 reducers; the
+# (source, cell) key spreads each source over the grid). The final
+# value lookup is an equi-join on the target rank.
+# ---------------------------------------------------------------------------
+
+_QMAP_GRID = 4096
+
+_QMAP_ORACLE = """
+WITH g AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS grank,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+           AS srank,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+  FROM documents
+),
+target AS (
+  SELECT s.doc_id, s.source, s.n_chars,
+         1 + ((s.srank - 1) * (g0.n - 1))
+             // CASE WHEN s.ns > 1 THEN s.ns - 1 ELSE 1 END AS tg
+  FROM s CROSS JOIN (SELECT DISTINCT n FROM g) g0
+)
+SELECT t.doc_id, t.source, t.n_chars,
+       v.n_chars AS mapped_chars
+FROM target t JOIN g v ON v.grank = t.tg
+"""
+
+
+@query("quality_quantile_map", _QMAP_ORACLE)
+def quality_quantile_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.quantiles import range_bucket
+
+    B = _QMAP_GRID
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    bounds = d.agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"))
+    eb = d.crossJoin(F.broadcast(bounds)).withColumn(
+        "cell", range_bucket("n_chars", "lo", "hi", B)
+    )
+
+    def cell_ranked(df, keys: list[str], rank_name: str):
+        """Exact rank over (n_chars, doc_id) within ``keys`` via the
+        grid: per-(keys, cell) local ROW_NUMBER + prefix-count offsets
+        over the cell table (keys x <=4096 rows)."""
+        part = keys + ["cell"]
+        w_local = Window.partitionBy(*part).orderBy(
+            F.col("n_chars").asc(), F.col("doc_id").asc()
+        )
+        w_off = Window.partitionBy(*keys).orderBy(F.col("cell").asc()).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = (
+            df.groupBy(*part)
+            .agg(F.count(F.lit(1)).alias("cn"))
+            .withColumn("off", F.coalesce(F.sum("cn").over(w_off), F.lit(0)))
+            .select(*part, "off")
+        )
+        return (
+            df.withColumn("lr", F.row_number().over(w_local))
+            .join(offsets, part)
+            .withColumn(rank_name, (F.col("off") + F.col("lr")).cast("long"))
+            .drop("lr", "off")
+        )
+
+    g = cell_ranked(eb, [], "grank")
+    n_tot = d.agg(F.count(F.lit(1)).alias("n"))
+    s = cell_ranked(eb, ["source"], "srank")
+    ns = d.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    target = (
+        s.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (
+                F.lit(1)
+                + F.expr(
+                    "((srank - 1) * (n - 1))"
+                    " div (CASE WHEN ns > 1 THEN ns - 1 ELSE 1 END)"
+                )
+            ).alias("tg"),
+        )
+    )
+    lookup = g.select(F.col("grank").alias("tg"), F.col("n_chars").alias("mapped_chars"))
+    return target.join(lookup, "tg").select(
+        "doc_id", "source", "n_chars", "mapped_chars"
+    )

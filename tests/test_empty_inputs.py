@@ -57,6 +57,7 @@ REPRESENTATIVE = (
     "user_type_impurity", "source_lang_tv", "centroid_lang_classifier",
     "streaming_sliding_counts", "weekday_anova", "cramers_v",
     "churn_features", "nearest_poi", "hll_distinct_events", "bfs_hops",
+    "quality_quantile_map", "hourly_value_emd",
 )
 
 

@@ -81,7 +81,8 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           "ma_crossover", "new_vs_returning", "iqr_fences_outliers",
           "user_type_impurity", "source_lang_tv", "centroid_lang_classifier",
           "weekday_anova", "cramers_v", "churn_features", "nearest_poi",
-          "hll_distinct_events", "bfs_hops"]:
+          "hll_distinct_events", "bfs_hops",
+          "quality_quantile_map", "hourly_value_emd"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n

@@ -648,6 +648,19 @@ COMMENTARY = {
         "localCheckpoint keeps lineage flat, early exit on empty "
         "frontier; bounded by the 6-hop semantic horizon."
     ),
+    "quality_quantile_map": (
+        "Quantile normalization with NO source-partitioned window: "
+        "both rankings (global and within-source) use the 4096-cell "
+        "grid shape — per-(key, cell) local ranks + prefix offsets — "
+        "so a 20-source corpus never funnels through 20 reducers; the "
+        "value lookup is an equi-join on the target rank."
+    ),
+    "hourly_value_emd": (
+        "Events collapse map-side to the (hour, cell) rollup; the "
+        "dense spine, both CDF windows and the EMD rollup are all "
+        "rollup-sized; every |deltaCDF| term is an exact DECIMAL(38) "
+        "integer with denominators cleared, one division at the end."
+    ),
 }
 
 
