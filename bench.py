@@ -106,9 +106,12 @@ HEADLINE = (
     "kaplan_meier",
     "centroid_lang_classifier",
     "streaming_sliding_counts",
-    # round 6b: grid-rank normalization + exact-integer EMD drift
+    # round 6b: grid-rank normalization + exact-integer EMD drift +
+    # moment-based OLS + Markov transitions
     "quality_quantile_map",
     "hourly_value_emd",
+    "ols_hourly_trend",
+    "transition_dwell_times",
 )
 
 

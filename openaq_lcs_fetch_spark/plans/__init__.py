@@ -102,6 +102,8 @@ registry.promote(
         "bfs_hops",
         "quality_quantile_map",
         "hourly_value_emd",
+        "ols_hourly_trend",
+        "transition_dwell_times",
         # (3) last driver row = round 1
         "watermark_summary",
         "distinct_users",

@@ -68,6 +68,10 @@ def query(name: str, oracle: str | None = None):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        if name in QUERIES:
+            # a silent overwrite means one of the two implementations
+            # is never verified — fail at import time instead
+            raise ValueError(f"query {name!r} registered twice")
         QUERIES[name] = Query(name, wrapped, oracle)
         return wrapped
 

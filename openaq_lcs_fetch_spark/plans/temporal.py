@@ -1697,3 +1697,163 @@ def hourly_value_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("n_tot")
     )
+
+
+# ---------------------------------------------------------------------------
+# ols_hourly_trend — classic least-squares trend per type (the
+# regr_slope/regr_intercept/regr_r2 family), the parametric twin of
+# theil_sen_daily_slope: regress value-cents on the hour index at the
+# EVENT level. The whole regression is five integer moments
+# (n, Σx, Σy, Σxy, Σx²[, Σy²]) accumulated in DECIMAL(38,0)/HUGEINT —
+# one map-side partial agg, no window, no self-join; engine-native
+# regr_* can't be oracled (float accumulation order differs), exact
+# moments can. The hour axis is SHIFTED to each type's min hour before
+# the moments (slope is shift-invariant): x ≤ ~10³ instead of ~5·10⁵,
+# so n·Σx² ≈ 1e12·1e9 = 1e21 at 1e12-row scale — deep inside
+# DECIMAL(38) where raw-epoch moments (n·Σx² ≈ 2·10³⁵) would sit one
+# digit from overflow. The only floating point is the final
+# slope/intercept/r² ratios of exact integers (portable per
+# ORACLE_NOTES: same exact operands → same IEEE result).
+# ---------------------------------------------------------------------------
+
+_OLS_ORACLE = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS y
+  FROM events
+),
+shifted AS (
+  SELECT event_type, h - MIN(h) OVER (PARTITION BY event_type) AS x, y,
+         MIN(h) OVER (PARTITION BY event_type) AS h_min
+  FROM e
+),
+m AS (
+  SELECT event_type, MIN(h_min) AS h_min,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM shifted GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, CAST(h_min AS BIGINT) AS h_min,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS slope_per_hour,
+       CAST(sy * sxx - sx * sxy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS intercept_at_min,
+       (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+         / (CAST(n * sxx - sx * sx AS DOUBLE)
+            * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+FROM m
+"""
+
+
+@query("ols_hourly_trend", _OLS_ORACLE)
+def ols_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.timestamps import micros
+
+    d38 = "decimal(38,0)"
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("y"),
+        micros(F.col("ts")).alias("us"),
+    ).withColumn("h", F.expr("us div 3600000000"))
+    hmin = e.groupBy("event_type").agg(F.min("h").alias("h_min"))
+    s = (
+        e.join(F.broadcast(hmin), "event_type")
+        .select(
+            "event_type",
+            "h_min",
+            (F.col("h") - F.col("h_min")).cast(d38).alias("x"),
+            F.col("y").cast(d38).alias("y"),
+        )
+    )
+    m = s.groupBy("event_type").agg(
+        F.min("h_min").alias("h_min"),
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    inum = (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("h_min").cast("long").alias("h_min"),
+        (num / den / F.lit(100.0)).alias("slope_per_hour"),
+        (inum / den / F.lit(100.0)).alias("intercept_at_min"),
+        ((num * num) / (den * den_y)).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# transition_dwell_times — dwell-time profile of the user event
+# sequence: for every (from_type → to_type) transition, how long users
+# sit on the FROM state before moving (windows_q.event_transitions
+# owns the adjacency counts/probabilities; this is its timing
+# complement — think time-between-page-views features). One
+# user_id-partitioned lead() window (millions of keys — parallelizes
+# on its own; never a global ORDER BY), then a 25-row rollup: nothing
+# else. Gap mass accumulates as exact integer microseconds (BIGINT-
+# safe: 1e12 events × 3e9 µs/day-scale gaps needs the DECIMAL(38)
+# accumulator used here); the mean is one final double ratio of exact
+# integers. Within-user order is (ts, event_id) — total and
+# deterministic, so simultaneous events can't flip pairs between
+# engines.
+# ---------------------------------------------------------------------------
+
+_DWELL_ORACLE = """
+WITH s AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER w AS to_type,
+         lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(gap_us AS HUGEINT)) AS BIGINT) AS sum_gap_us,
+       CAST(SUM(CAST(gap_us AS HUGEINT)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_gap_s
+FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
+@query("transition_dwell_times", _DWELL_ORACLE)
+def transition_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.timestamps import micros
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    s = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id", "ts", "event_id", F.col("event_type").alias("from_type")
+        )
+        .withColumn("us", micros(F.col("ts")))
+        .select(
+            "from_type",
+            F.lead("from_type").over(w).alias("to_type"),
+            (F.lead("us").over(w) - F.col("us")).alias("gap_us"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    return s.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("gap_us").cast("decimal(38,0)")).cast("long").alias(
+            "sum_gap_us"
+        ),
+        (
+            F.sum(F.col("gap_us").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1000000.0)
+        ).alias("mean_gap_s"),
+    )

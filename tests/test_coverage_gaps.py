@@ -89,3 +89,16 @@ def test_read_daily_partition(spark, tmp_path):
         spark, str(tmp_path), "2024-06-02", "feed-{date}.csv", "a int, b string"
     )
     assert [(r.a, r.b) for r in df.collect()] == [(2, "y")]  # only that day's bytes
+
+
+def test_registry_rejects_duplicate_names():
+    """Registering the same query name twice must fail at import time,
+    not silently overwrite (a silent overwrite leaves one of the two
+    implementations permanently unverified)."""
+    from openaq_lcs_fetch_spark.plans import registry
+
+    assert "pricing_summary" in registry.QUERIES
+    with pytest.raises(ValueError, match="registered twice"):
+        @registry.query("pricing_summary", "SELECT 1 AS x")
+        def pricing_summary(spark, sf_dir):  # pragma: no cover
+            raise AssertionError("never called")

@@ -82,7 +82,8 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           "user_type_impurity", "source_lang_tv", "centroid_lang_classifier",
           "weekday_anova", "cramers_v", "churn_features", "nearest_poi",
           "hll_distinct_events", "bfs_hops",
-          "quality_quantile_map", "hourly_value_emd"]:
+          "quality_quantile_map", "hourly_value_emd",
+          "ols_hourly_trend", "transition_dwell_times"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n

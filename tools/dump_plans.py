@@ -661,6 +661,20 @@ COMMENTARY = {
         "rollup-sized; every |deltaCDF| term is an exact DECIMAL(38) "
         "integer with denominators cleared, one division at the end."
     ),
+    "ols_hourly_trend": (
+        "The whole regression is five DECIMAL(38,0) integer moments "
+        "in ONE map-side partial agg — no window, no self-join; the "
+        "hour axis is shifted per type so n*sum(x^2) stays ~1e21 at "
+        "1e12 rows; the only floats are the final slope/intercept/r2 "
+        "ratios of exact integers."
+    ),
+    "transition_dwell_times": (
+        "The sequence pass is ONE user_id-partitioned lead() window "
+        "(millions of keys, parallelizes on its own — never a global "
+        "sort); everything after is a 25-row rollup with exact "
+        "DECIMAL(38) integer-microsecond gap mass; (ts, event_id) "
+        "ordering makes within-user order total and deterministic."
+    ),
 }
 
 
