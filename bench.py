@@ -136,6 +136,12 @@ def main() -> None:
     # re-measured at round-6 start in isolation: 9.5/4.7/4.3/3.9 s over
     # four back-to-back runs -- it settles to the r4 number once warm;
     # the r5 row caught in-bench JVM-state noise, not a regression.
+    # Confirmed in the round-6 full-bench drift check: 3.87 s best-of-2
+    # in situ, and the 66-query r5-shared subtotal came in at 1.018x —
+    # flat round-over-round. Widest r5→r6 shared mover: value_mad
+    # 3.40→4.00 s (1.18x, plan and shuffle bytes unchanged) — inside
+    # the noise band for a 2-grid-pass query but worth a re-measure at
+    # round-7 start.
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         q = QUERIES[name]
