@@ -305,3 +305,66 @@ def test_running_max_transform_with_state_matches_batch(spark, sf_dir):
         .select("user_id", "event_id", micros(F.col("ts")).alias("ts_us"), "value")
     )
     assert got == sorted(map(tuple, expected.collect()))
+
+
+def test_dedup_ww_batched_replay_never_double_counts(spark, tmp_path):
+    """The streaming_dedup_ww robustness argument, exercised for real
+    (plans/streaming_q.py: "why the oracle equality is robust even if a
+    replay splits the two copies of an event across micro-batches"):
+    with dedup delay (3h) >= window size (1h), a duplicate that arrives
+    in a LATER micro-batch — after the watermark advanced past its
+    dedup state AND finalized its hour window — must be dropped as
+    late, never double-counted by the windowed aggregate.
+
+    File-source batch order follows MODIFICATION TIME, and files
+    written in the same millisecond tie nondeterministically — the
+    explicit utime spacing below is what makes the four micro-batches
+    replay in the intended order (measured: without it this scenario
+    interleaved b4 before b2)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    # batch 1: the original event (hour-10 window)
+    _write_jsonl(src / "b1.json", [
+        {"event_id": 1, "ts": "2024-01-01 10:05:00", "event_type": "click"},
+    ])
+    # batch 2: a fresh event far enough ahead that the watermark
+    # (max_ts - 3h = 14:30) passes event 1's dedup-state horizon
+    # (10:05 + 3h = 13:05) — evicting its dedup state — AND its window
+    # end (11:00) — finalizing its hour window
+    _write_jsonl(src / "b2.json", [
+        {"event_id": 2, "ts": "2024-01-01 17:30:00", "event_type": "click"},
+    ])
+    # batch 3: the duplicate of event 1 — dedup state is GONE, so only
+    # the late-record drop (10:05 < wm 14:30) protects the count
+    _write_jsonl(src / "b3.json", [
+        {"event_id": 1, "ts": "2024-01-01 10:05:00", "event_type": "click"},
+    ])
+    # batch 4: heartbeat-style punctuation to flush event 2's window
+    _write_jsonl(src / "b4.json", [
+        {"event_id": 99, "ts": "2024-01-02 00:00:00", "event_type": "view"},
+    ])
+    now = time.time() - 100
+    for i, name in enumerate(["b1.json", "b2.json", "b3.json", "b4.json"]):
+        os.utime(src / name, (now + i, now + i))
+    stream = (
+        spark.readStream.schema("event_id long, ts string, event_type string")
+        .option("maxFilesPerTrigger", "1")  # one micro-batch per file
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    deduped = stream.withWatermark("ts", "3 hours").dropDuplicatesWithinWatermark(
+        ["event_id", "event_type"]
+    )
+    windowed = deduped.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = run_available_now(windowed, output_mode="append")
+    rows = sorted(
+        (r.w.start.isoformat(), r.event_type, r.n) for r in out.collect()
+    )
+    # hour-10 click window n=1 (duplicate NOT double-counted), hour-17
+    # click window n=1; the punctuation row's own window never finalizes
+    assert rows == [
+        ("2024-01-01T10:00:00", "click", 1),
+        ("2024-01-01T17:00:00", "click", 1),
+    ]
