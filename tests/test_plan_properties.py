@@ -447,3 +447,76 @@ def test_streaming_family_is_append_mode():
 
     src = inspect.getsource(streaming_q)
     assert 'output_mode="complete"' not in src
+
+
+def test_quantile_map_ranks_are_cell_partitioned(spark, sf_dir):
+    """quality_quantile_map must never rank with a source-partitioned
+    (or unpartitioned) window over the documents themselves: BOTH
+    rankings ride the grid — every doc-level ROW_NUMBER partitions on
+    the value cell; windows without a cell key may only run over the
+    <=4096-row per-(key, cell) count tables (prefix offsets)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "quality_quantile_map")
+    specs = re.findall(r"windowspecdefinition\(([^)]*?)\)", plan)
+    assert specs
+    doc_level = [s for s in specs if "doc_id" in s]
+    assert doc_level, specs
+    for s in doc_level:
+        assert "cell" in s, f"doc-level rank not cell-partitioned: {s}"
+
+
+def test_emd_windows_only_on_hour_cell_rollup(spark, sf_dir):
+    """hourly_value_emd's event volume must collapse to the (hour, cell)
+    rollup BEFORE any window runs: every Sort/Window operates on
+    aggregate output, so the raw-event pass is scan + map-side partial
+    agg only (two HashAggregates around the first Exchange), and the
+    CDF windows never see event rows."""
+    plan = _plan(spark, sf_dir, "hourly_value_emd")
+    tree = plan.split("\n\n")[0]
+    # each Window sits above a HashAggregate chain, never directly above
+    # a parquet scan: no 'Window' whose subtree lacks an aggregate
+    assert "Window" in tree
+    # raw-event branch: partial+final agg around the hour/cell Exchange
+    assert tree.count("HashAggregate") >= 2
+    # the rollup is the only consumer of the scan: window input row
+    # counts are rollup-sized, which manifests as Sort nodes whose
+    # children are aggregates or joins of aggregates — no Sort directly
+    # over a scan/Filter/Project-of-scan chain
+    lines = tree.splitlines()
+    for i, line in enumerate(lines):
+        if "Sort" in line:
+            # walk the printed subtree below this Sort: an aggregate
+            # must appear before the first Scan it reaches
+            seen_agg = False
+            for below in lines[i + 1:]:
+                if "HashAggregate" in below:
+                    seen_agg = True
+                if "Scan parquet" in below:
+                    assert seen_agg, f"Sort directly over scan: {line}"
+                    break
+
+
+def test_ols_trend_is_one_aggregation_no_window(spark, sf_dir):
+    """ols_hourly_trend is five integer moments in one grouped
+    aggregation: no Window/Sort anywhere, one shuffle for the per-type
+    min-hour broadcast and one for the moments."""
+    plan = _plan(spark, sf_dir, "ols_hourly_trend")
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    assert "Sort" not in tree
+    assert "BroadcastHashJoin" in tree  # h_min joins back broadcast
+    assert "CartesianProduct" not in tree
+
+
+def test_dwell_times_single_sequence_pass(spark, sf_dir):
+    """transition_dwell_times is ONE user-partitioned window pass over
+    events then a 25-row rollup — exactly one scan, one Window, no
+    join (the near-miss duplicate of event_transitions planned a
+    second full scan for its probability denominator; the dwell query
+    must never regrow one)."""
+    plan = _plan(spark, sf_dir, "transition_dwell_times")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Window") == 1
+    assert "Join" not in tree
