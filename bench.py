@@ -112,6 +112,7 @@ HEADLINE = (
     "hourly_value_emd",
     "ols_hourly_trend",
     "transition_dwell_times",
+    "hourly_ks_drift",
 )
 
 

@@ -104,6 +104,7 @@ registry.promote(
         "hourly_value_emd",
         "ols_hourly_trend",
         "transition_dwell_times",
+        "hourly_ks_drift",
         # (3) last driver row = round 1
         "watermark_summary",
         "distinct_users",

@@ -1581,7 +1581,11 @@ def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the final rollup are all rollup-sized (hours × occupied cells).
 # ---------------------------------------------------------------------------
 
-_EMD_ORACLE = """
+# shared CTE scaffold: per-(hour, cell) CDFs of the hourly and global
+# value histograms on the fixed $5 cells, densified over the global
+# distinct-cell spine — consumed by both hourly_value_emd (width-
+# weighted sum of |ΔCDF|) and hourly_ks_drift (sup of |ΔCDF|)
+_HOUR_CELL_CDF_SQL = """
 WITH c AS (
   SELECT epoch_us(ts) // 3600000000 AS h,
          CAST(ROUND(value * 100, 0) AS BIGINT) // 500 AS cell
@@ -1612,6 +1616,9 @@ hcum AS (
            AS cumh
   FROM dense
 )
+"""
+
+_EMD_ORACLE = _HOUR_CELL_CDF_SQL + """
 SELECT hc2.h,
        CAST(MIN(hc2.nh) AS BIGINT) AS n,
        CAST(SUM(ABS(hc2.cumh * t.n - g.cumg * hc2.nh) * hc2.width) AS BIGINT)
@@ -1623,8 +1630,12 @@ GROUP BY hc2.h, t.n
 """
 
 
-@query("hourly_value_emd", _EMD_ORACLE)
-def hourly_value_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hour_cell_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _HOUR_CELL_CDF_SQL: one frame per (hour, spine
+    cell) carrying both CDFs with denominators cleared — columns
+    (h, cell, width, nh, cumh, cumg, n_tot), all DECIMAL(38,0) exact.
+    Events collapse map-side to the (h, cell) rollup first; the spine,
+    the global CDF and the crossing joins are all rollup-sized."""
     from pyspark.sql import Window
 
     from ..functions.timestamps import micros
@@ -1679,14 +1690,18 @@ def hourly_value_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+    return hcum.join(F.broadcast(gcum), "cell").crossJoin(F.broadcast(tot))
+
+
+@query("hourly_value_emd", _EMD_ORACLE)
+def hourly_value_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cdf = _hour_cell_cdf(spark, sf_dir)
     term = (
         F.abs(F.col("cumh") * F.col("n_tot") - F.col("cumg") * F.col("nh"))
         * F.col("width")
     )
     return (
-        hcum.join(F.broadcast(gcum), "cell")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("h", "n_tot")
+        cdf.groupBy("h", "n_tot")
         .agg(
             F.min("nh").cast("long").alias("n"),
             F.sum(term).cast("long").alias("emd_num"),
@@ -1694,6 +1709,49 @@ def hourly_value_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(term).cast("double")
                 / (F.min("nh") * F.col("n_tot")).cast("double")
             ).alias("emd_cells"),
+        )
+        .drop("n_tot")
+    )
+
+
+# ---------------------------------------------------------------------------
+# hourly_ks_drift — the two-sample Kolmogorov–Smirnov statistic per
+# hour vs the global value distribution: D = sup|F_hour − F_global|,
+# the standard drift TEST statistic (EMD above is the drift DISTANCE;
+# monitoring stacks want both — KS is scale-free and has the classic
+# significance tables). On the discrete cell axis both CDFs change
+# only at occupied cells, and every hour's occupied cells are a subset
+# of the global spine, so evaluating |ΔCDF| at the spine rows IS the
+# sup — no widths needed. Shares the exact-integer CDF scaffold with
+# hourly_value_emd (_hour_cell_cdf): the numerator max is over exact
+# DECIMAL(38) terms with denominators cleared; ks is ONE division by
+# nh·N at the end.
+# ---------------------------------------------------------------------------
+
+_KS_ORACLE = _HOUR_CELL_CDF_SQL + """
+SELECT hc2.h,
+       CAST(MIN(hc2.nh) AS BIGINT) AS n,
+       CAST(MAX(ABS(hc2.cumh * t.n - g.cumg * hc2.nh)) AS BIGINT) AS ks_num,
+       CAST(MAX(ABS(hc2.cumh * t.n - g.cumg * hc2.nh)) AS DOUBLE)
+         / CAST(MIN(hc2.nh) * t.n AS DOUBLE) AS ks
+FROM hcum hc2 JOIN gcum g USING (cell) CROSS JOIN tot t
+GROUP BY hc2.h, t.n
+"""
+
+
+@query("hourly_ks_drift", _KS_ORACLE)
+def hourly_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cdf = _hour_cell_cdf(spark, sf_dir)
+    term = F.abs(F.col("cumh") * F.col("n_tot") - F.col("cumg") * F.col("nh"))
+    return (
+        cdf.groupBy("h", "n_tot")
+        .agg(
+            F.min("nh").cast("long").alias("n"),
+            F.max(term).cast("long").alias("ks_num"),
+            (
+                F.max(term).cast("double")
+                / (F.min("nh") * F.col("n_tot")).cast("double")
+            ).alias("ks"),
         )
         .drop("n_tot")
     )

@@ -58,7 +58,7 @@ REPRESENTATIVE = (
     "streaming_sliding_counts", "weekday_anova", "cramers_v",
     "churn_features", "nearest_poi", "hll_distinct_events", "bfs_hops",
     "quality_quantile_map", "hourly_value_emd",
-    "ols_hourly_trend", "transition_dwell_times",
+    "ols_hourly_trend", "transition_dwell_times", "hourly_ks_drift",
 )
 
 

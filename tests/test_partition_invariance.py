@@ -83,7 +83,8 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           "weekday_anova", "cramers_v", "churn_features", "nearest_poi",
           "hll_distinct_events", "bfs_hops",
           "quality_quantile_map", "hourly_value_emd",
-          "ols_hourly_trend", "transition_dwell_times"]:
+          "ols_hourly_trend", "transition_dwell_times",
+          "hourly_ks_drift"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n

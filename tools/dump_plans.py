@@ -668,6 +668,13 @@ COMMENTARY = {
         "1e12 rows; the only floats are the final slope/intercept/r2 "
         "ratios of exact integers."
     ),
+    "hourly_ks_drift": (
+        "Shares hourly_value_emd's exact-integer CDF scaffold "
+        "(_hour_cell_cdf); on the discrete cell axis the sup over the "
+        "spine rows IS the KS statistic, so the extra cost over EMD "
+        "is one MAX instead of a width-weighted SUM — all windows "
+        "remain rollup-sized."
+    ),
     "transition_dwell_times": (
         "The sequence pass is ONE user_id-partitioned lead() window "
         "(millions of keys, parallelizes on its own — never a global "
