@@ -113,6 +113,8 @@ HEADLINE = (
     "ols_hourly_trend",
     "transition_dwell_times",
     "hourly_ks_drift",
+    "mase_naive_eval",
+    "wilson_proportion_ci",
 )
 
 

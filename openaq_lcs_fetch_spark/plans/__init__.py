@@ -105,6 +105,8 @@ registry.promote(
         "ols_hourly_trend",
         "transition_dwell_times",
         "hourly_ks_drift",
+        "mase_naive_eval",
+        "wilson_proportion_ci",
         # (3) last driver row = round 1
         "watermark_summary",
         "distinct_users",

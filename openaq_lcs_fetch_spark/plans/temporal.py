@@ -1915,3 +1915,90 @@ def transition_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("mean_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mase_naive_eval — forecast-model evaluation at scale: the Mean
+# Absolute Scaled Error of the naive-1 forecast (last hour) scaled by
+# the seasonal-naive-24 baseline, per event type. The MASE convention:
+# a model beating "same hour yesterday" scores < 1. Errors are exact:
+# events collapse map-side to the (type, hour) cents rollup (720 rows
+# per type at a month of data — everything after the first shuffle is
+# rollup-sized), and both error masses are BIGINT sums of |Δcents|.
+# Missing hours are handled by EQUI-JOINS on the hour index (h-1 /
+# h-24), never LAG over rows — a gap would silently misalign a
+# row-offset lag. The final mase is one double ratio of four exact
+# integers: (mae1_num/n1) / (mae24_num/n24).
+# ---------------------------------------------------------------------------
+
+_MASE_ORACLE = """
+WITH r AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS s
+  FROM events GROUP BY 1, 2
+),
+e1 AS (
+  SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(ABS(a.s - b.s)) AS BIGINT) AS mae1_num
+  FROM r a JOIN r b ON b.event_type = a.event_type AND b.h = a.h - 1
+  GROUP BY 1
+),
+e24 AS (
+  SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n24,
+         CAST(SUM(ABS(a.s - b.s)) AS BIGINT) AS mae24_num
+  FROM r a JOIN r b ON b.event_type = a.event_type AND b.h = a.h - 24
+  GROUP BY 1
+)
+SELECT e1.event_type, n1, mae1_num, n24, mae24_num,
+       (CAST(mae1_num AS DOUBLE) / CAST(n1 AS DOUBLE))
+         / (CAST(mae24_num AS DOUBLE) / CAST(n24 AS DOUBLE)) AS mase
+FROM e1 JOIN e24 USING (event_type)
+"""
+
+
+@query("mase_naive_eval", _MASE_ORACLE)
+def mase_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.timestamps import micros
+
+    r = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            micros(F.col("ts")).alias("us"),
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+        )
+        .withColumn("h", F.expr("us div 3600000000"))
+        .groupBy("event_type", "h")
+        .agg(F.sum("cents").alias("s"))
+    )
+
+    def err(lag: int, n_name: str, num_name: str) -> DataFrame:
+        b = r.select(
+            "event_type",
+            (F.col("h") + lag).alias("h"),
+            F.col("s").alias("s_prev"),
+        )
+        return (
+            r.join(b, ["event_type", "h"])
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(n_name),
+                F.sum(F.abs(F.col("s") - F.col("s_prev")))
+                .cast("long")
+                .alias(num_name),
+            )
+        )
+
+    e1 = err(1, "n1", "mae1_num")
+    e24 = err(24, "n24", "mae24_num")
+    return e1.join(e24, "event_type").select(
+        "event_type",
+        "n1",
+        "mae1_num",
+        "n24",
+        "mae24_num",
+        (
+            (F.col("mae1_num").cast("double") / F.col("n1").cast("double"))
+            / (F.col("mae24_num").cast("double") / F.col("n24").cast("double"))
+        ).alias("mase"),
+    )

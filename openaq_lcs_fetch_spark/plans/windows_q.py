@@ -2158,3 +2158,70 @@ def churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("churned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wilson_proportion_ci — statistical inference at scale: the Wilson
+# score 95% interval for each type's high-value-event proportion
+# (value > $50). The Wilson interval (not Wald) stays inside [0,1]
+# and behaves at small/extreme counts — the standard choice for
+# monitoring dashboards. Counts k, n come from one map-side rollup;
+# the interval itself is pure scalar arithmetic on (k, n). Cross-
+# engine determinism: the formula uses only +,-,*,/ and sqrt — all
+# correctly-rounded IEEE-754 ops (unlike ln/exp, whose libm last-ulp
+# behavior differs between engines — the same reason the impurity
+# queries use Gini, not entropy) — and BOTH sides evaluate the
+# IDENTICAL expression tree, so every intermediate double is
+# bit-equal.
+# ---------------------------------------------------------------------------
+
+_WILSON_EXPR = (
+    "(p + 1.9208/nn {sign} 1.96 * sqrt(p*(1.0-p)/nn + 0.9604/(nn*nn)))"
+    " / (1.0 + 3.8416/nn)"
+)
+
+_WILSON_ORACLE = f"""
+WITH c AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE CAST(ROUND(value * 100, 0) AS BIGINT)
+                               > 5000) AS BIGINT) AS k
+  FROM events GROUP BY 1
+),
+p AS (
+  SELECT event_type, n, k,
+         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         CAST(n AS DOUBLE) AS nn
+  FROM c
+)
+SELECT event_type, n, k, p AS phat,
+       {_WILSON_EXPR.format(sign='-')} AS ci_lo,
+       {_WILSON_EXPR.format(sign='+')} AS ci_hi
+FROM p
+"""
+
+
+@query("wilson_proportion_ci", _WILSON_ORACLE)
+def wilson_proportion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_if(
+                F.expr("CAST(ROUND(value * 100, 0) AS BIGINT) > 5000")
+            )
+            .cast("long")
+            .alias("k"),
+        )
+        .withColumn("p", F.col("k").cast("double") / F.col("n").cast("double"))
+        .withColumn("nn", F.col("n").cast("double"))
+    )
+    return c.select(
+        "event_type",
+        "n",
+        "k",
+        F.col("p").alias("phat"),
+        F.expr(_WILSON_EXPR.format(sign="-")).alias("ci_lo"),
+        F.expr(_WILSON_EXPR.format(sign="+")).alias("ci_hi"),
+    )

@@ -675,6 +675,20 @@ COMMENTARY = {
         "is one MAX instead of a width-weighted SUM — all windows "
         "remain rollup-sized."
     ),
+    "mase_naive_eval": (
+        "Events collapse map-side to the (type, hour) cents rollup; "
+        "both error masses come from equi-joins on the hour index "
+        "(h-1 / h-24, gap-safe where a row-offset LAG is not), all "
+        "rollup-sized; the error sums are exact BIGINT |delta-cents| "
+        "and mase is one double ratio of four exact integers."
+    ),
+    "wilson_proportion_ci": (
+        "One map-side (k, n) rollup per type; the interval is scalar "
+        "arithmetic over +,-,*,/ and sqrt only — every op correctly "
+        "rounded under IEEE-754, so both engines evaluating the "
+        "identical expression tree produce bit-equal doubles (ln/exp "
+        "would not — same reason the impurity queries use Gini)."
+    ),
     "transition_dwell_times": (
         "The sequence pass is ONE user_id-partitioned lead() window "
         "(millions of keys, parallelizes on its own — never a global "
