@@ -115,6 +115,7 @@ HEADLINE = (
     "hourly_ks_drift",
     "mase_naive_eval",
     "wilson_proportion_ci",
+    "bpe_train_merges",
 )
 
 

@@ -107,6 +107,7 @@ registry.promote(
         "hourly_ks_drift",
         "mase_naive_eval",
         "wilson_proportion_ci",
+        "bpe_train_merges",
         # (3) last driver row = round 1
         "watermark_summary",
         "distinct_users",

@@ -2595,3 +2595,173 @@ def quality_quantile_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return target.join(lookup, "tg").select(
         "doc_id", "source", "n_chars", "mapped_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_merges — THREE full rounds of BPE tokenizer training
+# (Sennrich 2015), the iterative sequence-REWRITING loop none of the
+# other driver loops cover (k-means/PCA/logreg iterate on numbers, BFS
+# on frontiers; BPE rewrites symbol sequences). The Sennrich insight
+# makes this 100 TB-safe: training never touches the corpus after one
+# map-side pass — the corpus collapses to the (word, freq) vocabulary
+# (capped top-4096 by freq DESC, word — a deterministic cut), and
+# every round runs on that vocabulary-sized table: pair counts are
+# freq-weighted BIGINT sums, the argmax merge is (n DESC, a, b)
+# ORDER BY LIMIT 1 broadcast back, and the greedy leftmost
+# non-overlapping merge is pure window arithmetic — runs of
+# consecutive match positions (only possible when a = b) take
+# odd offsets within the run, exactly the sequential left-to-right
+# semantics, with no sequential execution. Per-round localCheckpoint
+# keeps the lineage flat (the bfs_hops pattern). Output: the merge
+# table (round, a, b, n) — the actual artifact a tokenizer ships.
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+_BPE_VOCAB_CAP = 4096
+
+
+def _bpe_round_sql(r: int) -> str:
+    """CTE block advancing w{r-1} -> best{r}, w{r}."""
+    return f"""
+p{r - 1} AS (
+  SELECT word, freq, t.i AS i, syms[t.i] AS s, syms[t.i+1] AS s_next
+  FROM w{r - 1}, unnest(generate_series(1, len(syms))) AS t(i)
+),
+pairs{r} AS (
+  SELECT s AS a, s_next AS b, CAST(SUM(freq) AS BIGINT) AS n
+  FROM p{r - 1} WHERE s_next IS NOT NULL GROUP BY 1, 2
+),
+best{r} AS (SELECT a, b, n FROM pairs{r} ORDER BY n DESC, a, b LIMIT 1),
+sel{r} AS (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS k
+    FROM (SELECT p.word, p.i AS pos,
+                 p.i - row_number() OVER (PARTITION BY p.word ORDER BY p.i)
+                   AS grp
+          FROM p{r - 1} p, best{r}
+          WHERE p.s = best{r}.a AND p.s_next = best{r}.b)
+  ) WHERE k % 2 = 1
+),
+w{r} AS (
+  SELECT p.word, ANY_VALUE(p.freq) AS freq,
+         list(CASE WHEN s.pos IS NOT NULL THEN p.s || p.s_next ELSE p.s END
+              ORDER BY p.i) AS syms
+  FROM p{r - 1} p
+  LEFT JOIN sel{r} s  ON s.word = p.word AND s.pos = p.i
+  LEFT JOIN sel{r} s2 ON s2.word = p.word AND s2.pos = p.i - 1
+  WHERE s2.pos IS NULL
+  GROUP BY p.word
+)"""
+
+
+_BPE_TRAIN_ORACLE = (
+    f"""
+WITH words AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS w
+        FROM documents)
+  GROUP BY w ORDER BY freq DESC, word LIMIT {_BPE_VOCAB_CAP}
+),
+w0 AS (SELECT word, freq, regexp_extract_all(word, '.') AS syms FROM words),
+"""
+    + ",\n".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, a, b, n FROM best{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+)
+
+
+@query("bpe_train_merges", _BPE_TRAIN_ORACLE)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), 0)
+    w = (
+        d.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(_BPE_VOCAB_CAP)
+        .withColumn(
+            "syms", F.regexp_extract_all(F.col("word"), F.lit("."), 0)
+        )
+        .localCheckpoint()
+    )
+
+    w_seq = Window.partitionBy("word").orderBy("i")
+    bests = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        p = (
+            w.select("word", "freq", F.posexplode("syms").alias("i", "s"))
+            .withColumn("s_next", F.lead("s").over(w_seq))
+        )
+        pairs = (
+            p.filter(F.col("s_next").isNotNull())
+            .groupBy(F.col("s").alias("a"), F.col("s_next").alias("b"))
+            .agg(F.sum("freq").cast("long").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), "a", "b").limit(1).localCheckpoint()
+        bests.append(best.select(F.lit(r).alias("round"), "a", "b", "n"))
+
+        m = (
+            p.join(
+                F.broadcast(best),
+                (F.col("s") == F.col("a")) & (F.col("s_next") == F.col("b")),
+            )
+            .select("word", F.col("i").alias("pos"))
+        )
+        grp = (
+            F.col("pos")
+            - F.row_number().over(Window.partitionBy("word").orderBy("pos"))
+        ).alias("grp")
+        sel = (
+            m.select("word", "pos", grp)
+            .withColumn(
+                "k",
+                F.row_number().over(
+                    Window.partitionBy("word", "grp").orderBy("pos")
+                ),
+            )
+            .filter(F.col("k") % 2 == 1)
+            .select("word", "pos")
+        )
+        s1 = sel.select("word", F.col("pos").alias("i"))
+        s2 = sel.select("word", (F.col("pos") + 1).alias("i"))
+        merged = (
+            p.join(s1.withColumn("hit", F.lit(True)), ["word", "i"], "left")
+            .join(s2.withColumn("skip", F.lit(True)), ["word", "i"], "left")
+            .filter(F.col("skip").isNull())
+            .select(
+                "word",
+                "freq",
+                "i",
+                F.when(
+                    F.col("hit").isNotNull(),
+                    F.concat(F.col("s"), F.col("s_next")),
+                )
+                .otherwise(F.col("s"))
+                .alias("new_s"),
+            )
+        )
+        w = (
+            merged.groupBy("word")
+            .agg(
+                F.first("freq").alias("freq"),
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("i"), F.col("new_s")))
+                    ),
+                    lambda x: x["new_s"],
+                ).alias("syms"),
+            )
+            .localCheckpoint()
+        )
+
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionAll(b)
+    return out

@@ -59,7 +59,7 @@ REPRESENTATIVE = (
     "churn_features", "nearest_poi", "hll_distinct_events", "bfs_hops",
     "quality_quantile_map", "hourly_value_emd",
     "ols_hourly_trend", "transition_dwell_times", "hourly_ks_drift",
-    "mase_naive_eval", "wilson_proportion_ci",
+    "mase_naive_eval", "wilson_proportion_ci", "bpe_train_merges",
 )
 
 

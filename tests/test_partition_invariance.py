@@ -84,7 +84,8 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           "hll_distinct_events", "bfs_hops",
           "quality_quantile_map", "hourly_value_emd",
           "ols_hourly_trend", "transition_dwell_times",
-          "hourly_ks_drift", "mase_naive_eval", "wilson_proportion_ci"]:
+          "hourly_ks_drift", "mase_naive_eval", "wilson_proportion_ci",
+          "bpe_train_merges"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n

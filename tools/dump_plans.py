@@ -675,6 +675,15 @@ COMMENTARY = {
         "is one MAX instead of a width-weighted SUM — all windows "
         "remain rollup-sized."
     ),
+    "bpe_train_merges": (
+        "Sennrich BPE: the corpus is touched ONCE (map-side word-freq "
+        "rollup, capped top-4096 deterministically); all three merge "
+        "rounds run on the vocabulary-sized symbol table — "
+        "freq-weighted BIGINT pair counts, a 1-row broadcast argmax, "
+        "and greedy leftmost non-overlap as pure window arithmetic "
+        "(odd offsets within runs of consecutive matches); per-round "
+        "localCheckpoint keeps lineage flat."
+    ),
     "mase_naive_eval": (
         "Events collapse map-side to the (type, hour) cents rollup; "
         "both error masses come from equi-joins on the hour index "
