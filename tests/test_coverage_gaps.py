@@ -102,3 +102,26 @@ def test_registry_rejects_duplicate_names():
         @registry.query("pricing_summary", "SELECT 1 AS x")
         def pricing_summary(spark, sf_dir):  # pragma: no cover
             raise AssertionError("never called")
+
+
+def test_bpe_greedy_merge_run_parity(spark, tmp_path):
+    """bpe_train_merges' greedy leftmost non-overlap, pinned against a
+    hand-computed fixture on the only hard case — a merge pair with
+    a == b, where consecutive match positions overlap ('aaaa' must
+    become [aa, aa] and 'aaa' must become [aa, a]; a naive 'merge every
+    match' yields [aa, aa, a?] shapes and overcounts round 2)."""
+    import pandas as pd
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["aaaa aaa", "aaaa"], "source": ["s", "s"]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = sorted(
+        (r["round"], r.a, r.b, r.n)
+        for r in QUERIES["bpe_train_merges"].fn(spark, str(tmp_path)).collect()
+    )
+    # round 1: (a,a) pairs = 3+3+2 = 8 → 'aaaa'->[aa,aa], 'aaa'->[aa,a]
+    # round 2: (aa,aa) freq 2 beats (aa,a) freq 1 → 'aaaa'->[aaaa]
+    # round 3: only 'aaa' has a pair left: (aa,a) freq 1
+    assert rows == [(1, "a", "a", 8), (2, "aa", "aa", 2), (3, "aa", "a", 1)]
