@@ -116,6 +116,7 @@ HEADLINE = (
     "mase_naive_eval",
     "wilson_proportion_ci",
     "bpe_train_merges",
+    "seasonal_decompose_24",
 )
 
 

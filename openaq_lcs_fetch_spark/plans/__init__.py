@@ -108,6 +108,7 @@ registry.promote(
         "mase_naive_eval",
         "wilson_proportion_ci",
         "bpe_train_merges",
+        "seasonal_decompose_24",
         # (3) last driver row = round 1
         "watermark_summary",
         "distinct_users",

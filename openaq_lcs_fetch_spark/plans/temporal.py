@@ -2002,3 +2002,131 @@ def mase_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("mae24_num").cast("double") / F.col("n24").cast("double"))
         ).alias("mase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal_decompose_24 — classical additive decomposition of the
+# hourly value series per type (the moving-average method of
+# STL-family pipelines): trend = centered 2×MA-24 (the even-period
+# centered average: half weight at the ±12 ends), seasonal = hour-of-
+# day mean of the detrended series, residual = the rest. Everything
+# until the final three divisions is exact integer arithmetic: the
+# trend numerator is y_{h-12} + 2·Σ_{-11..+11} y + y_{h+12} over a
+# DENSE per-type hour spine (sequence(min..max) — gaps must make the
+# trend UNDEFINED, not silently shift a row-offset frame), with
+# denominators 48 and 48·n_k cleared into BIGINT sums. The windows run
+# over the (type, hour) rollup (≤ thousands of rows per type at any
+# SF — the raw events collapse map-side first), so a 100 TB corpus
+# costs one scan + one rollup shuffle; the 25-row ROWS frame never
+# sees event rows. Trend is defined only where all 25 neighbors exist
+# (COUNT over the frame = 25) — the honest boundary/gap semantics.
+# ---------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+WITH r AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM r GROUP BY 1),
+spine AS (
+  SELECT b.event_type, g.h
+  FROM bounds b, unnest(generate_series(b.h0, b.h1)) AS g(h)
+),
+d AS (
+  SELECT s.event_type, s.h, r.y
+  FROM spine s LEFT JOIN r ON r.event_type = s.event_type AND r.h = s.h
+),
+tr AS (
+  SELECT event_type, h, y,
+         CASE WHEN COUNT(y) OVER w = 25
+              THEN FIRST_VALUE(y) OVER w + LAST_VALUE(y) OVER w
+                   + 2 * (SUM(y) OVER w
+                          - FIRST_VALUE(y) OVER w - LAST_VALUE(y) OVER w)
+         END AS t_num
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+sea AS (
+  SELECT event_type, h % 24 AS k,
+         CAST(SUM(48 * y - t_num) AS BIGINT) AS s_num,
+         CAST(COUNT(*) AS BIGINT) AS n_k
+  FROM tr WHERE t_num IS NOT NULL GROUP BY 1, 2
+)
+SELECT t.event_type, t.h, CAST(t.y AS BIGINT) AS y,
+       CAST(t.t_num AS DOUBLE) / 48.0 AS trend,
+       CAST(s.s_num AS DOUBLE) / (48.0 * CAST(s.n_k AS DOUBLE)) AS seasonal,
+       CAST(t.y AS DOUBLE) - CAST(t.t_num AS DOUBLE) / 48.0
+         - CAST(s.s_num AS DOUBLE) / (48.0 * CAST(s.n_k AS DOUBLE))
+         AS residual
+FROM tr t JOIN sea s ON s.event_type = t.event_type AND s.k = t.h % 24
+WHERE t.t_num IS NOT NULL
+"""
+
+
+@query("seasonal_decompose_24", _SEASONAL_ORACLE)
+def seasonal_decompose_24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.timestamps import micros
+
+    r = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            micros(F.col("ts")).alias("us"),
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+        )
+        .withColumn("h", F.expr("us div 3600000000"))
+        .groupBy("event_type", "h")
+        .agg(F.sum("cents").alias("y"))
+    )
+    spine = (
+        r.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+        )
+    )
+    d = spine.join(r, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-12, 12)
+    )
+    ends = F.first("y").over(w) + F.last("y").over(w)
+    t_num = F.when(
+        F.count("y").over(w) == 25,
+        ends + F.lit(2) * (F.sum("y").over(w) - ends),
+    )
+    tr = d.select("event_type", "h", "y", t_num.alias("t_num")).filter(
+        F.col("t_num").isNotNull()
+    )
+    sea = (
+        tr.withColumn("k", F.col("h") % 24)
+        .groupBy("event_type", "k")
+        .agg(
+            F.sum(F.lit(48) * F.col("y") - F.col("t_num"))
+            .cast("long")
+            .alias("s_num"),
+            F.count(F.lit(1)).cast("long").alias("n_k"),
+        )
+    )
+    trend = F.col("t_num").cast("double") / F.lit(48.0)
+    seasonal = F.col("s_num").cast("double") / (
+        F.lit(48.0) * F.col("n_k").cast("double")
+    )
+    return (
+        tr.withColumn("k", F.col("h") % 24)
+        .join(F.broadcast(sea), ["event_type", "k"])
+        .select(
+            "event_type",
+            "h",
+            F.col("y").cast("long").alias("y"),
+            trend.alias("trend"),
+            seasonal.alias("seasonal"),
+            (F.col("y").cast("double") - trend - seasonal).alias("residual"),
+        )
+    )

@@ -60,6 +60,7 @@ REPRESENTATIVE = (
     "quality_quantile_map", "hourly_value_emd",
     "ols_hourly_trend", "transition_dwell_times", "hourly_ks_drift",
     "mase_naive_eval", "wilson_proportion_ci", "bpe_train_merges",
+    "seasonal_decompose_24",
 )
 
 

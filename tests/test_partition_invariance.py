@@ -85,7 +85,7 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           "quality_quantile_map", "hourly_value_emd",
           "ols_hourly_trend", "transition_dwell_times",
           "hourly_ks_drift", "mase_naive_eval", "wilson_proportion_ci",
-          "bpe_train_merges"]:
+          "bpe_train_merges", "seasonal_decompose_24"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n

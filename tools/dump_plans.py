@@ -675,6 +675,15 @@ COMMENTARY = {
         "is one MAX instead of a width-weighted SUM — all windows "
         "remain rollup-sized."
     ),
+    "seasonal_decompose_24": (
+        "Raw events collapse map-side to the (type, hour) rollup; the "
+        "dense spine, the 25-row centered-MA frame and the hour-of-day "
+        "seasonal rollup all run on rollup-sized inputs; every "
+        "numerator (trend 2xMA-24, seasonal mean of detrended) is an "
+        "exact integer with denominators 48 / 48*n_k cleared, and the "
+        "COUNT-over-frame = 25 guard makes gaps yield UNDEFINED trend "
+        "instead of a silently shifted row-offset frame."
+    ),
     "bpe_train_merges": (
         "Sennrich BPE: the corpus is touched ONCE (map-side word-freq "
         "rollup, capped top-4096 deterministically); all three merge "
