@@ -1650,7 +1650,15 @@ def _hour_cell_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.expr("us div 3600000000").alias("h"), "cell")
     )
-    hc = c.groupBy("h", "cell").agg(F.count(F.lit(1)).cast(d38).alias("n"))
+    # the rollup roots a 5-way diamond (spine/hours/tot/gcum/dense);
+    # without materialization Catalyst re-scans the corpus once per
+    # branch — localCheckpoint pins the (hour, cell) rollup (≤ hours ×
+    # 4096 rows at ANY corpus size) so the events scan happens ONCE
+    hc = (
+        c.groupBy("h", "cell")
+        .agg(F.count(F.lit(1)).cast(d38).alias("n"))
+        .localCheckpoint()
+    )
     spine = (
         hc.select("cell")
         .distinct()
@@ -1970,6 +1978,9 @@ def mase_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("h", F.expr("us div 3600000000"))
         .groupBy("event_type", "h")
         .agg(F.sum("cents").alias("s"))
+        # r feeds four join branches (a/b sides × two lags); checkpoint
+        # the (type, hour) rollup so the corpus is scanned once
+        .localCheckpoint()
     )
 
     def err(lag: int, n_name: str, num_name: str) -> DataFrame:
@@ -2081,6 +2092,8 @@ def seasonal_decompose_24(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("h", F.expr("us div 3600000000"))
         .groupBy("event_type", "h")
         .agg(F.sum("cents").alias("y"))
+        # rollup roots the spine-bounds + join diamond: scan once
+        .localCheckpoint()
     )
     spine = (
         r.groupBy("event_type")
@@ -2101,8 +2114,13 @@ def seasonal_decompose_24(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("y").over(w) == 25,
         ends + F.lit(2) * (F.sum("y").over(w) - ends),
     )
-    tr = d.select("event_type", "h", "y", t_num.alias("t_num")).filter(
-        F.col("t_num").isNotNull()
+    # tr feeds both the seasonal rollup and the final join — checkpoint
+    # the (≤ hours-per-type)-row windowed table so the MA window runs
+    # once, not once per consumer
+    tr = (
+        d.select("event_type", "h", "y", t_num.alias("t_num"))
+        .filter(F.col("t_num").isNotNull())
+        .localCheckpoint()
     )
     sea = (
         tr.withColumn("k", F.col("h") % 24)

@@ -520,3 +520,38 @@ def test_dwell_times_single_sequence_pass(spark, sf_dir):
     assert tree.count("Scan parquet") == 1
     assert tree.count("Window") == 1
     assert "Join" not in tree
+
+
+def test_cdf_scaffold_queries_scan_corpus_once(spark, sf_dir):
+    """hourly_value_emd / hourly_ks_drift / mase_naive_eval /
+    seasonal_decompose_24 root multi-branch diamonds on a tiny rollup;
+    the rollup is localCheckpointed so the corpus is scanned ONCE
+    inside the checkpoint — the final plan must contain NO parquet
+    scan (a parquet scan reappearing means a branch regrew a corpus
+    re-scan)."""
+    for name in ("hourly_value_emd", "hourly_ks_drift", "mase_naive_eval",
+                 "seasonal_decompose_24"):
+        plan = _plan(spark, sf_dir, name)
+        tree = plan.split("\n\n")[0]
+        assert tree.count("Scan parquet") == 0, name
+        assert "Scan ExistingRDD" in tree, name
+
+
+def test_wilson_is_single_aggregation(spark, sf_dir):
+    """wilson_proportion_ci is one scan + one grouped aggregation;
+    the interval math is pure projection — no window, no join."""
+    tree = _plan(spark, sf_dir, "wilson_proportion_ci").split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Exchange") == 1
+    assert "Window" not in tree and "Join" not in tree
+
+
+def test_bpe_final_plan_is_checkpoint_flat(spark, sf_dir):
+    """bpe_train_merges' output plan is the union of the three
+    checkpointed 1-row argmax frames: the corpus pass and all
+    vocabulary-sized round work happened inside per-round
+    localCheckpoints, so the final plan reads no parquet at all."""
+    tree = _plan(spark, sf_dir, "bpe_train_merges").split("\n\n")[0]
+    assert tree.count("Scan parquet") == 0
+    assert tree.count("Scan ExistingRDD") == 3
+    assert "Union" in tree
