@@ -2543,8 +2543,16 @@ def quality_quantile_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     B = _QMAP_GRID
     d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     bounds = d.agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"))
-    eb = d.crossJoin(F.broadcast(bounds)).withColumn(
-        "cell", range_bucket("n_chars", "lo", "hi", B)
+    # eb roots a 4-way diamond (two rankings × local-rank + offsets) and
+    # the count frames below; without materialization every branch
+    # re-scanned documents (10 scans in the planned tree). The
+    # checkpoint pins the 4-column bucketed projection, so the corpus
+    # is read twice total (bounds, then eb) instead of 10 times.
+    eb = (
+        d.crossJoin(F.broadcast(bounds))
+        .withColumn("cell", range_bucket("n_chars", "lo", "hi", B))
+        .select("doc_id", "source", "n_chars", "cell")
+        .localCheckpoint()
     )
 
     def cell_ranked(df, keys: list[str], rank_name: str):
@@ -2572,9 +2580,9 @@ def quality_quantile_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     g = cell_ranked(eb, [], "grank")
-    n_tot = d.agg(F.count(F.lit(1)).alias("n"))
+    n_tot = eb.agg(F.count(F.lit(1)).alias("n"))
     s = cell_ranked(eb, ["source"], "srank")
-    ns = d.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    ns = eb.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
     target = (
         s.join(F.broadcast(ns), "source")
         .crossJoin(F.broadcast(n_tot))
