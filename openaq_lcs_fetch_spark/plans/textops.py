@@ -2544,15 +2544,17 @@ def quality_quantile_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     bounds = d.agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"))
     # eb roots a 4-way diamond (two rankings × local-rank + offsets) and
-    # the count frames below; without materialization every branch
-    # re-scanned documents (10 scans in the planned tree). The
-    # checkpoint pins the 4-column bucketed projection, so the corpus
-    # is read twice total (bounds, then eb) instead of 10 times.
-    eb = (
-        d.crossJoin(F.broadcast(bounds))
-        .withColumn("cell", range_bucket("n_chars", "lo", "hi", B))
-        .select("doc_id", "source", "n_chars", "cell")
-        .localCheckpoint()
+    # the count frames below, so the planned tree re-scans documents per
+    # branch. MEASURED tradeoff (sf0.1, 32 cores, like-for-like
+    # steady-state runs): localCheckpoint-ing this corpus-SIZED frame
+    # ran ~1.25× slower (1.95 s vs 1.57 s) — materializing a row-format
+    # corpus intermediate costs more than the 3-column pruned parquet
+    # re-scans it saves, and at 100 TB it would also gamble executor
+    # storage on a corpus-scale block set. Rollup-sized diamond roots
+    # (hourly_value_emd etc.) DO checkpoint and measured faster — the
+    # cutoff is whether the frame is corpus-sized.
+    eb = d.crossJoin(F.broadcast(bounds)).withColumn(
+        "cell", range_bucket("n_chars", "lo", "hi", B)
     )
 
     def cell_ranked(df, keys: list[str], rank_name: str):

@@ -528,10 +528,11 @@ def test_cdf_scaffold_queries_scan_corpus_once(spark, sf_dir):
     the rollup is localCheckpointed so the corpus is scanned ONCE
     inside the checkpoint — the final plan must contain NO parquet
     scan (a parquet scan reappearing means a branch regrew a corpus
-    re-scan). quality_quantile_map checkpoints its bucketed corpus
-    projection for the same reason (10 planned scans before)."""
+    re-scan). quality_quantile_map deliberately does NOT checkpoint:
+    its diamond root is corpus-sized, and materializing it measured
+    ~1.25x slower than the pruned re-scans (see the comment there)."""
     for name in ("hourly_value_emd", "hourly_ks_drift", "mase_naive_eval",
-                 "seasonal_decompose_24", "quality_quantile_map"):
+                 "seasonal_decompose_24"):
         plan = _plan(spark, sf_dir, name)
         tree = plan.split("\n\n")[0]
         assert tree.count("Scan parquet") == 0, name
