@@ -442,7 +442,10 @@ def hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(_HLL_PAYLOAD + 1) - F.length(F.bin(F.expr(f"hv div {_HLL_M}")))).alias("rank"),
     )
     regs = rho.groupBy("event_type", "reg").agg(F.max("rank").alias("m"))
-    types = e.select("event_type").distinct()
+    # the type spine derives from the register ROLLUP, not the events
+    # table — deriving it from `e` re-scanned the corpus a third time
+    # for a 5-row distinct (regs covers every type present in e)
+    types = regs.select("event_type").distinct()
     spine = types.crossJoin(F.broadcast(spark.range(_HLL_M).select(F.col("id").alias("reg"))))
     filled = spine.join(regs, ["event_type", "reg"], "left").select(
         "event_type", F.coalesce(F.col("m"), F.lit(0)).alias("m")

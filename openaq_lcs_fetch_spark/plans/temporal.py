@@ -1372,6 +1372,9 @@ def hourly_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.expr("us div 3600000000").alias("h"), "event_type")
         .groupBy("h", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
+        # rollup roots the spine/types/dense diamond (hours × 5 rows):
+        # checkpoint so the events scan happens once, not per branch
+        .localCheckpoint()
     )
     spine = counts.select("h").distinct()
     types = counts.select("event_type").distinct()

@@ -2348,6 +2348,9 @@ def source_lang_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents")
         .groupBy("source", "lang")
         .agg(F.count(F.lit(1)).alias("c"))
+        # the sources × langs rollup roots the srcs/langs/tot/dense
+        # diamond: checkpoint so the documents scan happens once
+        .localCheckpoint()
     )
     srcs = sl.groupBy("source").agg(F.sum("c").alias("n_s"))
     langs = sl.groupBy("lang").agg(F.sum("c").alias("c_l"))

@@ -2047,8 +2047,12 @@ def cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type", F.expr("((us div 86400000000) + 3) % 7").alias("dow")
     )
-    cells = c.groupBy("event_type", "dow").agg(
-        F.count(F.lit(1)).cast(d38).alias("o")
+    cells = (
+        c.groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast(d38).alias("o"))
+        # the 35-row contingency table roots the rs/cs/tot/terms
+        # diamond: checkpoint so the events scan happens once
+        .localCheckpoint()
     )
     rs = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
     cs = cells.groupBy("dow").agg(F.sum("o").alias("s"))
