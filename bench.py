@@ -144,9 +144,11 @@ def main() -> None:
     # Confirmed in the round-6 full-bench drift check: 3.87 s best-of-2
     # in situ, and the 66-query r5-shared subtotal came in at 1.018x —
     # flat round-over-round. Widest r5→r6 shared mover: value_mad
-    # 3.40→4.00 s (1.18x, plan and shuffle bytes unchanged) — inside
-    # the noise band for a 2-grid-pass query but worth a re-measure at
-    # round-7 start.
+    # 3.40→4.00 s (1.18x, plan unchanged at the time). Late round 6 the
+    # plan DID change deliberately: grid_quantiles' stats and the
+    # call-site median are localCheckpointed (35→2 planned corpus
+    # scans; measured 4.79→4.09 s steady-state at sf0.1) — judge the
+    # r7 row against the new shape.
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         q = QUERIES[name]

@@ -1447,6 +1447,10 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    # edges is the algorithm's working set (support-filtered E) and is
+    # consumed by degrees, orientation and the closure probe; without
+    # materialization each consumer replays the corpus self-join —
+    # the planned tree held 36 parquet scans before these checkpoints
     edges = (
         a.join(b, "ok")
         .filter(F.col("u") < F.col("v"))
@@ -1454,6 +1458,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") >= _TRIANGLES_MIN_SUPPORT)
         .select("u", "v")
+        .localCheckpoint()
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -1472,7 +1477,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
-    )
+    ).localCheckpoint()
     w1 = oriented.select("src", F.col("dst").alias("v1"), F.col("dd").alias("d1"))
     w2 = oriented.select("src", F.col("dst").alias("v2"), F.col("dd").alias("d2"))
     wedges = w1.join(w2, "src").filter(

@@ -1647,8 +1647,14 @@ def value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull() & ~F.isnan("value"))
         .select("event_type", "value")
     )
-    med = grid_quantiles(e, "event_type", "value").select(
-        "event_type", F.col("qvalue").alias("med")
+    # med (one row per type) parameterizes every branch of the second
+    # grid pass; without materialization each of those branches
+    # replays the ENTIRE first pass — the multiplicative blowup that
+    # planned 35 corpus scans for this query
+    med = (
+        grid_quantiles(e, "event_type", "value")
+        .select("event_type", F.col("qvalue").alias("med"))
+        .localCheckpoint()
     )
     dev = e.join(F.broadcast(med), "event_type").select(
         "event_type", F.abs(F.col("value") - F.col("med")).alias("adev"), "med"
