@@ -329,6 +329,12 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .simsearch import _ivf_assigned, _ivf_dists, _ivf_vecs
 
     vecs = _ivf_vecs(spark, sf_dir)
+    # assigned is consumed twice (query cell + candidates) and the plan
+    # re-derives the centroid pass per consumer — but checkpointing it
+    # MEASURED ~25% slower at sf0.1 (2.75 → 3.49 s steady-state): the
+    # eager checkpoint job serializes what the two branches otherwise
+    # pipeline, and the assignment pass is cheap relative to that
+    # stall. Left un-materialized by measurement.
     assigned = _ivf_assigned(vecs, _ivf_dists(vecs))
     sub, cb1, codes = _build(spark, sf_dir)
     qcell = assigned.filter(F.col("vec_id") == _QID).select(

@@ -1543,10 +1543,15 @@ JOIN brand_supp sb ON sb.p_brand = ps.brand_b
 def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # baskets feeds five consumers (order count, singles support, the
+    # pair expansion twice via frequent); each was replaying the
+    # join + corpus-scale DISTINCT shuffle — the same measured-win
+    # shape as item_item_cosine's items checkpoint
     baskets = (
         li.join(p, li.l_partkey == p.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
+        .localCheckpoint()
     )
     n_orders = baskets.agg(
         F.countDistinct("l_orderkey").alias("n")
@@ -1555,6 +1560,8 @@ def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         baskets.groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("supp"))
         .filter(F.col("supp") >= _BASKET_MIN_SUPPORT)
+        # brand-sized rollup, three consumers: always-checkpoint tier
+        .localCheckpoint()
     )
     # Apriori prune: only frequent brands enter the pair expansion
     frequent = baskets.join(F.broadcast(brand_supp), "p_brand").select(
