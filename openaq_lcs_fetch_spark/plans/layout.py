@@ -370,20 +370,30 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixed literal alpha·m²·2⁶² over that sum — one identical double
 # expression both sides. No small-range correction (it needs ln();
 # the sketched key is event_id, whose per-type cardinality sits far
-# above the 2.5m switch at the oracle SF — measured: per-type USER
-# cardinality at sf0.01 is 150 ≪ 2.5·m, squarely in the regime
-# where uncorrected HLL overestimates ~5×, which is WHY this sketch
-# counts events; the within_3sigma flag is the regime contract and
-# goes honestly false below the switch). The error-bound flag against
-# the exact count (rsd for m=1024 is 1.04/√1024 ≈ 3.3%; flagged at
-# 3σ ≈ 10%) rides along like approx_event_stats'. Shape: one map-side
+# above the 2.5m switch at the oracle SF. user_id would NOT clear it —
+# its measured per-type cardinality at sf0.01 is 150 ≪ 2.5·m, the
+# regime where uncorrected HLL overestimates ~5× — which is WHY this
+# sketch counts events, and the within_3sigma flag is the regime
+# contract: it goes honestly false below the switch). The error-bound
+# flag against the exact count rides along like approx_event_stats';
+# its threshold is DERIVED from m (_HLL_3SIGMA = 3·1.04/√m: at m=512,
+# rsd ≈ 4.6%, 3σ ≈ 13.8%, rounded to the 0.14 both engines compare
+# against), never a free-standing literal. Shape: one map-side
 # (type, register) MAX rollup — registers are fixed-memory and
-# mergeable, which is the whole point at 100 TB.
+# mergeable, which is the whole point at 100 TB. NOTE the exact
+# countDistinct branch exists ONLY to compute the within_3sigma audit
+# flag; at 100 TB that branch dominates (a full distinct shuffle vs
+# the fixed 512-register rollup). The production form is
+# hll_distinct_fast below — the register rollup alone.
 # ---------------------------------------------------------------------------
 
 _HLL_M = 512
 _HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # 0.71978...
 _HLL_PAYLOAD = 60 - (_HLL_M.bit_length() - 1)  # 51 payload bits at m=512
+# 3σ relative-error bound, derived from m (rsd = 1.04/√m; ≈ 0.14 at
+# m=512), rounded so the literal baked into the oracle SQL string and
+# the Spark expression is identical and short.
+_HLL_3SIGMA = round(3 * 1.04 / _HLL_M**0.5, 2)
 
 _HLL_ORACLE = f"""
 WITH h AS (
@@ -425,15 +435,18 @@ SELECT e.event_type, x.exact_events,
        ABS(CAST({_HLL_ALPHA!r} AS DOUBLE) * CAST({_HLL_M} AS DOUBLE)
            * CAST({_HLL_M} AS DOUBLE) * CAST(4611686018427387904 AS DOUBLE)
            / CAST(e.s2 AS DOUBLE) - x.exact_events)
-         <= 0.14 * x.exact_events AS within_3sigma
+         <= {_HLL_3SIGMA!r} * x.exact_events AS within_3sigma
 FROM est e JOIN exact x USING (event_type)
 """
 
 
-@query("hll_distinct_events", _HLL_ORACLE)
-def hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events").select("event_type", "event_id")
-    h = e.distinct().select(
+def _hll_s2(e: DataFrame, spark: SparkSession) -> DataFrame:
+    """(event_type, s2) harmonic-mean denominators from the raw
+    (event_type, event_id) frame — the shared sketch pipeline of both
+    HLL queries. No distinct anywhere: register = MAX(rank) is
+    idempotent under duplicate ids, so the ONLY shuffle is the
+    map-side-combinable (type, register) MAX rollup (≤ 5·512 rows)."""
+    h = e.select(
         "event_type", h60(F.col("event_id").cast("string")).alias("hv")
     )
     rho = h.select(
@@ -450,26 +463,98 @@ def hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled = spine.join(regs, ["event_type", "reg"], "left").select(
         "event_type", F.coalesce(F.col("m"), F.lit(0)).alias("m")
     )
-    est = filled.groupBy("event_type").agg(
+    return filled.groupBy("event_type").agg(
         F.sum(
             F.expr("CAST(shiftleft(1L, CAST(62 - m AS INT)) AS DECIMAL(38,0))")
         ).alias("s2")
     )
-    exact = e.groupBy("event_type").agg(
-        F.countDistinct("event_id").alias("exact_events")
-    )
-    hll = (
+
+
+def _hll_est_col():
+    # built lazily: Column construction needs an active SparkContext
+    return (
         F.lit(_HLL_ALPHA)
         * F.lit(float(_HLL_M))
         * F.lit(float(_HLL_M))
         * F.lit(4611686018427387904.0)
         / F.col("s2").cast("double")
     )
+
+
+@query("hll_distinct_events", _HLL_ORACLE)
+def hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("event_type", "event_id")
+    est = _hll_s2(e, spark)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("exact_events")
+    )
+    hll = _hll_est_col()
     return est.join(exact, "event_type").select(
         "event_type",
         "exact_events",
         hll.alias("hll_events"),
-        (F.abs(hll - F.col("exact_events")) <= 0.14 * F.col("exact_events")).alias(
-            "within_3sigma"
-        ),
+        (
+            F.abs(hll - F.col("exact_events"))
+            <= F.lit(_HLL_3SIGMA) * F.col("exact_events")
+        ).alias("within_3sigma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hll_distinct_fast — the PRODUCTION form of hll_distinct_events: the
+# register rollup alone, no exact countDistinct audit branch. This is
+# the query you actually run at 100 TB — one corpus scan, one
+# map-side-combinable (type, register) MAX rollup (fixed 512-register
+# state per type, mergeable across any partitioning), and a
+# register-table-sized estimate; the exact-distinct shuffle that
+# dominates the audit twin simply does not exist here. The estimate is
+# bit-portable for the same reason as the twin (md5-derived h60,
+# exact integer Σ2^(62−M_j), one identical double division), so the
+# oracle hash-checks the ESTIMATE itself, not a tolerance.
+# Reference scope: the fetcher dedupes/counts by synthetic ingest id
+# (fetcher/lib/measurement.js) — this is that audit at sketch cost.
+# ---------------------------------------------------------------------------
+
+_HLL_FAST_ORACLE = f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+),
+rho AS (
+  SELECT event_type, hv % {_HLL_M} AS reg,
+         {_HLL_PAYLOAD + 1} - length(bin(hv // {_HLL_M})) AS rank
+  FROM h
+),
+regs AS (
+  SELECT event_type, reg, MAX(rank) AS m FROM rho GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM regs),
+spine AS (
+  SELECT t.event_type, g.range AS reg
+  FROM types t CROSS JOIN range({_HLL_M}) g
+),
+filled AS (
+  SELECT s.event_type, COALESCE(r.m, 0) AS m
+  FROM spine s LEFT JOIN regs r
+    ON r.event_type = s.event_type AND r.reg = s.reg
+),
+est AS (
+  SELECT event_type,
+         SUM(CAST(1::BIGINT << (62 - m) AS HUGEINT)) AS s2
+  FROM filled GROUP BY 1
+)
+SELECT event_type,
+       CAST({_HLL_ALPHA!r} AS DOUBLE) * CAST({_HLL_M} AS DOUBLE)
+         * CAST({_HLL_M} AS DOUBLE) * CAST(4611686018427387904 AS DOUBLE)
+         / CAST(s2 AS DOUBLE) AS hll_events
+FROM est
+"""
+
+
+@query("hll_distinct_fast", _HLL_FAST_ORACLE)
+def hll_distinct_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("event_type", "event_id")
+    return _hll_s2(e, spark).select(
+        "event_type", _hll_est_col().alias("hll_events")
     )

@@ -1982,17 +1982,23 @@ def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_obs", F.coalesce(F.col("n_obs"), F.lit(0)))
         .crossJoin(F.broadcast(tot))
     )
+    from ..functions.numeric import exact_div
+
+    # dev² // (n·exp_ppm) via exact_div, NOT Spark `div`: the quotient
+    # is ~2e7·n at the rarest digit and would silently wrap BIGINT at
+    # n ≈ 4e11 rows — inside the DECIMAL(38) numerator envelope
+    # (n ≤ ~1e13), so `div` was the binding (and silent) ceiling.
+    d38c = "CAST(1000000 AS DECIMAL(38,0))"
+    dev = F.expr(
+        f"{d38c} * n_obs - CAST(n AS DECIMAL(38,0)) * exp_ppm"
+    )
     return joined.select(
         "digit",
         F.col("n_obs").cast("long").alias("n_obs"),
         "exp_ppm",
-        F.expr(
-            "(CAST(1000000 AS DECIMAL(38,0)) * n_obs"
-            " - CAST(n AS DECIMAL(38,0)) * exp_ppm)"
-            " * (CAST(1000000 AS DECIMAL(38,0)) * n_obs"
-            " - CAST(n AS DECIMAL(38,0)) * exp_ppm)"
-            " div (CAST(n AS DECIMAL(38,0)) * exp_ppm)"
-        ).alias("term_micro"),
+        exact_div(dev * dev, F.expr("CAST(n AS DECIMAL(38,0)) * exp_ppm"))
+        .cast("long")
+        .alias("term_micro"),
     )
 
 

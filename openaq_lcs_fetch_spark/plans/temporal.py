@@ -1790,6 +1790,7 @@ WITH e AS (
   SELECT event_type, epoch_us(ts) // 3600000000 AS h,
          CAST(ROUND(value * 100, 0) AS BIGINT) AS y
   FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
 ),
 shifted AS (
   SELECT event_type, h - MIN(h) OVER (PARTITION BY event_type) AS x, y,
@@ -1823,11 +1824,18 @@ def ols_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.timestamps import micros
 
     d38 = "decimal(38,0)"
-    e = t(spark, sf_dir, "events").select(
-        "event_type",
-        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("y"),
-        micros(F.col("ts")).alias("us"),
-    ).withColumn("h", F.expr("us div 3600000000"))
+    e = (
+        t(spark, sf_dir, "events")
+        # grid-quantile NaN contract: NaN casts to 0 on Spark but
+        # errors DuckDB's BIGINT cast — unusable measurements are out
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select(
+            "event_type",
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("y"),
+            micros(F.col("ts")).alias("us"),
+        )
+        .withColumn("h", F.expr("us div 3600000000"))
+    )
     hmin = e.groupBy("event_type").agg(F.min("h").alias("h_min"))
     s = (
         e.join(F.broadcast(hmin), "event_type")
@@ -1946,7 +1954,9 @@ _MASE_ORACLE = """
 WITH r AS (
   SELECT event_type, epoch_us(ts) // 3600000000 AS h,
          SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS s
-  FROM events GROUP BY 1, 2
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
 ),
 e1 AS (
   SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n1,
@@ -1973,6 +1983,9 @@ def mase_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r = (
         t(spark, sf_dir, "events")
+        # grid-quantile NaN contract: NaN casts to 0 on Spark but
+        # errors DuckDB's BIGINT cast — unusable measurements are out
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
         .select(
             "event_type",
             micros(F.col("ts")).alias("us"),
@@ -2040,7 +2053,9 @@ _SEASONAL_ORACLE = """
 WITH r AS (
   SELECT event_type, epoch_us(ts) // 3600000000 AS h,
          SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS y
-  FROM events GROUP BY 1, 2
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
 ),
 bounds AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM r GROUP BY 1),
 spine AS (
@@ -2087,6 +2102,9 @@ def seasonal_decompose_24(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r = (
         t(spark, sf_dir, "events")
+        # grid-quantile NaN contract: NaN casts to 0 on Spark but
+        # errors DuckDB's BIGINT cast — unusable measurements are out
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
         .select(
             "event_type",
             micros(F.col("ts")).alias("us"),

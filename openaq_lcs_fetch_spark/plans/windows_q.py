@@ -1919,10 +1919,14 @@ def iqr_fences_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # functions never run). All sufficient statistics are exact integers:
 # per-group (n, Σcents, Σcents²) in DECIMAL(38,0)/HUGEINT; the
 # between/within sums of squares are defined in micro-units with
-# truncating division (term_g = (S_g²·1e6) div n_g — a FIXED spec both
-# engines compute bit-identically; magnitude S_g²·1e6 stays inside
-# DECIMAL(38) through ~1e12-row groups at 1e4-cent values). The F
-# statistic is ONE double division of two exact integer products.
+# truncating division (term_g = (S_g²·1e6) // n_g — a FIXED spec both
+# engines compute bit-identically). The quotient is kept in DECIMAL
+# space via functions/numeric.exact_div — NEVER Spark `div`, whose
+# BIGINT result silently wraps at 2^63 (≈1e6-1e7 rows per weekday at
+# these value magnitudes; ADVICE r6). The ceiling is now the loud
+# ANSI-checked DECIMAL(38) overflow of the numerator S_g²·1e6, i.e.
+# ~1e12-row groups at 1e4-cent values. The F statistic is ONE double
+# division of two exact integer products.
 # Shape: one map-side 7-group rollup, then a 1-row recombination.
 # ---------------------------------------------------------------------------
 
@@ -1976,14 +1980,20 @@ def weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cents").cast(d38)).alias("s"),
         F.sum(F.col("cents").cast(d38) * F.col("cents")).alias("q"),
     )
+    from ..functions.numeric import exact_div
+
     tot = g.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("n").alias("nn"),
         F.sum("s").alias("ss"),
         F.sum("q").alias("qq"),
-        F.sum(F.expr("(s * s * 1000000) div n").cast(d38)).alias("sterm"),
+        F.sum(
+            exact_div(F.col("s") * F.col("s") * F.lit(1000000), F.col("n"))
+        ).alias("sterm"),
     )
-    ssb = F.col("sterm") - F.expr("(ss * ss * 1000000) div nn")
+    ssb = F.col("sterm") - exact_div(
+        F.col("ss") * F.col("ss") * F.lit(1000000), F.col("nn")
+    )
     ssw = F.col("qq") * 1000000 - F.col("sterm")
     return tot.select(
         F.col("k").alias("n_groups"),
@@ -2067,16 +2077,21 @@ def cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").cast(d38).alias("nr"),
         F.countDistinct("dow").cast(d38).alias("nc"),
     )
+    from ..functions.numeric import exact_div
+
+    # exact_div, not Spark `div`: chi2_micro ≤ ~6e6·N would silently
+    # wrap `div`'s BIGINT result at N ≈ 1.5e12 rows. The DECIMAL(38)
+    # numerator ceiling (~1e9 rows, header) binds first today, but the
+    # quotient path shouldn't be the NEXT silent ceiling once cells
+    # are chunked by day.
+    dev = F.expr("o * n - r * s")
     terms = (
         cells.join(F.broadcast(rs), "event_type")
         .join(F.broadcast(cs), "dow")
         .crossJoin(F.broadcast(tot))
         .agg(
             F.sum(
-                F.expr(
-                    "((o * n - r * s) * (o * n - r * s) * 1000000)"
-                    " div (n * r * s)"
-                ).cast(d38)
+                exact_div(dev * dev * F.lit(1000000), F.expr("n * r * s"))
             ).alias("chi2_micro")
         )
     )
@@ -2110,7 +2125,8 @@ WITH e AS (
   SELECT user_id, epoch_us(ts) AS us,
          epoch_us(ts) // 86400000000 AS day,
          event_type,
-         CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT) AS cents
+         CASE WHEN value IS NOT NULL AND NOT isnan(value)
+              THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END AS cents
   FROM events
 ),
 obs AS (SELECT MAX(us) AS endus FROM e),
@@ -2141,8 +2157,14 @@ def churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         micros(F.col("ts")).alias("us"),
         "event_type",
-        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0)
-        .cast("long")
+        # NULL *and NaN* monetize as 0 (a NaN would silently cast to 0
+        # on Spark but error DuckDB's BIGINT cast); the row itself
+        # still counts — recency/frequency don't need a usable value
+        F.when(
+            F.col("value").isNotNull() & ~F.isnan("value"),
+            F.round(F.col("value") * 100, 0).cast("long"),
+        )
+        .otherwise(F.lit(0))
         .alias("cents"),
     ).withColumn("day", F.expr("us div 86400000000"))
     obs = e.agg(F.max("us").alias("endus"))
@@ -2196,7 +2218,9 @@ WITH c AS (
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(COUNT(*) FILTER (WHERE CAST(ROUND(value * 100, 0) AS BIGINT)
                                > 5000) AS BIGINT) AS k
-  FROM events GROUP BY 1
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1
 ),
 p AS (
   SELECT event_type, n, k,
@@ -2215,6 +2239,10 @@ FROM p
 def wilson_proportion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
         t(spark, sf_dir, "events")
+        # the grid-quantile NaN contract (operators/quantiles.py): a
+        # NaN would cast to 0 on Spark but error DuckDB's BIGINT cast —
+        # rows without a usable measurement are out of the analysis
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),

@@ -1148,3 +1148,76 @@ def test_bfs_hops_known_graph(spark, tmp_path):
     df.coalesce(1).write.parquet(os.path.join(sf, "lineitem.parquet"))
     out = {r.hop: r.n_nodes for r in QUERIES["bfs_hops"].fn(spark, sf).collect()}
     assert out == {0: 1, 1: 2, 2: 1}
+
+
+def test_exact_div_survives_bigint_quotient_wrap(spark):
+    """functions/numeric.exact_div vs the measured Spark `div` trap
+    (round-6 ADVICE): `div` on DECIMAL operands returns BIGINT and
+    SILENTLY WRAPS past 2^63 — a ~1.6e22 quotient came back as a
+    garbage positive long — while DuckDB computes the same truncating
+    division in HUGEINT. exact_div stays in DECIMAL(38,0) space; this
+    pins (a) bit-parity with DuckDB `//` both below and far above the
+    wrap point, including a non-exact quotient, and (b) that the raw
+    `div` result really is wrong up there (the trap stays measured)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from openaq_lcs_fetch_spark.functions.numeric import exact_div
+
+    cases = [  # (num, den): quotient spans both sides of 2^63
+        (10**22 + 7, 3),              # ~3.3e21 — far past the wrap
+        (16 * 10**21, 1),             # the measured ADVICE repro shape
+        (2**63 + 1, 1),               # first wrapped value
+        (2**63 - 1, 1),               # last safe value
+        (123456789012345678901234567, 987654321),  # non-exact quotient
+        (5, 2),
+        (0, 7),
+    ]
+    df = spark.createDataFrame(
+        [(str(n), str(d)) for n, d in cases], "ns string, ds string"
+    ).select(
+        F.col("ns").cast("decimal(38,0)").alias("n"),
+        F.col("ds").cast("decimal(38,0)").alias("d"),
+    )
+    got = [
+        int(r.q)
+        for r in df.select(exact_div(F.col("n"), F.col("d")).alias("q"))
+        .collect()
+    ]
+    want = [
+        int(
+            duckdb.sql(
+                f"SELECT CAST({n} AS HUGEINT) // CAST({d} AS HUGEINT)"
+            ).fetchone()[0]
+        )
+        for n, d in cases
+    ]
+    assert got == want
+    assert got[0] == (10**22 + 7) // 3  # python ground truth too
+    # and the trap itself: raw `div` wraps silently on the same input
+    wrapped = (
+        df.limit(1)
+        .select(F.expr("n div d").alias("q"))
+        .collect()[0]
+        .q
+    )
+    assert wrapped != want[0] and wrapped < 2**63
+
+
+def test_fixture_events_value_has_no_nan(spark):
+    """The repo-wide NaN contract is split (ADVICE r6, resolved): the
+    five round-6 value-casting queries guard NaN explicitly BOTH
+    engines (wilson/ols/mase/seasonal filter it, churn monetizes it as
+    0), while the older casting sites rely on the fixture invariant
+    pinned HERE — events.value contains NULLs but never NaN. If a
+    future fixture regeneration injects NaN, this fails before any
+    silent Spark-casts-NaN-to-0 / DuckDB-errors divergence can."""
+    from pyspark.sql import functions as F
+
+    n_nan = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.isnan("value"))
+        .count()
+    )
+    assert n_nan == 0
