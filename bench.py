@@ -117,7 +117,55 @@ HEADLINE = (
     "wilson_proportion_ci",
     "bpe_train_merges",
     "seasonal_decompose_24",
+    # round 7: the 14 round-6 queries previously outside the headline
+    # set (VERDICT r6 task #3) — bfs_hops (iterative frontier loop),
+    # hll_distinct_events (sketch + exact audit), hourly_type_correlation
+    # (dense spine pair join) and source_lang_tv lead; the rest are
+    # single-aggregate shapes benched for completeness
+    "bfs_hops",
+    "hll_distinct_events",
+    "hll_distinct_fast",
+    "source_lang_tv",
+    "hourly_type_correlation",
+    "benford_digits",
+    "order_price_reconcile",
+    "ma_crossover",
+    "new_vs_returning",
+    "iqr_fences_outliers",
+    "user_type_impurity",
+    "weekday_anova",
+    "cramers_v",
+    "churn_features",
+    "nearest_poi",
 )
+
+
+def _calibrate(spark) -> float:
+    """Fixed, data-independent reference job (a codegen-heavy scan sum
+    plus one 1000-key shuffle) timed best-of-2. Round-over-round bench
+    comparisons on this box are dominated by SESSION state, not plans:
+    the round-7 reconciliation re-ran the full r6 bench twice and the
+    73-query shared subtotal came back 1.215× the driver's BENCH_r06
+    with a MEDIAN per-query ratio of 1.195 — a uniform multiplicative
+    box/JVM factor (background load, JIT state), while individual
+    untouched queries scattered 0.72×–3.04× around it. Divide each
+    round's per-query walls by (calibration_r{N}/calibration_r{M})
+    before calling anything a mover; the 2022-era alternative —
+    trusting raw per-query deltas — produced the r5 split_leakage_audit
+    and r6 weighted_median_value false alarms."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(100_000_000).select(
+            F.sum((F.col("id") % 7) * (F.col("id") % 11)).alias("s")
+        ).collect()
+        spark.range(4_000_000).groupBy((F.col("id") % 1000).alias("k")).count().agg(
+            F.sum("count")
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def main() -> None:
@@ -128,6 +176,8 @@ def main() -> None:
 
     # warm the JVM + parquet footers outside the timed region
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    calib_start = _calibrate(spark)
 
     # best-of-2 per query: first run pays whole-stage-codegen compile +
     # JIT; the second is the steady-state number a long-running cluster
@@ -149,6 +199,22 @@ def main() -> None:
     # call-site median are localCheckpointed (35→2 planned corpus
     # scans; measured 4.79→4.09 s steady-state at sf0.1) — judge the
     # r7 row against the new shape.
+    # Streaming family expected cost (measured round 7, sf0.1): each
+    # heartbeat+append rollup is exactly TWO micro-batches (batch 0 =
+    # all 3 files/100k rows, batch 1 = the no-data eviction batch that
+    # EMITS every finalized window), not a per-file replay. The wall is
+    # ~2.5-3.5 s/query of which ~2.7 s is FIXED machinery (query
+    # start/stop, 2×32-partition state-store load+commit, memory sink)
+    # — the same query at sf0.001 measures 2.7 s vs 3.4 s at sf0.1,
+    # while the batch-equivalent agg is 0.36 s. Measured NO-GOs, all
+    # interleaved median-of-5+ at sf0.1: shuffle/state partitions 8 or
+    # 4 (slower: 3.3→4.1 s and 5.9 s — fewer reducers lose more than
+    # task overhead saves), RocksDB state store (slower: tiny state
+    # pays its setup), tmpfs checkpointLocation (within noise: ext4
+    # page cache already absorbs the delta-file fsyncs). First
+    # streaming query of a session additionally pays ~5-20 s of
+    # one-time streaming-engine class-load in run 1; best-of-2
+    # absorbs it.
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         q = QUERIES[name]
@@ -172,6 +238,8 @@ def main() -> None:
             pass
         per_query[name] = round(min(times), 3)
 
+    calib_end = _calibrate(spark)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -184,6 +252,7 @@ def main() -> None:
                 "value": round(sum(per_query.values()), 3),
                 "unit": "sec",
                 "queries": per_query,
+                "calibration": {"start": calib_start, "end": calib_end},
                 "sf": sf_val,
             }
         )
