@@ -137,6 +137,13 @@ HEADLINE = (
     "cramers_v",
     "churn_features",
     "nearest_poi",
+    # round 7: new operator families (graph coefficients, DQ audit,
+    # index layout costing, shuffle-planning audit, attribution)
+    "clustering_coefficients",
+    "fk_integrity_audit",
+    "skew_audit",
+    "inverted_postings",
+    "last_touch_attribution",
 )
 
 

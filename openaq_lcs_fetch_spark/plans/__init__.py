@@ -65,71 +65,26 @@ from . import textops  # noqa: F401
 from . import simsearch  # noqa: F401
 from . import layout  # noqa: F401
 
-# Round-6 driver window (slots 1-50), executing the rotation drafted in
-# round 5: (1) the 3 round-5 additions that landed after slot 50 and
-# have never had a driver row; (2) round-6's new queries as they land
-# (first-time signal outranks re-verification); (3) the 18 queries whose
-# most recent driver row is ROUND 1 — the stalest re-verification debt;
-# (4) backfill from the round-2-stale set, simsearch first (the order
-# the round-5 verdict prescribed), then windows/etl, then textops.
-# Whatever misses the 50-slot window stays covered by the local
-# whole-registry canary (tools/check_all.py) and heads round 7.
+# Round-7 driver window (slots 1-50), executing the rotation the
+# round-6 verdict prescribed: (1) round-7's six new queries (first-time
+# signal outranks re-verification); (2) ALL 42 queries whose most
+# recent driver row is ROUND 2 — the r02 simsearch set, the r02
+# windows/etl group, and the r02 textops remainder — which zeroes the
+# r02 staleness debt in one window; (3) two round-3-stale backfills
+# (the flagship pricing_summary and the semantics-changed
+# streaming_hourly — the two most valuable r03 re-proofs). Remaining
+# debt for round 8: the other 47 r03-stale queries (fits one window if
+# round-8 new-query velocity stays ≤ 3).
 registry.promote(
     [
-        # (1) never driver-verified round-5 tail
-        "corpus_mix_weights",
-        "hour_of_day_profile",
-        "streaming_value_histogram",
-        # (2) round-6 new queries (never verified — first-time signal)
-        "item_item_cosine",
-        "gini_revenue",
-        "benford_digits",
-        "order_price_reconcile",
-        "kaplan_meier",
-        "hourly_type_correlation",
-        "ma_crossover",
-        "new_vs_returning",
-        "iqr_fences_outliers",
-        "user_type_impurity",
-        "source_lang_tv",
-        "centroid_lang_classifier",
-        "streaming_sliding_counts",
-        "weekday_anova",
-        "cramers_v",
-        "churn_features",
-        "nearest_poi",
-        "hll_distinct_events",
-        "bfs_hops",
-        "quality_quantile_map",
-        "hourly_value_emd",
-        "ols_hourly_trend",
-        "transition_dwell_times",
-        "hourly_ks_drift",
-        "mase_naive_eval",
-        "wilson_proportion_ci",
-        "bpe_train_merges",
-        "seasonal_decompose_24",
-        # (3) last driver row = round 1
-        "watermark_summary",
-        "distinct_users",
-        "hourly_rollup",
-        "hour_ending_rollup",
-        "cohort_union",
-        "enrich_misses",
-        "tz_daily",
-        "props_extract",
-        "recent_orders",
-        "latest_complete_hour",
-        "order_calendar",
-        "distinct_pairs",
-        "ingest_id_join",
-        "value_percentiles",
-        "daily_from_hourly",
-        "quarantine_summary",
-        "profile_numerics",
-        "table_manifest",
-        # (4) round-2-stale backfill: simsearch set
-        "cosine_topk",
+        # (1) round-7 new queries (never driver-verified)
+        "hll_distinct_fast",
+        "clustering_coefficients",
+        "fk_integrity_audit",
+        "skew_audit",
+        "inverted_postings",
+        "last_touch_attribution",
+        # (2) last driver row = round 2: simsearch set
         "ann_lsh_buckets",
         "ann_bucket_search",
         "label_centroids",
@@ -139,7 +94,7 @@ registry.promote(
         "kmeans_clusters",
         "ann_ivf_probe2",
         "embedding_near_dups",
-        # (4) round-2-stale backfill: windows/etl group
+        # (2) last driver row = round 2: windows/etl group
         "pricing_rollup",
         "sliding_3h_counts",
         "orders_cube",
@@ -152,7 +107,7 @@ registry.promote(
         "brand_weighted_price",
         "purchase_streaks",
         "range_window_counts",
-        # (4) round-2-stale backfill: textops head
+        # (2) last driver row = round 2: textops remainder + misc
         "doc_language",
         "doc_quality",
         "doc_fingerprint",
@@ -160,6 +115,23 @@ registry.promote(
         "simhash_docs",
         "ngram_jaccard_top",
         "minhash_signatures",
+        "minhash_lsh_pairs",
+        "simhash_near_dups",
+        "dedup_keep_best",
+        "dedup_components",
+        "doc_winnow",
+        "bigram_lift_top",
+        "bpe_token_stats",
+        "token_doc_freq",
+        "tfidf_top_terms",
+        "corpus_clean",
+        "corpus_sample",
+        "corpus_split",
+        "multimodal_meta",
+        "sample_k_per_source",
+        # (3) round-3-stale backfill
+        "pricing_summary",
+        "streaming_hourly",
     ]
 )
 

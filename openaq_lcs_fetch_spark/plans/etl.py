@@ -1263,3 +1263,127 @@ def nearest_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("best.d2").alias("min_d2"),
         F.max("best.d2").alias("max_d2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fk_integrity_audit — referential-integrity audit across the whole
+# star schema in ONE pass per table (the pre-load DQ gate every
+# warehouse runs; the reference's analogue is the station diff-upsert's
+# "known sensor?" check, fetcher/lib/station.js). This is the
+# SCALE-SUPERIOR superset of relational_adv.fk_violation_audit: that
+# one LEFT-JOINs every child ROW against its parent (4 relations,
+# row-level join cost), this one rolls child keys up first so the
+# anti-join touches each DISTINCT key once, melts all of a table's FKs
+# into one scan, and extends coverage to the nation FKs plus a
+# deliberately-dirty cross-domain relation. For each FK relation,
+# how many child rows, NULL keys, distinct keys, orphan keys and
+# orphan rows. Scale shape: every child table is scanned ONCE — its FK
+# columns melt to (relation, key) rows map-side — then one
+# (relation, key) rollup (map-side combined; the key space is the
+# union of dimension keys), one tagged union of parent key sets, and
+# ONE left-anti join for all seven relations together. Never a
+# per-relation rescan, never a row-level anti-join (the rollup means
+# the join touches each DISTINCT key once). events.user_id →
+# customer.c_custkey is the deliberately-dirty cross-domain relation:
+# synthetic user ids need not be customers, so orphan counts exercise
+# the non-zero path at every SF.
+# ---------------------------------------------------------------------------
+
+_FK_RELS = [
+    # (relation tag, child table, child key col, parent table, parent key col)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for rel, child, ck, parent, pk in _FK_RELS:
+        parts.append(f"""
+SELECT '{rel}' AS relation,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS child_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {child} WHERE {ck} IS NULL)
+         AS null_rows,
+       CAST(COUNT(*) AS BIGINT) AS distinct_keys,
+       CAST(COUNT(*) FILTER (WHERE NOT ok) AS BIGINT) AS orphan_keys,
+       CAST(COALESCE(SUM(cnt) FILTER (WHERE NOT ok), 0) AS BIGINT)
+         AS orphan_rows
+FROM (
+  SELECT c.{ck} AS k, CAST(COUNT(*) AS BIGINT) AS cnt,
+         EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck}) AS ok
+  FROM {child} c WHERE c.{ck} IS NOT NULL GROUP BY 1
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("fk_integrity_audit", _fk_oracle())
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # melt each child table's FK columns in one scan: (relation, key)
+    by_child: dict[str, list[tuple[str, str]]] = {}
+    for rel, child, ck, _parent, _pk in _FK_RELS:
+        by_child.setdefault(child, []).append((rel, ck))
+    melted = None
+    totals = None
+    for child, rels in by_child.items():
+        tbl = t(spark, sf_dir, child).select(*[ck for _, ck in rels])
+        pairs = tbl.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(rel).alias("relation"),
+                            F.col(ck).cast("long").alias("k"),
+                        )
+                        for rel, ck in rels
+                    ]
+                )
+            ).alias("x")
+        ).select("x.relation", "x.k")
+        melted = pairs if melted is None else melted.unionAll(pairs)
+        # child_rows / null_rows per relation ride the same scan via the
+        # melted frame (a NULL key melts to a NULL k row, still counted)
+    counts = melted.groupBy("relation").agg(
+        F.count(F.lit(1)).alias("child_rows"),
+        F.count_if(F.col("k").isNull()).alias("null_rows"),
+    )
+    keyed = (
+        melted.filter(F.col("k").isNotNull())
+        .groupBy("relation", "k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # tagged union of parent key sets — each parent scanned once even
+    # when it backs two relations (nation, customer)
+    pkeys = None
+    for rel, _child, _ck, parent, pk in _FK_RELS:
+        p = (
+            t(spark, sf_dir, parent)
+            .select(F.col(pk).cast("long").alias("k"))
+            .distinct()
+            .select(F.lit(rel).alias("relation"), "k")
+        )
+        pkeys = p if pkeys is None else pkeys.unionAll(p)
+    orphans = keyed.join(pkeys, ["relation", "k"], "left_anti")
+    per_rel = keyed.groupBy("relation").agg(
+        F.count(F.lit(1)).alias("distinct_keys")
+    )
+    orph = orphans.groupBy("relation").agg(
+        F.count(F.lit(1)).alias("orphan_keys"),
+        F.sum("cnt").alias("orphan_rows"),
+    )
+    return (
+        counts.join(per_rel, "relation", "left")
+        .join(orph, "relation", "left")
+        .select(
+            "relation",
+            "child_rows",
+            "null_rows",
+            F.coalesce(F.col("distinct_keys"), F.lit(0)).alias("distinct_keys"),
+            F.coalesce(F.col("orphan_keys"), F.lit(0)).alias("orphan_keys"),
+            F.coalesce(F.col("orphan_rows"), F.lit(0)).alias("orphan_rows"),
+        )
+    )

@@ -558,3 +558,96 @@ def hll_distinct_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hll_s2(e, spark).select(
         "event_type", _hll_est_col().alias("hll_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# skew_audit — the shuffle-planning audit this engine's own join
+# strategy notes keep appealing to, as a first-class query: profile a
+# join key's per-key row distribution (orders.o_custkey — the key the
+# customer-side joins shuffle on) and emit the numbers a planner needs
+# to pick a strategy: top-1 key share (is there a hub key?), exact
+# p50/p90/p99 of rows-per-key (how heavy is the tail?), and the salt
+# factor that would flatten the hottest key to the average
+# (ceil(max/avg) — the `repartition`-salt multiplier). Scale shape:
+# one map-side-combined (key, cnt) rollup, then everything runs on the
+# COUNT-OF-COUNTS table: the set of distinct per-key counts has at
+# most O(√N) rows (k distinct counts need ≥ 1+2+…+k = k(k+1)/2 source
+# rows), so the cumulative window that extracts exact percentiles is
+# bounded by construction — never a window over keys, let alone rows.
+# All stats are exact integers; shares are ppm via truncating division
+# (quotient ≤ 1e6 — BIGINT-safe everywhere).
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+WITH per_key AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+),
+coc AS (
+  SELECT cnt, CAST(COUNT(*) AS BIGINT) AS n_keys FROM per_key GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(cnt * n_keys) AS BIGINT) AS n_rows,
+         CAST(SUM(n_keys) AS BIGINT) AS n_keys,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt
+  FROM coc
+),
+cum AS (
+  SELECT cnt, SUM(n_keys) OVER (ORDER BY cnt) AS cum_keys FROM coc
+),
+pct AS (
+  SELECT
+    (SELECT MIN(cnt) FROM cum, tot WHERE 2 * cum_keys >= tot.n_keys) AS p50,
+    (SELECT MIN(cnt) FROM cum, tot WHERE 10 * cum_keys >= 9 * tot.n_keys) AS p90,
+    (SELECT MIN(cnt) FROM cum, tot WHERE 100 * cum_keys >= 99 * tot.n_keys) AS p99
+)
+SELECT t.n_rows, t.n_keys, t.max_cnt,
+       (t.max_cnt * 1000000) // t.n_rows AS top1_share_ppm,
+       p.p50 AS p50_rows_per_key, p.p90 AS p90_rows_per_key,
+       p.p99 AS p99_rows_per_key,
+       (t.max_cnt * t.n_keys + t.n_rows - 1) // t.n_rows AS salt_factor
+FROM tot t CROSS JOIN pct p
+"""
+
+
+@query("skew_audit", _SKEW_ORACLE)
+def skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    per_key = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    coc = per_key.groupBy("cnt").agg(F.count(F.lit(1)).alias("n_keys"))
+    # count-of-counts is O(√N) rows — the single-partition cumulative
+    # window below is bounded by construction (header), and the frame
+    # roots a three-branch diamond (tot / percentiles / output): one
+    # rollup-sized checkpoint keeps the orders scan single-pass
+    coc = coc.localCheckpoint()
+    tot = coc.agg(
+        F.sum(F.col("cnt") * F.col("n_keys")).alias("n_rows"),
+        F.sum("n_keys").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    cum = coc.withColumn(
+        "cum_keys", F.sum("n_keys").over(Window.orderBy("cnt"))
+    )
+    c = cum.crossJoin(
+        F.broadcast(tot.select(F.col("n_keys").alias("tot_keys")))
+    )
+    pct = c.agg(
+        F.min(F.when(2 * F.col("cum_keys") >= F.col("tot_keys"), F.col("cnt"))).alias("p50"),
+        F.min(F.when(10 * F.col("cum_keys") >= 9 * F.col("tot_keys"), F.col("cnt"))).alias("p90"),
+        F.min(F.when(100 * F.col("cum_keys") >= 99 * F.col("tot_keys"), F.col("cnt"))).alias("p99"),
+    )
+    return tot.crossJoin(F.broadcast(pct)).select(
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        F.expr("(max_cnt * 1000000) div n_rows").alias("top1_share_ppm"),
+        F.col("p50").alias("p50_rows_per_key"),
+        F.col("p90").alias("p90_rows_per_key"),
+        F.col("p99").alias("p99_rows_per_key"),
+        F.expr("(max_cnt * n_keys + n_rows - 1) div n_rows").alias("salt_factor"),
+    )

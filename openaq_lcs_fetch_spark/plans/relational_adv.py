@@ -790,7 +790,10 @@ def wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dimension-sized, shuffled otherwise, optimizer's call) and the audit
 # output is 4 rows. NULL child keys are not orphans (SQL FK semantics:
 # NULL references are permitted) — both engines enforce that the same
-# way here.
+# way here. etl.fk_integrity_audit is the production superset (key
+# rollup before the anti-join, one melted scan per child table, 7
+# relations incl. a deliberately-dirty one); this row-level LEFT JOIN
+# form stays as the per-ROW costing contrast.
 # ---------------------------------------------------------------------------
 
 _FK_ORACLE = """
@@ -2169,3 +2172,139 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = dist.unionAll(expanded).localCheckpoint()
         frontier = expanded
     return dist.groupBy("hop").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# clustering_coefficients — per-node LOCAL clustering coefficient on the
+# support-filtered co-purchase graph (the "how clique-ish is each
+# part's neighborhood" feature that copurchase_triangles' global count
+# teases): coeff(v) = 2·tri(v) / (d(v)·(d(v)−1)). Reuses the exact
+# Schank-Wagner shape of copurchase_triangles — within-order pair
+# expansion (fan-out bounded by basket size), support-≥2 edge gate,
+# degree-ordered orientation so wedge fan-out is O(E^1.5) — and then,
+# instead of counting closures once, EXPLODES each closed triangle to
+# its three corners and rolls up per node. tri(v) and d(v)·(d(v)−1)
+# are exact BIGINTs; the coefficient is ONE double division of the two
+# (portable per ORACLE_NOTES), NULL where degree < 2 leaves it
+# undefined. Output is node-keyed — scales with the part dimension,
+# embarrassingly parallel after the (bounded) wedge closure.
+# Reference scope: graph features over fetched entities; the reference
+# has no graph layer — this extends SURVEY §2.12's analytics tier.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_TRIANGLES_MIN_SUPPORT}
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dd
+  FROM edges e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+),
+wedges AS (
+  SELECT e1.src, e1.dst AS v1, e2.dst AS v2
+  FROM oriented e1 JOIN oriented e2
+    ON e1.src = e2.src AND (e1.dd, e1.dst) < (e2.dd, e2.dst)
+),
+closed AS (
+  SELECT w.src, w.v1, w.v2
+  FROM wedges w JOIN oriented o ON o.src = w.v1 AND o.dst = w.v2
+),
+tri AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+    SELECT src AS node FROM closed
+    UNION ALL SELECT v1 FROM closed
+    UNION ALL SELECT v2 FROM closed
+  ) GROUP BY node
+)
+SELECT d.node, d.d AS degree,
+       COALESCE(t.t, 0) AS tri_cnt,
+       CASE WHEN d.d >= 2
+            THEN CAST(2 * COALESCE(t.t, 0) AS DOUBLE)
+                 / CAST(d.d * (d.d - 1) AS DOUBLE)
+       END AS coeff
+FROM deg d LEFT JOIN tri t ON t.node = d.node
+"""
+
+
+@query("clustering_coefficients", _CLUSTER_ORACLE)
+def clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    # edges feeds deg, orientation and the closure probe — checkpoint
+    # the support-filtered edge list so the corpus pair-join runs once
+    # (the copurchase_triangles diamond rule)
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= _TRIANGLES_MIN_SUPPORT)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
+    )
+    e = (
+        edges.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+    ).localCheckpoint()
+    w1 = oriented.select("src", F.col("dst").alias("v1"), F.col("dd").alias("d1"))
+    w2 = oriented.select("src", F.col("dst").alias("v2"), F.col("dd").alias("d2"))
+    wedges = w1.join(w2, "src").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("v1"), F.col("dst").alias("v2")),
+        ["v1", "v2"],
+    ).select("src", "v1", "v2")
+    tri = (
+        closed.select(F.col("src").alias("node"))
+        .unionAll(closed.select(F.col("v1").alias("node")))
+        .unionAll(closed.select(F.col("v2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    out = deg.join(tri, "node", "left").select(
+        "node",
+        F.col("d").alias("degree"),
+        F.coalesce(F.col("t"), F.lit(0)).alias("tri_cnt"),
+        F.when(
+            F.col("d") >= 2,
+            (F.lit(2) * F.coalesce(F.col("t"), F.lit(0))).cast("double")
+            / (F.col("d") * (F.col("d") - 1)).cast("double"),
+        ).alias("coeff"),
+    )
+    return out

@@ -2169,3 +2169,110 @@ def seasonal_decompose_24(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("y").cast("double") - trend - seasonal).alias("residual"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# last_touch_attribution — marketing attribution, the batch companion to
+# streaming_click_to_buy's pair join: every purchase is attributed to
+# the LAST click by the same user at or before it (ties on ts broken by
+# event_id — the same total within-user order every sequence query here
+# uses), then rolled up by attribution age: <1h, 1h-24h, 1d-7d, older
+# ("stale"), or no prior click at all ("organic"). Shape: ONE
+# user-partitioned running last_value(click_ts IGNORE NULLS) window —
+# millions of user keys parallelize it on their own, never a global
+# order — then a 5-row rollup. Purchase cents monetize NULL *and NaN*
+# as 0 without dropping the row (the churn_features guard: Spark casts
+# NaN to 0 silently, DuckDB errors — the CASE keeps both engines on
+# one spec); gap mass accumulates as exact integer µs in
+# DECIMAL(38,0)/HUGEINT.
+# ---------------------------------------------------------------------------
+
+_ATTR_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+         CASE WHEN value IS NOT NULL AND NOT isnan(value)
+              THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END AS cents
+  FROM events
+),
+touched AS (
+  SELECT user_id, event_type, us, cents,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_us
+  FROM e
+),
+p AS (
+  SELECT us - click_us AS gap_us, cents
+  FROM touched WHERE event_type = 'purchase'
+),
+b AS (
+  SELECT CASE
+           WHEN gap_us IS NULL THEN 'organic'
+           WHEN gap_us <= 3600000000 THEN 'lt_1h'
+           WHEN gap_us <= 86400000000 THEN '1h_24h'
+           WHEN gap_us <= 7 * 86400000000 THEN '1d_7d'
+           ELSE 'stale'
+         END AS bucket,
+         cents, COALESCE(gap_us, 0) AS gap_us
+  FROM p
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS total_cents,
+       CAST(SUM(CAST(gap_us AS HUGEINT)) AS BIGINT) AS sum_gap_us
+FROM b GROUP BY bucket
+"""
+
+
+@query("last_touch_attribution", _ATTR_ORACLE)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.timestamps import micros
+
+    d38 = "decimal(38,0)"
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        micros(F.col("ts")).alias("us"),
+        F.when(
+            F.col("value").isNotNull() & ~F.isnan("value"),
+            F.round(F.col("value") * 100, 0).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touched = e.withColumn(
+        "click_us",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("us")), ignorenulls=True
+        ).over(w),
+    )
+    p = touched.filter(F.col("event_type") == "purchase").select(
+        (F.col("us") - F.col("click_us")).alias("gap_us"), "cents"
+    )
+    bucket = (
+        F.when(F.col("gap_us").isNull(), "organic")
+        .when(F.col("gap_us") <= 3_600_000_000, "lt_1h")
+        .when(F.col("gap_us") <= 86_400_000_000, "1h_24h")
+        .when(F.col("gap_us") <= 7 * 86_400_000_000, "1d_7d")
+        .otherwise("stale")
+    )
+    return (
+        p.select(
+            bucket.alias("bucket"),
+            "cents",
+            F.coalesce(F.col("gap_us"), F.lit(0)).alias("gap_us"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("cents").cast(d38)).cast("long").alias("total_cents"),
+            F.sum(F.col("gap_us").cast(d38)).cast("long").alias("sum_gap_us"),
+        )
+    )

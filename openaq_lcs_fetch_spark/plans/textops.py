@@ -2778,3 +2778,82 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in bests[1:]:
         out = out.unionAll(b)
     return out
+
+
+# ---------------------------------------------------------------------------
+# inverted_postings — inverted-index LAYOUT COSTING (the build-planning
+# pass of a search index over the corpus): per token, the posting-list
+# stats an index builder sizes storage with — document frequency, doc-id
+# envelope, and the EXACT byte cost of the standard delta+varint
+# posting encoding (first posting stores doc_id+1, the rest store the
+# gap to the previous doc_id; each value costs ceil(bits/7) bytes —
+# computed as (length(bin(x))+6) div 7, the same md5/bin() integer
+# idiom the HLL sketch uses, bit-identical across engines). Shape: one
+# distinct (token, doc_id) rollup (the token_doc_freq shuffle), then a
+# per-TOKEN ordered window for the gaps — parallelizes across the
+# vocabulary, the window frame is one posting list. Known envelope: a
+# stopword token's posting list is corpus-sized, making its window
+# partition a straggler at 100 TB — production index builds doc-shard
+# exactly those (they're the "common terms" every IR system
+# special-cases); the df output is the detector. min_df=2 drops the
+# hapax tail (typically half the vocabulary, zero index value) from
+# the output after the rollup — the gap window still runs over it,
+# which is fine: hapax partitions are single-row.
+# ---------------------------------------------------------------------------
+
+_POSTINGS_MIN_DF = 2
+
+_POSTINGS_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+tokx AS (SELECT DISTINCT doc_id, unnest(toks) AS token FROM toks),
+gapped AS (
+  SELECT token, doc_id,
+         COALESCE(doc_id - lag(doc_id) OVER w, doc_id + 1) AS stored
+  FROM tokx
+  WINDOW w AS (PARTITION BY token ORDER BY doc_id)
+),
+per_tok AS (
+  SELECT token,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+         CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+         CAST(SUM((length(bin(stored)) + 6) // 7) AS BIGINT) AS varint_bytes
+  FROM gapped GROUP BY token
+)
+SELECT token, df, min_doc, max_doc, varint_bytes,
+       CAST(varint_bytes AS DOUBLE) / CAST(df AS DOUBLE) AS bytes_per_posting
+FROM per_tok WHERE df >= {_POSTINGS_MIN_DF}
+"""
+
+
+@query("inverted_postings", _POSTINGS_ORACLE)
+def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    tokx = d.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    ).distinct()
+    w = Window.partitionBy("token").orderBy("doc_id")
+    gapped = tokx.withColumn(
+        "stored",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(w), F.col("doc_id") + 1
+        ),
+    )
+    per_tok = gapped.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.sum(F.expr("(length(bin(stored)) + 6) div 7")).alias("varint_bytes"),
+    )
+    return per_tok.filter(F.col("df") >= _POSTINGS_MIN_DF).select(
+        "token",
+        "df",
+        "min_doc",
+        "max_doc",
+        "varint_bytes",
+        (F.col("varint_bytes").cast("double") / F.col("df").cast("double")).alias(
+            "bytes_per_posting"
+        ),
+    )

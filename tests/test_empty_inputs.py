@@ -61,6 +61,9 @@ REPRESENTATIVE = (
     "ols_hourly_trend", "transition_dwell_times", "hourly_ks_drift",
     "mase_naive_eval", "wilson_proportion_ci", "bpe_train_merges",
     "seasonal_decompose_24",
+    # round-7 additions
+    "hll_distinct_fast", "clustering_coefficients", "fk_integrity_audit",
+    "skew_audit", "inverted_postings", "last_touch_attribution",
 )
 
 

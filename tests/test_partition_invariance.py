@@ -85,7 +85,11 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           "quality_quantile_map", "hourly_value_emd",
           "ols_hourly_trend", "transition_dwell_times",
           "hourly_ks_drift", "mase_naive_eval", "wilson_proportion_ci",
-          "bpe_train_merges", "seasonal_decompose_24"]:
+          "bpe_train_merges", "seasonal_decompose_24",
+          # round-7 additions
+          "hll_distinct_fast", "clustering_coefficients",
+          "fk_integrity_audit", "skew_audit", "inverted_postings",
+          "last_touch_attribution"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n

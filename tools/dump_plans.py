@@ -684,6 +684,54 @@ COMMENTARY = {
         "COUNT-over-frame = 25 guard makes gaps yield UNDEFINED trend "
         "instead of a silently shifted row-offset frame."
     ),
+    "hll_distinct_fast": (
+        "The PRODUCTION HLL form: one corpus scan, no pre-hash distinct "
+        "(register MAX is idempotent under duplicate ids), one map-side-"
+        "combinable (type, register) MAX rollup with fixed 512-register "
+        "state per type, spine derived from the rollup; the exact-"
+        "distinct shuffle that dominates the audit twin does not exist "
+        "here."
+    ),
+    "clustering_coefficients": (
+        "Schank-Wagner again (copurchase_triangles' shape): support-"
+        "filtered within-order pair edges, degree-ordered orientation "
+        "bounding wedge fan-out to O(E^1.5), one closure equi-join; "
+        "then each closed triangle explodes to its 3 corners and rolls "
+        "up per node. tri(v) and d(v)(d(v)-1) stay exact BIGINTs; the "
+        "coefficient is one double division; edges/deg/oriented are "
+        "localCheckpointed diamond roots (the triangle-family rule)."
+    ),
+    "fk_integrity_audit": (
+        "Each child table melts ALL its FK columns to (relation, key) "
+        "in one scan (explode of a struct array — map-side), one "
+        "(relation, key) rollup, a tagged union of parent key sets, "
+        "and ONE left-anti join covering all seven relations. The "
+        "anti-join touches each DISTINCT key once — never child rows; "
+        "contrast fk_violation_audit's per-row LEFT JOIN form."
+    ),
+    "skew_audit": (
+        "Per-key counts collapse map-side; everything else runs on the "
+        "count-of-counts table, which is O(sqrt(N)) rows by "
+        "construction (k distinct counts need >= k(k+1)/2 source rows) "
+        "— so the cumulative window extracting exact p50/p90/p99 is "
+        "bounded, and the 1-row output carries top-1 share ppm and the "
+        "ceil(max/avg) salt factor as exact integer arithmetic."
+    ),
+    "inverted_postings": (
+        "One distinct (token, doc_id) rollup, then a per-TOKEN ordered "
+        "window computes delta gaps and exact varint byte cost "
+        "((length(bin(x))+6) div 7 — bit-identical both engines). "
+        "Parallelism = vocabulary; the documented envelope is stopword "
+        "posting lists (corpus-sized partitions) which production "
+        "builds doc-shard — df in the output is the detector."
+    ),
+    "last_touch_attribution": (
+        "One user-partitioned running last_value(click_us IGNORE "
+        "NULLS) window (millions of user keys parallelize it; never a "
+        "global order), then a 5-row attribution-age rollup; purchase "
+        "cents monetize NULL/NaN as 0 under the churn_features guard "
+        "and gap mass accumulates in DECIMAL(38,0)/HUGEINT."
+    ),
     "bpe_train_merges": (
         "Sennrich BPE: the corpus is touched ONCE (map-side word-freq "
         "rollup, capped top-4096 deterministically); all three merge "
