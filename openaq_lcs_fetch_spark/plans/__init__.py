@@ -43,11 +43,15 @@ purpose (``corpus_mix_weights``, ``hour_of_day_profile``,
 ``streaming_value_histogram``) — they head the round-6 rotation
 together with the stale r02 textops/simsearch backfill listed above.
 
-* round 6 (here): the 3 never-verified round-5-tail queries, round-6's
+* round 6: the 3 never-verified round-5-tail queries, round-6's
   new queries, the 18 round-1-stale queries, then round-2-stale
-  backfill (simsearch → windows/etl → textops head). Remaining debt
-  for round 7: the rest of the r02 textops set plus whatever round 6
-  pushes past slot 50.
+  backfill (simsearch → windows/etl → textops head) —
+  CORRECTNESS_r06: 50/50 green, r01 staleness zeroed;
+* round 7 (here): six new queries, then ALL 42 remaining round-2-stale
+  queries (velocity was capped at 6 new precisely so the whole r02
+  debt fits one window), then two round-3 backfills. After this
+  window, no driver row should be older than round 3; round 8 owes the
+  other 47 r03-stale rows (new-query velocity ≤ 3 that round).
 """
 
 from . import registry

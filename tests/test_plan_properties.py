@@ -557,3 +557,32 @@ def test_bpe_final_plan_is_checkpoint_flat(spark, sf_dir):
     assert tree.count("Scan parquet") == 0
     assert tree.count("Scan ExistingRDD") == 3
     assert "Union" in tree
+
+
+def test_kaplan_meier_fold_is_life_table_bounded_and_guarded(spark, sf_dir):
+    """The round-6 verdict's standing ask (r7 task #7): kaplan_meier's
+    applyInPandas fold must consume the DAY-LEVEL LIFE TABLE (bounded
+    by _KM_MAX_DAYS), never raw user spans — the plan aggregates to
+    (dur, d, c) BEFORE the Python stage — and the _KM_MAX_DAYS guard
+    must actually trip, not just exist (the isotonic-guard pattern:
+    shrink the cap instead of materializing 100k+1 life-table rows)."""
+    import pytest
+
+    from openaq_lcs_fetch_spark.plans import temporal as T
+
+    plan = _plan(spark, sf_dir, "kaplan_meier")
+    assert "FlatMapGroupsInPandas" in plan
+    # the (dur) life-table rollup is map-side combined before pandas,
+    # and per-event columns are pruned at the scan
+    assert "partial_sum" in plan
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "event_id" not in read_schema and "value" not in read_schema
+
+    orig = T._KM_MAX_DAYS
+    T._KM_MAX_DAYS = 2  # sf0.001 life table has > 2 distinct durations
+    try:
+        df = QUERIES["kaplan_meier"].fn(spark, sf_dir)
+        with pytest.raises(Exception, match="fold cap"):
+            df.collect()
+    finally:
+        T._KM_MAX_DAYS = orig
