@@ -1347,15 +1347,24 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         melted = pairs if melted is None else melted.unionAll(pairs)
         # child_rows / null_rows per relation ride the same scan via the
         # melted frame (a NULL key melts to a NULL k row, still counted)
-    counts = melted.groupBy("relation").agg(
-        F.count(F.lit(1)).alias("child_rows"),
-        F.count_if(F.col("k").isNull()).alias("null_rows"),
-    )
+    # ONE corpus-level rollup consumes the melt (NULL keys kept as
+    # their own bucket); every downstream branch reads this distinct-
+    # key-sized frame. Without the checkpoint the counts/per_rel/orph
+    # diamond re-planned the melt per consumer — 50 parquet scans in
+    # the physical plan (measured round 7); with it, one scan per
+    # child table.
     keyed = (
-        melted.filter(F.col("k").isNotNull())
-        .groupBy("relation", "k")
+        melted.groupBy("relation", "k")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
+    counts = keyed.groupBy("relation").agg(
+        F.sum("cnt").alias("child_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("k").isNull(), F.col("cnt"))), F.lit(0)
+        ).alias("null_rows"),
+    )
+    keyed = keyed.filter(F.col("k").isNotNull())
     # tagged union of parent key sets — each parent scanned once even
     # when it backs two relations (nation, customer)
     pkeys = None

@@ -454,7 +454,15 @@ def _hll_s2(e: DataFrame, spark: SparkSession) -> DataFrame:
         (F.col("hv") % _HLL_M).alias("reg"),
         (F.lit(_HLL_PAYLOAD + 1) - F.length(F.bin(F.expr(f"hv div {_HLL_M}")))).alias("rank"),
     )
-    regs = rho.groupBy("event_type", "reg").agg(F.max("rank").alias("m"))
+    # register rollup is the diamond root (the spine AND the fill join
+    # both read it): localCheckpoint the ≤ types·512-row frame so the
+    # corpus is scanned exactly once (without it the plan re-scanned
+    # events per consumer — measured round 7)
+    regs = (
+        rho.groupBy("event_type", "reg")
+        .agg(F.max("rank").alias("m"))
+        .localCheckpoint()
+    )
     # the type spine derives from the register ROLLUP, not the events
     # table — deriving it from `e` re-scanned the corpus a third time
     # for a 5-row distinct (regs covers every type present in e)

@@ -586,3 +586,34 @@ def test_kaplan_meier_fold_is_life_table_bounded_and_guarded(spark, sf_dir):
             df.collect()
     finally:
         T._KM_MAX_DAYS = orig
+
+
+def test_round7_new_queries_plan_shapes(spark, sf_dir):
+    """Round-7 pins. fk_integrity_audit: the melt/rollup diamond is
+    collapsed — before the keyed-rollup checkpoint the physical plan
+    held FIFTY parquet scans (every consumer re-planned the 5-table
+    melt); now each child table is scanned once plus the parent key
+    scans. hll_distinct_fast / clustering_coefficients / skew_audit:
+    all corpus work happens exactly once behind a rollup-sized
+    localCheckpoint, so the final plan reads NO parquet at all.
+    inverted_postings / last_touch_attribution: exactly one scan, with
+    the scan schema pruned to the columns the query touches."""
+    tree = _plan(spark, sf_dir, "fk_integrity_audit").split("\n\n")[0]
+    assert tree.count("Scan parquet") <= 12, tree.count("Scan parquet")
+
+    for name in ("hll_distinct_fast", "clustering_coefficients", "skew_audit"):
+        tree = _plan(spark, sf_dir, name).split("\n\n")[0]
+        assert tree.count("Scan parquet") == 0, name
+        assert tree.count("Scan ExistingRDD") >= 1, name
+
+    plan = _plan(spark, sf_dir, "inverted_postings")
+    assert plan.split("\n\n")[0].count("Scan parquet") == 1
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "text" in read_schema and "source" not in read_schema
+
+    plan = _plan(spark, sf_dir, "last_touch_attribution")
+    assert plan.split("\n\n")[0].count("Scan parquet") == 1
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "props" not in read_schema
+    # the attribution window is keyed by user, never a global sort
+    assert "hashpartitioning(user_id" in plan
