@@ -1366,14 +1366,23 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keyed = keyed.filter(F.col("k").isNotNull())
     # tagged union of parent key sets — each parent scanned once even
-    # when it backs two relations (nation, customer)
-    pkeys = None
+    # when it backs two relations (nation, customer): the distinct key
+    # set is computed once and exploded across its relation tags
+    by_parent: dict[tuple[str, str], list[str]] = {}
     for rel, _child, _ck, parent, pk in _FK_RELS:
+        by_parent.setdefault((parent, pk), []).append(rel)
+    pkeys = None
+    for (parent, pk), rels_p in by_parent.items():
         p = (
             t(spark, sf_dir, parent)
             .select(F.col(pk).cast("long").alias("k"))
             .distinct()
-            .select(F.lit(rel).alias("relation"), "k")
+            .select(
+                F.explode(
+                    F.array(*[F.lit(r) for r in rels_p])
+                ).alias("relation"),
+                "k",
+            )
         )
         pkeys = p if pkeys is None else pkeys.unionAll(p)
     orphans = keyed.join(pkeys, ["relation", "k"], "left_anti")
