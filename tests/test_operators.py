@@ -1221,3 +1221,119 @@ def test_fixture_events_value_has_no_nan(spark):
         .count()
     )
     assert n_nan == 0
+
+
+def test_clustering_coefficients_known_graph(spark, tmp_path):
+    """Hand-built co-purchase graph (support 2 per edge): edges
+    (1,2)(1,3)(2,3)(1,4) → one triangle {1,2,3}. Degrees: 1→3, 2→2,
+    3→2, 4→1. Coefficients: node 1 = 2·1/(3·2) = 1/3; nodes 2,3 =
+    2·1/(2·1) = 1.0; node 4 has degree 1 → undefined (NULL)."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    pairs = [(1, 2), (1, 3), (2, 3), (1, 4)]
+    rows = []
+    ok = 100
+    for u, v in pairs:
+        for _ in range(2):  # support 2 so every pair passes the gate
+            rows += [(ok, u), (ok, v)]
+            ok += 1
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(sf, "lineitem.parquet"))
+    out = {
+        r.node: (r.degree, r.tri_cnt, r.coeff)
+        for r in QUERIES["clustering_coefficients"].fn(spark, sf).collect()
+    }
+    assert out[1] == (3, 1, 1.0 / 3.0)
+    assert out[2] == (2, 1, 1.0)
+    assert out[3] == (2, 1, 1.0)
+    assert out[4] == (1, 0, None)
+
+
+def test_inverted_postings_varint_boundary(spark, tmp_path):
+    """Hand-computed delta+varint costs across the 7-bit boundaries:
+    token 'x' in docs {0, 127, 255, 16510}. Stored values: first =
+    doc_id+1 = 1 (1 byte), gaps 127 (1 byte: 7 bits), 128 (2 bytes),
+    16255 (2 bytes: 14 bits exactly, since 16255 < 2^14). Total = 6
+    bytes, df = 4."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    rows = [(d, "x", "en", "s", 1) for d in (0, 127, 255, 16510)]
+    # a second token below min_df=2 must be absent from the output
+    rows.append((1, "hapax", "en", "s", 1))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    out = {r.token: r for r in QUERIES["inverted_postings"].fn(spark, sf).collect()}
+    assert set(out) == {"x"}
+    r = out["x"]
+    assert (r.df, r.min_doc, r.max_doc, r.varint_bytes) == (4, 0, 16510, 6)
+    assert r.bytes_per_posting == 6 / 4
+
+
+def test_skew_audit_known_distribution(spark, tmp_path):
+    """100 keys with 1 order each + 1 hub key with 100 orders: n_rows
+    200, n_keys 101, max 100; top1 share = 100·1e6 // 200 = 500000 ppm;
+    p50 = 1 (51st key by count order), p90 = 1 (91st ≤ 100·0.9=90.9 →
+    smallest cnt with 10·cum ≥ 9·101 i.e. cum ≥ 90.9 → cnt 1 at
+    cum=100), p99 = 1 (cum 100 ≥ 99.99), salt = ceil(100·101/200) =
+    51."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    rows = [(k, k) for k in range(1, 101)]  # 100 singleton keys
+    rows += [(1000 + i, 999) for i in range(100)]  # hub key 999
+    df = spark.createDataFrame(rows, "o_orderkey long, o_custkey long")
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+    r = QUERIES["skew_audit"].fn(spark, sf).collect()[0]
+    assert (r.n_rows, r.n_keys, r.max_cnt) == (200, 101, 100)
+    assert r.top1_share_ppm == 500000
+    assert (r.p50_rows_per_key, r.p90_rows_per_key, r.p99_rows_per_key) == (1, 1, 1)
+    assert r.salt_factor == 51
+
+
+def test_last_touch_attribution_buckets(spark, tmp_path):
+    """One user, hand-placed clicks/purchases: purchase 30 min after a
+    click → lt_1h; purchase 2 h after the latest click → 1h_24h;
+    purchase with no prior click → organic; a click AFTER a purchase
+    must not attribute backwards."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, minutes, typ, val=10.0):
+        return (eid, t0 + dt.timedelta(minutes=minutes), 1, typ, val, "{}")
+
+    rows = [
+        ev(1, 0, "purchase"),          # no prior click → organic
+        ev(2, 10, "click", None),
+        ev(3, 40, "purchase"),         # 30 min after click 2 → lt_1h
+        ev(4, 100, "click", None),
+        ev(5, 220, "purchase"),        # 120 min after click 4 → 1h_24h
+        ev(6, 500, "click", None),     # trailing click, attributes nothing
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+    out = {
+        r.bucket: (r.n_purchases, r.total_cents, r.sum_gap_us)
+        for r in QUERIES["last_touch_attribution"].fn(spark, sf).collect()
+    }
+    assert out == {
+        "organic": (1, 1000, 0),
+        "lt_1h": (1, 1000, 30 * 60 * 1_000_000),
+        "1h_24h": (1, 1000, 120 * 60 * 1_000_000),
+    }
