@@ -261,6 +261,11 @@ def main() -> None:
                 "queries": per_query,
                 "calibration": {"start": calib_start, "end": calib_end},
                 "sf": sf_val,
+                # duplicated from "value": the driver archives only the
+                # LAST 2000 chars of this line, and with 100+ queries the
+                # head (metric/value) is truncated away — keys after
+                # "queries" always survive
+                "total_wall": round(sum(per_query.values()), 3),
             }
         )
     )
