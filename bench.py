@@ -144,6 +144,11 @@ HEADLINE = (
     "skew_audit",
     "inverted_postings",
     "last_touch_attribution",
+    # round 7b: hybrid retrieval fusion, rank-aware ANN eval, and the
+    # lakehouse compaction planner
+    "hybrid_rrf_fusion",
+    "ann_ndcg_eval",
+    "compaction_bins",
 )
 
 

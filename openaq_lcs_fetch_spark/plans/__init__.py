@@ -52,6 +52,11 @@ together with the stale r02 textops/simsearch backfill listed above.
   debt fits one window), then two round-3 backfills. After this
   window, no driver row should be older than round 3; round 8 owes the
   other 47 r03-stale rows (new-query velocity ≤ 3 that round).
+  Exactly three round-7b queries land AFTER slot 50 on purpose
+  (``hybrid_rrf_fusion``, ``ann_ndcg_eval``, ``compaction_bins``) —
+  they spend round 8's entire 3-slot new-query budget, so the round-8
+  window is 3 never-verified + the 47 r03-stale rows, closing ALL
+  remaining staleness in one window.
 """
 
 from . import registry

@@ -659,3 +659,84 @@ def skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p99").alias("p99_rows_per_key"),
         F.expr("(max_cnt * n_keys + n_rows - 1) div n_rows").alias("salt_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# compaction_bins — the small-files compaction planner (the OPTIMIZE /
+# bin-packing primitive every lakehouse table needs): treat each event
+# day as one "file" (its row count = file size), pack days IN TIME
+# ORDER into bins of target size ceil(total/8), and emit per-bin what
+# the rewrite job needs — file count, row count, day envelope, and the
+# fill ratio in ppm. Sequential (not first-fit-decreasing) packing is
+# deliberate: it preserves time locality, so compacted files keep
+# their min/max-ts pruning power (the zorder_locality concern, as an
+# actionable plan). Scale shape: one map-side-combined (day, count)
+# rollup, then ALL planning runs on the day-spine — the cumulative
+# window is calendar-bounded by construction (days, never rows), the
+# target is a broadcast scalar, and the rollup is checkpointed because
+# it roots a two-branch diamond (total + cumulative packing). All
+# arithmetic is exact integers (truncating div on non-negative values
+# — identical in both engines).
+# ---------------------------------------------------------------------------
+
+_COMPACT_BINS = 8
+
+_COMPACT_ORACLE = f"""
+WITH per_day AS (
+  SELECT date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+tgt AS (
+  SELECT CAST((SUM(n) + {_COMPACT_BINS - 1}) // {_COMPACT_BINS} AS BIGINT)
+    AS target
+  FROM per_day
+),
+cum AS (
+  SELECT d, n, CAST(SUM(n) OVER (ORDER BY d) - n AS BIGINT) AS cum0
+  FROM per_day
+),
+binned AS (
+  SELECT d, n, CAST(c.cum0 // t.target AS BIGINT) AS bin_id
+  FROM cum c CROSS JOIN tgt t
+)
+SELECT b.bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(b.n) AS BIGINT) AS n_rows,
+       MIN(b.d) AS first_day,
+       MAX(b.d) AS last_day,
+       CAST((SUM(b.n) * 1000000) // t.target AS BIGINT) AS fill_ppm
+FROM binned b CROSS JOIN tgt t
+GROUP BY b.bin_id, t.target
+"""
+
+
+@query("compaction_bins", _COMPACT_ORACLE)
+def compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    per_day = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # day spine roots the diamond (target scalar + cumulative packing):
+    # checkpoint the calendar-sized frame so events is scanned once
+    per_day = per_day.localCheckpoint()
+    tgt = per_day.agg(
+        F.expr(f"(sum(n) + {_COMPACT_BINS - 1}) div {_COMPACT_BINS}").alias(
+            "target"
+        )
+    )
+    cum = per_day.withColumn(
+        "cum0", F.sum("n").over(Window.orderBy("d")) - F.col("n")
+    )
+    binned = cum.crossJoin(F.broadcast(tgt)).select(
+        "d", "n", "target", F.expr("cum0 div target").alias("bin_id")
+    )
+    return binned.groupBy("bin_id", "target").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n").alias("n_rows"),
+        F.min("d").alias("first_day"),
+        F.max("d").alias("last_day"),
+        F.expr("(sum(n) * 1000000) div first(target)").alias("fill_ppm"),
+    ).drop("target")

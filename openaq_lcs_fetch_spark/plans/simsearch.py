@@ -1432,3 +1432,122 @@ def logreg_gd_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pos", "wq", "n_correct", "n")
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_ndcg_eval — NDCG@10 of the IVF single-probe ranking against the
+# exact brute-force ranking (query vec 42): the rank-AWARE companion of
+# ann_recall_eval (recall says "how many of the true top-k came back";
+# NDCG says "in how good an order"). Graded relevance comes from the
+# exact list (rel = 11 − exact_rank for the true top-10, 0 otherwise);
+# DCG discounts by log2(position+1) per Järvelin & Kekäläinen.
+# Determinism: each DCG term rel/log2(p+1) is quantized to integer
+# micro-units BEFORE summation (the bm25 idiom — a last-ulp log2
+# difference between engines cannot flip a 1e-6 rounding), and the
+# final ratio is one IEEE division of two exact integers. Scale shape:
+# ONE corpus-sized scoring pass (checkpointed — it feeds both
+# rankings), two TakeOrderedAndProject top-10s, then all NDCG math on
+# ≤10-row frames; the rank windows are depth-bounded by construction.
+# ---------------------------------------------------------------------------
+
+
+def _ndcg_oracle() -> str:
+    return f"""
+WITH {_ivf_sql_ctes()},
+qcell AS (SELECT cid, v AS qv FROM assigned WHERE vec_id = 42),
+scored AS (
+  SELECT a.vec_id, a.cid,
+         ROUND(list_cosine_similarity(a.v, (SELECT qv FROM qcell)), 6) AS cs
+  FROM assigned a WHERE a.vec_id <> 42
+),
+exact10 AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cs DESC, vec_id ASC) AS er
+  FROM scored ORDER BY cs DESC, vec_id ASC LIMIT 10
+),
+ivf10 AS (
+  SELECT vec_id, row_number() OVER (ORDER BY cs DESC, vec_id ASC) AS p
+  FROM scored WHERE cid = (SELECT cid FROM qcell)
+  ORDER BY cs DESC, vec_id ASC LIMIT 10
+),
+gains AS (
+  SELECT CAST(ROUND(
+           CAST(COALESCE(11 - e.er, 0) AS DOUBLE)
+           / log2(CAST(i.p AS DOUBLE) + 1.0) * 1000000.0, 0) AS BIGINT) AS sq
+  FROM ivf10 i LEFT JOIN exact10 e USING (vec_id)
+),
+ideal AS (
+  SELECT CAST(ROUND(
+           CAST(11 - p AS DOUBLE)
+           / log2(CAST(p AS DOUBLE) + 1.0) * 1000000.0, 0) AS BIGINT) AS isq
+  FROM (SELECT unnest(generate_series(1, 10)) AS p)
+),
+d AS (SELECT CAST(SUM(sq) AS BIGINT) AS sd FROM gains),
+i AS (SELECT CAST(SUM(isq) AS BIGINT) AS si FROM ideal)
+SELECT CAST(sd AS DOUBLE) / 1000000.0 AS dcg,
+       CAST(si AS DOUBLE) / 1000000.0 AS idcg,
+       CAST(sd AS DOUBLE) / CAST(si AS DOUBLE) AS ndcg_at_10
+FROM d CROSS JOIN i
+"""
+
+
+@query("ann_ndcg_eval", _ndcg_oracle())
+def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    vecs = _ivf_vecs(spark, sf_dir)
+    assigned = _ivf_assigned(vecs, _ivf_dists(vecs)).localCheckpoint(eager=True)
+    qcell = assigned.filter(F.col("vec_id") == 42).select(
+        F.col("cid").alias("qcid"), F.col("v").alias("qv")
+    )
+    scored = (
+        assigned.filter(F.col("vec_id") != 42)
+        .crossJoin(F.broadcast(qcell))
+        .select(
+            "vec_id",
+            "cid",
+            "qcid",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cs"),
+        )
+        .localCheckpoint(eager=True)  # one scoring pass feeds both rankings
+    )
+    w = Window.orderBy(F.col("cs").desc(), F.col("vec_id").asc())
+    exact10 = (
+        scored.orderBy(F.col("cs").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.row_number().over(w).alias("er"))
+    )
+    ivf10 = (
+        scored.filter(F.col("cid") == F.col("qcid"))
+        .orderBy(F.col("cs").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.row_number().over(w).alias("p"))
+    )
+    gains = ivf10.join(exact10, "vec_id", "left").select(
+        F.round(
+            F.coalesce(F.lit(11) - F.col("er"), F.lit(0)).cast("double")
+            / F.log2(F.col("p").cast("double") + F.lit(1.0))
+            * F.lit(1_000_000.0),
+            0,
+        )
+        .cast("long")
+        .alias("sq")
+    )
+    ideal = spark.range(1, 11).select(
+        F.round(
+            (F.lit(11) - F.col("id")).cast("double")
+            / F.log2(F.col("id").cast("double") + F.lit(1.0))
+            * F.lit(1_000_000.0),
+            0,
+        )
+        .cast("long")
+        .alias("isq")
+    )
+    d = gains.agg(F.sum("sq").alias("sd"))
+    i = ideal.agg(F.sum("isq").alias("si"))
+    return d.crossJoin(F.broadcast(i)).select(
+        (F.col("sd").cast("double") / 1_000_000.0).alias("dcg"),
+        (F.col("si").cast("double") / 1_000_000.0).alias("idcg"),
+        (F.col("sd").cast("double") / F.col("si").cast("double")).alias(
+            "ndcg_at_10"
+        ),
+    )

@@ -1488,22 +1488,33 @@ LIMIT 20
 """
 
 
-@query("bm25_scores", _bm25_oracle())
-def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, _s) — per-doc BM25 score in exact integer micro-units
+    for the fixed query terms. Shared by bm25_scores and
+    hybrid_rrf_fusion so the lexical ranking definition cannot drift
+    between the standalone query and the fusion."""
     d = t(spark, sf_dir, "documents").select(
         "doc_id", TX.tokens(F.col("text")).alias("tk")
     )
-    dl = d.select("doc_id", F.size("tk").alias("dl"))
-    n_avg = dl.agg(
+    # corpus stats in ONE pure-aggregate scan (no explode), and tf+dl in
+    # ONE explode scan (dl rides along as max() — constant per doc), so
+    # documents is read exactly twice instead of the naive 3-way diamond
+    # (dl join + tf + stats each re-planning the tokenize)
+    n_avg = d.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        (F.sum(F.size("tk")).cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     tf = (
-        d.select("doc_id", F.explode("tk").alias("term"))
+        d.select("doc_id", F.size("tk").alias("dl"), F.explode("tk").alias("term"))
         .filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
+    # tf roots a diamond (df_tab aggregate + the partial-score join);
+    # checkpoint it so neither consumer re-plans the explode scan. The
+    # frame is (matching doc, term) — bounded by the docs that contain a
+    # query term, always ≪ corpus for a bounded term list
+    tf = tf.localCheckpoint()
     df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         ((F.col("n_docs") - F.col("df")).cast("double") + 0.5)
@@ -1521,13 +1532,16 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     partial = (
         tf.join(F.broadcast(df_tab), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(n_avg))
         .select("doc_id", F.round(score * 1_000_000.0, 0).cast("long").alias("sq"))
     )
+    return partial.groupBy("doc_id").agg(F.sum("sq").alias("_s"))
+
+
+@query("bm25_scores", _bm25_oracle())
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        partial.groupBy("doc_id")
-        .agg(F.sum("sq").alias("_s"))
+        _bm25_sq(spark, sf_dir)
         .orderBy(F.col("_s").desc(), F.col("doc_id").asc())
         .limit(20)
         .select("doc_id", (F.col("_s").cast("double") / 1_000_000.0).alias("bm25"))
@@ -2857,3 +2871,153 @@ def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bytes_per_posting"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid_rrf_fusion — hybrid retrieval (lexical BM25 + dense cosine)
+# fused with Reciprocal Rank Fusion, the standard hybrid-search
+# combiner (Cormack et al., SIGIR'09: score = Σ 1/(k + rank), k=60).
+# The query is document 0: its salient terms drive the lexical list
+# (the fixed bm25_scores terms) and its embedding (embeddings.vec_id =
+# documents.doc_id) drives the dense list. Both lists are depth-20;
+# RRF contributions use ranks only, so the fusion is immune to the two
+# scorers' incomparable scales — exactly why production hybrid search
+# uses it. Determinism: ranks come from exact-integer orderings (BM25
+# micro-units; cosine rounded to 6dp), and each RRF term 1/(60+r) is a
+# single IEEE division of exact values, summed once — bit-identical
+# across engines. Scale shape: the corpus-sized work is the two
+# top-k's (TakeOrderedAndProject over the BM25 rollup / the broadcast-
+# query cosine scan); everything after runs on 2×20 rows — the rank
+# windows are depth-bounded by construction and the full-outer fuse
+# join is top-k × top-k, never corpus-sized.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_DEPTH = 20
+
+
+def _rrf_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+dl AS (SELECT doc_id, len(tk) AS dl FROM toks),
+n_avg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+  WHERE term IN ({terms})
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+partial AS (
+  SELECT t.doc_id,
+         CAST(ROUND(
+           ln((CAST(a.n_docs - d.df AS DOUBLE) + 0.5) / (d.df + 0.5) + 1.0)
+           * (t.tf * ({_BM25_K1} + 1.0))
+           / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+              + {_BM25_B} * l.dl / a.avgdl))
+           * 1000000.0, 0) AS BIGINT) AS sq
+  FROM tf t
+  JOIN df d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN n_avg a
+),
+lex AS (
+  SELECT doc_id, SUM(sq) AS s FROM partial
+  WHERE doc_id <> 0 GROUP BY doc_id
+  ORDER BY SUM(sq) DESC, doc_id ASC LIMIT {_RRF_DEPTH}
+),
+lexr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INTEGER)
+           AS lex_rank
+  FROM lex
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+dense AS (
+  SELECT vec_id,
+         ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                      (SELECT qv FROM q)), 6) AS cs
+  FROM embeddings WHERE vec_id <> 0
+  ORDER BY cs DESC, vec_id ASC LIMIT {_RRF_DEPTH}
+),
+denser AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY cs DESC, vec_id ASC) AS INTEGER)
+           AS dense_rank
+  FROM dense
+)
+SELECT COALESCE(l.doc_id, d.vec_id) AS doc_id,
+       l.lex_rank, d.dense_rank,
+       COALESCE(CAST(1.0 AS DOUBLE)
+                / (CAST({_RRF_K} AS DOUBLE) + CAST(l.lex_rank AS DOUBLE)),
+                CAST(0.0 AS DOUBLE))
+       + COALESCE(CAST(1.0 AS DOUBLE)
+                  / (CAST({_RRF_K} AS DOUBLE) + CAST(d.dense_rank AS DOUBLE)),
+                  CAST(0.0 AS DOUBLE)) AS rrf_score
+FROM lexr l FULL OUTER JOIN denser d ON l.doc_id = d.vec_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+@query("hybrid_rrf_fusion", _rrf_oracle())
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    lex = (
+        _bm25_sq(spark, sf_dir)
+        .filter(F.col("doc_id") != 0)
+        .orderBy(F.col("_s").desc(), F.col("doc_id").asc())
+        .limit(_RRF_DEPTH)
+    )
+    # rank windows run over the ALREADY-LIMITED depth-20 frames — a
+    # single-partition window bounded by construction, never the corpus
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("_s").desc(), F.col("doc_id").asc()))
+        .alias("lex_rank"),
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    dense = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                SIM.cosine(F.col("embedding").cast("array<double>"), F.col("qv")), 6
+            ).alias("cs"),
+        )
+        .orderBy(F.col("cs").desc(), F.col("vec_id").asc())
+        .limit(_RRF_DEPTH)
+    )
+    denser = dense.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cs").desc(), F.col("vec_id").asc()))
+        .alias("dense_rank"),
+    )
+
+    rrf_term = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(_RRF_K)) + r.cast("double")), F.lit(0.0)
+    )
+    fused = lexr.join(
+        denser, lexr["doc_id"] == denser["vec_id"], "full_outer"
+    ).select(
+        F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("doc_id"),
+        "lex_rank",
+        "dense_rank",
+        (rrf_term(F.col("lex_rank")) + rrf_term(F.col("dense_rank"))).alias(
+            "rrf_score"
+        ),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(10)

@@ -89,7 +89,9 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           # round-7 additions
           "hll_distinct_fast", "clustering_coefficients",
           "fk_integrity_audit", "skew_audit", "inverted_postings",
-          "last_touch_attribution"]:
+          "last_touch_attribution",
+          # round-7b additions
+          "hybrid_rrf_fusion", "ann_ndcg_eval", "compaction_bins"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n

@@ -617,3 +617,39 @@ def test_round7_new_queries_plan_shapes(spark, sf_dir):
     assert "props" not in read_schema
     # the attribution window is keyed by user, never a global sort
     assert "hashpartitioning(user_id" in plan
+
+
+def test_round7b_new_queries_plan_shapes(spark, sf_dir):
+    """Round-7b pins. bm25's tokenize diamond is collapsed: documents
+    is read once as a pure aggregate (stats) and once through the
+    checkpointed tf explode — so bm25_scores' final plan holds exactly
+    ONE parquet scan, and hybrid_rrf_fusion adds only the two
+    embeddings scans (query vector + candidates) on top. The fusion's
+    rank windows run AFTER the depth-20 limits (single-partition is
+    fine — the frame is top-k-bounded by construction), and the fuse
+    join is top-k × top-k. compaction_bins plans entirely on the
+    checkpointed day spine: no parquet in the final plan."""
+    plan = _plan(spark, sf_dir, "bm25_scores")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree.count("Scan parquet")
+    assert tree.count("Scan ExistingRDD") >= 1
+
+    plan = _plan(spark, sf_dir, "hybrid_rrf_fusion")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 3, tree.count("Scan parquet")
+    # both rank windows sit above a depth-20 TakeOrderedAndProject (the
+    # top-k's are the only corpus-sized ops), and the final top-10 is a
+    # third — never a global sort
+    assert tree.count("Window") == 2
+    assert tree.count("TakeOrderedAndProject") >= 3
+
+    plan = _plan(spark, sf_dir, "ann_ndcg_eval")
+    tree = plan.split("\n\n")[0]
+    # both rankings read the single checkpointed scoring pass
+    assert tree.count("Scan parquet") == 0, tree.count("Scan parquet")
+    assert tree.count("Scan ExistingRDD") >= 2
+
+    plan = _plan(spark, sf_dir, "compaction_bins")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 0, tree.count("Scan parquet")
+    assert tree.count("Scan ExistingRDD") >= 2

@@ -732,6 +732,28 @@ COMMENTARY = {
         "cents monetize NULL/NaN as 0 under the churn_features guard "
         "and gap mass accumulates in DECIMAL(38,0)/HUGEINT."
     ),
+    "hybrid_rrf_fusion": (
+        "Hybrid retrieval: the only corpus-sized ops are the two "
+        "top-20s (TakeOrderedAndProject over the checkpointed BM25 "
+        "rollup; broadcast-query cosine scan). Rank windows run over "
+        "the ALREADY-LIMITED depth-20 frames and the full-outer fuse "
+        "join is top-k × top-k — RRF terms are single IEEE divisions "
+        "of exact ranks, bit-identical across engines."
+    ),
+    "ann_ndcg_eval": (
+        "ONE checkpointed corpus scoring pass feeds both the exact and "
+        "the IVF ranking (no parquet in the final plan); DCG terms "
+        "quantize rel/log2(p+1) to integer micro-units BEFORE the sum "
+        "so a last-ulp log2 difference cannot flip the hash; all NDCG "
+        "math runs on ≤10-row frames."
+    ),
+    "compaction_bins": (
+        "All planning on the checkpointed day spine (no parquet in the "
+        "final plan): the cumulative packing window is calendar-bounded "
+        "by construction, the bin target is a broadcast scalar, and "
+        "sequential time-order packing preserves min/max-ts pruning in "
+        "the rewritten files."
+    ),
     "bpe_train_merges": (
         "Sennrich BPE: the corpus is touched ONCE (map-side word-freq "
         "rollup, capped top-4096 deterministically); all three merge "
