@@ -582,8 +582,10 @@ def hll_distinct_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # most O(√N) rows (k distinct counts need ≥ 1+2+…+k = k(k+1)/2 source
 # rows), so the cumulative window that extracts exact percentiles is
 # bounded by construction — never a window over keys, let alone rows.
-# All stats are exact integers; shares are ppm via truncating division
-# (quotient ≤ 1e6 — BIGINT-safe everywhere).
+# All stats are exact integers; the ppm/salt numerators (max_cnt·1e6,
+# max_cnt·n_keys) run in DECIMAL(38,0)/HUGEINT via exact_div — they
+# cross 2^63 near 1e13 rows, where Spark `div` would wrap silently
+# (the weekday_anova trap); the quotients themselves stay small.
 # ---------------------------------------------------------------------------
 
 _SKEW_ORACLE = """
@@ -610,10 +612,12 @@ pct AS (
     (SELECT MIN(cnt) FROM cum, tot WHERE 100 * cum_keys >= 99 * tot.n_keys) AS p99
 )
 SELECT t.n_rows, t.n_keys, t.max_cnt,
-       (t.max_cnt * 1000000) // t.n_rows AS top1_share_ppm,
+       CAST((CAST(t.max_cnt AS HUGEINT) * 1000000) // t.n_rows AS BIGINT)
+         AS top1_share_ppm,
        p.p50 AS p50_rows_per_key, p.p90 AS p90_rows_per_key,
        p.p99 AS p99_rows_per_key,
-       (t.max_cnt * t.n_keys + t.n_rows - 1) // t.n_rows AS salt_factor
+       CAST((CAST(t.max_cnt AS HUGEINT) * t.n_keys + t.n_rows - 1)
+            // t.n_rows AS BIGINT) AS salt_factor
 FROM tot t CROSS JOIN pct p
 """
 
@@ -649,15 +653,30 @@ def skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(10 * F.col("cum_keys") >= 9 * F.col("tot_keys"), F.col("cnt"))).alias("p90"),
         F.min(F.when(100 * F.col("cum_keys") >= 99 * F.col("tot_keys"), F.col("cnt"))).alias("p99"),
     )
+    from ..functions.numeric import exact_div
+
+    # numerators in DECIMAL(38,0)/HUGEINT: max_cnt·1e6 crosses 2^63 at
+    # ~9e12 rows for the hub key, and max_cnt·n_keys far earlier —
+    # never Spark `div` (silent BIGINT quotient wrap); the ppm/salt
+    # quotients themselves are small
     return tot.crossJoin(F.broadcast(pct)).select(
         "n_rows",
         "n_keys",
         "max_cnt",
-        F.expr("(max_cnt * 1000000) div n_rows").alias("top1_share_ppm"),
+        exact_div(F.col("max_cnt") * F.lit(1000000), F.col("n_rows"))
+        .cast("long")
+        .alias("top1_share_ppm"),
         F.col("p50").alias("p50_rows_per_key"),
         F.col("p90").alias("p90_rows_per_key"),
         F.col("p99").alias("p99_rows_per_key"),
-        F.expr("(max_cnt * n_keys + n_rows - 1) div n_rows").alias("salt_factor"),
+        exact_div(
+            F.col("max_cnt").cast("decimal(38,0)") * F.col("n_keys")
+            + F.col("n_rows")
+            - 1,
+            F.col("n_rows"),
+        )
+        .cast("long")
+        .alias("salt_factor"),
     )
 
 
@@ -704,7 +723,8 @@ SELECT b.bin_id,
        CAST(SUM(b.n) AS BIGINT) AS n_rows,
        MIN(b.d) AS first_day,
        MAX(b.d) AS last_day,
-       CAST((SUM(b.n) * 1000000) // t.target AS BIGINT) AS fill_ppm
+       CAST((SUM(CAST(b.n AS HUGEINT)) * 1000000) // t.target AS BIGINT)
+         AS fill_ppm
 FROM binned b CROSS JOIN tgt t
 GROUP BY b.bin_id, t.target
 """
@@ -733,10 +753,18 @@ def compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = cum.crossJoin(F.broadcast(tgt)).select(
         "d", "n", "target", F.expr("cum0 div target").alias("bin_id")
     )
+    from ..functions.numeric import exact_div
+
+    # fill numerator in DECIMAL(38,0)/HUGEINT: Σn·1e6 crosses 2^63 at
+    # ~9e12 rows per bin — never Spark `div`, whose BIGINT quotient
+    # wraps silently (the weekday_anova trap); the ppm quotient itself
+    # is tiny
     return binned.groupBy("bin_id", "target").agg(
         F.count(F.lit(1)).alias("n_files"),
         F.sum("n").alias("n_rows"),
         F.min("d").alias("first_day"),
         F.max("d").alias("last_day"),
-        F.expr("(sum(n) * 1000000) div first(target)").alias("fill_ppm"),
+        exact_div(F.sum("n") * F.lit(1000000), F.first("target"))
+        .cast("long")
+        .alias("fill_ppm"),
     ).drop("target")

@@ -64,6 +64,8 @@ REPRESENTATIVE = (
     # round-7 additions
     "hll_distinct_fast", "clustering_coefficients", "fk_integrity_audit",
     "skew_audit", "inverted_postings", "last_touch_attribution",
+    # round-7b additions
+    "hybrid_rrf_fusion", "ann_ndcg_eval", "compaction_bins",
 )
 
 

@@ -1337,3 +1337,165 @@ def test_last_touch_attribution_buckets(spark, tmp_path):
         "lt_1h": (1, 1000, 30 * 60 * 1_000_000),
         "1h_24h": (1, 1000, 120 * 60 * 1_000_000),
     }
+
+
+def test_rrf_fusion_hand_ranked_lists(spark, tmp_path):
+    """Hand-computed RRF: docs 1,2,3 score IDENTICALLY on BM25 (same
+    tf=1/dl=2 for the same term), so lex_rank is the doc_id tiebreak
+    1,2,3; embeddings rank dense as 3,2,1 (cos 1, 1/√2, 0) with doc 4
+    dense-only at rank 4 (cos −1). RRF sums: doc1 = 1/61+1/63 =
+    124/3843 ties doc3 exactly (IEEE addition is commutative), doc2 =
+    2/62 = 124/3844 is strictly smaller, doc4 = 1/64. Expected order:
+    doc1, doc3 (tie → id), doc2, doc4 — fusing ranks, not scores."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    docs = [
+        (0, "table", "en", "s", 5),      # the query doc (excluded)
+        (1, "table x", "en", "s", 7),
+        (2, "table x", "en", "s", 7),
+        (3, "table x", "en", "s", 7),
+        (4, "y z", "en", "s", 3),        # no query term → dense-only
+    ]
+    vecs = [
+        (0, [1.0, 0.0], 0),              # the query vector
+        (1, [0.0, 1.0], 0),
+        (2, [0.5, 0.5], 0),
+        (3, [1.0, 0.0], 0),
+        (4, [-1.0, 0.0], 0),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(os.path.join(sf, "embeddings.parquet"))
+
+    rows = QUERIES["hybrid_rrf_fusion"].fn(spark, sf).collect()
+    assert [r.doc_id for r in rows] == [1, 3, 2, 4]
+    by_id = {r.doc_id: r for r in rows}
+    assert (by_id[1].lex_rank, by_id[1].dense_rank) == (1, 3)
+    assert (by_id[2].lex_rank, by_id[2].dense_rank) == (2, 2)
+    assert (by_id[3].lex_rank, by_id[3].dense_rank) == (3, 1)
+    assert (by_id[4].lex_rank, by_id[4].dense_rank) == (None, 4)
+    assert by_id[1].rrf_score == 1 / 61 + 1 / 63
+    assert by_id[1].rrf_score == by_id[3].rrf_score
+    assert by_id[2].rrf_score == 1 / 62 + 1 / 62
+    assert by_id[4].rrf_score == 1 / 64
+
+
+def test_ndcg_eval_two_cell_geometry(spark, tmp_path):
+    """Independent recomputation on a constructed two-cell geometry
+    (all components dyadic, so float32 storage and double math are both
+    exact): centroids 0..7, query 42=[0.875,0.125] lands in cell 0 with
+    members {0,100,101,102}; the good neighbors 200/201 sit in cell 1
+    and are invisible to the single probe, so NDCG@10 < 1. Expected
+    dcg/idcg/ndcg are recomputed in pure Python with the same fold
+    order, 6dp cosine rounding and micro-unit quantization."""
+    import math
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    emb = {
+        0: [1.0, 0.0],
+        1: [0.0, 1.0],
+        2: [-1.0, 0.0],
+        3: [-1.0, -0.125],
+        4: [-1.0, -0.25],
+        5: [-1.0, -0.375],
+        6: [-1.0, -0.5],
+        7: [-1.0, -0.625],
+        42: [0.875, 0.125],
+        100: [0.75, 0.25],
+        101: [0.625, 0.375],
+        102: [0.875, 0.25],
+        200: [0.5, 0.625],
+        201: [0.25, 0.75],
+    }
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(k, v, 0) for k, v in sorted(emb.items())],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(os.path.join(sf, "embeddings.parquet"))
+
+    # --- python twin of the plan's math ---------------------------------
+    def q(v):  # integer-quantized copy used for cell assignment
+        return [round(x * 1000) for x in v]
+
+    def cell(v):
+        d2 = [
+            (sum((a - c) ** 2 for a, c in zip(q(v), q(emb[cid]))), cid)
+            for cid in range(8)
+        ]
+        return min(d2)[1]
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):  # sequential fold, like F.aggregate
+            dot += x * y
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    qv = emb[42]
+    qcid = cell(qv)
+    assert qcid == 0
+    scored = sorted(
+        ((-cos(emb[v], qv), v) for v in emb if v != 42)
+    )
+    exact10 = {v: r + 1 for r, (_, v) in enumerate(scored[:10])}
+    ivf = [(s, v) for s, v in scored if cell(emb[v]) == qcid]
+    assert len(ivf) == 4  # cell 0 = {0, 100, 101, 102}
+    sd = sum(
+        round((11 - exact10.get(v, 11)) / math.log2(p + 2) * 1e6)
+        if v in exact10
+        else 0
+        for p, (_, v) in enumerate(ivf[:10])
+    )
+    si = sum(round((11 - p) / math.log2(p + 1) * 1e6) for p in range(1, 11))
+
+    row = QUERIES["ann_ndcg_eval"].fn(spark, sf).collect()[0]
+    assert row.dcg == sd / 1e6
+    assert row.idcg == si / 1e6
+    assert row.ndcg_at_10 == sd / si
+    assert 0 < row.ndcg_at_10 < 1
+
+
+def test_compaction_bins_sixteen_unit_days(spark, tmp_path):
+    """16 days × 1 event: total 16, target ceil(16/8)=2 → 8 bins of
+    exactly 2 consecutive days, each 100% full (fill_ppm 1000000) —
+    the packing actually merges small files and keeps time order."""
+    import datetime as _dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    rows = [
+        (
+            i,
+            _dt.datetime(2024, 3, 1 + i, 12, 0, 0),
+            1,
+            "click",
+            1.0,
+            "{}",
+        )
+        for i in range(16)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    out = sorted(
+        QUERIES["compaction_bins"].fn(spark, sf).collect(),
+        key=lambda r: r.bin_id,
+    )
+    assert [r.bin_id for r in out] == list(range(8))
+    for k, r in enumerate(out):
+        assert (r.n_files, r.n_rows, r.fill_ppm) == (2, 2, 1_000_000)
+        assert r.first_day == _dt.datetime(2024, 3, 1 + 2 * k)
+        assert r.last_day == _dt.datetime(2024, 3, 2 + 2 * k)
