@@ -227,6 +227,13 @@ def main() -> None:
     # streaming query of a session additionally pays ~5-20 s of
     # one-time streaming-engine class-load in run 1; best-of-2
     # absorbs it.
+    # Round-7 in-situ reconciliation (full bench, idle box, after the
+    # round-7b additions): the 73 BENCH_r06-visible shared queries
+    # summed to 0.859x the driver's r6 walls (median per-query 0.841,
+    # calibration 0.871 start / 0.549 end) — confirming the r5→r6
+    # "1.137x drift" was the driver session's uniform box factor, not
+    # plans. Widest r6→r7 mover: tfidf_top_terms 0.99→1.30 s (1.31x,
+    # plan untouched, inside the single-query noise envelope above).
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         q = QUERIES[name]
