@@ -110,3 +110,61 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_by_time(
+    df: DataFrame,
+    ts_col: str,
+    path: str,
+    n_bins: int = 8,
+) -> int:
+    """Execute the ``compaction_bins`` plan: pack event DAYS in time
+    order into ``n_bins`` row-balanced bins and rewrite the dataset as
+    exactly one time-sorted file per bin.
+
+    This is the OPTIMIZE/compaction primitive of a lakehouse table —
+    the *executor* for the planning query ``plans/layout.py:
+    compaction_bins`` (same day spine, same cumulative-target math).
+    Scale shape: the day→bin map is a calendar-sized rollup broadcast
+    into a narrow map-side tag; `repartition(n_bins, bin)` gives each
+    bin exactly one task, so `partitionBy(bin)` emits exactly one file
+    per bin; `sortWithinPartitions(ts)` keeps min/max-ts pruning power
+    in the rewritten files. One shuffle total (the bin repartition) —
+    the rollup and broadcast are day-spine-sized.
+
+    Returns the number of bins written.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    per_day = df.groupBy(F.date_trunc("day", ts_col).alias("_d")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    per_day = per_day.localCheckpoint()  # roots target + packing (plan twin)
+    tgt = per_day.agg(
+        F.expr(f"(sum(_n) + {n_bins - 1}) div {n_bins}").alias("_target")
+    )
+    cum = per_day.withColumn(
+        "_cum0", F.sum("_n").over(Window.orderBy("_d")) - F.col("_n")
+    )
+    day_bins = (
+        cum.crossJoin(F.broadcast(tgt))
+        .select("_d", F.expr("_cum0 div _target").alias("_bin"))
+        .localCheckpoint()
+    )
+    n = day_bins.select("_bin").distinct().count()
+    tagged = df.join(
+        F.broadcast(day_bins),
+        F.date_trunc("day", ts_col) == F.col("_d"),
+    ).drop("_d")
+    (
+        tagged.repartition(max(n, 1), "_bin")
+        # leading _bin satisfies the dynamic-partition writer's required
+        # ordering (no extra, stability-unspecified sort gets inserted),
+        # so each bin's file keeps strict ts order
+        .sortWithinPartitions("_bin", ts_col)
+        .write.mode("overwrite")
+        .partitionBy("_bin")
+        .parquet(path)
+    )
+    return n

@@ -345,3 +345,39 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.agg({"k": "sum"}).first()[0] == 10_000 * 9_999 // 2
+
+
+def test_compact_by_time_one_sorted_file_per_bin(spark, tmp_path):
+    """compact_by_time executes the compaction_bins plan: 16 unit days
+    at n_bins=8 → exactly 8 bin dirs, ONE file each, consecutive-day
+    envelopes, all rows preserved, strict ts order within each file."""
+    import datetime as dt
+    import glob
+    import os
+
+    from openaq_lcs_fetch_spark.storage import compact_by_time
+
+    rows = [
+        (16 * j + i, dt.datetime(2024, 3, 1 + i, 12, 0, j))
+        for i in range(16)
+        for j in range(3)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = os.path.join(str(tmp_path), "compacted")
+    n = compact_by_time(df, "ts", out, n_bins=8)
+    assert n == 8
+
+    bin_dirs = sorted(glob.glob(os.path.join(out, "_bin=*")))
+    assert len(bin_dirs) == 8
+    total = 0
+    for d in bin_dirs:
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1, d  # exactly one file per bin
+        part = spark.read.parquet(files[0]).collect()
+        total += len(part)
+        ts = [r.ts for r in part]
+        assert ts == sorted(ts)  # strict time order inside the file
+        days = {t.date() for t in ts}
+        assert len(days) == 2  # two consecutive unit days per bin
+        assert (max(days) - min(days)).days == 1
+    assert total == 48
