@@ -368,3 +368,72 @@ def test_dedup_ww_batched_replay_never_double_counts(spark, tmp_path):
         ("2024-01-01T10:00:00", "click", 1),
         ("2024-01-01T17:00:00", "click", 1),
     ]
+
+
+def test_stateful_window_state_survives_restart(spark, tmp_path):
+    """State-store recovery across restart (the property the offset
+    test above does NOT cover): run 1 buffers an unfinalized hour
+    window (3 rows) in state and stops; run 2 — same checkpoint — adds
+    2 more rows to the SAME window plus a late heartbeat that pushes
+    the watermark past it. Append mode must emit that window exactly
+    once with n=5: 3 recovered from the state store + 2 new. A lost
+    state store would emit n=2; reprocessing would emit n>5 or two
+    rows."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def arrive(name, stamps):
+        spark.createDataFrame(
+            [(i, ts) for i, ts in enumerate(stamps)], "id long, ts timestamp"
+        ).coalesce(1).write.parquet(os.path.join(src, name))
+
+    def run_once():
+        stream = spark.readStream.schema("id long, ts timestamp").parquet(
+            src + "/*"
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    h10 = dt.datetime(2024, 5, 1, 10, 0, 0)
+    arrive("a", [h10, h10 + dt.timedelta(minutes=10), h10 + dt.timedelta(minutes=30)])
+    run_once()
+    # window 10:00 not finalized (watermark = 10:30 - 1h): nothing out
+    got = spark.read.schema("ws timestamp, n long").parquet(out)
+    assert got.count() == 0
+
+    # query DOWN; 2 more rows land in the same 10:00 window, and a
+    # 13:00 row pushes the watermark past it on the next run
+    arrive(
+        "b",
+        [
+            h10 + dt.timedelta(minutes=40),
+            h10 + dt.timedelta(minutes=50),
+            dt.datetime(2024, 5, 1, 13, 0, 0),
+        ],
+    )
+    run_once()
+    rows = {
+        r.ws: r.n
+        for r in spark.read.schema("ws timestamp, n long").parquet(out).collect()
+    }
+    assert rows.get(h10) == 5  # 3 recovered from state + 2 new, emitted once
