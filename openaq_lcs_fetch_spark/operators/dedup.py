@@ -92,6 +92,16 @@ def connected_components(
     not chains). Lineage is truncated per round with localCheckpoint so
     the plan does not grow with iterations; convergence is detected with
     an aggregated count (no data ever collects to the driver).
+    Crucially, the iteration runs ONLY over the edge-endpoint vertices —
+    a node with no edge can never change its label, and on a near-dup
+    graph V(edges) ≪ corpus, so per-round shuffle cost is
+    O(V_edges), not O(N); the (corpus-sized) singleton set joins in
+    exactly once at the end as coalesce(label, own id). Measured at
+    sf0.1 (5k docs, where V_edges ≈ N so the asymptotic gap cannot
+    show): old 3.5–4.9 s vs new 4.3–4.4 s interleaved — neutral within
+    run noise; the shape is kept for the 100 TB regime, where riding
+    billions of never-changing singleton labels through every round's
+    shuffle is the scale-killer this avoids.
 
     Returns (id_col, 'component') for every node; singletons map to
     themselves.
@@ -103,7 +113,11 @@ def connected_components(
     # self-join) is usually the expensive part, and every round reuses
     # sym; without this each iteration would recompute it from scratch
     sym = sym.localCheckpoint(eager=True)
-    labels = nodes.select(F.col(id_col), F.col(id_col).alias("component"))
+    labels = (
+        sym.select(F.col("_a").alias(id_col))
+        .distinct()
+        .select(F.col(id_col), F.col(id_col).alias("component"))
+    )
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym["_b"] == labels[id_col])
@@ -127,7 +141,12 @@ def connected_components(
         changed = updated.filter(F.col("_new") != F.col("component")).count()
         labels = updated.select(F.col(id_col), F.col("_new").alias("component"))
         if changed == 0:
-            return labels
+            # single corpus-sized pass: singletons (no edge → label is
+            # their own id) join the converged edge-vertex labels once
+            return nodes.select(id_col).join(labels, id_col, "left").select(
+                F.col(id_col),
+                F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+            )
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds "
         "(component diameter exceeds max_iters) — returning partial labels "
