@@ -381,3 +381,55 @@ def test_compact_by_time_one_sorted_file_per_bin(spark, tmp_path):
         assert len(days) == 2  # two consecutive unit days per bin
         assert (max(days) - min(days)).days == 1
     assert total == 48
+
+
+def test_compact_by_time_matches_packing_model(spark, tmp_path):
+    """Seeded uneven day sizes: the executor's bins must equal a plain
+    python re-computation of the planner's math (cum-exclusive // target
+    with target = ceil(total/n_bins)) — row counts, file counts and
+    non-overlapping time-ordered day envelopes all agree, and no row is
+    lost or duplicated."""
+    import datetime as dt
+    import glob
+    import os
+    import random
+
+    from openaq_lcs_fetch_spark.storage import compact_by_time
+
+    rng = random.Random(7)
+    sizes = [rng.randrange(1, 40) for _ in range(23)]  # 23 uneven days
+    rows, eid = [], 0
+    for i, sz in enumerate(sizes):
+        for j in range(sz):
+            rows.append((eid, dt.datetime(2024, 6, 1 + i, 8, 0, 0) + dt.timedelta(seconds=j)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+
+    # python model of the planner
+    total = sum(sizes)
+    n_bins = 6
+    target = -(-total // n_bins)
+    model: dict[int, list[int]] = {}
+    cum = 0
+    for i, sz in enumerate(sizes):
+        model.setdefault(cum // target, []).append(i)
+        cum += sz
+
+    out = os.path.join(str(tmp_path), "c")
+    n = compact_by_time(df, "ts", out, n_bins=n_bins)
+    assert n == len(model)
+
+    prev_last = None
+    for b in sorted(model):
+        files = glob.glob(os.path.join(out, f"_bin={b}", "*.parquet"))
+        assert len(files) == 1, b
+        part = spark.read.parquet(files[0]).collect()
+        days = sorted({r.ts.day - 1 for r in part})
+        assert days == model[b]                       # exact day membership
+        assert len(part) == sum(sizes[i] for i in model[b])
+        if prev_last is not None:
+            assert min(days) > prev_last              # non-overlapping, ordered
+        prev_last = max(days)
+    got = spark.read.parquet(out)
+    assert got.count() == total
+    assert got.select("event_id").distinct().count() == total
