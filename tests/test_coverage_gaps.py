@@ -125,3 +125,25 @@ def test_bpe_greedy_merge_run_parity(spark, tmp_path):
     # round 2: (aa,aa) freq 2 beats (aa,a) freq 1 → 'aaaa'->[aaaa]
     # round 3: only 'aaa' has a pair left: (aa,a) freq 1
     assert rows == [(1, "a", "a", 8), (2, "aa", "aa", 2), (3, "aa", "a", 1)]
+
+
+def test_promote_preserves_registry_and_rejects_unknown():
+    """The driver-window rotation is a pure reorder: promote() must
+    keep every query exactly once (losing one would silently drop it
+    from ALL future driver windows), put the promoted names first in
+    the given order, and fail loudly on a typo'd name."""
+    from openaq_lcs_fetch_spark.plans import registry
+
+    before = list(registry.QUERIES)
+    picked = [before[5], before[0], before[17]]
+    try:
+        registry.promote(picked)
+        after = list(registry.QUERIES)
+        assert after[:3] == picked
+        assert sorted(after) == sorted(before)  # nothing lost or duplicated
+        assert len(after) == len(set(after))
+        with pytest.raises(KeyError, match="unknown queries"):
+            registry.promote(["definitely_not_a_query"])
+    finally:
+        registry.promote(before)  # restore the committed rotation order
+    assert list(registry.QUERIES) == before
