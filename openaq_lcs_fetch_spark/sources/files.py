@@ -54,3 +54,56 @@ def read_daily_partition(
     if fmt == "csv":
         return read_csv(spark, path, schema, **options)
     return read_json(spark, path, schema, **options)
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    header: bool = True,
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """S4 + dead-letter: PERMISSIVE CSV scan that splits rows the
+    schema cannot parse into a quarantine frame instead of nulling or
+    dropping them silently.
+
+    The reference's fetchers tolerate malformed provider rows inline
+    (e.g. cmu.js's per-row try/catch, smartsense's 'inv' sentinels);
+    at 100 TB the operable form is Spark's corrupt-record column: one
+    scan, good rows flow on with full typing, bad rows land in a
+    (raw_line,) frame for the run log / quarantine_summary accounting.
+    Returns ``(good, bad)``. Both derive from the SAME permissive scan
+    (one pass over the bytes; the split is a map-side filter).
+
+    Note Spark requires the corrupt column to be part of the declared
+    schema — this helper appends it and strips it from the good side.
+    """
+    corrupt = "_corrupt_record"
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)  # type: ignore[attr-defined]
+    full = T.StructType(list(schema.fields) + [T.StructField(corrupt, T.StringType())])
+    df = (
+        spark.read.option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+    )
+    for k, v in options.items():
+        df = df.option(k, v)
+    scanned = df.schema(full).csv(path).cache()  # one scan feeds both splits
+    from pyspark.sql import functions as F
+
+    good = scanned.filter(F.col(corrupt).isNull()).drop(corrupt)
+    bad = scanned.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw_line")
+    )
+    return good, bad
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """S5 + schema evolution: read a partitioned parquet dataset whose
+    LATER daily files added columns (a provider starts reporting a new
+    field mid-history). ``mergeSchema`` unions the per-file schemas at
+    plan time — old files surface the new column as NULL, no rewrite
+    of historical partitions. At 100 TB this is footer-only work per
+    file (no data scan to merge schemas)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -433,3 +433,56 @@ def test_compact_by_time_matches_packing_model(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == total
     assert got.select("event_id").distinct().count() == total
+
+
+def test_csv_quarantine_splits_bad_rows_one_scan(spark, tmp_path):
+    """S4 dead-letter: rows the schema cannot parse land in the
+    quarantine frame with their raw text; good rows keep full typing;
+    nothing is silently nulled or dropped (3 good + 2 bad = 5 in)."""
+    import os
+
+    from openaq_lcs_fetch_spark.sources.files import read_csv_with_quarantine
+
+    p = os.path.join(str(tmp_path), "m.csv")
+    with open(p, "w") as fh:
+        fh.write(
+            "sensor,value,ts\n"
+            "a,1.5,100\n"
+            "b,not_a_number,200\n"   # type failure → quarantine
+            "c,2.5,300\n"
+            "d,3.5,oops\n"           # type failure → quarantine
+            "e,4.5,500\n"
+        )
+    good, bad = read_csv_with_quarantine(
+        spark, p, "sensor string, value double, ts long"
+    )
+    g = {r.sensor: (r.value, r.ts) for r in good.collect()}
+    assert g == {"a": (1.5, 100), "c": (2.5, 300), "e": (4.5, 500)}
+    raw = sorted(r.raw_line for r in bad.collect())
+    assert raw == ["b,not_a_number,200", "d,3.5,oops"]
+
+
+def test_parquet_evolving_schema_union(spark, tmp_path):
+    """S5 schema evolution: a later daily file adds a column; the
+    merged read surfaces it as NULL for the old days, typed for the
+    new — no rewrite of historical partitions."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from openaq_lcs_fetch_spark.sources.files import read_parquet_evolving
+
+    base = os.path.join(str(tmp_path), "days")
+    spark.createDataFrame([(1, 10.0)], "sensor long, value double").write.parquet(
+        os.path.join(base, "day=2024-01-01")
+    )
+    spark.createDataFrame(
+        [(2, 20.0, "ok")], "sensor long, value double, flag string"
+    ).write.parquet(os.path.join(base, "day=2024-01-02"))
+
+    df = read_parquet_evolving(spark, base)
+    assert set(df.columns) == {"sensor", "value", "flag", "day"}
+    rows = {r.sensor: (r.value, r.flag) for r in df.collect()}
+    assert rows == {1: (10.0, None), 2: (20.0, "ok")}
+    # partition pruning still works on the evolved dataset
+    assert df.filter(F.col("day") == "2024-01-02").count() == 1
