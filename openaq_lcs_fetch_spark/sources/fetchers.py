@@ -84,3 +84,23 @@ def http_json(options: dict, page: int) -> list[tuple]:  # pragma: no cover
     records = body[options["data_key"]] if options.get("data_key") else body
     fields = options["fields"].split(",")
     return [tuple(rec.get(f) for f in fields) for rec in records]
+
+
+def flaky_readings(options: dict, page: int) -> list[tuple]:
+    """synthetic_readings behind a deterministic transient fault: the
+    first ``fail_times`` calls for each page raise ConnectionError,
+    tracked in a file under ``counter_dir`` so the count survives the
+    executor-worker process boundary. Exercises the with_retries path
+    end-to-end through the DataSource."""
+    import os
+
+    counter = os.path.join(options["counter_dir"], f"page_{page}")
+    try:
+        n = int(open(counter).read())
+    except OSError:
+        n = 0
+    if n < int(options.get("fail_times", 2)):
+        with open(counter, "w") as fh:
+            fh.write(str(n + 1))
+        raise ConnectionError(f"synthetic transient failure #{n + 1} page {page}")
+    return synthetic_readings(options, page)

@@ -118,8 +118,12 @@ if HAS_DATASOURCE_API:
                 for op, col, val in self._pushed
                 if col in idx
             ]
+            from .retry import with_retries
+
             for page in range(partition.start, partition.end):
-                for row in fetch(opts, page):
+                # per-CALL retry: a transient provider hiccup costs one
+                # backoff, not a whole-task re-fetch of the page range
+                for row in with_retries(lambda: fetch(opts, page)):
                     if all(
                         row[i] is not None and op(row[i], val)
                         for op, i, val in preds
@@ -162,9 +166,13 @@ if HAS_DATASOURCE_API:
             ] or [FileBatch([])]
 
         def read(self, partition: "FileBatch") -> Iterator[tuple]:
+            from .retry import with_retries
+
             fetch = resolve_fetcher(self._options["file_fetcher"])
             for file_id in partition.files:
-                yield from fetch(self._options, file_id)
+                yield from with_retries(
+                    lambda: fetch(self._options, file_id)
+                )
 
     class FileBackfillDataSource(DataSource):
         """spark.read.format('file_backfill')

@@ -486,3 +486,59 @@ def test_parquet_evolving_schema_union(spark, tmp_path):
     assert rows == {1: (10.0, None), 2: (20.0, "ok")}
     # partition pruning still works on the evolved dataset
     assert df.filter(F.col("day") == "2024-01-02").count() == 1
+
+
+def test_with_retries_backoff_and_giveup():
+    """Deterministic backoff schedule, non-transient passthrough, and
+    exhaustion re-raising the LAST real exception unchanged."""
+    import pytest
+
+    from openaq_lcs_fetch_spark.sources.retry import with_retries
+
+    calls, delays = [], []
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise ConnectionError("transient")
+        return "ok"
+    assert with_retries(flaky, sleep=delays.append) == "ok"
+    assert len(calls) == 3
+    assert delays == [0.2, 0.4]  # doubles, no sleep after success
+
+    with pytest.raises(ValueError):  # not transient: no retry
+        with_retries(lambda: (_ for _ in ()).throw(ValueError("bad payload")),
+                     sleep=delays.append)
+
+    delays.clear()
+    with pytest.raises(ConnectionError, match="always"):
+        with_retries(lambda: (_ for _ in ()).throw(ConnectionError("always")),
+                     attempts=3, sleep=delays.append)
+    assert delays == [0.2, 0.4]  # attempts-1 sleeps, then the raise
+
+
+def test_paginated_source_retries_through_executor(spark, tmp_path):
+    """End-to-end: every page's first two fetch calls raise a
+    transient ConnectionError on the WORKER; with_retries absorbs them
+    and the scan still returns every row exactly once."""
+    import glob
+
+    from openaq_lcs_fetch_spark.sources.http import register as register_http
+
+    register_http(spark)
+    cdir = str(tmp_path)
+    df = (
+        spark.read.format("paginated_http")
+        .schema("station string, unix_ts long, pm25 double, temperature double")
+        .option("fetcher", "openaq_lcs_fetch_spark.sources.fetchers:flaky_readings")
+        .option("pages", "3")
+        .option("page_size", "5")
+        .option("fail_times", "2")
+        .option("counter_dir", cdir)
+        .load()
+    )
+    assert df.count() == 15
+    assert df.select("unix_ts").distinct().count() == 15
+    # the fault actually fired: a counter file per page reached 2
+    counters = sorted(glob.glob(cdir + "/page_*"))
+    assert len(counters) == 3
+    assert all(open(c).read() == "2" for c in counters)
