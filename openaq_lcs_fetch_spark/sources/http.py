@@ -120,7 +120,18 @@ if HAS_DATASOURCE_API:
             ]
             from .retry import with_retries
 
+            # X2 bounded concurrency, request-rate half: the reference
+            # throttles API calls (pLimit(10) cmu.js:74, batch(...,20)
+            # airgradient.js:101-110); partitioning bounds the PARALLEL
+            # half, this bounds the per-task call RATE. 0 = off.
+            interval_s = int(opts.get("min_call_interval_ms", "0")) / 1000.0
+            import time as _time
+
+            first = True
             for page in range(partition.start, partition.end):
+                if not first and interval_s > 0:
+                    _time.sleep(interval_s)
+                first = False
                 # per-CALL retry: a transient provider hiccup costs one
                 # backoff, not a whole-task re-fetch of the page range
                 for row in with_retries(lambda: fetch(opts, page)):

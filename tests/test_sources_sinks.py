@@ -542,3 +542,36 @@ def test_paginated_source_retries_through_executor(spark, tmp_path):
     counters = sorted(glob.glob(cdir + "/page_*"))
     assert len(counters) == 3
     assert all(open(c).read() == "2" for c in counters)
+
+
+def test_paginated_source_rate_limit_floor(spark):
+    """X2 request-rate bound: with min_call_interval_ms=200 and all 4
+    pages in ONE task, the scan cannot finish faster than 3 intervals;
+    without the option the same scan has no such floor (same session,
+    measured after, so JIT warmup cannot fake the gap)."""
+    import time
+
+    from openaq_lcs_fetch_spark.sources.http import register as register_http
+
+    register_http(spark)
+
+    def scan(**extra):
+        r = (
+            spark.read.format("paginated_http")
+            .schema("station string, unix_ts long, pm25 double, temperature double")
+            .option("fetcher", "openaq_lcs_fetch_spark.sources.fetchers:synthetic_readings")
+            .option("pages", "4")
+            .option("pages_per_task", "4")
+            .option("page_size", "3")
+        )
+        for k, v in extra.items():
+            r = r.option(k, v)
+        t0 = time.perf_counter()
+        n = r.load().count()
+        return n, time.perf_counter() - t0
+
+    n_throttled, t_throttled = scan(min_call_interval_ms="200")
+    n_free, t_free = scan()
+    assert n_throttled == n_free == 12
+    assert t_throttled >= 0.6  # 3 enforced inter-call gaps
+    assert t_free < t_throttled  # the floor comes from the option, not JIT
