@@ -575,3 +575,31 @@ def test_paginated_source_rate_limit_floor(spark):
     assert n_throttled == n_free == 12
     assert t_throttled >= 0.6  # 3 enforced inter-call gaps
     assert t_free < t_throttled  # the floor comes from the option, not JIT
+
+
+def test_csv_quarantine_through_gzip(spark, tmp_path):
+    """S8 × S4 dead-letter: the permissive split works identically on a
+    gzipped CSV (codec decode happens below the corrupt-record layer)."""
+    import gzip
+    import os
+
+    from openaq_lcs_fetch_spark.sources.files import read_csv_with_quarantine
+
+    p = os.path.join(str(tmp_path), "m.csv.gz")
+    with gzip.open(p, "wt") as fh:
+        fh.write("sensor,value\na,1.5\nb,bad\nc,2.5\n")
+    good, bad = read_csv_with_quarantine(spark, p, "sensor string, value double")
+    assert {r.sensor for r in good.collect()} == {"a", "c"}
+    assert [r.raw_line for r in bad.collect()] == ["b,bad"]
+
+
+def test_compact_by_time_empty_input(spark, tmp_path):
+    """Zero-row robustness (the empty-day-partition case): no bins, no
+    crash, a readable empty dataset."""
+    import os
+
+    from openaq_lcs_fetch_spark.storage import compact_by_time
+
+    df = spark.createDataFrame([], "event_id long, ts timestamp")
+    out = os.path.join(str(tmp_path), "c")
+    assert compact_by_time(df, "ts", out, n_bins=4) == 0
