@@ -1499,3 +1499,41 @@ def test_compaction_bins_sixteen_unit_days(spark, tmp_path):
         assert (r.n_files, r.n_rows, r.fill_ppm) == (2, 2, 1_000_000)
         assert r.first_day == _dt.datetime(2024, 3, 1 + 2 * k)
         assert r.last_day == _dt.datetime(2024, 3, 2 + 2 * k)
+
+
+def test_emd_ks_hand_computed_two_hour_geometry(spark, tmp_path):
+    """Hand-computed EMD + KS on 4 rows across 2 hours. Cells =
+    round(value·100) div 500: h0 holds cells {0,1}, h1 holds {0,0};
+    global spine {0:3, 1:1}, N=4, widths 1. Cleared-denominator terms
+    |cumh·N − cumg·nh| per (h, cell) are (2,0) for BOTH hours, so
+    emd_num = ks_num = 2 and emd_cells = ks = 2/(2·4) = 0.25 — one
+    geometry pins the shared CDF scaffold, the sum-vs-max split and
+    the final division for both queries."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 4, 1, 7, 0, 0)
+    rows = [
+        (1, t0, 10, "click", 0.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=30), 11, "click", 5.0, "{}"),
+        (3, t0 + dt.timedelta(hours=1), 12, "click", 0.0, "{}"),
+        (4, t0 + dt.timedelta(hours=1, minutes=10), 13, "click", 1.0, "{}"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    h0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) // 3_600_000_000
+    emd = {r.h: r for r in QUERIES["hourly_value_emd"].fn(spark, sf).collect()}
+    assert set(emd) == {h0, h0 + 1}
+    for h in (h0, h0 + 1):
+        assert (emd[h].n, emd[h].emd_num, emd[h].emd_cells) == (2, 2, 0.25)
+
+    ks = {r.h: r for r in QUERIES["hourly_ks_drift"].fn(spark, sf).collect()}
+    assert set(ks) == {h0, h0 + 1}
+    for h in (h0, h0 + 1):
+        assert (ks[h].n, ks[h].ks_num, ks[h].ks) == (2, 2, 0.25)
