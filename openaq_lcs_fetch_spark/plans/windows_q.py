@@ -983,13 +983,19 @@ WITH o AS (
 ),
 rowm AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS row_n FROM o GROUP BY 1),
 colm AS (SELECT dow, CAST(SUM(obs) AS BIGINT) AS col_n FROM o GROUP BY 1),
-tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o)
-SELECT o.event_type, o.dow, o.obs,
-       ROUND(CAST(r.row_n AS DOUBLE) * c.col_n / t.n, 6) AS expected,
-       ROUND((o.obs - CAST(r.row_n AS DOUBLE) * c.col_n / t.n)
-             * (o.obs - CAST(r.row_n AS DOUBLE) * c.col_n / t.n)
-             / (CAST(r.row_n AS DOUBLE) * c.col_n / t.n), 6) AS chisq_term
-FROM o JOIN rowm r USING (event_type) JOIN colm c USING (dow) CROSS JOIN tot t
+tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o),
+dense AS (
+  SELECT r.event_type, c.dow, r.row_n, c.col_n,
+         COALESCE(o.obs, 0) AS obs
+  FROM rowm r CROSS JOIN colm c
+  LEFT JOIN o ON o.event_type = r.event_type AND o.dow = c.dow
+)
+SELECT d.event_type, d.dow, d.obs,
+       ROUND(CAST(d.row_n AS DOUBLE) * d.col_n / t.n, 6) AS expected,
+       ROUND((d.obs - CAST(d.row_n AS DOUBLE) * d.col_n / t.n)
+             * (d.obs - CAST(d.row_n AS DOUBLE) * d.col_n / t.n)
+             / (CAST(d.row_n AS DOUBLE) * d.col_n / t.n), 6) AS chisq_term
+FROM dense d CROSS JOIN tot t
 """
 
 
@@ -1004,10 +1010,20 @@ def type_day_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     colm = o.groupBy("dow").agg(F.sum("obs").alias("col_n"))
     tot = o.agg(F.sum("obs").alias("n"))
     expected = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    # densify over the marginal spine: an EMPTY contingency cell is a
+    # real χ² row (obs 0, term = expected) — omitting it understates
+    # the total a reader sums (the cramers_v fixture's bug, here in
+    # per-cell form)
+    dense = (
+        rowm.crossJoin(F.broadcast(colm))
+        .join(o, ["event_type", "dow"], "left")
+        .select(
+            "event_type", "dow", "row_n", "col_n",
+            F.coalesce(F.col("obs"), F.lit(0).cast("long")).alias("obs"),
+        )
+    )
     return (
-        o.join(F.broadcast(rowm), "event_type")
-        .join(F.broadcast(colm), "dow")
-        .crossJoin(F.broadcast(tot))
+        dense.crossJoin(F.broadcast(tot))
         .select(
             "event_type",
             "dow",
@@ -2036,12 +2052,15 @@ tot AS (SELECT SUM(o) AS n,
                CAST(COUNT(DISTINCT event_type) AS HUGEINT) AS nr,
                CAST(COUNT(DISTINCT dow) AS HUGEINT) AS nc
         FROM cells),
+dense AS (
+  SELECT r.event_type, s.dow, r.r, s.s, COALESCE(ce.o, 0) AS o
+  FROM rs r CROSS JOIN cs s
+  LEFT JOIN cells ce ON ce.event_type = r.event_type AND ce.dow = s.dow
+),
 terms AS (
-  SELECT SUM(((ce.o * t.n - r.r * s.s) * (ce.o * t.n - r.r * s.s) * 1000000)
-             // (t.n * r.r * s.s)) AS chi2_micro
-  FROM cells ce
-  JOIN rs r USING (event_type)
-  JOIN cs s USING (dow)
+  SELECT SUM(((d.o * t.n - d.r * d.s) * (d.o * t.n - d.r * d.s) * 1000000)
+             // (t.n * d.r * d.s)) AS chi2_micro
+  FROM dense d
   CROSS JOIN tot t
 )
 SELECT CAST(t.n AS BIGINT) AS n,
@@ -2084,11 +2103,19 @@ def cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     # numerator ceiling (~1e9 rows, header) binds first today, but the
     # quotient path shouldn't be the NEXT silent ceiling once cells
     # are chunked by day.
+    # densify over the rs × cs marginal spine (≤ nr·nc rows): an EMPTY
+    # cell still contributes (r·s)²/(n·r·s) = r·s/n to chi² — summing
+    # only occupied cells silently understates V on sparse contingency
+    # tables (both engines shared the omission, so oracle parity could
+    # not see it; the 2×2 perfect-association fixture pins V = 1.0)
+    dense = (
+        rs.crossJoin(F.broadcast(cs))
+        .join(cells, ["event_type", "dow"], "left")
+        .select("event_type", "dow", "r", "s", F.coalesce(F.col("o"), F.lit(0).cast(d38)).alias("o"))
+    )
     dev = F.expr("o * n - r * s")
     terms = (
-        cells.join(F.broadcast(rs), "event_type")
-        .join(F.broadcast(cs), "dow")
-        .crossJoin(F.broadcast(tot))
+        dense.crossJoin(F.broadcast(tot))
         .agg(
             F.sum(
                 exact_div(dev * dev * F.lit(1000000), F.expr("n * r * s"))

@@ -1537,3 +1537,66 @@ def test_emd_ks_hand_computed_two_hour_geometry(spark, tmp_path):
     assert set(ks) == {h0, h0 + 1}
     for h in (h0, h0 + 1):
         assert (ks[h].n, ks[h].ks_num, ks[h].ks) == (2, 2, 0.25)
+
+
+def test_cramers_v_empty_cells_still_count(spark, tmp_path):
+    """2×2 perfect association with two EMPTY cells: type A only on
+    Monday, type B only on Tuesday (2 rows each). Textbook chi² = N·1
+    = 4 (each of the 4 spine cells — two occupied, two empty —
+    contributes exactly 1), so V = 1.0. Summing only occupied cells
+    would give chi² = 2 and V = √0.5 ≈ 0.707 — the bug this fixture
+    pins out: an empty contingency cell still contributes r·s/n."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    mon = dt.datetime(2024, 4, 1, 9, 0, 0)   # a Monday
+    tue = mon + dt.timedelta(days=1)
+    rows = [
+        (1, mon, 1, "A", 1.0, "{}"),
+        (2, mon + dt.timedelta(hours=1), 2, "A", 1.0, "{}"),
+        (3, tue, 3, "B", 1.0, "{}"),
+        (4, tue + dt.timedelta(hours=1), 4, "B", 1.0, "{}"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    r = QUERIES["cramers_v"].fn(spark, sf).collect()[0]
+    assert (r.n, r.chi2_micro) == (4, 4_000_000)
+    assert r.cramers_v == 1.0
+
+
+def test_type_day_chisq_emits_empty_cells(spark, tmp_path):
+    """The per-cell χ² scaffold must include EMPTY contingency cells
+    (obs 0, term = expected): on the 2×2 perfect-association fixture
+    the reader-summed terms must reach the textbook chi² = 4.0 over 4
+    rows — 2 occupied + 2 empty, each contributing exactly 1.0."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    mon = dt.datetime(2024, 4, 1, 9, 0, 0)
+    tue = mon + dt.timedelta(days=1)
+    rows = [
+        (1, mon, 1, "A", 1.0, "{}"),
+        (2, mon + dt.timedelta(hours=1), 2, "A", 1.0, "{}"),
+        (3, tue, 3, "B", 1.0, "{}"),
+        (4, tue + dt.timedelta(hours=1), 4, "B", 1.0, "{}"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    out = QUERIES["type_day_chisq"].fn(spark, sf).collect()
+    assert len(out) == 4  # full 2×2 spine, not just the 2 occupied cells
+    cells = {(r.event_type, r.dow): r for r in out}
+    assert cells[("A", 2)].obs == 0 and cells[("B", 1)].obs == 0
+    assert all(r.expected == 1.0 and r.chisq_term == 1.0 for r in out)
+    assert sum(r.chisq_term for r in out) == 4.0
