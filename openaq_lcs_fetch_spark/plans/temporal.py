@@ -1859,13 +1859,18 @@ def ols_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     inum = (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+    # try_divide, not `/`: den = n·Sxx−Sx² is 0 for a type whose events
+    # all fall in one hour, den_y for a constant-value series — legal
+    # degenerate inputs where the statistic is undefined. ANSI Spark
+    # ERRORS on double x/0 while DuckDB yields NULL (ORACLE_NOTES);
+    # NULL-on-zero is the portable "undefined" on both engines.
     return m.select(
         "event_type",
         F.col("n").cast("long").alias("n"),
         F.col("h_min").cast("long").alias("h_min"),
-        (num / den / F.lit(100.0)).alias("slope_per_hour"),
-        (inum / den / F.lit(100.0)).alias("intercept_at_min"),
-        ((num * num) / (den * den_y)).alias("r2"),
+        (F.try_divide(num, den) / F.lit(100.0)).alias("slope_per_hour"),
+        (F.try_divide(inum, den) / F.lit(100.0)).alias("intercept_at_min"),
+        F.try_divide(num * num, den * den_y).alias("r2"),
     )
 
 
@@ -2024,9 +2029,12 @@ def mase_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mae1_num",
         "n24",
         "mae24_num",
-        (
-            (F.col("mae1_num").cast("double") / F.col("n1").cast("double"))
-            / (F.col("mae24_num").cast("double") / F.col("n24").cast("double"))
+        # try_divide: a constant day-lagged series makes mae24 = 0 —
+        # MASE undefined → NULL on both engines (ANSI Spark would
+        # error on the raw double division; DuckDB yields NULL)
+        F.try_divide(
+            F.col("mae1_num").cast("double") / F.col("n1").cast("double"),
+            F.col("mae24_num").cast("double") / F.col("n24").cast("double"),
         ).alias("mase"),
     )
 

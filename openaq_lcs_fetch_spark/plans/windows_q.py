@@ -2125,13 +2125,18 @@ def cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.crossJoin(F.broadcast(tot)).select(
         F.col("n").cast("long").alias("n"),
         F.col("chi2_micro").cast("long").alias("chi2_micro"),
+        # try_divide: a single-category table (nr=1 or nc=1) zeroes the
+        # denominator — V undefined → NULL both engines (ANSI Spark
+        # errors on raw double x/0, DuckDB yields NULL; ORACLE_NOTES)
         F.sqrt(
-            F.col("chi2_micro").cast("double")
-            / (
-                F.lit(1000000).cast(d38)
-                * F.col("n")
-                * (F.least(F.col("nr"), F.col("nc")) - 1)
-            ).cast("double")
+            F.try_divide(
+                F.col("chi2_micro").cast("double"),
+                (
+                    F.lit(1000000).cast(d38)
+                    * F.col("n")
+                    * (F.least(F.col("nr"), F.col("nc")) - 1)
+                ).cast("double"),
+            )
         ).alias("cramers_v"),
     )
 

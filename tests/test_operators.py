@@ -1600,3 +1600,67 @@ def test_type_day_chisq_emits_empty_cells(spark, tmp_path):
     assert cells[("A", 2)].obs == 0 and cells[("B", 1)].obs == 0
     assert all(r.expected == 1.0 and r.chisq_term == 1.0 for r in out)
     assert sum(r.chisq_term for r in out) == 4.0
+
+
+def test_degenerate_inputs_yield_null_not_ansi_error(spark, tmp_path):
+    """ANSI Spark ERRORS on double x/0 while DuckDB yields NULL — on
+    legal degenerate inputs the undefined statistic must be NULL on
+    both engines, not a crash: OLS over a type whose events share one
+    hour (zero x-variance), MASE over a series constant at lag 24, and
+    Cramér's V on a single-category table. One fixture covers all
+    three (one type, one weekday, constant value, 26 hourly rows)."""
+    import datetime as dt
+    import os
+
+    import duckdb
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    base = dt.datetime(2024, 4, 1, 0, 0, 0)  # Monday
+    # 26 hourly rows, constant value: lag-24 errors are all 0 (MASE
+    # undefined); all rows same type+weekday (V undefined). Separate
+    # one-hour type pins the OLS zero-x-variance branch.
+    rows = [
+        (i, base + dt.timedelta(hours=i), 1, "A", 2.0, "{}") for i in range(26)
+    ] + [
+        (100, base.replace(hour=5), 2, "ONEHOUR", 1.0, "{}"),
+        (101, base.replace(hour=5, minute=30), 3, "ONEHOUR", 3.0, "{}"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'"
+    )
+
+    ols = {r.event_type: r for r in QUERIES["ols_hourly_trend"].fn(spark, sf).collect()}
+    assert ols["ONEHOUR"].slope_per_hour is None  # undefined, not a crash
+    assert ols["ONEHOUR"].r2 is None
+    assert ols["A"].r2 is None  # constant y: den_y = 0
+    o = {r[0]: r for r in con.sql(QUERIES["ols_hourly_trend"].oracle).fetchall()}
+    assert o["ONEHOUR"][3] is None and o["A"][5] is None  # oracle agrees
+
+    mase = {r.event_type: r.mase for r in QUERIES["mase_naive_eval"].fn(spark, sf).collect()}
+    assert mase["A"] is None  # constant series: mae24 = 0
+    om = {r[0]: r[-1] for r in con.sql(QUERIES["mase_naive_eval"].oracle).fetchall()}
+    assert om["A"] is None
+
+    # Cramér's V needs only the single-category slice
+    sf2 = os.path.join(str(tmp_path), "single")
+    os.makedirs(sf2)
+    spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=i), 1, "A", 1.0, "{}") for i in range(4)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf2, "events.parquet"))
+    r = QUERIES["cramers_v"].fn(spark, sf2).collect()[0]
+    assert r.chi2_micro == 0 and r.cramers_v is None
+    con2 = duckdb.connect()
+    con2.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{sf2}/events.parquet/*.parquet'"
+    )
+    ro = con2.sql(QUERIES["cramers_v"].oracle).fetchall()[0]
+    assert ro[1] == 0 and ro[2] is None
