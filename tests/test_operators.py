@@ -1664,3 +1664,25 @@ def test_degenerate_inputs_yield_null_not_ansi_error(spark, tmp_path):
     )
     ro = con2.sql(QUERIES["cramers_v"].oracle).fetchall()[0]
     assert ro[1] == 0 and ro[2] is None
+
+
+def test_fixture_embeddings_have_no_zero_vector(spark):
+    """Input contract of the cosine family (ORACLE_NOTES): a zero
+    embedding makes DuckDB return a nonsense −1.0 similarity while
+    ANSI Spark raises DIVIDE_BY_ZERO — there is no NULL-alignment that
+    keeps both meaningful, so the invariant lives in the data. If a
+    future fixture regeneration ships a zero vector, this fails before
+    any cosine query silently diverges."""
+    from pyspark.sql import functions as F
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = spark.read.parquet(f"{sf}/embeddings.parquet")
+        n_zero = e.filter(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+            == 0.0
+        ).count()
+        assert n_zero == 0, sf
