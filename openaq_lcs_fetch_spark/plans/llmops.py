@@ -654,16 +654,22 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(tot)
     )
     tp = F.coalesce(F.col("target_pct"), F.lit(0))
+    # try_divide: a source whose docs are all EMPTY (n_chars 0) is
+    # legal dirty data — its sample_factor is undefined → NULL on both
+    # engines (ANSI Spark would error on the raw double division;
+    # DuckDB yields NULL; see ORACLE_NOTES)
     return j.select(
         "source",
         "n_docs",
         "n_chars",
-        (F.col("n_chars").cast("double") / F.col("total_chars")).alias(
-            "actual_share"
-        ),
+        F.try_divide(
+            F.col("n_chars").cast("double"), F.col("total_chars")
+        ).alias("actual_share"),
         (tp / F.lit(100.0)).alias("target_share"),
         F.least(
             F.lit(1.0),
-            (tp * F.col("total_chars")) / (F.lit(100.0) * F.col("n_chars")),
+            F.try_divide(
+                tp * F.col("total_chars"), F.lit(100.0) * F.col("n_chars")
+            ),
         ).alias("sample_factor"),
     )
