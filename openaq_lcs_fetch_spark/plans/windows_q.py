@@ -1387,8 +1387,12 @@ def feature_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("n_pos") * F.col("n_neg")
         ).cast("long").alias("u2"),
     )
+    # try_divide: a single-class window (no positives or no negatives)
+    # makes AUC undefined — NULL on both engines, not an ANSI
+    # DIVIDE_BY_ZERO (DuckDB double /0 is already NULL; ORACLE_NOTES)
     auc = F.round(
-        F.col("u2").cast("double") / (2.0 * F.col("p") * F.col("n")), 6
+        F.try_divide(F.col("u2").cast("double"), 2.0 * F.col("p") * F.col("n")),
+        6,
     )
     return tot.select("p", "n", "u2", auc.alias("auc"))
 
