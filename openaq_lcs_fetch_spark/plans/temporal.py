@@ -188,9 +188,12 @@ def value_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first(valid_v, ignorenulls=True).over(wn).alias("next_v"),
         F.first(valid_t, ignorenulls=True).over(wn).alias("next_t"),
     )
-    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
-        (micros(F.col("ts")) - F.col("prev_t")).cast("double")
-        / (F.col("next_t") - F.col("prev_t"))
+    # try_divide: duplicate neighbor timestamps (prev_t == next_t) make
+    # the interpolation weight 0/0 — NULL on both engines, not an ANSI
+    # DIVIDE_BY_ZERO (the DuckDB twin already yields NULL there)
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * F.try_divide(
+        (micros(F.col("ts")) - F.col("prev_t")).cast("double"),
+        F.col("next_t") - F.col("prev_t"),
     )
     return (
         nbr.filter(
