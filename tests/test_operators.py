@@ -1686,3 +1686,41 @@ def test_fixture_embeddings_have_no_zero_vector(spark):
             == 0.0
         ).count()
         assert n_zero == 0, sf
+
+
+def test_seasonal_decompose_periodic_series_exact(spark, tmp_path):
+    """Hand-computed decomposition of a perfectly 24-periodic series:
+    value 2.0 for hour-of-day < 12, 4.0 otherwise, one event per hour
+    for 72 hours starting at midnight UTC. For ANY 24-periodic series
+    the 2×MA-24 trend is exactly the period mean (t_num = 2·S = 48·M),
+    so trend = 300 cents everywhere defined (48 interior hours = 2
+    full cycles, n_k = 2 per slot), seasonal = y_k − 300 = ±100
+    exactly, and every residual is exactly 0.0 — all three divisions
+    are exact in doubles, so equality is bit-for-bit."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    base = dt.datetime(2024, 4, 1, 0, 0, 0)  # midnight UTC → h0 % 24 == 0
+    rows = [
+        (i, base + dt.timedelta(hours=i), 1, "A",
+         2.0 if i % 24 < 12 else 4.0, "{}")
+        for i in range(72)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    out = QUERIES["seasonal_decompose_24"].fn(spark, sf).collect()
+    assert len(out) == 48  # 72 hours minus 12 undefined at each edge
+    h0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp()) // 3600
+    for r in out:
+        k = r.h % 24
+        assert r.y == (200 if k < 12 else 400)
+        assert r.trend == 300.0
+        assert r.seasonal == (-100.0 if k < 12 else 100.0)
+        assert r.residual == 0.0
+        assert h0 + 12 <= r.h <= h0 + 59  # the defined interior only
