@@ -102,3 +102,33 @@ def test_cli_inactive_source_errors(tmp_path):
     res = _run_cli(["--config", cfg_dir, "--source", "cmu", "--out", str(tmp_path / "o")])
     assert res.returncode == 2
     assert "inactive" in res.stderr
+
+
+def test_rotation_audit_accounting(tmp_path):
+    """The staleness accountant: green = hash+schema (or rows-only when
+    no hash key), newest round wins, red-last-window queries outrank
+    stale-green ones in the suggested window, --max-age gates."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import rotation_audit as RA
+
+    def write(rnd, rows):
+        with open(tmp_path / f"CORRECTNESS_r{rnd:02d}.json", "w") as fh:
+            json.dump(rows, fh)
+
+    g = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    bad = {"rows_match": True, "schema_match": True, "hash_match": False, "err": None}
+    rows_only = {"rows_match": True, "err": None}
+    write(1, {"a": g, "b": g})
+    write(2, {"b": bad, "c": rows_only, "d": {"err": "boom", "rows_match": None}})
+
+    last_green, last_seen, latest = RA.load_history(str(tmp_path))
+    assert latest == 2
+    assert last_green == {"a": 1, "b": 1, "c": 2}  # b's newest is red
+    assert last_seen == {"a": 1, "b": 2, "c": 2, "d": 2}
+    assert RA._green(g) and RA._green(rows_only)
+    assert not RA._green(bad)
+    assert not RA._green({"err": "boom", "rows_match": None})
