@@ -57,6 +57,12 @@ together with the stale r02 textops/simsearch backfill listed above.
   they spend round 8's entire 3-slot new-query budget, so the round-8
   window is 3 never-verified + the 47 r03-stale rows, closing ALL
   remaining staleness in one window.
+
+The ledger above is now DERIVED, not hand-maintained: once a round's
+CORRECTNESS_r{N}.json is committed, ``python tools/rotation_audit.py``
+prints each query's newest green driver row, the staleness histogram,
+and the next 50-slot window under this exact policy (never-verified →
+red-last-window → least-recently-green).
 """
 
 from . import registry

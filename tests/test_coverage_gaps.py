@@ -147,3 +147,29 @@ def test_promote_preserves_registry_and_rejects_unknown():
     finally:
         registry.promote(before)  # restore the committed rotation order
     assert list(registry.QUERIES) == before
+
+
+def test_every_oracle_parses_in_duckdb():
+    """Fast syntactic gate (no Spark): every registered oracle must
+    EXPLAIN cleanly against the sf0.001 views. The dual-engine parity
+    suite executes them all anyway, but this catches an oracle typo in
+    seconds instead of a 15-minute sweep — and pins that every query
+    keeps an oracle at all (250/250; rows-only entries would silently
+    weaken the driver's check)."""
+    import duckdb
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+    from openaq_lcs_fetch_spark.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+        )
+    missing = [n for n, q in QUERIES.items() if q.oracle is None]
+    assert missing == [], f"oracle-less queries: {missing}"
+    for name, q in QUERIES.items():
+        try:
+            con.sql(f"EXPLAIN {q.oracle}")
+        except Exception as exc:  # pragma: no cover - failure message only
+            raise AssertionError(f"{name}: oracle does not parse: {exc}") from exc
