@@ -85,13 +85,24 @@ def nest_stations(
 
     Grouping keys partition the shuffle; station cardinality is tiny
     relative to measures so this never dominates.
+
+    Both levels are array_sort'ed: collect_list order is whatever the
+    shuffle delivered, and the K3 diff-upsert hashes the assembled row
+    (sinks/stations.content_hash) — an unsorted array would make the
+    SAME station content hash differently across runs/partitionings,
+    re-writing unchanged stations forever. Sorted structs (sensor_id /
+    system key lead) are the canonical serialization.
     """
-    sensors = F.collect_list(F.struct(*[F.col(c) for c in sensor_cols])).alias(
-        "sensors"
-    )
+    sensors = F.array_sort(
+        F.collect_list(F.struct(*[F.col(c) for c in sensor_cols]))
+    ).alias("sensors")
     sys_level = df.groupBy(*node_keys, system_key, *system_meta).agg(sensors)
-    systems = F.collect_list(
-        F.struct(F.col(system_key), *[F.col(c) for c in system_meta], F.col("sensors"))
+    systems = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(system_key), *[F.col(c) for c in system_meta], F.col("sensors")
+            )
+        )
     ).alias("sensor_systems")
     return sys_level.groupBy(*node_keys).agg(systems)
 

@@ -1724,3 +1724,28 @@ def test_seasonal_decompose_periodic_series_exact(spark, tmp_path):
         assert r.seasonal == (-100.0 if k < 12 else 100.0)
         assert r.residual == 0.0
         assert h0 + 12 <= r.h <= h0 + 59  # the defined interior only
+
+
+def test_nest_stations_is_partition_order_canonical(spark):
+    """The assembled station tree must hash identically regardless of
+    how the shuffle delivered the rows: same content, reversed input
+    order and different partitioning → identical content_hash (an
+    unsorted collect_list would re-write unchanged stations forever)."""
+    from openaq_lcs_fetch_spark.operators.reshape import nest_stations
+    from openaq_lcs_fetch_spark.sinks.stations import content_hash
+
+    rows = [
+        ("n1", "sys1", "s1", "pm25"),
+        ("n1", "sys1", "s2", "pm10"),
+        ("n1", "sys2", "s3", "co"),
+    ]
+    schema = "node string, sys string, sensor_id string, param string"
+
+    def hash_of(data, parts):
+        df = spark.createDataFrame(data, schema).repartition(parts)
+        nested = nest_stations(df, ["node"], "sys", ["sensor_id", "param"])
+        return content_hash(nested, "node").select("content_hash").first()[0]
+
+    h1 = hash_of(rows, 1)
+    h2 = hash_of(list(reversed(rows)), 7)
+    assert h1 == h2
