@@ -1749,3 +1749,47 @@ def test_nest_stations_is_partition_order_canonical(spark):
     h1 = hash_of(rows, 1)
     h2 = hash_of(list(reversed(rows)), 7)
     assert h1 == h2
+
+
+def test_max_drawdown_hand_series(spark, tmp_path):
+    """Hand-computed drawdowns. Type A: cents [1000, 1200 (same hour),
+    800, 1100, 500, 900] → running max 1200 from the second row, max
+    drawdown 700 at the 500-cent trough (event 4) — exercising the
+    within-hour local window AND the cross-hour prefix merge. Type B:
+    [1000, 600, 1400, 1000] has TWO 400-cent drawdowns; the tiebreak
+    must pick the EARLIEST trough (event 11)."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 4, 2, 0, 0, 0)
+
+    def ev(i, minutes, typ, v):
+        return (i, t0 + dt.timedelta(minutes=minutes), 1, typ, v, "{}")
+
+    rows = [
+        ev(0, 0, "A", 10.0),
+        ev(1, 30, "A", 12.0),        # same hour as event 0
+        ev(2, 60, "A", 8.0),         # dd 400
+        ev(3, 120, "A", 11.0),       # dd 100
+        ev(4, 150, "A", 5.0),        # dd 700 ← max
+        ev(5, 180, "A", 9.0),        # dd 300
+        ev(10, 0, "B", 10.0),
+        ev(11, 60, "B", 6.0),        # dd 400 (earliest)
+        ev(12, 120, "B", 14.0),
+        ev(13, 180, "B", 10.0),      # dd 400 (later — loses tiebreak)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    out = {r.event_type: r for r in QUERIES["max_drawdown"].fn(spark, sf).collect()}
+    a, b = out["A"], out["B"]
+    assert (a.drawdown_cents, a.trough_event) == (700, 4)
+    assert a.trough_us == int(
+        (t0 + dt.timedelta(minutes=150)).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
+    assert (b.drawdown_cents, b.trough_event) == (400, 11)
