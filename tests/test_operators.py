@@ -1793,3 +1793,35 @@ def test_max_drawdown_hand_series(spark, tmp_path):
         (t0 + dt.timedelta(minutes=150)).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
     )
     assert (b.drawdown_cents, b.trough_event) == (400, 11)
+
+
+def test_cusum_level_shift_hand_series(spark, tmp_path):
+    """Hand-computed CUSUM on a clean level shift: four 10.0 readings
+    then four 20.0 (N=8, total 12000 cents), so d_i = ±4000 and
+    S = [-4k,-8k,-12k,-16k,-12k,-8k,-4k,0] — |S| peaks at exactly the
+    last pre-shift event (id 3, s_scaled −16000). The first two rows
+    share an hour, so both the in-hour cumsum and the cross-hour
+    bucket offset participate."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 4, 3, 0, 0, 0)
+    minutes = [0, 30, 60, 120, 180, 240, 300, 360]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=m), 1, "A", 10.0 if i < 4 else 20.0, "{}")
+        for i, m in enumerate(minutes)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    r = QUERIES["cusum_changepoint"].fn(spark, sf).collect()[0]
+    assert (r.change_event, r.s_scaled) == (3, -16_000)
+    assert r.change_us == int(
+        (t0 + dt.timedelta(minutes=120)).replace(tzinfo=dt.timezone.utc).timestamp()
+        * 1_000_000
+    )
