@@ -1825,3 +1825,37 @@ def test_cusum_level_shift_hand_series(spark, tmp_path):
         (t0 + dt.timedelta(minutes=120)).replace(tzinfo=dt.timezone.utc).timestamp()
         * 1_000_000
     )
+
+
+def test_gini_hand_values(spark, tmp_path):
+    """Textbook Gini: customer revenues (1.00, 3.00) → G = 0.25
+    exactly ((2·(1·100+2·300) − 3·400)/(2·400)); a second run with
+    three equal revenues must give exactly 0.0 — pinning the
+    rank-offset machinery and the (n+1) mean-difference formula."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    def write(sf, prices):
+        rows = [
+            (i, i, "F", p, dt.datetime(2024, 1, 1 + i), "1-URGENT")
+            for i, p in enumerate(prices)
+        ]
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+
+    sf1 = os.path.join(str(tmp_path), "a")
+    os.makedirs(sf1)
+    write(sf1, [1.0, 3.0])
+    r = QUERIES["gini_revenue"].fn(spark, sf1).collect()[0]
+    assert (r.n_customers, r.total_cents, r.gini) == (2, 400, 0.25)
+
+    sf2 = os.path.join(str(tmp_path), "b")
+    os.makedirs(sf2)
+    write(sf2, [2.0, 2.0, 2.0])
+    r = QUERIES["gini_revenue"].fn(spark, sf2).collect()[0]
+    assert (r.n_customers, r.total_cents, r.gini) == (3, 600, 0.0)
