@@ -1859,3 +1859,29 @@ def test_gini_hand_values(spark, tmp_path):
     write(sf2, [2.0, 2.0, 2.0])
     r = QUERIES["gini_revenue"].fn(spark, sf2).collect()[0]
     assert (r.n_customers, r.total_cents, r.gini) == (3, 600, 0.0)
+
+
+def test_theil_sen_hand_pairs(spark, tmp_path):
+    """Hand-computed Theil-Sen: daily means (1.0, 2.0, 4.0, 3.0) give
+    six pairwise slopes (−1, 0.5, 2/3, 1, 1.5, 2 in value units); the
+    LOWER median (rank 4 of 6) is exactly 1.0 per day — pinning the
+    pair fan-out, the selection (no averaging) and the cents scaling."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 4, 7, 12, 0, 0)
+    vals = [1.0, 2.0, 4.0, 3.0]
+    rows = [
+        (i, t0 + dt.timedelta(days=i), 1, "A", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    r = QUERIES["theil_sen_daily_slope"].fn(spark, sf).collect()[0]
+    assert (r.n_pairs, r.slope_per_day) == (6, 1.0)
