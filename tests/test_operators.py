@@ -1885,3 +1885,41 @@ def test_theil_sen_hand_pairs(spark, tmp_path):
 
     r = QUERIES["theil_sen_daily_slope"].fn(spark, sf).collect()[0]
     assert (r.n_pairs, r.slope_per_day) == (6, 1.0)
+
+
+def test_autocorr24_periodic_and_constant(spark, tmp_path):
+    """A 24-periodic hourly count series autocorrelates to EXACTLY 1.0
+    at lag 24 (x and y coincide pair-by-pair, so num = vx and den =
+    √(vx²)); a constant series has zero variance and must yield NULL
+    through try_divide, not an ANSI crash."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 4, 10, 0, 0, 0)
+
+    def build(sf, periodic):
+        rows, eid = [], 0
+        for h in range(48):
+            n = (1 if (h % 24) < 12 else 2) if periodic else 1
+            for j in range(n):
+                rows.append(
+                    (eid, t0 + dt.timedelta(hours=h, minutes=j), 1, "A", 1.0, "{}")
+                )
+                eid += 1
+        os.makedirs(sf)
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    p = os.path.join(str(tmp_path), "p")
+    build(p, periodic=True)
+    r = QUERIES["hourly_autocorr24"].fn(spark, p).collect()[0]
+    assert (r.n_pairs, r.autocorr24) == (24, 1.0)
+
+    c = os.path.join(str(tmp_path), "c")
+    build(c, periodic=False)
+    r = QUERIES["hourly_autocorr24"].fn(spark, c).collect()[0]
+    assert r.n_pairs == 24 and r.autocorr24 is None  # zero variance → NULL
