@@ -1923,3 +1923,40 @@ def test_autocorr24_periodic_and_constant(spark, tmp_path):
     build(c, periodic=False)
     r = QUERIES["hourly_autocorr24"].fn(spark, c).collect()[0]
     assert r.n_pairs == 24 and r.autocorr24 is None  # zero variance → NULL
+
+
+def test_wilson_boundary_and_interval(spark, tmp_path):
+    """The success predicate is STRICTLY > 5000 cents: a value of
+    exactly 50.0 must not count. With n=4, k=1 the Wilson interval is
+    recomputed in python from the same closed form (identical IEEE
+    ops) and must bracket phat = 0.25."""
+    import datetime as dt
+    import math
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 4, 11, 0, 0, 0)
+    vals = [50.0, 50.01, 10.0, 20.0]  # boundary row must NOT count
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "A", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    r = QUERIES["wilson_proportion_ci"].fn(spark, sf).collect()[0]
+    assert (r.n, r.k, r.phat) == (4, 1, 0.25)
+
+    p, nn = 0.25, 4.0
+    lo = (p + 1.9208 / nn - 1.96 * math.sqrt(p * (1.0 - p) / nn + 0.9604 / (nn * nn))) / (
+        1.0 + 3.8416 / nn
+    )
+    hi = (p + 1.9208 / nn + 1.96 * math.sqrt(p * (1.0 - p) / nn + 0.9604 / (nn * nn))) / (
+        1.0 + 3.8416 / nn
+    )
+    assert r.ci_lo == lo and r.ci_hi == hi
+    assert r.ci_lo < r.phat < r.ci_hi
