@@ -1960,3 +1960,31 @@ def test_wilson_boundary_and_interval(spark, tmp_path):
     )
     assert r.ci_lo == lo and r.ci_hi == hi
     assert r.ci_lo < r.phat < r.ci_hi
+
+
+def test_interval_union_hand_islands(spark, tmp_path):
+    """Hand-computed union of 30-minute activity intervals: events at
+    +0, +10 and +45 minutes open [0,30]∪[10,40]∪[45,75] → two islands
+    covering exactly 70 minutes; a second user with one event pins the
+    singleton island (30 minutes). Overlap must not double-count."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 4, 12, 9, 0, 0)
+    rows = [
+        (0, t0, 1, "click", 1.0, "{}"),
+        (1, t0 + dt.timedelta(minutes=10), 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=45), 1, "click", 1.0, "{}"),
+        (3, t0, 2, "view", 1.0, "{}"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    out = {r.user_id: r for r in QUERIES["interval_union_length"].fn(spark, sf).collect()}
+    assert (out[1].n_islands, out[1].covered_us) == (2, 70 * 60 * 1_000_000)
+    assert (out[2].n_islands, out[2].covered_us) == (1, 30 * 60 * 1_000_000)
