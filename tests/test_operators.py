@@ -1988,3 +1988,32 @@ def test_interval_union_hand_islands(spark, tmp_path):
     out = {r.user_id: r for r in QUERIES["interval_union_length"].fn(spark, sf).collect()}
     assert (out[1].n_islands, out[1].covered_us) == (2, 70 * 60 * 1_000_000)
     assert (out[2].n_islands, out[2].covered_us) == (1, 30 * 60 * 1_000_000)
+
+
+def test_peak_concurrency_hand_sessions(spark, tmp_path):
+    """Hand-computed sweep line. Three users: u1 at +0 (session
+    [0, 30m]), u2 at +10m ([10m, 40m]), u3 at +50m ([50m, 80m]); u1
+    adds a second event at +20m, extending its session to [0, 50m] —
+    NOT a new session (gap 20m < 30m). Peak concurrency is 2 (u1∩u2);
+    u1's end coincides with u3's start at +50m, and the same-instant
+    collapse must NOT count 3. Change points: 0, 10m, 40m, 50m, 80m."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 4, 13, 8, 0, 0)
+    rows = [
+        (0, t0, 1, "click", 1.0, "{}"),
+        (1, t0 + dt.timedelta(minutes=20), 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=10), 2, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=50), 3, "click", 1.0, "{}"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    r = QUERIES["session_peak_concurrency"].fn(spark, sf).collect()[0]
+    assert (r.peak_concurrent, r.n_change_points) == (2, 5)
