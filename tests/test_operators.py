@@ -2017,3 +2017,43 @@ def test_peak_concurrency_hand_sessions(spark, tmp_path):
 
     r = QUERIES["session_peak_concurrency"].fn(spark, sf).collect()[0]
     assert (r.peak_concurrent, r.n_change_points) == (2, 5)
+
+
+def test_purchase_streaks_hand_islands(spark, tmp_path):
+    """Gaps-and-islands by hand: u1 purchases on days 1,2,3, skips 4,
+    then 5,6 → longest streak 3 (two purchases on day 2 must not
+    inflate it); u2 purchases on day 1 only → streak 1; u3 only clicks
+    → absent from the output entirely."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    def ev(i, day, user, typ, minute=0):
+        return (
+            i,
+            dt.datetime(2024, 5, day, 12, minute),
+            user,
+            typ,
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        ev(0, 1, 1, "purchase"),
+        ev(1, 2, 1, "purchase"),
+        ev(2, 2, 1, "purchase", minute=30),  # same-day dup: no effect
+        ev(3, 3, 1, "purchase"),
+        ev(4, 5, 1, "purchase"),
+        ev(5, 6, 1, "purchase"),
+        ev(6, 1, 2, "purchase"),
+        ev(7, 1, 3, "click"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    out = {r.user_id: r.longest_streak for r in QUERIES["purchase_streaks"].fn(spark, sf).collect()}
+    assert out == {1: 3, 2: 1}
