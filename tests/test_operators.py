@@ -2057,3 +2057,33 @@ def test_purchase_streaks_hand_islands(spark, tmp_path):
 
     out = {r.user_id: r.longest_streak for r in QUERIES["purchase_streaks"].fn(spark, sf).collect()}
     assert out == {1: 3, 2: 1}
+
+
+def test_funnel_strict_ordering_hand(spark, tmp_path):
+    """Funnel stages must be STRICTLY ordered per user: u1 completes
+    view→click→purchase in order (counts everywhere); u2's purchase
+    precedes its click (counts as viewer and clicker only); u3 clicks
+    without ever viewing (counts nowhere)."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 5, 10, 9, 0, 0)
+
+    def ev(i, user, typ, minutes):
+        return (i, t0 + dt.timedelta(minutes=minutes), user, typ, 1.0, "{}")
+
+    rows = [
+        ev(0, 1, "view", 0), ev(1, 1, "click", 10), ev(2, 1, "purchase", 20),
+        ev(3, 2, "view", 0), ev(4, 2, "purchase", 5), ev(5, 2, "click", 10),
+        ev(6, 3, "click", 0), ev(7, 3, "purchase", 10),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    r = QUERIES["funnel_conversion"].fn(spark, sf).collect()[0]
+    assert (r.n_viewed, r.n_clicked_after, r.n_purchased_after) == (2, 2, 1)
