@@ -2087,3 +2087,34 @@ def test_funnel_strict_ordering_hand(spark, tmp_path):
 
     r = QUERIES["funnel_conversion"].fn(spark, sf).collect()[0]
     assert (r.n_viewed, r.n_clicked_after, r.n_purchased_after) == (2, 2, 1)
+
+
+def test_retention_cohort_week_floor_hand(spark, tmp_path):
+    """weeks_since is an exact day-difference floor, never a calendar
+    week boundary: activity on day 6 after first touch is week 0,
+    day 7 is week 1, day 13 is still week 1 — one user, one cohort
+    day, n_active 1 in weeks {0, 1} and nothing else."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 5, 1, 18, 0, 0)  # a Wednesday evening
+    rows = [
+        (0, t0, 1, "click", 1.0, "{}"),
+        (1, t0 + dt.timedelta(days=6), 1, "click", 1.0, "{}"),   # week 0
+        (2, t0 + dt.timedelta(days=7), 1, "click", 1.0, "{}"),   # week 1
+        (3, t0 + dt.timedelta(days=13), 1, "click", 1.0, "{}"),  # week 1
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    out = {
+        (r.cohort_day, r.weeks_since): r.n_active
+        for r in QUERIES["retention_cohorts"].fn(spark, sf).collect()
+    }
+    cohort = dt.datetime(2024, 5, 1)
+    assert out == {(cohort, 0): 1, (cohort, 1): 1}
