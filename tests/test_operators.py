@@ -2118,3 +2118,29 @@ def test_retention_cohort_week_floor_hand(spark, tmp_path):
     }
     cohort = dt.datetime(2024, 5, 1)
     assert out == {(cohort, 0): 1, (cohort, 1): 1}
+
+
+def test_ewma_half_life_hand(spark, tmp_path):
+    """Half-life decay by hand: values (1, 2, 4) in time order decay
+    as 0.5², 0.5¹, 0.5⁰ → exactly 5.25 (powers of two keep every term
+    an exact double; the micro-quantized sum reconstructs it
+    losslessly)."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 5, 2, 9, 0, 0)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "click", v, "{}")
+        for i, v in enumerate([1.0, 2.0, 4.0])
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    out = QUERIES["ewma_user_value"].fn(spark, sf).collect()
+    assert len(out) == 1
+    assert out[0].user_id == 1 and out[0].decayed_value == 5.25
