@@ -2144,3 +2144,33 @@ def test_ewma_half_life_hand(spark, tmp_path):
     out = QUERIES["ewma_user_value"].fn(spark, sf).collect()
     assert len(out) == 1
     assert out[0].user_id == 1 and out[0].decayed_value == 5.25
+
+
+def test_ab_test_zstat_hand_counts(spark, tmp_path):
+    """Hand-checked two-proportion z: conversion is ≥3 purchases, the
+    split is user parity. Even users: one converter of two; odd: none
+    of two → p0=0.5, p1=0, pooled 0.25, z = 0.5/√(0.25·0.75·1) ≈
+    1.1547. Exact counts pinned; z to 1e-6."""
+    import datetime as dt
+    import math
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 5, 3, 9, 0, 0)
+    rows = []
+    eid = 0
+    for j in range(3):  # user 2: three purchases → converted
+        rows.append((eid, t0 + dt.timedelta(minutes=eid), 2, "purchase", 1.0, "{}")); eid += 1
+    rows.append((eid, t0, 4, "purchase", 1.0, "{}")); eid += 1  # only one
+    rows.append((eid, t0, 1, "click", 1.0, "{}")); eid += 1
+    rows.append((eid, t0, 3, "click", 1.0, "{}")); eid += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    r = QUERIES["ab_test_zstat"].fn(spark, sf).collect()[0]
+    assert (r.n0, r.c0, r.n1, r.c1) == (2, 1, 2, 0)
+    assert abs(r.z - 0.5 / math.sqrt(0.1875)) < 1e-6
