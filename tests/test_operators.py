@@ -2174,3 +2174,34 @@ def test_ab_test_zstat_hand_counts(spark, tmp_path):
     r = QUERIES["ab_test_zstat"].fn(spark, sf).collect()[0]
     assert (r.n0, r.c0, r.n1, r.c1) == (2, 1, 2, 0)
     assert abs(r.z - 0.5 / math.sqrt(0.1875)) < 1e-6
+
+
+def test_views_before_purchase_boundary_hand(spark, tmp_path):
+    """Interval boundary semantics of the bucketed point-in-interval
+    join: the window is [purchase − 1h, purchase) — a view exactly one
+    hour before COUNTS (closed start), a view at the purchase instant
+    does NOT (open end), a view 61 minutes before is out, and the
+    views straddle an hour-bucket boundary so the bucket fan-out is
+    exercised."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    p = dt.datetime(2024, 5, 4, 10, 30, 0)
+    rows = [
+        (0, p, 1, "purchase", 1.0, "{}"),
+        (1, p - dt.timedelta(hours=1), 1, "view", 1.0, "{}"),          # in (closed start)
+        (2, p - dt.timedelta(minutes=61), 1, "view", 1.0, "{}"),       # out
+        (3, p - dt.timedelta(minutes=10), 1, "view", 1.0, "{}"),       # in
+        (4, p, 1, "view", 1.0, "{}"),                                  # out (open end)
+        (5, p - dt.timedelta(minutes=5), 2, "view", 1.0, "{}"),        # other user
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    out = {r.purchase_id: r.n_views_before for r in QUERIES["views_before_purchase"].fn(spark, sf).collect()}
+    assert out == {0: 2}
