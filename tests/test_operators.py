@@ -2205,3 +2205,31 @@ def test_views_before_purchase_boundary_hand(spark, tmp_path):
 
     out = {r.purchase_id: r.n_views_before for r in QUERIES["views_before_purchase"].fn(spark, sf).collect()}
     assert out == {0: 2}
+
+
+def test_locf_fill_hand_spine(spark, tmp_path):
+    """LOCF by hand: readings 1.0 at 09:10 and 2.0 at 11:40 give an
+    hourly spine 09:00..11:00; the 09:00 slot precedes the first
+    reading (no carry → absent), 10:00 and 11:00 carry 1.0 — a slot
+    never sees a reading from its own future, and the spine/reading
+    interleave at equal ts is resolved by the ord tiebreak."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    rows = [
+        (0, dt.datetime(2024, 5, 5, 9, 10), 1, "click", 1.0, "{}"),
+        (1, dt.datetime(2024, 5, 5, 11, 40), 1, "click", 2.0, "{}"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    out = {r.slot: r.locf_value for r in QUERIES["locf_fill"].fn(spark, sf).collect()}
+    assert out == {
+        dt.datetime(2024, 5, 5, 10, 0): 1.0,
+        dt.datetime(2024, 5, 5, 11, 0): 1.0,
+    }
