@@ -2233,3 +2233,34 @@ def test_locf_fill_hand_spine(spark, tmp_path):
         dt.datetime(2024, 5, 5, 10, 0): 1.0,
         dt.datetime(2024, 5, 5, 11, 0): 1.0,
     }
+
+
+def test_trailing_1h_range_frame_boundaries(spark, tmp_path):
+    """RANGE-frame boundaries by hand: the trailing window is
+    [t − 1h, t] INCLUSIVE on both ends in event-time — an event
+    exactly one hour earlier counts, one at 61 minutes does not, and
+    two events at the IDENTICAL microsecond see each other (RANGE, not
+    ROWS: peers share the frame)."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 5, 6, 12, 0, 0)
+    rows = [
+        (0, t0 - dt.timedelta(minutes=61), 1, "click", 1.0, "{}"),
+        (1, t0 - dt.timedelta(hours=1), 1, "click", 2.0, "{}"),
+        (2, t0, 1, "click", 4.0, "{}"),
+        (3, t0, 1, "click", 8.0, "{}"),  # same instant as event 2
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    out = {r.event_id: (r.n_1h, r.sum_1h) for r in QUERIES["trailing_1h_stats"].fn(spark, sf).collect()}
+    assert out[0] == (1, 1.0)          # only itself
+    assert out[1] == (2, 3.0)          # includes the 61-min-ago event
+    assert out[2] == (3, 14.0)         # peers at t0 share the frame...
+    assert out[3] == (3, 14.0)         # ...symmetrically
