@@ -2264,3 +2264,30 @@ def test_trailing_1h_range_frame_boundaries(spark, tmp_path):
     assert out[1] == (2, 3.0)          # includes the 61-min-ago event
     assert out[2] == (3, 14.0)         # peers at t0 share the frame...
     assert out[3] == (3, 14.0)         # ...symmetrically
+
+
+def test_ohlc_bars_tiebreak_hand(spark, tmp_path):
+    """OHLC by hand in one 6-hour bar: prices 3, 9, 1, 5 in time order
+    → open 3, high 9, low 1, close 5; two SIMULTANEOUS rows at the bar
+    open must resolve open/close by the event_id tiebreak (smaller id
+    opens, larger id is not the close unless last overall)."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 5, 7, 0, 0, 0)  # bar-aligned (midnight)
+    rows = [
+        (0, t0, 1, "A", 3.0, "{}"),
+        (1, t0, 1, "A", 9.0, "{}"),                            # same instant
+        (2, t0 + dt.timedelta(hours=2), 1, "A", 1.0, "{}"),
+        (3, t0 + dt.timedelta(hours=5), 1, "A", 5.0, "{}"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    r = QUERIES["ohlc_bars"].fn(spark, sf).collect()[0]
+    assert (r.open, r.high, r.low, r.close, r.n) == (3.0, 9.0, 1.0, 5.0, 4)
