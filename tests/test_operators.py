@@ -2291,3 +2291,33 @@ def test_ohlc_bars_tiebreak_hand(spark, tmp_path):
 
     r = QUERIES["ohlc_bars"].fn(spark, sf).collect()[0]
     assert (r.open, r.high, r.low, r.close, r.n) == (3.0, 9.0, 1.0, 5.0, 4)
+
+
+def test_pareto_front_hand_points(spark, tmp_path):
+    """Skyline by hand on (price, size): front = {(1.0, 5), (2.0, 3),
+    (4.0, 1)}. Dominated: (3.0, 5) by the cheaper same-size part,
+    (5.0, 2) by (4.0, 1). Price tie at 2.0: only the smaller size
+    survives; the exact duplicate of a front point coexists (both
+    partkeys kept)."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    parts = [
+        (1, "a", "B1", "T", 5, 1.0),    # front
+        (2, "b", "B1", "T", 3, 2.0),    # front (price-tie winner)
+        (3, "c", "B1", "T", 4, 2.0),    # dominated by partkey 2 (tie, larger)
+        (4, "d", "B1", "T", 1, 4.0),    # front
+        (5, "e", "B1", "T", 5, 3.0),    # dominated by partkey 1
+        (6, "f", "B1", "T", 2, 5.0),    # dominated by partkey 4
+        (7, "g", "B1", "T", 3, 2.0),    # exact duplicate of 2 → coexists
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        parts,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).coalesce(1).write.parquet(os.path.join(sf, "part.parquet"))
+
+    keys = sorted(r.p_partkey for r in QUERIES["pareto_front_parts"].fn(spark, sf).collect())
+    assert keys == [1, 2, 4, 7]
