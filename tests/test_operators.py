@@ -2321,3 +2321,33 @@ def test_pareto_front_hand_points(spark, tmp_path):
 
     keys = sorted(r.p_partkey for r in QUERIES["pareto_front_parts"].fn(spark, sf).collect())
     assert keys == [1, 2, 4, 7]
+
+
+def test_event_motifs_hand_trigrams(spark, tmp_path):
+    """Trigrams by hand: user 1's sequence v,c,p,v yields motifs
+    v>c>p and c>p>v (sliding, overlapping); user 2's v,c,p adds a
+    second v>c>p. Sequences never cross users, and a 2-event user
+    contributes nothing. Expect v>c>p ×2, c>p>v ×1."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 5, 8, 9, 0, 0)
+
+    def ev(i, user, typ, m):
+        return (i, t0 + dt.timedelta(minutes=m), user, typ, 1.0, "{}")
+
+    rows = [
+        ev(0, 1, "view", 0), ev(1, 1, "click", 1), ev(2, 1, "purchase", 2), ev(3, 1, "view", 3),
+        ev(4, 2, "view", 0), ev(5, 2, "click", 1), ev(6, 2, "purchase", 2),
+        ev(7, 3, "view", 0), ev(8, 3, "click", 1),  # too short for a trigram
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    out = {r.motif: r.n for r in QUERIES["event_motifs"].fn(spark, sf).collect()}
+    assert out == {"view>click>purchase": 2, "click>purchase>view": 1}
