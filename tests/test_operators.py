@@ -2351,3 +2351,28 @@ def test_event_motifs_hand_trigrams(spark, tmp_path):
 
     out = {r.motif: r.n for r in QUERIES["event_motifs"].fn(spark, sf).collect()}
     assert out == {"view>click>purchase": 2, "click>purchase>view": 1}
+
+
+def test_dedup_keep_best_hand_groups(spark, tmp_path):
+    """Keep-the-best-copy by hand: three docs share one text (keep the
+    longest n_chars, tie → min doc_id), a singleton survives, and two
+    docs whose texts differ only by whitespace-trim equivalence stay
+    SEPARATE groups (the hash is over the raw text)."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    docs = [
+        (1, "same text", "en", "s1", 9),
+        (2, "same text", "en", "s2", 20),   # longest → kept
+        (3, "same text", "en", "s3", 20),   # tie loses to smaller id 2
+        (4, "unique", "en", "s1", 6),       # singleton → kept
+        (5, "same text ", "en", "s1", 10),  # trailing space: different text
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    kept = sorted(r.doc_id for r in QUERIES["dedup_keep_best"].fn(spark, sf).collect())
+    assert kept == [2, 4, 5]
