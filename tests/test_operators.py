@@ -2376,3 +2376,28 @@ def test_dedup_keep_best_hand_groups(spark, tmp_path):
 
     kept = sorted(r.doc_id for r in QUERIES["dedup_keep_best"].fn(spark, sf).collect())
     assert kept == [2, 4, 5]
+
+
+def test_sequence_pack_exact_fit_invariant(spark, tmp_path):
+    """Packing invariant: four 256-token docs fill exactly two 512-
+    token sequences with two docs each — true under ANY md5 global
+    order, so the assertion pins the offset math (seq = floor(start /
+    512)) without depending on the hash permutation."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    text = " ".join(["w"] * 256)
+    docs = [(i, text, "en", "s", len(text)) for i in range(4)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    out = sorted(
+        QUERIES["sequence_pack"].fn(spark, sf).collect(), key=lambda r: r.seq_id
+    )
+    assert [(r.seq_id, r.n_docs, r.n_tokens) for r in out] == [
+        (0, 2, 512),
+        (1, 2, 512),
+    ]
