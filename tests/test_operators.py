@@ -2401,3 +2401,28 @@ def test_sequence_pack_exact_fit_invariant(spark, tmp_path):
         (0, 2, 512),
         (1, 2, 512),
     ]
+
+
+def test_conjunctive_search_hand_postings(spark, tmp_path):
+    """Posting intersection by hand: df(x)=3, df(y)=3, df(z)=1 → the
+    query is {x, y} (top-2 by df); only docs containing BOTH terms
+    survive ({2, 3}), a repeated term inside one doc counts once
+    (distinct postings), and doc 5 with y alone is excluded."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    docs = [
+        (1, "x x x z", "en", "s", 7),  # x only (repeats don't help)
+        (2, "x y", "en", "s", 3),      # both → match
+        (3, "y x y", "en", "s", 5),    # both → match
+        (4, "x q", "en", "s", 3),      # x only
+        (5, "y", "en", "s", 1),        # y only
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    out = {r.doc_id: r.n_matched for r in QUERIES["conjunctive_search"].fn(spark, sf).collect()}
+    assert out == {2: 2, 3: 2}
