@@ -2426,3 +2426,28 @@ def test_conjunctive_search_hand_postings(spark, tmp_path):
 
     out = {r.doc_id: r.n_matched for r in QUERIES["conjunctive_search"].fn(spark, sf).collect()}
     assert out == {2: 2, 3: 2}
+
+
+def test_outliers_3sigma_integer_identity_hand(spark, tmp_path):
+    """The cleared-denominator 3σ identity by hand: ten 1.0 readings
+    plus one 10.0 → for the big point (n·x−S)² = 81e6 exceeds
+    9(nQ−S²) = 72.9e6 (outlier), while each 1.0 gives 0.81e6 (inlier)
+    → exactly one outlier among 11 — the flag never materializes a
+    float mean or variance."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 5, 9, 9, 0, 0)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "A", 1.0, "{}") for i in range(10)
+    ] + [(10, t0 + dt.timedelta(minutes=10), 1, "A", 10.0, "{}")]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    r = QUERIES["value_outliers_3sigma"].fn(spark, sf).collect()[0]
+    assert (r.n, r.n_outliers) == (11, 1)
