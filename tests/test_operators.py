@@ -2451,3 +2451,30 @@ def test_outliers_3sigma_integer_identity_hand(spark, tmp_path):
 
     r = QUERIES["value_outliers_3sigma"].fn(spark, sf).collect()[0]
     assert (r.n, r.n_outliers) == (11, 1)
+
+
+def test_lag_features_user_isolation_hand(spark, tmp_path):
+    """Lag features by hand: user 1's fourth event carries lags
+    (3.0, 2.0, 1.0); its first event has all-NULL lags; and user 2's
+    single event must NOT see user 1's values — the lag frame never
+    crosses the user partition."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 5, 11, 9, 0, 0)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "click", float(i + 1), "{}")
+        for i in range(4)
+    ] + [(9, t0 + dt.timedelta(minutes=9), 2, "click", 99.0, "{}")]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    out = {r.event_id: (r.lag1, r.lag2, r.lag3) for r in QUERIES["lag_features"].fn(spark, sf).collect()}
+    assert out[3] == (3.0, 2.0, 1.0)
+    assert out[0] == (None, None, None)
+    assert out[9] == (None, None, None)  # user isolation
