@@ -2478,3 +2478,32 @@ def test_lag_features_user_isolation_hand(spark, tmp_path):
     assert out[3] == (3.0, 2.0, 1.0)
     assert out[0] == (None, None, None)
     assert out[9] == (None, None, None)  # user isolation
+
+
+def test_dau_wau_hand_window(spark, tmp_path):
+    """DAU/WAU by hand: u1 active on days 0 and 6, u2 on day 6 only.
+    Day 0: dau 1, wau 1 (trailing week = day 0 alone). Day 6: dau 2,
+    wau 2 — u1's day-0 activity is still inside the trailing 7-day
+    window and must not double-count u1 (distinct users, not
+    user-days); stickiness 1.0 on both days."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 5, 13, 10, 0, 0)
+    rows = [
+        (0, t0, 1, "click", 1.0, "{}"),
+        (1, t0 + dt.timedelta(days=6), 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(days=6, hours=1), 1, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(days=6), 2, "click", 1.0, "{}"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    day0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) // 86_400_000_000
+    out = {r.day: (r.dau, r.wau, r.stickiness) for r in QUERIES["dau_wau_stickiness"].fn(spark, sf).collect()}
+    assert out == {day0: (1, 1, 1.0), day0 + 6: (2, 2, 1.0)}
