@@ -47,16 +47,19 @@ together with the stale r02 textops/simsearch backfill listed above.
   new queries, the 18 round-1-stale queries, then round-2-stale
   backfill (simsearch → windows/etl → textops head) —
   CORRECTNESS_r06: 50/50 green, r01 staleness zeroed;
-* round 7 (here): six new queries, then ALL 42 remaining round-2-stale
+* round 7: six new queries, then ALL 42 remaining round-2-stale
   queries (velocity was capped at 6 new precisely so the whole r02
-  debt fits one window), then two round-3 backfills. After this
-  window, no driver row should be older than round 3; round 8 owes the
-  other 47 r03-stale rows (new-query velocity ≤ 3 that round).
-  Exactly three round-7b queries land AFTER slot 50 on purpose
-  (``hybrid_rrf_fusion``, ``ann_ndcg_eval``, ``compaction_bins``) —
-  they spend round 8's entire 3-slot new-query budget, so the round-8
-  window is 3 never-verified + the 47 r03-stale rows, closing ALL
-  remaining staleness in one window.
+  debt fits one window), then two round-3 backfills
+  (CORRECTNESS_r07: 50/50 green, r02 staleness zeroed). Exactly three
+  round-7b queries landed AFTER slot 50 on purpose (``hybrid_rrf_fusion``,
+  ``ann_ndcg_eval``, ``compaction_bins``) — they spend round 8's entire
+  new-query budget.
+* round 8 (here): the three round-7b queries (the only registered
+  queries with zero driver rows) in slots 1-3, then ALL 47 r03-stale
+  queries — exactly 50 slots, so in-window new-query velocity is 0 and
+  every round-8 addition lands after slot 50 to head the round-9
+  window. After this window the never-verified set is empty and no
+  driver row is older than round 4.
 
 The ledger above is now DERIVED, not hand-maintained: once a round's
 CORRECTNESS_r{N}.json is committed, ``python tools/rotation_audit.py``
@@ -80,73 +83,74 @@ from . import textops  # noqa: F401
 from . import simsearch  # noqa: F401
 from . import layout  # noqa: F401
 
-# Round-7 driver window (slots 1-50), executing the rotation the
-# round-6 verdict prescribed: (1) round-7's six new queries (first-time
-# signal outranks re-verification); (2) ALL 42 queries whose most
-# recent driver row is ROUND 2 — the r02 simsearch set, the r02
-# windows/etl group, and the r02 textops remainder — which zeroes the
-# r02 staleness debt in one window; (3) two round-3-stale backfills
-# (the flagship pricing_summary and the semantics-changed
-# streaming_hourly — the two most valuable r03 re-proofs). Remaining
-# debt for round 8: the other 47 r03-stale queries (fits one window if
-# round-8 new-query velocity stays ≤ 3).
+# Round-8 driver window (slots 1-50), executing the rotation the
+# round-7 verdict prescribed: (1) the three round-7b queries — the ONLY
+# registered queries with zero driver rows — in slots 1-3; (2) ALL 47
+# queries whose newest green driver row is ROUND 3 (the r03
+# relational/etl block, the r03 llmops/sketch block, and the r03
+# temporal/streaming remainder). 3 + 47 = exactly 50 slots, so round-8
+# new-query velocity inside the window is 0 by design: every query
+# added this round lands AFTER slot 50 and heads the round-9 window.
+# After this window, no driver row is older than round 4 and the
+# never-verified set is empty (``tools/rotation_audit.py`` derives
+# both claims from the committed CORRECTNESS files).
 registry.promote(
     [
-        # (1) round-7 new queries (never driver-verified)
-        "hll_distinct_fast",
-        "clustering_coefficients",
-        "fk_integrity_audit",
-        "skew_audit",
-        "inverted_postings",
-        "last_touch_attribution",
-        # (2) last driver row = round 2: simsearch set
-        "ann_lsh_buckets",
-        "ann_bucket_search",
-        "label_centroids",
-        "embedding_norms",
-        "ann_ivf_search",
-        "ann_multiprobe_search",
-        "kmeans_clusters",
-        "ann_ivf_probe2",
-        "embedding_near_dups",
-        # (2) last driver row = round 2: windows/etl group
-        "pricing_rollup",
-        "sliding_3h_counts",
-        "orders_cube",
-        "value_changes",
-        "customer_deciles",
-        "cumulative_monthly_revenue",
-        "event_type_pivot",
-        "stratified_sample",
-        "salted_type_stats",
-        "brand_weighted_price",
-        "purchase_streaks",
-        "range_window_counts",
-        # (2) last driver row = round 2: textops remainder + misc
-        "doc_language",
-        "doc_quality",
-        "doc_fingerprint",
-        "dedup_exact",
-        "simhash_docs",
-        "ngram_jaccard_top",
-        "minhash_signatures",
-        "minhash_lsh_pairs",
-        "simhash_near_dups",
-        "dedup_keep_best",
-        "dedup_components",
-        "doc_winnow",
-        "bigram_lift_top",
-        "bpe_token_stats",
-        "token_doc_freq",
-        "tfidf_top_terms",
-        "corpus_clean",
-        "corpus_sample",
-        "corpus_split",
-        "multimodal_meta",
-        "sample_k_per_source",
-        # (3) round-3-stale backfill
-        "pricing_summary",
-        "streaming_hourly",
+        # (1) round-7b queries — never driver-verified (zero rows)
+        "hybrid_rrf_fusion",
+        "ann_ndcg_eval",
+        "compaction_bins",
+        # (2) last driver row = round 3: relational/etl block
+        "top_revenue_orders",
+        "region_revenue",
+        "brand_top_parts",
+        "priority_monthly",
+        "lineitem_melt_stats",
+        "customers_without_orders",
+        "supplier_nation_stats",
+        "cheapest_parts_per_brand",
+        "nation_pair_volume",
+        "promo_revenue_share",
+        "disjunctive_part_revenue",
+        "large_quantity_orders",
+        "returned_item_customers",
+        "nation_market_share",
+        "top_value_parts",
+        "brand_supplier_counts",
+        "last_shipper_suppliers",
+        "engaged_users",
+        "status_priority_sets",
+        "nation_revenue_share",
+        "forecast_revenue",
+        "small_quantity_revenue",
+        "customer_order_distribution",
+        "top_supplier",
+        # (2) last driver row = round 3: operator/etl remainder
+        "measurand_normalize",
+        "time_range_filter",
+        "sentinel_clean",
+        "whitelist_semi",
+        "latest_3_per_user",
+        "first_event_per_user",
+        "dedup_overlapping",
+        # (2) last driver row = round 3: llmops/sketch block
+        "decontaminate",
+        "pii_scrub",
+        "gopher_quality",
+        "doc_repetition",
+        "corpus_pipeline",
+        "kmv_distinct_users",
+        "pq_codes",
+        "pq_search",
+        "ann_ivf_multicell",
+        # (2) last driver row = round 3: temporal/streaming remainder
+        "views_before_purchase",
+        "session_peak_concurrency",
+        "asof_next_calibration",
+        "asof_calibration",
+        "streaming_gaps",
+        "streaming_click_to_buy",
+        "user_sessions",
     ]
 )
 
