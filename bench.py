@@ -149,6 +149,21 @@ HEADLINE = (
     "hybrid_rrf_fusion",
     "ann_ndcg_eval",
     "compaction_bins",
+    # round 8: corpus freshness curve, graph backbone (assortativity +
+    # bounded k-core peel), RFM segmentation, l-diversity privacy
+    # audit, CBO-histogram estimator audit, RLE/dict encoding costing
+    "ngram_novelty_curve",
+    "degree_assortativity",
+    "kcore_nodes",
+    "rfm_segments",
+    "l_diversity_audit",
+    "histogram_selectivity_audit",
+    "encoding_cost_audit",
+    # round 8b: time-bounded funnel, seasonal anomaly flags, certified
+    # two-phase distributed top-k
+    "timed_funnel",
+    "seasonal_hour_outliers",
+    "heavy_hitters_twophase",
 )
 
 
@@ -178,6 +193,30 @@ def _calibrate(spark) -> float:
         ).collect()
         best = min(best, time.perf_counter() - t0)
     return round(best, 3)
+
+
+def _history_path() -> str | None:
+    """Truncation-proof bench history (round-7 verdict task #4): the
+    driver archives only the LAST 2000 chars of the stdout line, so each
+    round only ~74 of the 100+ per-query walls survive in BENCH_r{N}.json
+    and cross-round comparisons are reconstruction-biased. Write the FULL
+    result to docs/BENCH_HISTORY/r{N}.json too, with N inferred as
+    1 + max committed BENCH_r*.json round (the driver records round N's
+    bench AFTER the repo already holds rounds 1..N-1). Repo-relative, so
+    a bench run from a checkout elsewhere still lands next to bench.py;
+    sf-gated to the driver's configuration so local sf0.01 iteration
+    doesn't clobber the round's sf0.1 record."""
+    import re
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(repo)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    out_dir = os.path.join(repo, "docs", "BENCH_HISTORY")
+    os.makedirs(out_dir, exist_ok=True)
+    return os.path.join(out_dir, f"r{max(rounds, default=0) + 1:02d}.json")
 
 
 def main() -> None:
@@ -226,7 +265,16 @@ def main() -> None:
     # page cache already absorbs the delta-file fsyncs). First
     # streaming query of a session additionally pays ~5-20 s of
     # one-time streaming-engine class-load in run 1; best-of-2
-    # absorbs it.
+    # absorbs it. Round 8 closed the partition-count question at the
+    # last untried point: per-stream shuffle/state partitions = 16
+    # (between the 32 default and the measured-slower 8) is ALSO a
+    # no-go — interleaved min-of-4 with the bench's own GC/drop
+    # hygiene on an idle box put the 5-query family subtotal at
+    # 0.963x of 32 partitions (18.07 vs 18.77 s, every per-query
+    # delta inside the single-query noise envelope). The residual
+    # fixed cost is query lifecycle (per-micro-batch IncrementalExecution
+    # re-planning + start/stop), not state-store instance count, so
+    # partition right-sizing cannot recover it.
     # Round-7 in-situ reconciliation (full bench, idle box, after the
     # round-7b additions): the 73 BENCH_r06-visible shared queries
     # summed to 0.859x the driver's r6 walls (median per-query 0.841,
@@ -264,23 +312,26 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(per_query.values()), 3),
-                "unit": "sec",
-                "queries": per_query,
-                "calibration": {"start": calib_start, "end": calib_end},
-                "sf": sf_val,
-                # duplicated from "value": the driver archives only the
-                # LAST 2000 chars of this line, and with 100+ queries the
-                # head (metric/value) is truncated away — keys after
-                # "queries" always survive
-                "total_wall": round(sum(per_query.values()), 3),
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "calibration": {"start": calib_start, "end": calib_end},
+        "sf": sf_val,
+        # duplicated from "value": the driver archives only the
+        # LAST 2000 chars of this line, and with 100+ queries the
+        # head (metric/value) is truncated away — keys after
+        # "queries" always survive
+        "total_wall": round(sum(per_query.values()), 3),
+    }
+    if sf_val == 0.1:  # the driver's configuration, not local iteration
+        try:
+            with open(_history_path(), "w") as fh:
+                json.dump(result, fh, indent=1, sort_keys=True)
+        except OSError:
+            pass  # read-only checkout: stdout line still carries the tail
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -768,3 +768,443 @@ def compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fill_ppm"),
     ).drop("target")
+
+
+# ---------------------------------------------------------------------------
+# histogram_selectivity_audit — the CBO's own math as a driver-checkable
+# query: build the 20-bucket equi-width histogram on order price (the
+# statistic ANALYZE TABLE collects), estimate the selectivity of five
+# range predicates by uniform-within-bucket interpolation (exactly the
+# Catalyst/CBO model), and score the estimator against the true counts.
+# This is the audit a 100 TB deployment runs before trusting stats-based
+# join ordering on a new table: err_ppm tells you whether the histogram
+# resolution survives your predicate shapes. All boundary math is
+# integer-exact: bucket b of width-W domain covers offsets
+# [ceil(bW/20), ceil((b+1)W/20)-1] (the range_bucket inverse), the
+# per-bucket covered fraction accumulates in micro-rows via exact_div
+# (DECIMAL(38) — counts*span*1e6 crosses 2^63 long before 100 TB), and
+# the thresholds derive from the data's own [lo, hi] envelope — no
+# wall-clock, no floats until nothing is left to diverge. Shape: TWO
+# fact scans total (bounds, then one map-side-combined pass producing
+# the histogram AND the five exact predicate counts as conditional
+# sums); everything downstream runs on 20-row/5-row broadcast frames.
+# ---------------------------------------------------------------------------
+
+_HSEL_B = 20
+_HSEL_QS = (25, 50, 75, 90, 99)
+
+
+def _hsel_oracle() -> str:
+    qs = ", ".join(str(q) for q in _HSEL_QS)
+    return f"""
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS x FROM orders
+),
+par AS (
+  SELECT MIN(x) AS lo, MAX(x) - MIN(x) + 1 AS w, COUNT(*) AS n FROM c
+),
+hist AS (
+  SELECT LEAST({_HSEL_B - 1}, ((x - lo) * {_HSEL_B}) // w) AS bucket,
+         CAST(COUNT(*) AS HUGEINT) AS cnt
+  FROM c, par GROUP BY 1
+),
+qs AS (SELECT unnest([{qs}]) AS pct),
+bb AS (
+  SELECT h.bucket, h.cnt, q.pct,
+         (p.w * q.pct) // 100 AS off,
+         (h.bucket * p.w + {_HSEL_B - 1}) // {_HSEL_B} AS lob,
+         CASE WHEN h.bucket = {_HSEL_B - 1} THEN p.w - 1
+              ELSE ((h.bucket + 1) * p.w + {_HSEL_B - 1}) // {_HSEL_B} - 1
+         END AS upb
+  FROM hist h, par p, qs q
+),
+est AS (
+  SELECT pct,
+         SUM((cnt * GREATEST(0, upb - GREATEST(lob, off) + 1) * 1000000)
+             // (upb - lob + 1)) AS est_micro
+  FROM bb GROUP BY pct
+),
+act AS (
+  SELECT q.pct,
+         CAST(SUM(CASE WHEN c.x - p.lo >= (p.w * q.pct) // 100
+                       THEN 1 ELSE 0 END) AS BIGINT) AS actual_rows
+  FROM c, par p, qs q GROUP BY 1
+)
+SELECT e.pct,
+       CAST(p.lo + (p.w * e.pct) // 100 AS BIGINT) AS threshold_cents,
+       a.actual_rows,
+       CAST(e.est_micro // 1000000 AS BIGINT) AS est_rows,
+       CAST(abs(e.est_micro - a.actual_rows * CAST(1000000 AS HUGEINT)) // p.n
+            AS BIGINT) AS err_ppm
+FROM est e JOIN act a ON a.pct = e.pct CROSS JOIN par p
+"""
+
+
+@query("histogram_selectivity_audit", _hsel_oracle())
+def histogram_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import exact_div
+    from ..operators.quantiles import range_bucket
+
+    d38 = "decimal(38,0)"
+    c = t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("x")
+    )
+    par = c.agg(
+        F.min("x").alias("lo"),
+        (F.max("x") - F.min("x") + 1).alias("w"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    qs = spark.createDataFrame([(q,) for q in _HSEL_QS], "pct int")
+    # ONE combined fact pass: bucket counts for the histogram plus the
+    # five exact predicate counts as conditional sums (no second scan
+    # per predicate)
+    e = c.crossJoin(F.broadcast(par)).withColumn(
+        "bucket", range_bucket("x", "lo", "lo + w - 1", _HSEL_B)
+    )
+    acts = [
+        F.sum(
+            F.when(F.col("x") - F.col("lo") >= F.expr(f"(w * {q}) div 100"), 1)
+            .otherwise(0)
+        ).alias(f"act_{q}")
+        for q in _HSEL_QS
+    ]
+    hist = e.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"), *acts)
+    # melt the per-bucket conditional sums into (pct, actual_rows)
+    act_stack = ", ".join(f"{q}, act_{q}" for q in _HSEL_QS)
+    act = (
+        hist.select(
+            F.expr(f"stack({len(_HSEL_QS)}, {act_stack}) as (pct, a)")
+        )
+        .groupBy("pct")
+        .agg(F.sum("a").cast("long").alias("actual_rows"))
+    )
+    bb = (
+        hist.select("bucket", F.col("cnt").cast(d38).alias("cnt"))
+        .crossJoin(F.broadcast(par))
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "pct",
+            "n",
+            "lo",
+            "w",
+            F.expr(f"(w * pct) div 100").alias("off"),
+            F.expr(f"(bucket * w + {_HSEL_B - 1}) div {_HSEL_B}").alias("lob"),
+            F.when(
+                F.col("bucket") == _HSEL_B - 1, F.col("w") - 1
+            ).otherwise(
+                F.expr(f"((bucket + 1) * w + {_HSEL_B - 1}) div {_HSEL_B} - 1")
+            ).alias("upb"),
+            "cnt",
+        )
+    )
+    est = (
+        bb.withColumn(
+            "covered",
+            F.greatest(
+                F.lit(0), F.col("upb") - F.greatest(F.col("lob"), F.col("off")) + 1
+            ),
+        )
+        .withColumn(
+            "est_part",
+            exact_div(
+                F.col("cnt") * F.col("covered").cast(d38) * F.lit(1000000),
+                (F.col("upb") - F.col("lob") + 1).cast(d38),
+            ),
+        )
+        .groupBy("pct")
+        .agg(
+            F.sum("est_part").alias("est_micro"),
+            F.first("lo").alias("lo"),
+            F.first("w").alias("w"),
+            F.first("n").alias("n"),
+        )
+    )
+    return est.join(act, "pct").select(
+        "pct",
+        (F.col("lo") + F.expr(f"(w * pct) div 100")).cast("long").alias(
+            "threshold_cents"
+        ),
+        "actual_rows",
+        exact_div(F.col("est_micro"), F.lit(1000000).cast(d38))
+        .cast("long")
+        .alias("est_rows"),
+        exact_div(
+            F.abs(
+                F.col("est_micro")
+                - F.col("actual_rows").cast(d38) * F.lit(1000000)
+            ),
+            F.col("n").cast(d38),
+        )
+        .cast("long")
+        .alias("err_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# encoding_cost_audit — the sort-order-vs-compression question every
+# columnar layout decision hinges on, as an exact query: under the
+# write order (event_type, ts, event_id), how many RLE runs and how
+# many dictionary entries does each column need? Runs are what
+# run-length encoding pays for, ceil(log2(NDV)) is the dict index
+# width — together they decide whether re-sorting before write is
+# worth it (the compact_by_time / zorder_locality companion from the
+# encoding side). Exactness: a "run boundary" is a null-safe
+# inequality against the previous row (IS DISTINCT FROM ↔ ~(<=>)),
+# value-cents NaN-guarded to NULL on both engines; the dict width is
+# length(bin(NDV-1)) — integer bit math, no float log2. Scale shape:
+# the GLOBAL row order never materializes on one executor — changes
+# are counted inside each event_type partition (window partitioned by
+# the sort order's leading column), and the cross-partition seams are
+# reconstructed from a per-type first/last rollup (#types rows) — the
+# same decomposition an actual distributed writer uses, one shuffle +
+# one tiny frame. The oracle runs the naive single global window —
+# same answer, only affordable because DuckDB's input is sf-small.
+# ---------------------------------------------------------------------------
+
+_ENC_ORACLE = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us, event_id, user_id,
+         CASE WHEN isnan(value) THEN NULL
+              ELSE CAST(ROUND(value * 100, 0) AS BIGINT) END AS cents
+  FROM events
+),
+lagd AS (
+  SELECT event_type, user_id, cents,
+         lag(event_type) OVER w AS p_type,
+         lag(user_id) OVER w AS p_user,
+         lag(cents) OVER w AS p_cents,
+         row_number() OVER w AS rn
+  FROM e WINDOW w AS (ORDER BY event_type, us, event_id)
+),
+runs AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN rn > 1 AND event_type IS DISTINCT FROM p_type
+             THEN 1 ELSE 0 END) + 1 AS BIGINT) AS type_runs,
+    CAST(SUM(CASE WHEN rn > 1 AND user_id IS DISTINCT FROM p_user
+             THEN 1 ELSE 0 END) + 1 AS BIGINT) AS user_runs,
+    CAST(SUM(CASE WHEN rn > 1 AND cents IS DISTINCT FROM p_cents
+             THEN 1 ELSE 0 END) + 1 AS BIGINT) AS cents_runs
+  FROM lagd
+),
+ndv AS (
+  SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS type_ndv,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS user_ndv,
+         CAST(COUNT(DISTINCT cents) AS BIGINT) AS cents_ndv
+  FROM e
+)
+SELECT col AS column_name, n AS n_rows, n_runs, n_distinct,
+       CAST((n_runs * 1000000) // n AS BIGINT) AS runs_ppm,
+       CAST(length(bin(GREATEST(n_distinct - 1, 0))) AS BIGINT)
+         AS dict_index_bits
+FROM (
+  SELECT r.n, u.col, u.n_runs, u.n_distinct
+  FROM runs r, ndv d,
+       LATERAL (
+         SELECT * FROM (VALUES
+           ('event_type', r.type_runs, d.type_ndv),
+           ('user_id',    r.user_runs, d.user_ndv),
+           ('value_cents', r.cents_runs, d.cents_ndv)
+         ) t(col, n_runs, n_distinct)
+       ) u
+)
+"""
+
+
+@query("encoding_cost_audit", _ENC_ORACLE)
+def encoding_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.numeric import exact_div
+    from ..functions.timestamps import micros
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        micros(F.col("ts")).alias("us"),
+        "event_id",
+        "user_id",
+        F.when(F.isnan("value"), F.lit(None)).otherwise(
+            F.round(F.col("value") * 100, 0).cast("long")
+        ).alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    lagd = e.select(
+        "event_type",
+        "user_id",
+        "cents",
+        F.lag("user_id").over(w).alias("p_user"),
+        F.lag("cents").over(w).alias("p_cents"),
+        F.row_number().over(w).alias("rn"),
+    )
+    # within-partition run boundaries (one shuffle, the sort order's
+    # leading column is the partition key)
+    within = lagd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when((F.col("rn") > 1) & ~(F.col("user_id").eqNullSafe(F.col("p_user"))), 1)
+            .otherwise(0)
+        ).alias("user_chg"),
+        F.sum(
+            F.when((F.col("rn") > 1) & ~(F.col("cents").eqNullSafe(F.col("p_cents"))), 1)
+            .otherwise(0)
+        ).alias("cents_chg"),
+    )
+    # cross-partition seams: per-type first/last values (#types rows),
+    # stitched in type order — the distributed writer's merge step
+    per_type = e.groupBy("event_type").agg(
+        F.min_by("user_id", F.struct("us", "event_id")).alias("first_user"),
+        F.max_by("user_id", F.struct("us", "event_id")).alias("last_user"),
+        F.min_by("cents", F.struct("us", "event_id")).alias("first_cents"),
+        F.max_by("cents", F.struct("us", "event_id")).alias("last_cents"),
+    )
+    tw = Window.orderBy("event_type")
+    seams = per_type.select(
+        "event_type",
+        "first_user",
+        "first_cents",
+        F.lag("last_user").over(tw).alias("prev_user"),
+        F.lag("last_cents").over(tw).alias("prev_cents"),
+        F.row_number().over(tw).alias("trn"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(
+            F.when(
+                (F.col("trn") > 1)
+                & ~(F.col("first_user").eqNullSafe(F.col("prev_user"))),
+                1,
+            ).otherwise(0)
+        ).alias("user_seam"),
+        F.sum(
+            F.when(
+                (F.col("trn") > 1)
+                & ~(F.col("first_cents").eqNullSafe(F.col("prev_cents"))),
+                1,
+            ).otherwise(0)
+        ).alias("cents_seam"),
+    )
+    ndv = e.agg(
+        F.countDistinct("event_type").alias("type_ndv"),
+        F.countDistinct("user_id").alias("user_ndv"),
+        F.countDistinct("cents").alias("cents_ndv"),
+    )
+    combined = within.crossJoin(F.broadcast(seams)).crossJoin(F.broadcast(ndv))
+    melted = combined.select(
+        F.expr(
+            "stack(3,"
+            " 'event_type', n_types, type_ndv,"
+            " 'user_id', user_chg + user_seam + 1, user_ndv,"
+            " 'value_cents', cents_chg + cents_seam + 1, cents_ndv"
+            ") as (column_name, n_runs, n_distinct)"
+        ),
+        F.col("n").alias("n_rows"),
+    )
+    return melted.select(
+        "column_name",
+        "n_rows",
+        F.col("n_runs").cast("long").alias("n_runs"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        exact_div(
+            F.col("n_runs").cast("decimal(38,0)") * F.lit(1000000), F.col("n_rows")
+        )
+        .cast("long")
+        .alias("runs_ppm"),
+        F.length(F.bin(F.greatest(F.col("n_distinct") - 1, F.lit(0))))
+        .cast("long")
+        .alias("dict_index_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters_twophase — the distributed top-k pattern every shuffle-
+# shy engine uses (per-shard candidates, then a certified merge), as an
+# exact, driver-checkable query: shard items by key hash (key % 8 — a
+# DETERMINISTIC stand-in for physical partitioning, so both engines
+# see identical shards), take each shard's top-m=4 keys as candidates,
+# merge to the global top-k=10, and emit the soundness certificate:
+# any non-candidate's count is bounded by its shard's m-th count, so
+# the merge is provably the TRUE top-k iff the k-th merged count
+# strictly beats the largest per-shard bound (strict — an equal count
+# could displace on the key tiebreak). At 100 TB this is the shape
+# that replaces a full global count sort: the per-key rollup combines
+# map-side, the per-shard window runs at shard parallelism, and the
+# merge sees m·shards = 32 rows. certified=false is the audit telling
+# you to raise m, not a wrong answer — the output is exactly the
+# top-k OF THE CANDIDATES on both engines either way.
+# ---------------------------------------------------------------------------
+
+_HH_SHARDS = 8
+_HH_M = 4
+_HH_K = 10
+
+_HH_ORACLE = f"""
+WITH counts AS (
+  SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+),
+sharded AS (
+  SELECT key, cnt, key % {_HH_SHARDS} AS shard,
+         row_number() OVER (PARTITION BY key % {_HH_SHARDS}
+                            ORDER BY cnt DESC, key ASC) AS rn
+  FROM counts
+),
+cand AS (SELECT key, cnt, shard, rn FROM sharded WHERE rn <= {_HH_M}),
+bound AS (
+  SELECT MAX(CASE WHEN rn = {_HH_M} THEN cnt ELSE 0 END) AS max_bound
+  FROM cand
+),
+merged AS (
+  SELECT key, cnt,
+         row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank
+  FROM cand
+)
+SELECT m.rank, m.key AS l_partkey, m.cnt,
+       (SELECT MIN(cnt) FROM merged WHERE rank <= {_HH_K}) > b.max_bound
+         AS certified
+FROM merged m CROSS JOIN bound b
+WHERE m.rank <= {_HH_K}
+"""
+
+
+@query("heavy_hitters_twophase", _HH_ORACLE)
+def heavy_hitters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    counts = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sharded = counts.withColumn("shard", F.col("key") % _HH_SHARDS).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("shard").orderBy(
+                F.col("cnt").desc(), F.col("key").asc()
+            )
+        ),
+    )
+    # cand roots the bound + merge diamond (32 rows): checkpoint so the
+    # corpus rollup + shard window run once
+    cand = sharded.filter(F.col("rn") <= _HH_M).localCheckpoint()
+    bound = cand.agg(
+        F.max(F.when(F.col("rn") == _HH_M, F.col("cnt")).otherwise(0)).alias(
+            "max_bound"
+        )
+    )
+    merged = cand.select(
+        "key",
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("key").asc()))
+        .alias("rank"),
+    ).filter(F.col("rank") <= _HH_K)
+    kth = merged.agg(F.min("cnt").alias("kth_cnt"))
+    return (
+        merged.crossJoin(F.broadcast(bound))
+        .crossJoin(F.broadcast(kth))
+        .select(
+            "rank",
+            F.col("key").alias("l_partkey"),
+            "cnt",
+            (F.col("kth_cnt") > F.col("max_bound")).alias("certified"),
+        )
+    )

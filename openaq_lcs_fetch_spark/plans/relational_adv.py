@@ -2313,3 +2313,368 @@ def clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("coeff"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# degree_assortativity — one-number graph-structure diagnostic on the
+# support-filtered co-purchase graph: the Pearson correlation of
+# endpoint degrees over directed edges (Newman's assortativity). Hubs
+# linking to hubs → positive; hub-and-spoke catalogs → negative — the
+# number that says whether copurchase_triangles' wedge bound or
+# bfs_hops' fan-out estimate is the binding one. Scale shape: the edge
+# build reuses the basket-bounded pair expansion + support gate; the
+# degree table joins back onto the edge list's two keys (AQE
+# broadcasts when small); the correlation itself is ONE rollup of five
+# exact DECIMAL(38) moments — no window, no sort — then a fixed IEEE
+# sequence (two sqrt, one divide), NULL on zero variance (a regular
+# graph has no degree correlation to report).
+# ---------------------------------------------------------------------------
+
+_ASSORT_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_TRIANGLES_MIN_SUPPORT}
+),
+sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+xy AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM sym s JOIN deg du ON du.node = s.u JOIN deg dv ON dv.node = s.v
+),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM xy
+)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST(n // 2 AS BIGINT) AS n_edges,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS assortativity
+FROM m
+"""
+
+
+@query("degree_assortativity", _ASSORT_ORACLE)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d38 = "decimal(38,0)"
+    items = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= _TRIANGLES_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    # sym roots deg AND the xy probe — checkpoint so the corpus
+    # pair-join runs once (the copurchase_triangles diamond rule)
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    ).localCheckpoint()
+    xy = (
+        sym.join(deg.select(F.col("node").alias("u"), F.col("d").alias("x")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("y")), "v")
+        .select("x", "y")
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.crossJoin(F.broadcast(n_nodes)).select(
+        "n_nodes",
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            num.cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+        ).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# kcore_nodes — bounded k-core peeling (k=3) on the support-filtered
+# co-purchase graph: repeatedly drop every node with fewer than k
+# surviving neighbors; what remains is the dense backbone that
+# community detection / recommendation candidates should run on
+# (clustering_coefficients tells you HOW clique-ish a neighborhood is,
+# the core tells you WHICH nodes survive the density bar at all). The
+# iterative deletion is the same driver-loop-of-DataFrame-ops stance as
+# bfs_hops: per round ONE degree rollup joined back onto the symmetric
+# edge list (both endpoints must survive — the filter preserves
+# symmetry), localCheckpoint to keep lineage flat, early exit when the
+# edge count stops shrinking (peeling only removes, so equal count =
+# equal set = fixpoint). Rounds are capped at _KCORE_MAX_ITERS on BOTH
+# engines — the semantic is "survivors after <=R peels", which equals
+# the true k-core whenever peeling converges inside the cap (it does
+# here; the cap is the same bounded-horizon honesty as _BFS_MAX_HOPS).
+# The oracle runs the identical peel as a recursive CTE whose recursive
+# term is a single self-reference with two window COUNTs (no aggregate
+# on the recursive table — portable recursion).
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_MAX_ITERS = 12
+
+_KCORE_ORACLE = f"""
+WITH RECURSIVE items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_TRIANGLES_MIN_SUPPORT}
+),
+sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+peel(iter, u, v) AS (
+  SELECT 0, u, v FROM sym
+  UNION ALL
+  SELECT iter + 1, u, v FROM (
+    SELECT iter, u, v,
+           COUNT(*) OVER (PARTITION BY u) AS du,
+           COUNT(*) OVER (PARTITION BY v) AS dv
+    FROM peel
+  ) WHERE du >= {_KCORE_K} AND dv >= {_KCORE_K}
+        AND iter < {_KCORE_MAX_ITERS}
+)
+SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM peel WHERE iter = {_KCORE_MAX_ITERS}
+GROUP BY u
+"""
+
+
+@query("kcore_nodes", _KCORE_ORACLE)
+def kcore_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= _TRIANGLES_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    n_edges = sym.count()
+    for _ in range(_KCORE_MAX_ITERS):
+        if n_edges == 0:
+            break
+        deg = sym.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("node")
+        sym = (
+            sym.join(keep.select(F.col("node").alias("u")), "u")
+            .join(keep.select(F.col("node").alias("v")), "v")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n_next = sym.count()
+        if n_next == n_edges:  # peeling only removes: fixpoint reached
+            break
+        n_edges = n_next
+    return sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rfm_segments — the classic Recency/Frequency/Monetary customer
+# segmentation (marketing's workhorse rollup): per customer, last
+# order day, order count, lifetime cents; each dimension scored 1-5 by
+# ntile quintile (5 = best) over a fully deterministic total order
+# (metric, then custkey — ntile is positional, so the unique tiebreak
+# makes the buckets bit-identical cross-engine, the customer_deciles
+# stance); output is the 125-cell segment rollup. Recency needs no
+# "today" anchor: ntile over last-day DESC is the same ranking as
+# days-since-last ASC against ANY anchor — fully data-deterministic.
+# Scale shape: one map-side-combined per-customer rollup of the orders
+# fact, then three ntile windows over the CUSTOMER DIMENSION (rollup-
+# sized, the accepted customer_deciles precedent — never the fact
+# table), then a 125-cell rollup. Cents stay BIGINT end-to-end; the
+# segment average is one division of exact integers.
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH per_c AS (
+  SELECT o_custkey AS custkey,
+         MAX(epoch_us(o_orderdate) // 86400000000) AS last_d,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT
+    6 - ntile(5) OVER (ORDER BY last_d DESC, custkey ASC) AS r_score,
+    6 - ntile(5) OVER (ORDER BY n_orders DESC, custkey ASC) AS f_score,
+    6 - ntile(5) OVER (ORDER BY cents DESC, custkey ASC) AS m_score,
+    cents
+  FROM per_c
+)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 AS avg_value
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+@query("rfm_segments", _RFM_ORACLE)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.timestamps import micros
+
+    per_c = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            micros(F.col("o_orderdate")).alias("us"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .withColumn("d", F.expr("us div 86400000000"))
+        .groupBy("custkey")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    scored = per_c.select(
+        (6 - F.ntile(5).over(
+            Window.orderBy(F.col("last_d").desc(), F.col("custkey").asc())
+        )).alias("r_score"),
+        (6 - F.ntile(5).over(
+            Window.orderBy(F.col("n_orders").desc(), F.col("custkey").asc())
+        )).alias("f_score"),
+        (6 - F.ntile(5).over(
+            Window.orderBy(F.col("cents").desc(), F.col("custkey").asc())
+        )).alias("m_score"),
+        "cents",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1)) / F.lit(100.0)).alias(
+            "avg_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_diversity_audit — the companion privacy audit to k_anonymity_audit:
+# k-anonymity bounds re-identification, l-diversity bounds ATTRIBUTE
+# disclosure (a class of 50 identical-looking customers still leaks if
+# they all share one sensitive value). Quasi-identifier = (market
+# segment, nation); sensitive attribute = the integer-exact global
+# account-balance decile (the same range_bucket as k_anonymity — float
+# bucketing is a measured cross-engine trap). For each l in (2, 3, 4):
+# classes whose DISTINCT-sensitive count falls below l, rows exposed,
+# exposure rate. Shape: one map-side QI+sensitive rollup, a distinct
+# count per QI class on class-sized data, a 3-row spec broadcast — all
+# counts exact BIGINTs, the rate one division.
+# ---------------------------------------------------------------------------
+
+_LDIV_ORACLE = f"""
+WITH b AS (
+  SELECT MIN(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS lo,
+         MAX(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS hi
+  FROM customer
+),
+q AS (
+  SELECT c_mktsegment, c_nationkey,
+         {sql_range_bucket("CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)", "b.lo", "b.hi", 10)}
+           AS sens
+  FROM customer, b
+),
+classes AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS sz,
+         CAST(COUNT(DISTINCT sens) AS BIGINT) AS diversity
+  FROM q GROUP BY 1, 2
+),
+ls AS (SELECT unnest([2, 3, 4]) AS l)
+SELECT l,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN diversity < l THEN 1 ELSE 0 END) AS BIGINT)
+         AS weak_classes,
+       CAST(SUM(CASE WHEN diversity < l THEN sz ELSE 0 END) AS BIGINT)
+         AS exposed_rows,
+       CAST(SUM(CASE WHEN diversity < l THEN sz ELSE 0 END) AS DOUBLE)
+         / SUM(sz) AS exposed_rate
+FROM classes, ls
+GROUP BY l
+"""
+
+
+@query("l_diversity_audit", _LDIV_ORACLE)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    bounds = c.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    q = c.crossJoin(F.broadcast(bounds)).select(
+        "c_mktsegment",
+        "c_nationkey",
+        range_bucket("cents", "lo", "hi", 10).alias("sens"),
+    )
+    classes = q.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct("sens").alias("diversity"),
+    )
+    ls = spark.createDataFrame([(2,), (3,), (4,)], "l int")
+    return (
+        classes.crossJoin(F.broadcast(ls))
+        .groupBy("l")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(F.col("diversity") < F.col("l"), 1).otherwise(0))
+            .cast("long")
+            .alias("weak_classes"),
+            F.sum(F.when(F.col("diversity") < F.col("l"), F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias("exposed_rows"),
+            (
+                F.sum(
+                    F.when(F.col("diversity") < F.col("l"), F.col("sz")).otherwise(0)
+                ).cast("double")
+                / F.sum("sz")
+            ).alias("exposed_rate"),
+        )
+    )

@@ -2287,3 +2287,88 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("gap_us").cast(d38)).cast("long").alias("sum_gap_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal_hour_outliers — seasonally-conditioned volume anomaly flags
+# (the pager alert a global 3-sigma band gets wrong twice a day): each
+# hour's event COUNT is judged against the profile of its own
+# hour-of-day slot, on the DENSE hour spine so silent gaps are
+# anomalies (count 0), not missing rows. The 3-sigma test uses the
+# cleared-denominator integer identity from value_outliers_3sigma —
+# flag iff (n·x − S)² > 9·(n·SS − S²), every term an exact
+# DECIMAL(38)/HUGEINT — so there is no float variance to diverge by an
+# ulp at the boundary. Shape: events collapse map-side to the hourly
+# rollup; the spine explode is calendar-bounded; the 24-row profile
+# broadcasts back onto the spine — one scan, one rollup shuffle,
+# nothing downstream scales with raw rows.
+# ---------------------------------------------------------------------------
+
+_SHO_ORACLE = """
+WITH r AS (
+  SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM r),
+spine AS (
+  SELECT g.h FROM bounds b, unnest(generate_series(b.h0, b.h1)) AS g(h)
+),
+d AS (
+  SELECT s.h, s.h % 24 AS hod, COALESCE(r.x, 0) AS x
+  FROM spine s LEFT JOIN r ON r.h = s.h
+),
+prof AS (
+  SELECT hod, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS s,
+         SUM(CAST(x AS HUGEINT) * x) AS ss
+  FROM d GROUP BY 1
+)
+SELECT d.h, d.hod, d.x AS n_events,
+       CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE) AS hod_mean,
+       d.x * p.n > p.s AS is_high
+FROM d JOIN prof p ON p.hod = d.hod
+WHERE (p.n * d.x - p.s) * (p.n * d.x - p.s)
+      > 9 * (p.n * p.ss - p.s * p.s)
+"""
+
+
+@query("seasonal_hour_outliers", _SHO_ORACLE)
+def seasonal_hour_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.timestamps import micros
+
+    d38 = "decimal(38,0)"
+    r = (
+        t(spark, sf_dir, "events")
+        .select(micros(F.col("ts")).alias("us"))
+        .withColumn("h", F.expr("us div 3600000000"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("x"))
+        # rollup roots the bounds + spine-join diamond: scan once
+        .localCheckpoint()
+    )
+    spine = r.agg(F.min("h").alias("h0"), F.max("h").alias("h1")).select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    d = (
+        spine.join(r, "h", "left")
+        .select(
+            "h",
+            (F.col("h") % 24).alias("hod"),
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        )
+    )
+    prof = d.groupBy("hod").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("s"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("ss"),
+    )
+    j = d.join(F.broadcast(prof), "hod")
+    dev = F.col("n") * F.col("x") - F.col("s")
+    var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return j.filter(dev * dev > 9 * var_num).select(
+        "h",
+        "hod",
+        F.col("x").alias("n_events"),
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias("hod_mean"),
+        (F.col("x") * F.col("n") > F.col("s")).alias("is_high"),
+    )

@@ -3021,3 +3021,103 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty_curve — corpus freshness audit for training-data
+# collection (the "are new batches still adding anything?" signal): in
+# doc-id order (the arrival proxy), split the corpus into 10 equal-id
+# batches and report, per batch, how many distinct 3-gram shingles
+# appear there AT ALL vs how many appear there FIRST. A healthy crawl
+# keeps novelty high; a saturated or looping source trends to zero and
+# should rotate out of the mix (corpus_mix_weights' upstream signal).
+# Scale shape: one distinct (doc_id, shingle-hash) explode (the shared
+# sh basis), batch ids from a broadcast min/max — NEVER a global
+# row_number over docs — then ONE map-side-combinable rollup per
+# branch: per-gram min-batch (shuffle on the 8-byte gram hash) and
+# per-batch distincts; the join that fuses them is 10 rows vs 10 rows.
+# All counts exact BIGINTs; the ppm ratio is truncating integer math.
+# ---------------------------------------------------------------------------
+
+_NOVELTY_BATCHES = 10
+
+_NOVELTY_ORACLE = f"""
+WITH {_SQL_SHINGLE_TABLE},
+bounds AS (
+  SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+),
+shb AS (
+  SELECT CAST(((sh.doc_id - b.lo) * {_NOVELTY_BATCHES})
+              // (b.hi - b.lo + 1) AS BIGINT) AS batch,
+         sh.doc_id, sh.sh
+  FROM sh, bounds b
+),
+per_batch AS (
+  SELECT batch,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_gram_rows,
+         CAST(COUNT(DISTINCT sh) AS BIGINT) AS distinct_grams
+  FROM shb GROUP BY batch
+),
+firsts AS (
+  SELECT MIN(batch) AS batch FROM shb GROUP BY sh
+),
+novel AS (
+  SELECT batch, CAST(COUNT(*) AS BIGINT) AS novel_grams
+  FROM firsts GROUP BY batch
+)
+SELECT p.batch, p.n_docs, p.n_gram_rows, p.distinct_grams,
+       COALESCE(n.novel_grams, 0) AS novel_grams,
+       CAST((COALESCE(n.novel_grams, 0) * 1000000) // p.distinct_grams
+            AS BIGINT) AS novelty_ppm
+FROM per_batch p LEFT JOIN novel n ON n.batch = p.batch
+"""
+
+
+@query("ngram_novelty_curve", _NOVELTY_ORACLE)
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    bounds = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    shb = (
+        SIM.shingle_table(d, "doc_id", "text", shingle_n=3)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(f"((doc_id - lo) * {_NOVELTY_BATCHES}) div (hi - lo + 1)")
+            .cast("long")
+            .alias("batch"),
+            "doc_id",
+            "sh",
+        )
+        # roots a two-branch diamond (per-batch stats + per-gram
+        # first-batch): checkpoint so the shingle explode runs once
+        .localCheckpoint()
+    )
+    per_batch = shb.groupBy("batch").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_gram_rows"),
+        F.countDistinct("sh").alias("distinct_grams"),
+    )
+    novel = (
+        shb.groupBy("sh")
+        .agg(F.min("batch").alias("batch"))
+        .groupBy("batch")
+        .agg(F.count(F.lit(1)).alias("novel_grams"))
+    )
+    from ..functions.numeric import exact_div
+
+    return (
+        per_batch.join(novel, "batch", "left")
+        .select(
+            "batch",
+            "n_docs",
+            "n_gram_rows",
+            "distinct_grams",
+            F.coalesce(F.col("novel_grams"), F.lit(0)).alias("novel_grams"),
+            exact_div(
+                F.coalesce(F.col("novel_grams"), F.lit(0)) * F.lit(1000000),
+                F.col("distinct_grams"),
+            )
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+    )

@@ -2299,3 +2299,81 @@ def wilson_proportion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_WILSON_EXPR.format(sign="-")).alias("ci_lo"),
         F.expr(_WILSON_EXPR.format(sign="+")).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# timed_funnel — the funnel_conversion shape with the constraint real
+# product analytics always adds: each stage must land within ONE HOUR
+# of the previous stage (a purchase three weeks after the click is a
+# different journey, not a conversion). Same chained conditional
+# min-ts plan — three per-user rollups reusing one hash partitioning,
+# no window over raw events, no UDF — with the stage gap tested in
+# exact integer microseconds on BOTH engines (interval arithmetic is a
+# cross-engine trap near DST/precision edges; epoch math is not).
+# Semantics: stage anchor = the user's FIRST view; click = first click
+# strictly after it but within 1h; purchase = first purchase strictly
+# after that click but within 1h of it.
+# ---------------------------------------------------------------------------
+
+_TFUNNEL_US = 3_600_000_000
+
+_TFUNNEL_ORACLE = f"""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+    AND epoch_us(e.ts) - epoch_us(v.t1) <= {_TFUNNEL_US}
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    AND epoch_us(e.ts) - epoch_us(c.t2) <= {_TFUNNEL_US}
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_1h,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_1h
+"""
+
+
+@query("timed_funnel", _TFUNNEL_ORACLE)
+def timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", micros(F.col("ts")).alias("us")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"), F.min("us").alias("us1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("us") - F.col("us1") <= _TFUNNEL_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("us").alias("us2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("us") - F.col("us2") <= _TFUNNEL_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_1h")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_1h")))
+    )

@@ -35,6 +35,13 @@ RUNTIME_CONF: dict[str, str] = {
     # filtered dimension side and push it into the fact scan — at 100 TB
     # this skips row groups the join would drop anyway
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Spark's default INT96 timestamps carry NO usable min/max column
+    # statistics (deprecated physical type) — every timestamp-sorted
+    # file we write (compact_by_time's whole point) would be un-prunable
+    # by row-group stats, and vacuum_by_retention would have to read
+    # data instead of footers. TIMESTAMP_MICROS restores real stats and
+    # matches the testdata's physical type.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

@@ -168,3 +168,111 @@ def compact_by_time(
         .parquet(path)
     )
     return n
+
+
+def vacuum_by_retention(
+    path: str,
+    ts_col: str = "ts",
+    keep_days: int = 30,
+    dry_run: bool = False,
+) -> dict:
+    """Retention vacuum for a parquet dataset: delete every data file
+    whose ENTIRE time range is older than ``max(ts) - keep_days`` —
+    the companion primitive to :func:`compact_by_time` (compaction
+    bounds file count going forward, retention bounds history).
+
+    Decisions come from parquet FOOTER min/max statistics only — no
+    data is read, no Spark job runs; this is driver-side metadata work
+    exactly like a lakehouse VACUUM, O(files) regardless of data
+    volume. The cutoff anchors on the dataset's own newest timestamp
+    (deterministic, no wall clock). A file straddling the cutoff is
+    kept whole: retention is file-granular by design — run
+    compact_by_time first if the tail must be trimmed exactly (its
+    time-sorted one-file-per-bin layout makes straddlers rare).
+
+    Returns {"cutoff_us", "n_deleted", "n_kept", "deleted", "kept"}
+    (cutoff in epoch MICROseconds — every stats flavor is normalized:
+    datetime stats via epoch conversion, raw int64 nanos // 1000);
+    paths relative to ``path``; with ``dry_run`` nothing is removed.
+    Files whose range cannot be established (no stats AND unreadable
+    column — e.g. a corrupt footer) are always kept: missing evidence
+    never deletes data. Legacy INT96-timestamp files (Spark's stats-
+    less deprecated default; our sessions write TIMESTAMP_MICROS, see
+    session.RUNTIME_CONF) fall back to reading the single ts column —
+    still driver-side and column-pruned, the documented cost of
+    inheriting a deprecated layout.
+    """
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _to_us(v) -> int:
+        if hasattr(v, "timestamp"):  # datetime (any tz handling uniform)
+            return int(v.timestamp() * 1_000_000)
+        v = int(v)  # raw int64 epoch: the nanosAsLong ingest path is ns
+        return v // 1000
+
+    files = sorted(
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    spans: dict[str, tuple[int | None, int | None]] = {}
+    for f in files:
+        lo = hi = None
+        try:
+            md = pq.read_metadata(f)
+            arrow_schema = md.schema.to_arrow_schema()
+            idx = arrow_schema.get_field_index(ts_col)
+            if idx >= 0:
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    mn, mx = _to_us(st.min), _to_us(st.max)
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
+        except Exception:
+            lo = hi = None  # unreadable footer → keep (never delete blind)
+        if lo is None:
+            try:
+                import pyarrow.compute as pc
+
+                col = pq.read_table(f, columns=[ts_col])[ts_col]
+                if pa.types.is_timestamp(col.type):
+                    col = col.cast(pa.timestamp("us"))
+                mn, mx = pc.min(col).as_py(), pc.max(col).as_py()
+                if mn is not None:
+                    lo, hi = _to_us(mn), _to_us(mx)
+            except Exception:
+                lo = hi = None
+        spans[f] = (lo, hi)
+
+    known_max = [hi for _, hi in spans.values() if hi is not None]
+    if not known_max:
+        rel = [os.path.relpath(f, path) for f in files]
+        return {
+            "cutoff_us": None,
+            "n_deleted": 0,
+            "n_kept": len(files),
+            "deleted": [],
+            "kept": rel,
+        }
+    cutoff = max(known_max) - keep_days * 86_400_000_000
+    deleted, kept = [], []
+    for f in files:
+        _, hi = spans[f]
+        if hi is not None and hi < cutoff:
+            deleted.append(os.path.relpath(f, path))
+            if not dry_run:
+                os.remove(f)
+        else:
+            kept.append(os.path.relpath(f, path))
+    return {
+        "cutoff_us": cutoff,
+        "n_deleted": len(deleted),
+        "n_kept": len(kept),
+        "deleted": deleted,
+        "kept": kept,
+    }

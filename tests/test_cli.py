@@ -132,3 +132,28 @@ def test_rotation_audit_accounting(tmp_path):
     assert RA._green(g) and RA._green(rows_only)
     assert not RA._green(bad)
     assert not RA._green({"err": "boom", "rows_match": None})
+
+
+def test_bench_history_round_inference(tmp_path, monkeypatch):
+    """bench._history_path names the file after 1 + the max committed
+    BENCH_r{N}.json round (the driver records round N's bench into a
+    repo that already holds rounds 1..N-1), creating docs/BENCH_HISTORY
+    on first use; with no BENCH files at all it starts at r01."""
+    import importlib
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    bench = importlib.import_module("bench")
+
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: os.path.join(str(tmp_path), "bench.py")
+    )
+    assert bench._history_path().endswith(
+        os.path.join("docs", "BENCH_HISTORY", "r01.json")
+    )
+    (tmp_path / "BENCH_r02.json").write_text("{}")
+    (tmp_path / "BENCH_r10.json").write_text("{}")
+    (tmp_path / "BENCH_r9.json").write_text("{}")  # unpadded also counts
+    assert bench._history_path().endswith(os.path.join("BENCH_HISTORY", "r11.json"))
+    assert os.path.isdir(tmp_path / "docs" / "BENCH_HISTORY")

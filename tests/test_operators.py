@@ -2507,3 +2507,400 @@ def test_dau_wau_hand_window(spark, tmp_path):
     day0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) // 86_400_000_000
     out = {r.day: (r.dau, r.wau, r.stickiness) for r in QUERIES["dau_wau_stickiness"].fn(spark, sf).collect()}
     assert out == {day0: (1, 1, 1.0), day0 + 6: (2, 2, 1.0)}
+
+
+def test_single_bucket_degenerates_agree(spark, tmp_path):
+    """Round-7 verdict task #6: the newest statistical queries on their
+    smallest legal inputs — one HOUR of events (which is also one day)
+    — must yield the degenerate answer on BOTH engines, not a crash:
+
+    * theil_sen_daily_slope: a type with a single day has zero pairwise
+      slopes, so the type is ABSENT from the output (the self-join is
+      empty), on both engines;
+    * hourly_type_correlation: a single shared hour gives every pair
+      n=1 and zero variance -> cov_num 0, pearson_r NULL;
+    * compaction_bins: a single day packs into exactly one bin whose
+      fill is n*1e6 // ceil(n/8) ppm — the "one giant file overfills
+      its bin" case the planner must report, not split.
+
+    A second two-day fixture pins the control: theil_sen emits the
+    2-day type (exact hand slope) and still omits the 1-day type.
+    """
+    import datetime as dt
+    import os
+
+    import duckdb
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    h = dt.datetime(2024, 4, 1, 5, 0, 0)
+    rows = [
+        (0, h, 1, "A", 2.0, "{}"),
+        (1, h + dt.timedelta(minutes=10), 2, "A", 4.0, "{}"),
+        (2, h + dt.timedelta(minutes=20), 3, "B", 1.0, "{}"),
+        (3, h + dt.timedelta(minutes=30), 4, "B", 3.0, "{}"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        os.path.join(sf, "events.parquet")
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'")
+
+    # theil_sen: every type has one day -> no pairs -> empty on BOTH
+    assert QUERIES["theil_sen_daily_slope"].fn(spark, sf).count() == 0
+    assert con.sql(QUERIES["theil_sen_daily_slope"].oracle).fetchall() == []
+
+    # correlation: single-hour spine -> n=1, zero variance -> NULL r
+    r = QUERIES["hourly_type_correlation"].fn(spark, sf).collect()
+    assert len(r) == 1
+    assert (r[0].type_a, r[0].type_b, r[0].n_hours, r[0].cov_num) == ("A", "B", 1, 0)
+    assert r[0].pearson_r is None
+    ro = con.sql(QUERIES["hourly_type_correlation"].oracle).fetchall()
+    assert len(ro) == 1 and ro[0][3] == 0 and ro[0][4] is None
+
+    # compaction: 4 rows, target ceil(4/8)=1 -> ONE bin of one "file",
+    # fill 4,000,000 ppm (the un-splittable oversized day)
+    b = QUERIES["compaction_bins"].fn(spark, sf).collect()
+    assert len(b) == 1
+    assert (b[0].bin_id, b[0].n_files, b[0].n_rows, b[0].fill_ppm) == (0, 1, 4, 4_000_000)
+    assert b[0].first_day == b[0].last_day
+    bo = con.sql(QUERIES["compaction_bins"].oracle).fetchall()
+    assert len(bo) == 1 and (bo[0][1], bo[0][2], bo[0][5]) == (1, 4, 4_000_000)
+
+    # control: A spans two days (day1 mean 200 cents, day2 500 cents ->
+    # slope 3.0 value-units/day), B stays single-day and stays absent
+    sf2 = os.path.join(str(tmp_path), "twodays")
+    os.makedirs(sf2)
+    d1 = dt.datetime(2024, 4, 1, 12, 0, 0)
+    rows2 = [
+        (0, d1, 1, "A", 1.0, "{}"),
+        (1, d1 + dt.timedelta(hours=1), 2, "A", 3.0, "{}"),
+        (2, d1 + dt.timedelta(days=1), 3, "A", 5.0, "{}"),
+        (3, d1, 4, "B", 7.0, "{}"),
+    ]
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        os.path.join(sf2, "events.parquet")
+    )
+    out = {r.event_type: r for r in QUERIES["theil_sen_daily_slope"].fn(spark, sf2).collect()}
+    assert set(out) == {"A"}
+    assert out["A"].n_pairs == 1 and out["A"].slope_per_day == 3.0
+    con2 = duckdb.connect()
+    con2.sql(f"CREATE VIEW events AS SELECT * FROM '{sf2}/events.parquet/*.parquet'")
+    oo = con2.sql(QUERIES["theil_sen_daily_slope"].oracle).fetchall()
+    assert len(oo) == 1 and oo[0][0] == "A" and oo[0][2] == 3.0
+
+
+def test_ngram_novelty_curve_two_batches(spark, tmp_path):
+    """Two docs at opposite ends of the id range land in batches 0 and
+    9 (batch = (id-lo)*10 // span). Doc 0 'x y z w' contributes grams
+    {x y z, y z w} — both corpus-first → novelty 1e6 ppm. Doc 9
+    'x y z q' contributes {x y z, y z q}: only 'y z q' is first-seen
+    there → 500000 ppm (truncating integer ratio)."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    rows = [
+        (0, "x y z w", "en", "s1", 7),
+        (9, "x y z q", "en", "s1", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    out = {r.batch: r for r in QUERIES["ngram_novelty_curve"].fn(spark, sf).collect()}
+    assert set(out) == {0, 9}
+    assert (out[0].n_docs, out[0].n_gram_rows, out[0].distinct_grams) == (1, 2, 2)
+    assert (out[0].novel_grams, out[0].novelty_ppm) == (2, 1_000_000)
+    assert (out[9].n_docs, out[9].n_gram_rows, out[9].distinct_grams) == (1, 2, 2)
+    assert (out[9].novel_grams, out[9].novelty_ppm) == (1, 500_000)
+
+
+def test_degree_assortativity_star_is_minus_one(spark, tmp_path):
+    """A 2-leaf star is perfectly disassortative: hub degree 2, leaves
+    degree 1; over the 4 directed edges the endpoint-degree Pearson is
+    exactly −1.0 (num −4, both variances 4 → −4/(2·2); every step is
+    exact in IEEE doubles). Each undirected edge needs two orders to
+    pass the support-2 gate."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    baskets = {100: [1, 2], 101: [1, 2], 200: [1, 3], 201: [1, 3]}
+    rows = [(ok, pk) for ok, parts in baskets.items() for pk in parts]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(sf, "lineitem.parquet"))
+    out = QUERIES["degree_assortativity"].fn(spark, sf).collect()[0]
+    assert (out.n_nodes, out.n_edges) == (3, 2)
+    assert out.assortativity == -1.0
+
+
+def test_kcore_nodes_k4_plus_pendant(spark, tmp_path):
+    """K4 on {1,2,3,4} (two orders holding all four parts give every
+    pair support 2) plus a support-2 pendant edge (4,5). Peeling at
+    k=3: node 5 (degree 1) drops in round one, node 4 falls back to
+    degree 3 and survives — the 3-core is exactly the K4, every member
+    at core degree 3."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    baskets = {
+        100: [1, 2, 3, 4], 101: [1, 2, 3, 4],
+        200: [4, 5], 201: [4, 5],
+    }
+    rows = [(ok, pk) for ok, parts in baskets.items() for pk in parts]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(sf, "lineitem.parquet"))
+    out = {r.node: r.core_degree for r in QUERIES["kcore_nodes"].fn(spark, sf).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_rfm_segments_five_singleton_quintiles(spark, tmp_path):
+    """Five single-order customers engineered so ntile(5) puts one per
+    quintile on every axis: customer i ordered on day 10−i at price
+    (6−i)·100 — customer 1 is newest/biggest (scores 5/5/5 after the
+    all-tied frequency axis tie-breaks by custkey), customer 5 oldest/
+    smallest (1/1/1). Exact cents and the one-division average pin the
+    arithmetic."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    rows = [
+        (
+            100 + i,
+            i,
+            "O",
+            float((6 - i) * 100),
+            dt.datetime(2024, 1, 10 - i),
+            "1-URGENT",
+        )
+        for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+    out = {
+        (r.r_score, r.f_score, r.m_score): r
+        for r in QUERIES["rfm_segments"].fn(spark, sf).collect()
+    }
+    # frequency all-tied → f follows custkey order: cust i gets 6-i
+    assert set(out) == {(5, 5, 5), (4, 4, 4), (3, 3, 3), (2, 2, 2), (1, 1, 1)}
+    top = out[(5, 5, 5)]
+    assert (top.n_customers, top.total_cents, top.avg_value) == (1, 50000, 500.0)
+    assert out[(1, 1, 1)].total_cents == 10000
+
+
+def test_l_diversity_audit_hand_classes(spark, tmp_path):
+    """Two QI classes: ('A', 1) holds three customers at one balance
+    (diversity 1 — weak at every l); ('B', 1) holds the global min and
+    max balances (deciles 0 and 9, diversity 2 — weak only at l≥3).
+    Exposure rates are exact fractions of the 5 rows."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    rows = [
+        (1, "c1", 1, 100.0, "A"),
+        (2, "c2", 1, 100.0, "A"),
+        (3, "c3", 1, 100.0, "A"),
+        (4, "c4", 1, 100.0, "B"),
+        (5, "c5", 1, 200.0, "B"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(sf, "customer.parquet"))
+    out = {r.l: r for r in QUERIES["l_diversity_audit"].fn(spark, sf).collect()}
+    assert (out[2].n_classes, out[2].weak_classes, out[2].exposed_rows) == (2, 1, 3)
+    assert out[2].exposed_rate == 0.6
+    for l in (3, 4):
+        assert (out[l].weak_classes, out[l].exposed_rows, out[l].exposed_rate) == (
+            2,
+            5,
+            1.0,
+        )
+
+
+def test_histogram_selectivity_audit_uniform_is_exact(spark, tmp_path):
+    """20 orders priced at exactly the 20 cent-values 0..19: every
+    histogram bucket holds one value of width 1, so uniform-within-
+    bucket interpolation IS the truth — est_rows equals actual_rows and
+    err_ppm is 0 for all five thresholds ((W·q)//100 = 5,10,15,18,19)."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    rows = [
+        (i, 1, "O", i / 100.0, dt.datetime(2024, 1, 1), "1-URGENT")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+    out = {r.pct: r for r in QUERIES["histogram_selectivity_audit"].fn(spark, sf).collect()}
+    expect = {25: (5, 15), 50: (10, 10), 75: (15, 5), 90: (18, 2), 99: (19, 1)}
+    assert set(out) == set(expect)
+    for pct, (thr, actual) in expect.items():
+        r = out[pct]
+        assert (r.threshold_cents, r.actual_rows, r.est_rows, r.err_ppm) == (
+            thr,
+            actual,
+            actual,
+            0,
+        )
+
+
+def test_encoding_cost_audit_hand_runs(spark, tmp_path):
+    """Six events, two types, values including NaN (cents NULL on both
+    engines). Under (event_type, ts, event_id): user runs u1|u2|u3 = 3
+    (the A→B seam carries u2 across — NOT a boundary), cents runs
+    100|200|NULL|100 = 4 (null-safe: NULL==NULL inside the run), type
+    runs = 2. NDV ignores the NULL cents → 2 distinct; dict bits:
+    bin(1)=1, bin(2)=2."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1, "A", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "A", 2.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 2, "A", 2.0, "{}"),
+        (4, t0, 2, "B", float("nan"), "{}"),
+        (5, t0 + dt.timedelta(minutes=1), 2, "B", float("nan"), "{}"),
+        (6, t0 + dt.timedelta(minutes=2), 3, "B", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+    out = {r.column_name: r for r in QUERIES["encoding_cost_audit"].fn(spark, sf).collect()}
+    et, us, ce = out["event_type"], out["user_id"], out["value_cents"]
+    assert (et.n_rows, et.n_runs, et.n_distinct, et.dict_index_bits) == (6, 2, 2, 1)
+    assert (us.n_runs, us.n_distinct, us.dict_index_bits) == (3, 3, 2)
+    assert (ce.n_runs, ce.n_distinct, ce.dict_index_bits) == (4, 2, 1)
+    assert (et.runs_ppm, us.runs_ppm, ce.runs_ppm) == (333333, 500000, 666666)
+
+
+def test_timed_funnel_hand_journeys(spark, tmp_path):
+    """Three viewers: u1 converts fully inside the windows (click +30m,
+    purchase +45m after click); u2's click comes 2h after the view
+    (outside); u3's click lands at EXACTLY +1h (inclusive boundary,
+    counted) but the purchase misses its window by a minute. Expected
+    funnel: 3 viewed → 2 clicked ≤1h → 1 purchased ≤1h."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 6, 1, 9, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + 30 * m, 1, "click", 1.0, "{}"),
+        (3, t0 + 75 * m, 1, "purchase", 1.0, "{}"),
+        (4, t0, 2, "view", 1.0, "{}"),
+        (5, t0 + 120 * m, 2, "click", 1.0, "{}"),
+        (6, t0 + 121 * m, 2, "purchase", 1.0, "{}"),
+        (7, t0, 3, "view", 1.0, "{}"),
+        (8, t0 + 60 * m, 3, "click", 1.0, "{}"),
+        (9, t0 + 121 * m, 3, "purchase", 1.0, "{}"),
+        (10, t0, 4, "click", 1.0, "{}"),  # click with no view: outside funnel
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+    out = QUERIES["timed_funnel"].fn(spark, sf).collect()[0]
+    assert (out.n_viewed, out.n_clicked_1h, out.n_purchased_1h) == (3, 2, 1)
+
+
+def test_seasonal_hour_outliers_needs_eleven_baselines(spark, tmp_path):
+    """For a single spike over an otherwise-constant slot the cleared-
+    denominator identity flags iff n−1 > 9 (dev² = (n−1)²δ², 9·var =
+    9(n−1)δ²) — so a 2-event hour against 11 constant-1 days of its
+    hour-of-day slot IS flagged, and nothing else is. 12 days × 24
+    hours, one extra event at day 5 hour 7."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 2, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for day in range(12):
+        for hod in range(24):
+            rows.append(
+                (eid, t0 + dt.timedelta(days=day, hours=hod), 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    rows.append((eid, t0 + dt.timedelta(days=5, hours=7, minutes=30), 2, "click", 1.0, "{}"))
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+    out = QUERIES["seasonal_hour_outliers"].fn(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    h0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) // 3600
+    assert (r.h, r.hod, r.n_events, r.is_high) == (h0 + 5 * 24 + 7, 7, 2, True)
+    assert r.hod_mean == 13.0 / 12.0
+
+
+def test_heavy_hitters_twophase_certified_exact(spark, tmp_path):
+    """Parts 1..40 with strictly decreasing counts 40..1: every true
+    top-10 part ranks in its shard's top-4, the largest per-shard 4th
+    count is 16 (< the 10th merged count 31), so the merge is certified
+    and equals the exact top-10."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    rows = []
+    ok = 0
+    for part in range(1, 41):
+        for _ in range(41 - part):
+            rows.append((ok, part))
+            ok += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").coalesce(
+        1
+    ).write.parquet(os.path.join(sf, "lineitem.parquet"))
+    out = QUERIES["heavy_hitters_twophase"].fn(spark, sf).collect()
+    assert len(out) == 10
+    by_rank = {r.rank: r for r in out}
+    for rank in range(1, 11):
+        r = by_rank[rank]
+        assert (r.l_partkey, r.cnt, r.certified) == (rank, 41 - rank, True)

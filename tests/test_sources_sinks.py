@@ -631,3 +631,50 @@ def test_write_partitioned_orc_roundtrip_prunes(spark, tmp_path):
     assert pruned.count() == 1
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or pruned.count() == 1  # pruning path
+
+
+def test_vacuum_by_retention_footer_driven(spark, tmp_path):
+    """vacuum_by_retention deletes exactly the files whose footer max(ts)
+    falls a full keep_days behind the dataset's newest timestamp, keeps
+    straddlers whole, never touches _SUCCESS/stat-less files, and
+    dry_run changes nothing. Fixture: three single-day files (days 0,
+    30, 60) + one straddler (days 30..60); keep_days=31 anchored at day
+    60 → cutoff = day 29: only the day-0 file dies."""
+    import datetime as dt
+    import glob
+    import os
+
+    from openaq_lcs_fetch_spark.storage import vacuum_by_retention
+
+    base = dt.datetime(2024, 1, 1)
+    root = str(tmp_path / "ds")
+    os.makedirs(root)
+
+    def write_one(name, days):
+        rows = [(i, base + dt.timedelta(days=d)) for i, d in enumerate(days)]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+        tmp = str(tmp_path / ("w_" + name))
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+        os.replace(part, os.path.join(root, name))
+
+    write_one("day0.parquet", [0])
+    write_one("day30.parquet", [30])
+    write_one("day60.parquet", [60])
+    write_one("straddle.parquet", [30, 60])
+    open(os.path.join(root, "_SUCCESS"), "w").close()
+
+    plan = vacuum_by_retention(root, "ts", keep_days=31, dry_run=True)
+    assert plan["deleted"] == ["day0.parquet"]
+    assert os.path.exists(os.path.join(root, "day0.parquet"))  # dry run
+
+    res = vacuum_by_retention(root, "ts", keep_days=31)
+    assert res["deleted"] == ["day0.parquet"]
+    assert not os.path.exists(os.path.join(root, "day0.parquet"))
+    assert sorted(res["kept"]) == ["day30.parquet", "day60.parquet", "straddle.parquet"]
+    # survivors still a readable dataset with the full remaining rows
+    assert spark.read.parquet(root).count() == 4
+
+    # keep_days large enough -> nothing deletable
+    res2 = vacuum_by_retention(root, "ts", keep_days=61)
+    assert res2["n_deleted"] == 0 and res2["n_kept"] == 3

@@ -144,6 +144,35 @@ PROFILED = [
     "hybrid_rrf_fusion",
     "ann_ndcg_eval",
     "compaction_bins",
+    # round 8: the remaining >1 s bench queries without a profile row
+    # (the streaming trio's state/shuffle shape, the similarity pair,
+    # and the rollup family whose walls are scan-dominated)
+    "streaming_dedup_ww",
+    "streaming_value_histogram",
+    "streaming_sliding_counts",
+    "simhash_docs",
+    "measurand_normalize",
+    "lineitem_melt_stats",
+    "kmeans_clusters",
+    "pricing_rollup",
+    "nation_market_share",
+    "dedup_overlapping",
+    "user_sessions",
+    "ann_bucket_search",
+    "embedding_near_dups",
+    "ann_multiprobe_search",
+    "geo_tz_counts",
+    # round 8 additions
+    "ngram_novelty_curve",
+    "degree_assortativity",
+    "kcore_nodes",
+    "rfm_segments",
+    "l_diversity_audit",
+    "histogram_selectivity_audit",
+    "encoding_cost_audit",
+    "timed_funnel",
+    "seasonal_hour_outliers",
+    "heavy_hitters_twophase",
 ]
 
 
