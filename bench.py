@@ -164,6 +164,12 @@ HEADLINE = (
     "timed_funnel",
     "seasonal_hour_outliers",
     "heavy_hitters_twophase",
+    # round 8c: cross-source near-dup audit, per-source dataset card,
+    # join-cardinality pre-flight, IVF recall-vs-nprobe curve
+    "cross_source_dups",
+    "source_dataset_card",
+    "join_explosion_audit",
+    "ivf_recall_curve",
 )
 
 

@@ -1208,3 +1208,97 @@ def heavy_hitters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("kth_cnt") > F.col("max_bound")).alias("certified"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# join_explosion_audit — the pre-flight cardinality check a planner (or
+# an on-call engineer) runs before shipping a join at 100 TB: the EXACT
+# output size of a join is Σ_k cnt_left(k)·cnt_right(k), computable
+# from two per-key rollups WITHOUT executing the join. Audits the two
+# canonical shapes on this schema: orders⋈lineitem on orderkey (1:N,
+# benign) and lineitem⋈lineitem on partkey (the self-join square that
+# melts clusters). Shape: per-key counts collapse map-side; the
+# rollup-level equi-join + DECIMAL(38) product-sum touch distinct keys,
+# never rows; amplification is the output-vs-larger-input ratio in
+# exact ppm. A plan that joins first and counts later scans the
+# explosion to measure it — this one never materializes a single
+# joined row.
+# ---------------------------------------------------------------------------
+
+_JX_ORACLE = """
+WITH ol AS (
+  SELECT o.n_left, l.n_right, j.join_rows FROM
+    (SELECT CAST(COUNT(*) AS BIGINT) AS n_left FROM orders) o,
+    (SELECT CAST(COUNT(*) AS BIGINT) AS n_right FROM lineitem) l,
+    (SELECT CAST(SUM(CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS join_rows
+     FROM (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1) a
+     JOIN (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1) b
+       ON a.k = b.k) j
+),
+ll AS (
+  SELECT l.n_left, l.n_left AS n_right, j.join_rows FROM
+    (SELECT CAST(COUNT(*) AS BIGINT) AS n_left FROM lineitem) l,
+    (SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS join_rows
+     FROM (SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY 1)) j
+)
+SELECT 'orders_lineitem_orderkey' AS join_name, n_left, n_right, join_rows,
+       CAST((CAST(join_rows AS HUGEINT) * 1000000)
+            // GREATEST(n_left, n_right) AS BIGINT) AS amplification_ppm
+FROM ol
+UNION ALL
+SELECT 'lineitem_self_partkey', n_left, n_right, join_rows,
+       CAST((CAST(join_rows AS HUGEINT) * 1000000)
+            // GREATEST(n_left, n_right) AS BIGINT)
+FROM ll
+"""
+
+
+@query("join_explosion_audit", _JX_ORACLE)
+def join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import exact_div
+
+    d38 = "decimal(38,0)"
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem")
+
+    def audit(name: str, left_keys: DataFrame, right_keys: DataFrame,
+              n_left: DataFrame, n_right: DataFrame) -> DataFrame:
+        a = left_keys.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))
+        b = right_keys.groupBy("k").agg(F.count(F.lit(1)).alias("cb"))
+        jr = a.join(b, "k").agg(
+            F.sum(F.col("ca").cast(d38) * F.col("cb")).cast("long").alias("join_rows")
+        )
+        return (
+            n_left.crossJoin(n_right)
+            .crossJoin(F.broadcast(jr))
+            .select(
+                F.lit(name).alias("join_name"),
+                "n_left",
+                "n_right",
+                "join_rows",
+                exact_div(
+                    F.col("join_rows").cast(d38) * F.lit(1000000),
+                    F.greatest(F.col("n_left"), F.col("n_right")).cast(d38),
+                )
+                .cast("long")
+                .alias("amplification_ppm"),
+            )
+        )
+
+    li_keys = lineitem.select(F.col("l_orderkey").alias("k"))
+    li_parts = lineitem.select(F.col("l_partkey").alias("k"))
+    ol = audit(
+        "orders_lineitem_orderkey",
+        orders.select(F.col("o_orderkey").alias("k")),
+        li_keys,
+        orders.agg(F.count(F.lit(1)).alias("n_left")),
+        lineitem.agg(F.count(F.lit(1)).alias("n_right")),
+    )
+    ll = audit(
+        "lineitem_self_partkey",
+        li_parts,
+        li_parts,
+        lineitem.agg(F.count(F.lit(1)).alias("n_left")),
+        lineitem.agg(F.count(F.lit(1)).alias("n_right")),
+    )
+    return ol.unionAll(ll)

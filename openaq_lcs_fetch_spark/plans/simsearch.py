@@ -1551,3 +1551,111 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ndcg_at_10"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ivf_recall_curve — recall@5 as a FUNCTION of nprobe (1, 2, 4): the
+# tuning curve every IVF deployment draws before fixing its
+# latency/recall trade. Cells rank by the query's exact integer
+# squared-L2 to each centroid (same _ivf_dists definition as search —
+# the metric measures the index geometry, not arithmetic drift); the
+# candidate sets nest (nprobe=1 ⊂ 2 ⊂ 4), so ONE checkpointed scoring
+# pass feeds every curve point and the exact top-5. Each point's top-5
+# is its own orderBy().limit(5) — a distributed TakeOrderedAndProject,
+# deliberately NOT a window partitioned by nprobe (that would sort a
+# corpus-sized partition per point at 100 TB).
+# ---------------------------------------------------------------------------
+
+_CURVE_QID = 42
+_CURVE_PROBES = (1, 2, 4)
+
+
+def _curve_oracle() -> str:
+    point = """
+SELECT {np} AS nprobe,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS DOUBLE) / 5.0 AS recall_at_5
+FROM exact5 JOIN (
+  SELECT vec_id FROM scored WHERE crank <= {np}
+  ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+) USING (vec_id)"""
+    points = " UNION ALL ".join(
+        point.format(np=np) for np in _CURVE_PROBES
+    )
+    return f"""
+WITH {_ivf_sql_ctes()},
+qv AS (SELECT v FROM vecs WHERE vec_id = {_CURVE_QID}),
+qq AS (SELECT q FROM vecs WHERE vec_id = {_CURVE_QID}),
+cellrank AS (
+  SELECT c.cid,
+         row_number() OVER (ORDER BY
+           list_sum(list_transform((SELECT q FROM qq),
+                    (x, i) -> (x - c.cq[i]) * (x - c.cq[i]))) ASC,
+           c.cid ASC) AS crank
+  FROM cent c
+),
+scored AS (
+  SELECT a.vec_id, r.crank,
+         ROUND(list_cosine_similarity(a.v, (SELECT v FROM qv)), 6) AS cos_sim
+  FROM assigned a JOIN cellrank r ON r.cid = a.cid
+  WHERE a.vec_id <> {_CURVE_QID}
+),
+exact5 AS (
+  SELECT vec_id FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+)
+{points}
+"""
+
+
+@query("ivf_recall_curve", _curve_oracle())
+def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _ivf_vecs(spark, sf_dir)
+    dists = _ivf_dists(vecs)
+    assigned = _ivf_assigned(vecs, dists)
+    qv = vecs.filter(F.col("vec_id") == _CURVE_QID).select(
+        F.col("v").alias("qv")
+    )
+    from pyspark.sql import Window
+
+    cellrank = (
+        dists.filter(F.col("vec_id") == _CURVE_QID)
+        .select(
+            "cid",
+            F.row_number()
+            .over(Window.orderBy(F.col("d2").asc(), F.col("cid").asc()))
+            .alias("crank"),
+        )
+    )
+    scored = (
+        assigned.filter(F.col("vec_id") != _CURVE_QID)
+        .join(F.broadcast(cellrank), "cid")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "crank",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        # one scoring pass feeds the exact ranking and every curve point
+        .localCheckpoint(eager=True)
+    )
+    exact5 = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(5)
+    points = []
+    for np_ in _CURVE_PROBES:
+        top = (
+            scored.filter(F.col("crank") <= np_)
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+            .limit(5)
+        )
+        points.append(
+            exact5.join(top.select("vec_id"), "vec_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(
+                F.lit(np_).alias("nprobe"),
+                "n_hits",
+                (F.col("n_hits").cast("double") / F.lit(5.0)).alias("recall_at_5"),
+            )
+        )
+    out = points[0]
+    for p in points[1:]:
+        out = out.unionAll(p)
+    return out

@@ -3121,3 +3121,158 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cross_source_dups — provenance-leakage audit: near-duplicate pairs
+# that span DIFFERENT sources (a mirror site, a syndicated feed, a
+# scraped re-post), rolled up per source pair. Within-source dups are a
+# dedup problem; CROSS-source dups are a sampling problem — a corpus
+# mix that weights sources independently double-counts exactly these.
+# Same banded LSH candidate generation as minhash_lsh_pairs (equi-join
+# on (band, band_key) — fan-out banding-bounded, never all-pairs); the
+# doc→source attachment joins the candidate list (pairs-sized) against
+# the id→source projection, and the pair key is normalized
+# lexicographically so (A,B) and (B,A) collapse. Counts exact BIGINTs.
+# ---------------------------------------------------------------------------
+
+
+def _cross_source_sql() -> str:
+    rows = _MINHASH_K // _MINHASH_BANDS
+    band_selects = []
+    for bnd in range(_MINHASH_BANDS):
+        key = " || ',' || ".join(
+            f"CAST(mh{bnd * rows + j} AS VARCHAR)" for j in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {bnd} AS band, {key} AS band_key FROM sigs"
+        )
+    buckets = " UNION ALL ".join(band_selects)
+    mins = ", ".join(
+        f"MIN(({a} * sh + {b}) % {TX.HASH_MOD}) AS mh{i}"
+        for i, (a, b) in enumerate(SIM.minhash_params(_MINHASH_K))
+    )
+    return f"""
+WITH {_SQL_SHINGLE_TABLE},
+sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+buckets AS ({buckets}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+tagged AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.id_a
+  JOIN documents db ON db.doc_id = p.id_b
+  WHERE da.source <> db.source
+)
+SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM tagged GROUP BY 1, 2
+"""
+
+
+@query("cross_source_dups", _cross_source_sql())
+def cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sigs = SIM.minhash_signatures(docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3)
+    pairs = SIM.lsh_candidate_pairs(sigs, "doc_id", k=_MINHASH_K, bands=_MINHASH_BANDS)
+    src = docs.select("doc_id", "source")
+    tagged = (
+        pairs.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")), "id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")), "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .select(
+            F.least(F.col("sa"), F.col("sb")).alias("source_a"),
+            F.greatest(F.col("sa"), F.col("sb")).alias("source_b"),
+        )
+    )
+    return tagged.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# source_dataset_card — the per-source "dataset card" rollup every
+# corpus release ships: document count, exact token mass, average
+# document length, language spread and the dominant language's share.
+# ONE pass over the corpus feeds a (source, lang) rollup; the card
+# assembles from that rollup and its source-level re-aggregation —
+# nothing downstream scales with documents. The dominant language is
+# max_by over exact counts with a lang tiebreak (deterministic), its
+# share an exact_div ppm; mean chars is one division of exact BIGINTs
+# (never an engine AVG over doubles).
+# ---------------------------------------------------------------------------
+
+_CARD_ORACLE = """
+WITH per AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+             AS BIGINT)) AS toks,
+         SUM(CAST(n_chars AS BIGINT)) AS chars
+  FROM documents GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, lang, n_docs,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_docs DESC, lang ASC) AS rn
+  FROM per
+),
+card AS (
+  SELECT source,
+         SUM(n_docs) AS n_docs,
+         SUM(toks) AS total_tokens,
+         SUM(chars) AS total_chars,
+         CAST(COUNT(*) AS BIGINT) AS n_langs
+  FROM per GROUP BY source
+)
+SELECT c.source, CAST(c.n_docs AS BIGINT) AS n_docs,
+       CAST(c.total_tokens AS BIGINT) AS total_tokens,
+       CAST(c.total_chars AS DOUBLE) / c.n_docs AS mean_chars,
+       c.n_langs, r.lang AS top_lang,
+       CAST((r.n_docs * 1000000) // c.n_docs AS BIGINT)
+         AS top_lang_share_ppm
+FROM card c JOIN ranked r ON r.source = c.source AND r.rn = 1
+"""
+
+
+@query("source_dataset_card", _CARD_ORACLE)
+def source_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import exact_div
+
+    d = t(spark, sf_dir, "documents").select(
+        "source", "lang", TX.token_count(F.col("text")).alias("toks"), "n_chars"
+    )
+    per = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("toks"),
+        F.sum("n_chars").alias("chars"),
+    )
+    card = per.groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("toks").alias("total_tokens"),
+        F.sum("chars").alias("total_chars"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.min_by("lang", F.struct((-F.col("n_docs")).alias("neg"), F.col("lang"))).alias(
+            "top_lang"
+        ),
+        F.max("n_docs").alias("top_lang_docs"),
+    )
+    return card.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        (F.col("total_chars").cast("double") / F.col("n_docs")).alias("mean_chars"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        "top_lang",
+        exact_div(
+            F.col("top_lang_docs").cast("decimal(38,0)") * F.lit(1000000),
+            F.col("n_docs"),
+        )
+        .cast("long")
+        .alias("top_lang_share_ppm"),
+    )

@@ -2904,3 +2904,105 @@ def test_heavy_hitters_twophase_certified_exact(spark, tmp_path):
     for rank in range(1, 11):
         r = by_rank[rank]
         assert (r.l_partkey, r.cnt, r.certified) == (rank, 41 - rank, True)
+
+
+def test_cross_source_dups_counts_cross_pairs_only(spark, tmp_path):
+    """Three identical docs (sources a, b, a) and one unrelated doc:
+    identical texts share every LSH band, so candidates are all three
+    pairs among them — but (1,3) is within source a and must not count.
+    Expected: one (a, b) row with n_pairs = 2."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    text = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, text, "en", "a", len(text)),
+        (2, text, "en", "b", len(text)),
+        (3, text, "en", "a", len(text)),
+        (4, "completely different words appear in this one", "en", "b", 46),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    out = QUERIES["cross_source_dups"].fn(spark, sf).collect()
+    assert len(out) == 1
+    assert (out[0].source_a, out[0].source_b, out[0].n_pairs) == ("a", "b", 2)
+
+
+def test_source_dataset_card_hand_rollup(spark, tmp_path):
+    """Source s1: two en docs (2+1 tokens) and one de doc (3 tokens),
+    chars 3+1+5 → mean 3.0, top lang en at 2/3 = 666666 ppm. Source
+    s2: a single es doc — a degenerate but well-defined card."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    rows = [
+        (1, "a b", "en", "s1", 3),
+        (2, "c", "en", "s1", 1),
+        (3, "x y z", "de", "s1", 5),
+        (4, "q", "es", "s2", 1),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    out = {r.source: r for r in QUERIES["source_dataset_card"].fn(spark, sf).collect()}
+    s1 = out["s1"]
+    assert (s1.n_docs, s1.total_tokens, s1.mean_chars, s1.n_langs) == (3, 6, 3.0, 2)
+    assert (s1.top_lang, s1.top_lang_share_ppm) == ("en", 666666)
+    s2 = out["s2"]
+    assert (s2.n_docs, s2.total_tokens, s2.n_langs, s2.top_lang) == (1, 1, 1, "es")
+    assert s2.top_lang_share_ppm == 1_000_000
+
+
+def test_join_explosion_audit_hand_counts(spark, tmp_path):
+    """Two orders (3-line and 1-line): orderkey join emits 1·3 + 1·1 = 4
+    rows (amplification exactly 1e6 ppm of the larger input); the
+    partkey self-join emits 3² + 1² = 10 rows (2.5e6 ppm) — the
+    quadratic blowup the audit exists to catch, computed without ever
+    materializing a joined row."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, 10, "O", 1.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+            (2, 11, "O", 1.0, dt.datetime(2024, 1, 2), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+    li = [(1, 7), (1, 7), (1, 7), (2, 8)]
+    spark.createDataFrame(li, "l_orderkey long, l_partkey long").coalesce(
+        1
+    ).write.parquet(os.path.join(sf, "lineitem.parquet"))
+    out = {r.join_name: r for r in QUERIES["join_explosion_audit"].fn(spark, sf).collect()}
+    ol = out["orders_lineitem_orderkey"]
+    assert (ol.n_left, ol.n_right, ol.join_rows, ol.amplification_ppm) == (2, 4, 4, 1_000_000)
+    ll = out["lineitem_self_partkey"]
+    assert (ll.n_left, ll.n_right, ll.join_rows, ll.amplification_ppm) == (4, 4, 10, 2_500_000)
+
+
+def test_ivf_recall_curve_monotone_and_anchored(spark):
+    """On the real sf0.001 embeddings: the curve is monotone
+    non-decreasing in nprobe (candidate sets nest), capped at 5 hits,
+    and its nprobe=1 point equals ann_recall_eval's single-probe
+    recall@5 (the query's nearest cell IS its assigned cell — same
+    min_by definition)."""
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    curve = {r.nprobe: r for r in QUERIES["ivf_recall_curve"].fn(spark, sf).collect()}
+    assert set(curve) == {1, 2, 4}
+    hits = [curve[np].n_hits for np in (1, 2, 4)]
+    assert all(0 <= h <= 5 for h in hits)
+    assert hits == sorted(hits)  # nested candidates: recall never drops
+    single = QUERIES["ann_recall_eval"].fn(spark, sf).collect()[0]
+    assert curve[1].n_hits == single.n_hits
+    assert curve[1].recall_at_5 == single.recall_at_5

@@ -173,6 +173,10 @@ PROFILED = [
     "timed_funnel",
     "seasonal_hour_outliers",
     "heavy_hitters_twophase",
+    "cross_source_dups",
+    "source_dataset_card",
+    "join_explosion_audit",
+    "ivf_recall_curve",
 ]
 
 
