@@ -170,6 +170,9 @@ HEADLINE = (
     "source_dataset_card",
     "join_explosion_audit",
     "ivf_recall_curve",
+    # round 8d: SLA latency percentiles, sequence-length planning histogram
+    "ship_latency_percentiles",
+    "doc_length_histogram",
 )
 
 

@@ -1405,3 +1405,90 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("orphan_rows"), F.lit(0)).alias("orphan_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ship_latency_percentiles — the operations SLA rollup: order→ship
+# latency in whole days, exact p50/p90/p99 + max per order month. The
+# percentile machinery is the skew_audit stance: collapse to a
+# (month, latency) count table first — the cumulative window then runs
+# per month over DISTINCT latency values (calendar-bounded: a latency
+# axis has hundreds of distinct days, never row counts), so there is no
+# global sort and no approx_percentile nondeterminism. Latency is an
+# exact integer day difference in epoch µs (date arithmetic across
+# engines is the trap; integer div is not). The orderkey join is the
+# schema's canonical 1:N — shuffle-partitioned on the key both sides,
+# AQE-eligible.
+# ---------------------------------------------------------------------------
+
+_SHIPLAT_ORACLE = """
+WITH lat AS (
+  SELECT date_trunc('month', o.o_orderdate) AS month,
+         (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000
+           AS lat_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+cnt AS (
+  SELECT month, lat_days, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lat GROUP BY 1, 2
+),
+cum AS (
+  SELECT month, lat_days, n,
+         SUM(n) OVER (PARTITION BY month ORDER BY lat_days) AS c,
+         SUM(n) OVER (PARTITION BY month) AS tot
+  FROM cnt
+)
+SELECT month, CAST(MAX(tot) AS BIGINT) AS n_lines,
+       MIN(CASE WHEN 2 * c >= tot THEN lat_days END) AS p50_days,
+       MIN(CASE WHEN 10 * c >= 9 * tot THEN lat_days END) AS p90_days,
+       MIN(CASE WHEN 100 * c >= 99 * tot THEN lat_days END) AS p99_days,
+       MAX(lat_days) AS max_days
+FROM cum GROUP BY month
+"""
+
+
+@query("ship_latency_percentiles", _SHIPLAT_ORACLE)
+def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.timestamps import micros
+    from .registry import t as _t
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", micros(F.col("l_shipdate")).alias("ship_us")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        micros(F.col("o_orderdate")).alias("order_us"),
+    )
+    cnt = (
+        li.join(o, "l_orderkey")
+        .select(
+            "month",
+            F.expr("(ship_us - order_us) div 86400000000").alias("lat_days"),
+        )
+        .groupBy("month", "lat_days")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wc = Window.partitionBy("month").orderBy("lat_days")
+    wt = Window.partitionBy("month")
+    cum = cnt.select(
+        "month",
+        "lat_days",
+        F.sum("n").over(wc).alias("c"),
+        F.sum("n").over(wt).alias("tot"),
+    )
+    return cum.groupBy("month").agg(
+        F.max("tot").cast("long").alias("n_lines"),
+        F.min(F.when(2 * F.col("c") >= F.col("tot"), F.col("lat_days"))).alias(
+            "p50_days"
+        ),
+        F.min(
+            F.when(10 * F.col("c") >= 9 * F.col("tot"), F.col("lat_days"))
+        ).alias("p90_days"),
+        F.min(
+            F.when(100 * F.col("c") >= 99 * F.col("tot"), F.col("lat_days"))
+        ).alias("p99_days"),
+        F.max("lat_days").alias("max_days"),
+    )

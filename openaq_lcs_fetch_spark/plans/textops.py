@@ -3276,3 +3276,51 @@ def source_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("top_lang_share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# doc_length_histogram — the sequence-length planning histogram behind
+# sequence_pack / token_budget_select: documents bucketed by the BIT
+# WIDTH of their token count (log2 buckets: 1, 2-3, 4-7, 8-15, … —
+# exactly length(bin(n)), integer bit math on both engines, no float
+# log2 at a power-of-two boundary), per language. Tells the packing
+# stage what fraction of the corpus fits a context window and how much
+# mass truncation loses. One map-side-combined rollup; nothing scales
+# past (lang × ~20 buckets).
+# ---------------------------------------------------------------------------
+
+_DLH_ORACLE = f"""
+WITH toks AS (
+  SELECT lang,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+           AS BIGINT) AS n
+  FROM documents
+)
+SELECT lang,
+       CAST(CASE WHEN n = 0 THEN 0 ELSE length(bin(n)) END AS BIGINT)
+         AS len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       MIN(n) AS min_tokens,
+       MAX(n) AS max_tokens
+FROM toks GROUP BY 1, 2
+"""
+
+
+@query("doc_length_histogram", _DLH_ORACLE)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "lang", TX.token_count(F.col("text")).cast("long").alias("n")
+    )
+    bucket = F.when(F.col("n") == 0, F.lit(0)).otherwise(
+        F.length(F.bin(F.col("n")))
+    )
+    return d.select("lang", bucket.cast("long").alias("len_bucket"), "n").groupBy(
+        "lang", "len_bucket"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.min("n").alias("min_tokens"),
+        F.max("n").alias("max_tokens"),
+    )

@@ -3006,3 +3006,68 @@ def test_ivf_recall_curve_monotone_and_anchored(spark):
     single = QUERIES["ann_recall_eval"].fn(spark, sf).collect()[0]
     assert curve[1].n_hits == single.n_hits
     assert curve[1].recall_at_5 == single.recall_at_5
+
+
+def test_ship_latency_percentiles_hand_decade(spark, tmp_path):
+    """Two January orders with five lines each at latencies 1-5 and
+    6-10 days (each relative to its own order date): the month's
+    latency multiset is exactly 1..10, so the lower-selection
+    percentiles are p50=5 (2c≥tot at c=5), p90=9, p99=10, max=10."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    sf = str(tmp_path)
+    d1, d2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 10)
+    spark.createDataFrame(
+        [
+            (1, 10, "O", 1.0, d1, "1-URGENT"),
+            (2, 11, "O", 1.0, d2, "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+    li = [(1, k, d1 + dt.timedelta(days=k)) for k in range(1, 6)] + [
+        (2, k, d2 + dt.timedelta(days=k)) for k in range(6, 11)
+    ]
+    spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long, l_shipdate timestamp"
+    ).coalesce(1).write.parquet(os.path.join(sf, "lineitem.parquet"))
+    out = QUERIES["ship_latency_percentiles"].fn(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_lines, r.p50_days, r.p90_days, r.p99_days, r.max_days) == (
+        10,
+        5,
+        9,
+        10,
+        10,
+    )
+
+
+def test_doc_length_histogram_log2_buckets(spark, tmp_path):
+    """Token counts 0, 1, 3, 7, 8 land in bit-width buckets 0, 1, 2, 3,
+    4 (bucket = length(bin(n)); 8 = '1000' opens the 4-bit bucket) —
+    the power-of-two boundary a float log2 would wobble on."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    rows = [
+        (1, "", "en", "s", 0),
+        (2, "a", "en", "s", 1),
+        (3, "a b c", "en", "s", 5),
+        (4, "a b c d e f g", "en", "s", 13),
+        (5, "a b c d e f g h", "en", "s", 15),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    out = {r.len_bucket: r for r in QUERIES["doc_length_histogram"].fn(spark, sf).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert (out[0].n_docs, out[0].total_tokens) == (1, 0)
+    for bucket, toks in ((1, 1), (2, 3), (3, 7), (4, 8)):
+        assert (out[bucket].n_docs, out[bucket].total_tokens) == (1, toks)
+        assert out[bucket].min_tokens == out[bucket].max_tokens == toks

@@ -177,6 +177,8 @@ PROFILED = [
     "source_dataset_card",
     "join_explosion_audit",
     "ivf_recall_curve",
+    "ship_latency_percentiles",
+    "doc_length_histogram",
 ]
 
 
