@@ -173,6 +173,11 @@ HEADLINE = (
     # round 8d: SLA latency percentiles, sequence-length planning histogram
     "ship_latency_percentiles",
     "doc_length_histogram",
+    # round 8e: session-scoped conversion, CBO column-correlation,
+    # minhash sketch-error envelope
+    "session_entry_conversion",
+    "column_correlation_audit",
+    "minhash_error_audit",
 )
 
 

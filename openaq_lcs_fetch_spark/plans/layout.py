@@ -1302,3 +1302,96 @@ def join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.agg(F.count(F.lit(1)).alias("n_right")),
     )
     return ol.unionAll(ll)
+
+
+# ---------------------------------------------------------------------------
+# column_correlation_audit — the second statistic a CBO needs after
+# histograms: do two columns vary INDEPENDENTLY? Under independence
+# NDV(a,b) ≈ min(NDV(a)·NDV(b), N); the measured ratio (ppm) is the
+# correction factor for multi-predicate selectivity and GROUP BY
+# cardinality estimates (1e6 = independent; far below = correlated, the
+# estimate that makes planners pick hash aggregates 100× too small).
+# Audits (status, priority) and (status, order-month) on orders. Shape:
+# per pair, one distinct-rollup on the pair key (map-side combinable) +
+# two single-column NDVs from the SAME rollup (re-aggregation, not a
+# rescan); the fact table is scanned once per pair, everything
+# downstream is rollup-sized.
+# ---------------------------------------------------------------------------
+
+_CCA_ORACLE = """
+WITH sp AS (
+  SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS cnt
+  FROM orders GROUP BY 1, 2
+),
+sp_stats AS (
+  SELECT 'status_priority' AS col_pair,
+         CAST(COUNT(DISTINCT a) AS BIGINT) AS ndv_a,
+         CAST(COUNT(DISTINCT b) AS BIGINT) AS ndv_b,
+         CAST(COUNT(*) AS BIGINT) AS ndv_pair,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows
+  FROM sp
+),
+sm AS (
+  SELECT o_orderstatus AS a, date_trunc('month', o_orderdate) AS b,
+         COUNT(*) AS cnt
+  FROM orders GROUP BY 1, 2
+),
+sm_stats AS (
+  SELECT 'status_month' AS col_pair,
+         CAST(COUNT(DISTINCT a) AS BIGINT) AS ndv_a,
+         CAST(COUNT(DISTINCT b) AS BIGINT) AS ndv_b,
+         CAST(COUNT(*) AS BIGINT) AS ndv_pair,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows
+  FROM sm
+),
+u AS (SELECT * FROM sp_stats UNION ALL SELECT * FROM sm_stats)
+SELECT col_pair, ndv_a, ndv_b, ndv_pair,
+       LEAST(ndv_a * ndv_b, n_rows) AS indep_ndv,
+       CAST((ndv_pair * 1000000) // LEAST(ndv_a * ndv_b, n_rows) AS BIGINT)
+         AS correlation_ppm
+FROM u
+"""
+
+
+@query("column_correlation_audit", _CCA_ORACLE)
+def column_correlation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import exact_div
+
+    orders = t(spark, sf_dir, "orders")
+
+    def stats(name: str, a, b) -> DataFrame:
+        rollup = orders.groupBy(a.alias("a"), b.alias("b")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        return rollup.agg(
+            F.countDistinct("a").alias("ndv_a"),
+            F.countDistinct("b").alias("ndv_b"),
+            F.count(F.lit(1)).alias("ndv_pair"),
+            F.sum("cnt").alias("n_rows"),
+        ).select(
+            F.lit(name).alias("col_pair"),
+            F.col("ndv_a").cast("long").alias("ndv_a"),
+            F.col("ndv_b").cast("long").alias("ndv_b"),
+            F.col("ndv_pair").cast("long").alias("ndv_pair"),
+            F.least(
+                F.col("ndv_a") * F.col("ndv_b"), F.col("n_rows")
+            ).cast("long").alias("indep_ndv"),
+            exact_div(
+                F.col("ndv_pair").cast("decimal(38,0)") * F.lit(1000000),
+                F.least(F.col("ndv_a") * F.col("ndv_b"), F.col("n_rows")).cast(
+                    "decimal(38,0)"
+                ),
+            )
+            .cast("long")
+            .alias("correlation_ppm"),
+        )
+
+    return stats(
+        "status_priority", F.col("o_orderstatus"), F.col("o_orderpriority")
+    ).unionAll(
+        stats(
+            "status_month",
+            F.col("o_orderstatus"),
+            F.date_trunc("month", "o_orderdate"),
+        )
+    )

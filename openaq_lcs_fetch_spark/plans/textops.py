@@ -3324,3 +3324,152 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").alias("min_tokens"),
         F.max("n").alias("max_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# minhash_error_audit — sketch-quality gate for the LSH pipeline: on
+# the banding CANDIDATE pairs, compare the 16-component signature's
+# Jaccard estimate against the exact shingle Jaccard and report the
+# error envelope (mean + max |error| in ppm). This is the audit that
+# says whether k=16 is enough before trusting est_jaccard thresholds
+# at 100 TB. Everything is exact integer ppm — est = matches·1e6//k,
+# truth = inter·1e6//union — so the error itself hash-matches. Shape:
+# candidates are banding-bounded; the exact-intersection join touches
+# only candidate docs' shingle rows (semi-joined first), the same
+# verify-narrowing as lsh_verified_pairs.
+# ---------------------------------------------------------------------------
+
+
+def _mh_err_oracle() -> str:
+    rows = _MINHASH_K // _MINHASH_BANDS
+    band_selects = []
+    for bnd in range(_MINHASH_BANDS):
+        key = " || ',' || ".join(
+            f"CAST(mh{bnd * rows + j} AS VARCHAR)" for j in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {bnd} AS band, {key} AS band_key FROM sigs"
+        )
+    buckets = " UNION ALL ".join(band_selects)
+    eq = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(_MINHASH_K)
+    )
+    mins = ", ".join(
+        f"MIN(({a} * sh + {b}) % {TX.HASH_MOD}) AS mh{i}"
+        for i, (a, b) in enumerate(SIM.minhash_params(_MINHASH_K))
+    )
+    return f"""
+WITH {_SQL_SHINGLE_TABLE},
+sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+buckets AS ({buckets}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.id_a, p.id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.id_a
+  JOIN sh b ON b.doc_id = p.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.id_a, p.id_b,
+         ({eq}) * 1000000 // {_MINHASH_K} AS est_ppm,
+         COALESCE(i.n_inter, 0) * 1000000
+           // (za.sz + zb.sz - COALESCE(i.n_inter, 0)) AS exact_ppm
+  FROM pairs p
+  JOIN sigs sa ON sa.doc_id = p.id_a
+  JOIN sigs sb ON sb.doc_id = p.id_b
+  JOIN sizes za ON za.doc_id = p.id_a
+  JOIN sizes zb ON zb.doc_id = p.id_b
+  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(ABS(est_ppm - exact_ppm)) // COUNT(*) AS BIGINT)
+         AS mean_abs_err_ppm,
+       CAST(MAX(ABS(est_ppm - exact_ppm)) AS BIGINT) AS max_abs_err_ppm
+FROM scored
+"""
+
+
+@query("minhash_error_audit", _mh_err_oracle())
+def minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import exact_div
+
+    docs = t(spark, sf_dir, "documents")
+    sh = SIM.shingle_table(docs, "doc_id", "text", shingle_n=3).localCheckpoint()
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(TX.HASH_MOD)).alias(
+                f"mh{i}"
+            )
+            for i, (a, b) in enumerate(SIM.minhash_params(_MINHASH_K))
+        ]
+    )
+    pairs = SIM.lsh_candidate_pairs(
+        sigs, "doc_id", k=_MINHASH_K, bands=_MINHASH_BANDS
+    ).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # exact intersection restricted to candidate docs (semi-join first)
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(cand_ids, "doc_id", "left_semi")
+    a = shc.select(F.col("doc_id").alias("id_a"), "sh")
+    b = shc.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sig_a = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_MINHASH_K)],
+    )
+    sig_b = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_MINHASH_K)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_MINHASH_K)
+    )
+    scored = (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb")), "id_b")
+        .join(inter, ["id_a", "id_b"], "left")
+        .select(
+            exact_div(
+                matches.cast("decimal(38,0)") * F.lit(1000000),
+                F.lit(_MINHASH_K).cast("decimal(38,0)"),
+            ).alias("est_ppm"),
+            exact_div(
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("decimal(38,0)")
+                * F.lit(1000000),
+                (
+                    F.col("sza") + F.col("szb") - F.coalesce(F.col("n_inter"), F.lit(0))
+                ).cast("decimal(38,0)"),
+            ).alias("exact_ppm"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        exact_div(
+            F.sum(F.abs(F.col("est_ppm") - F.col("exact_ppm"))),
+            F.count(F.lit(1)).cast("decimal(38,0)"),
+        )
+        .cast("long")
+        .alias("mean_abs_err_ppm"),
+        F.max(F.abs(F.col("est_ppm") - F.col("exact_ppm")))
+        .cast("long")
+        .alias("max_abs_err_ppm"),
+    )

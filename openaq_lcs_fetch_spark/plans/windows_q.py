@@ -2377,3 +2377,97 @@ def timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_1h")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_1h")))
     )
+
+
+# ---------------------------------------------------------------------------
+# session_entry_conversion — "which landing behavior converts": sessions
+# rebuilt with the exact user_sessions gap rule (>30 min inactivity),
+# each session keyed by its ENTRY event type (first event by ts,
+# event_id) and flagged converted if it contains a purchase; rolled up
+# per entry type with an exact ppm rate. The session-scoped complement
+# to funnel_conversion's user-scoped ordering. Shape: ONE per-user
+# window pass (hash-distributed, no global sort) feeds a per-session
+# rollup (min_by entry + purchase flag), then a ~types-sized rollup;
+# the rate is exact integer ppm, the cosmetic double one division.
+# ---------------------------------------------------------------------------
+
+_ENTRY_CONV_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                   OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_no
+  FROM gaps
+),
+ranked AS (
+  SELECT user_id, session_no, event_type,
+         row_number() OVER (PARTITION BY user_id, session_no
+                            ORDER BY ts ASC, event_id ASC) AS rn
+  FROM sess
+),
+per_sess AS (
+  SELECT s.user_id, s.session_no, r.event_type AS entry_type,
+         MAX(CASE WHEN s.event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM sess s
+  JOIN ranked r ON r.user_id = s.user_id AND r.session_no = s.session_no
+              AND r.rn = 1
+  GROUP BY 1, 2, 3
+)
+SELECT entry_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(conv) AS BIGINT) AS n_converted,
+       CAST((SUM(conv) * 1000000) // COUNT(*) AS BIGINT) AS conv_ppm
+FROM per_sess GROUP BY entry_type
+"""
+
+
+@query("session_entry_conversion", _ENTRY_CONV_ORACLE)
+def session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import exact_div
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.col("us") - F.lag("us").over(w)
+    new_sess = (
+        F.when(gap > 1_800_000_000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+    )
+    sess = e.select(
+        "user_id",
+        "us",
+        "event_id",
+        "event_type",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_no"),
+    )
+    per_sess = sess.groupBy("user_id", "session_no").agg(
+        F.min_by("event_type", F.struct("us", "event_id")).alias("entry_type"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    return per_sess.groupBy("entry_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("conv").cast("long").alias("n_converted"),
+        exact_div(
+            F.sum("conv").cast("decimal(38,0)") * F.lit(1000000),
+            F.count(F.lit(1)).cast("decimal(38,0)"),
+        )
+        .cast("long")
+        .alias("conv_ppm"),
+    )

@@ -3071,3 +3071,94 @@ def test_doc_length_histogram_log2_buckets(spark, tmp_path):
     for bucket, toks in ((1, 1), (2, 3), (3, 7), (4, 8)):
         assert (out[bucket].n_docs, out[bucket].total_tokens) == (1, toks)
         assert out[bucket].min_tokens == out[bucket].max_tokens == toks
+
+
+def test_session_entry_conversion_hand_sessions(spark, tmp_path):
+    """User 1 has two sessions split by a >30-min gap: session 1 enters
+    with a view and converts; session 2 enters with a click and does
+    not. User 2's single view-entry session does not convert. Expected:
+    view entries 2 sessions / 1 conversion (500000 ppm), click entries
+    1 / 0."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 6, 1, 9, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + 5 * m, 1, "purchase", 1.0, "{}"),
+        (3, t0 + 40 * m, 1, "click", 1.0, "{}"),   # 35-min gap: new session
+        (4, t0 + 41 * m, 1, "view", 1.0, "{}"),
+        (5, t0, 2, "view", 1.0, "{}"),
+        (6, t0 + 10 * m, 2, "click", 1.0, "{}"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+    out = {r.entry_type: r for r in QUERIES["session_entry_conversion"].fn(spark, sf).collect()}
+    assert set(out) == {"view", "click"}
+    v = out["view"]
+    assert (v.n_sessions, v.n_converted, v.conv_ppm) == (2, 1, 500_000)
+    c = out["click"]
+    assert (c.n_sessions, c.n_converted, c.conv_ppm) == (1, 0, 0)
+
+
+def test_column_correlation_audit_hand_ndv(spark, tmp_path):
+    """Four orders over 2 statuses × 2 priorities, but only 3 of the 4
+    combinations occur → correlation 750000 ppm; status and month are
+    perfectly aligned (each status in its own month) → NDV(pair)=2 of
+    an independent 4, 500000 ppm."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    jan, feb = dt.datetime(2024, 1, 5), dt.datetime(2024, 2, 5)
+    rows = [
+        (1, 1, "O", 1.0, jan, "1-URGENT"),
+        (2, 1, "O", 1.0, jan, "2-HIGH"),
+        (3, 1, "F", 1.0, feb, "1-URGENT"),
+        (4, 1, "F", 1.0, feb, "1-URGENT"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+    out = {r.col_pair: r for r in QUERIES["column_correlation_audit"].fn(spark, sf).collect()}
+    sp = out["status_priority"]
+    assert (sp.ndv_a, sp.ndv_b, sp.ndv_pair, sp.indep_ndv) == (2, 2, 3, 4)
+    assert sp.correlation_ppm == 750_000
+    sm = out["status_month"]
+    assert (sm.ndv_a, sm.ndv_b, sm.ndv_pair, sm.indep_ndv, sm.correlation_ppm) == (
+        2, 2, 2, 4, 500_000,
+    )
+
+
+def test_minhash_error_audit_identical_docs_zero_error(spark, tmp_path):
+    """Two identical docs: every band matches (candidate pair), the
+    signature estimate is 16/16 = 1e6 ppm and the exact Jaccard is also
+    1e6 ppm — the audit must report exactly zero error for the one
+    pair where the sketch cannot be wrong."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, text, "en", "a", len(text)),
+        (2, text, "en", "b", len(text)),
+        (3, "totally unrelated words in here friend", "en", "a", 39),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    out = QUERIES["minhash_error_audit"].fn(spark, sf).collect()[0]
+    assert (out.n_pairs, out.mean_abs_err_ppm, out.max_abs_err_ppm) == (1, 0, 0)

@@ -179,6 +179,9 @@ PROFILED = [
     "ivf_recall_curve",
     "ship_latency_percentiles",
     "doc_length_histogram",
+    "session_entry_conversion",
+    "column_correlation_audit",
+    "minhash_error_audit",
 ]
 
 
