@@ -868,7 +868,12 @@ def histogram_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"act_{q}")
         for q in _HSEL_QS
     ]
-    hist = e.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"), *acts)
+    # the 20-row histogram roots a two-branch diamond (actuals melt +
+    # interpolation) — checkpoint so the fact pass runs ONCE, keeping
+    # the two-scans-total claim true in the physical plan
+    hist = e.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt"), *acts
+    ).localCheckpoint()
     # melt the per-bucket conditional sums into (pct, actual_rows)
     act_stack = ", ".join(f"{q}, act_{q}" for q in _HSEL_QS)
     act = (

@@ -632,10 +632,13 @@ SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
 @query("funnel_conversion", _FUNNEL_ORACLE)
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # stage rollups feed the next join AND their own count: checkpoint
+    # so events is scanned once per stage (see timed_funnel)
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint()
     )
     c = (
         e.filter(F.col("event_type") == "click")
@@ -643,6 +646,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint()
     )
     p = (
         e.filter(F.col("event_type") == "purchase")
@@ -2347,10 +2351,14 @@ def timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", micros(F.col("ts")).alias("us")
     )
+    # each stage rollup feeds BOTH the next stage's join and its own
+    # count — checkpoint the per-user frames so the events fact is
+    # scanned once per stage (3 scans), not once per consumer (6)
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"), F.min("us").alias("us1"))
+        .localCheckpoint()
     )
     c = (
         e.filter(F.col("event_type") == "click")
@@ -2361,6 +2369,7 @@ def timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"), F.min("us").alias("us2"))
+        .localCheckpoint()
     )
     p = (
         e.filter(F.col("event_type") == "purchase")
