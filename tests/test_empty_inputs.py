@@ -66,6 +66,14 @@ REPRESENTATIVE = (
     "skew_audit", "inverted_postings", "last_touch_attribution",
     # round-7b additions
     "hybrid_rrf_fusion", "ann_ndcg_eval", "compaction_bins",
+    # round-8 additions
+    "ngram_novelty_curve", "degree_assortativity", "kcore_nodes",
+    "rfm_segments", "l_diversity_audit", "histogram_selectivity_audit",
+    "encoding_cost_audit", "timed_funnel", "seasonal_hour_outliers",
+    "heavy_hitters_twophase", "cross_source_dups", "source_dataset_card",
+    "join_explosion_audit", "ivf_recall_curve", "ship_latency_percentiles",
+    "doc_length_histogram", "session_entry_conversion",
+    "column_correlation_audit", "minhash_error_audit",
 )
 
 

@@ -91,7 +91,15 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           "fk_integrity_audit", "skew_audit", "inverted_postings",
           "last_touch_attribution",
           # round-7b additions
-          "hybrid_rrf_fusion", "ann_ndcg_eval", "compaction_bins"]:
+          "hybrid_rrf_fusion", "ann_ndcg_eval", "compaction_bins",
+          # round-8 additions
+          "ngram_novelty_curve", "degree_assortativity", "kcore_nodes",
+          "rfm_segments", "l_diversity_audit", "histogram_selectivity_audit",
+          "encoding_cost_audit", "timed_funnel", "seasonal_hour_outliers",
+          "heavy_hitters_twophase", "cross_source_dups", "source_dataset_card",
+          "join_explosion_audit", "ivf_recall_curve", "ship_latency_percentiles",
+          "doc_length_histogram", "session_entry_conversion",
+          "column_correlation_audit", "minhash_error_audit"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n
