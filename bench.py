@@ -178,6 +178,10 @@ HEADLINE = (
     "session_entry_conversion",
     "column_correlation_audit",
     "minhash_error_audit",
+    # round 8f: boilerplate detection, Zipf spectrum, rank movers
+    "boilerplate_ngrams",
+    "token_freq_spectrum",
+    "brand_rank_shift",
 )
 
 

@@ -59,10 +59,10 @@ together with the stale r02 textops/simsearch backfill listed above.
   queries — exactly 50 slots, so in-window new-query velocity is 0 and
   every round-8 addition lands after slot 50 to head the round-9
   window. After this window the never-verified set is empty and no
-  driver row is older than round 4. Round 8 added 19 queries
-  (ngram_novelty_curve … minhash_error_audit); the round-9 window is
-  therefore those 19 never-verified + 31 of the 50 r04-stale rows —
-  again exactly 50 — leaving 19 r04-stale for round 10 (velocity ≤ 31
+  driver row is older than round 4. Round 8 added 22 queries
+  (ngram_novelty_curve … brand_rank_shift); the round-9 window is
+  therefore those 22 never-verified + 28 of the 50 r04-stale rows —
+  again exactly 50 — leaving 22 r04-stale for round 10 (velocity ≤ 28
   that round keeps the ledger monotone).
 
 The ledger above is now DERIVED, not hand-maintained: once a round's

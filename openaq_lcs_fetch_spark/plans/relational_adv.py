@@ -2688,3 +2688,118 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exposed_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# brand_rank_shift — period-over-period movers (the "what changed this
+# half" leaderboard): each brand's revenue rank in the first vs second
+# half of the order-date range, with the shift. The split point is the
+# data's own midpoint day ((min+max+1) div 2 — deterministic, no wall
+# clock); revenue is exact cents; ranks are dense row_numbers over the
+# BRAND DIMENSION with a brand tiebreak (rank windows run on the
+# ~25-brand rollup, never facts). Brands absent from a half rank last
+# via a 0-revenue fill — absence is a result (rank shift to/from
+# nothing), not a dropped row.
+# ---------------------------------------------------------------------------
+
+_BRS_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(epoch_us(o_orderdate) // 86400000000) AS lo,
+         MAX(epoch_us(o_orderdate) // 86400000000) AS hi
+  FROM orders
+),
+rev AS (
+  SELECT p.p_brand AS brand,
+         CASE WHEN epoch_us(o.o_orderdate) // 86400000000
+                   < (b.lo + b.hi + 1) // 2
+              THEN 0 ELSE 1 END AS half,
+         SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS cents
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  CROSS JOIN bounds b
+  GROUP BY 1, 2
+),
+brands AS (SELECT DISTINCT brand FROM rev),
+dense AS (
+  SELECT b.brand, h.half, COALESCE(r.cents, 0) AS cents
+  FROM brands b CROSS JOIN (SELECT 0 AS half UNION ALL SELECT 1) h
+  LEFT JOIN rev r ON r.brand = b.brand AND r.half = h.half
+),
+ranked AS (
+  SELECT brand, half, cents,
+         row_number() OVER (PARTITION BY half
+                            ORDER BY cents DESC, brand ASC) AS rnk
+  FROM dense
+)
+SELECT a.brand,
+       CAST(a.cents AS BIGINT) AS cents_h1,
+       CAST(b.cents AS BIGINT) AS cents_h2,
+       CAST(a.rnk AS BIGINT) AS rank_h1,
+       CAST(b.rnk AS BIGINT) AS rank_h2,
+       CAST(a.rnk - b.rnk AS BIGINT) AS rank_gain
+FROM ranked a JOIN ranked b ON b.brand = a.brand AND a.half = 0 AND b.half = 1
+"""
+
+
+@query("brand_rank_shift", _BRS_ORACLE)
+def brand_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.timestamps import micros
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        micros(F.col("o_orderdate")).alias("ous"),
+    ).withColumn("d", F.expr("ous div 86400000000"))
+    bounds = o.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    p = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    rev = (
+        li.join(o.select("l_orderkey", "d"), "l_orderkey")
+        .join(F.broadcast(p), "l_partkey")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "brand",
+            F.when(
+                F.col("d") < F.expr("(lo + hi + 1) div 2"), F.lit(0)
+            ).otherwise(F.lit(1)).alias("half"),
+            "cents",
+        )
+        .groupBy("brand", "half")
+        .agg(F.sum("cents").alias("cents"))
+        # rollup roots the brands-spine diamond: scan once
+        .localCheckpoint()
+    )
+    halves = spark.createDataFrame([(0,), (1,)], "half int")
+    dense = (
+        rev.select("brand")
+        .distinct()
+        .crossJoin(F.broadcast(halves))
+        .join(rev, ["brand", "half"], "left")
+        .select(
+            "brand", "half", F.coalesce(F.col("cents"), F.lit(0)).alias("cents")
+        )
+    )
+    w = Window.partitionBy("half").orderBy(F.col("cents").desc(), F.col("brand").asc())
+    ranked = dense.withColumn("rnk", F.row_number().over(w))
+    a = ranked.filter(F.col("half") == 0).select(
+        "brand", F.col("cents").alias("cents_h1"), F.col("rnk").alias("rank_h1")
+    )
+    b = ranked.filter(F.col("half") == 1).select(
+        "brand", F.col("cents").alias("cents_h2"), F.col("rnk").alias("rank_h2")
+    )
+    return a.join(b, "brand").select(
+        "brand",
+        "cents_h1",
+        "cents_h2",
+        "rank_h1",
+        "rank_h2",
+        (F.col("rank_h1") - F.col("rank_h2")).cast("long").alias("rank_gain"),
+    )

@@ -3473,3 +3473,125 @@ def minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_abs_err_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_ngrams — template/boilerplate detection (the C4-style
+# cleaning signal doc_repetition's WITHIN-doc lens misses): shingles
+# that recur across a large fraction of a source's documents are
+# navigation chrome, footers, license headers — content no model should
+# see a thousand times. Per source: doc count, distinct shingles,
+# shingles present in >25% of the source's docs (df-ratio on exact
+# integers: 4·df > n_docs), and the boilerplate MASS ratio (occurrence
+# rows owned by boilerplate shingles, exact ppm) — the number that says
+# how much of the source a template-strip would delete. Shape: the
+# distinct (doc, shingle) basis collapses to per-(source, shingle) df
+# map-side; everything downstream is df-rollup-sized; threshold
+# arithmetic stays integer (no float ratio at the boundary).
+# ---------------------------------------------------------------------------
+
+_BOILER_ORACLE = f"""
+WITH {_SQL_SHINGLE_TABLE},
+docsrc AS (SELECT doc_id, source FROM documents),
+occ AS (
+  SELECT d.source, s.sh, s.doc_id
+  FROM sh s JOIN docsrc d ON d.doc_id = s.doc_id
+),
+nd AS (
+  SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM occ GROUP BY 1
+),
+df AS (
+  SELECT source, sh, CAST(COUNT(*) AS BIGINT) AS df
+  FROM occ GROUP BY 1, 2
+)
+SELECT d.source, n.n_docs,
+       CAST(COUNT(*) AS BIGINT) AS distinct_shingles,
+       CAST(SUM(CASE WHEN 4 * d.df > n.n_docs THEN 1 ELSE 0 END) AS BIGINT)
+         AS boilerplate_shingles,
+       CAST((SUM(CASE WHEN 4 * d.df > n.n_docs THEN d.df ELSE 0 END)
+             * 1000000) // SUM(d.df) AS BIGINT) AS boilerplate_mass_ppm
+FROM df d JOIN nd n ON n.source = d.source
+GROUP BY d.source, n.n_docs
+"""
+
+
+@query("boilerplate_ngrams", _BOILER_ORACLE)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import exact_div
+
+    docs = t(spark, sf_dir, "documents")
+    occ = (
+        SIM.shingle_table(docs, "doc_id", "text", shingle_n=3)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        # roots the n_docs + df diamond: one shingle explode
+        .localCheckpoint()
+    )
+    nd = occ.groupBy("source").agg(F.countDistinct("doc_id").alias("n_docs"))
+    df = occ.groupBy("source", "sh").agg(F.count(F.lit(1)).alias("df"))
+    boiler = F.when(4 * F.col("df") > F.col("n_docs"), F.col("df")).otherwise(0)
+    return (
+        df.join(F.broadcast(nd), "source")
+        .groupBy("source", "n_docs")
+        .agg(
+            F.count(F.lit(1)).alias("distinct_shingles"),
+            F.sum(
+                F.when(4 * F.col("df") > F.col("n_docs"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("boilerplate_shingles"),
+            exact_div(
+                F.sum(boiler).cast("decimal(38,0)") * F.lit(1000000),
+                F.sum("df").cast("decimal(38,0)"),
+            )
+            .cast("long")
+            .alias("boilerplate_mass_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# token_freq_spectrum — the Zipf diagnostic of the corpus vocabulary:
+# the count-of-counts table of token frequencies (how many distinct
+# tokens occur exactly f times), plus the total/vocab masses. Reads as
+# a dataset-health gate: a natural corpus is heavy-tailed (huge
+# hapax count); a templated or synthetic one collapses to few spikes.
+# The spectrum is O(√N) rows by construction (the skew_audit argument),
+# so the output is bounded at any corpus size; token counts come from
+# ONE explode + two map-side-combining rollups. Exact integers
+# throughout — no log-log slope here because ln() is not correctly
+# rounded cross-engine (ORACLE_NOTES); the spectrum itself carries the
+# same information losslessly.
+# ---------------------------------------------------------------------------
+
+_TFS_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+),
+tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+spec AS (
+  SELECT f, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tf GROUP BY 1
+)
+SELECT f AS freq, n_tokens,
+       CAST(f * n_tokens AS BIGINT) AS token_mass
+FROM spec
+"""
+
+
+@query("token_freq_spectrum", _TFS_ORACLE)
+def token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return (
+        tf.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .select(
+            F.col("f").alias("freq"),
+            "n_tokens",
+            (F.col("f") * F.col("n_tokens")).cast("long").alias("token_mass"),
+        )
+    )

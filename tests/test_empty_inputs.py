@@ -74,6 +74,7 @@ REPRESENTATIVE = (
     "join_explosion_audit", "ivf_recall_curve", "ship_latency_percentiles",
     "doc_length_histogram", "session_entry_conversion",
     "column_correlation_audit", "minhash_error_audit",
+    "boilerplate_ngrams", "token_freq_spectrum", "brand_rank_shift",
 )
 
 

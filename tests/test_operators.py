@@ -3162,3 +3162,81 @@ def test_minhash_error_audit_identical_docs_zero_error(spark, tmp_path):
     ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
     out = QUERIES["minhash_error_audit"].fn(spark, sf).collect()[0]
     assert (out.n_pairs, out.mean_abs_err_ppm, out.max_abs_err_ppm) == (1, 0, 0)
+
+
+def test_boilerplate_ngrams_shared_header(spark, tmp_path):
+    """Four docs in one source, two starting with the same 3-token
+    header: 'home nav bar' has df=2 (4·2 > 4 → boilerplate), every
+    other shingle df=1. Distinct shingles 9, occurrence mass 10, of
+    which 2 rows are boilerplate → 200000 ppm."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    rows = [
+        (1, "home nav bar alpha beta", "en", "s", 23),
+        (2, "home nav bar gamma delta", "en", "s", 24),
+        (3, "unique words only here", "en", "s", 22),
+        (4, "other totally different text", "en", "s", 28),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    out = QUERIES["boilerplate_ngrams"].fn(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.source, r.n_docs, r.distinct_shingles) == ("s", 4, 9)
+    assert (r.boilerplate_shingles, r.boilerplate_mass_ppm) == (1, 200_000)
+
+
+def test_token_freq_spectrum_hand_counts(spark, tmp_path):
+    """Tokens a×3, b×1, c×1 → spectrum rows (freq 3: 1 token, mass 3)
+    and (freq 1: 2 tokens, mass 2) — occurrences counted per instance,
+    not per document."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    rows = [(1, "a a b", "en", "s", 5), (2, "a c", "en", "s", 3)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    out = {r.freq: r for r in QUERIES["token_freq_spectrum"].fn(spark, sf).collect()}
+    assert set(out) == {1, 3}
+    assert (out[3].n_tokens, out[3].token_mass) == (1, 3)
+    assert (out[1].n_tokens, out[1].token_mass) == (2, 2)
+
+
+def test_brand_rank_shift_two_brands_swap(spark, tmp_path):
+    """Brand A leads the first half (300 vs 200 cents), B the second
+    (400 vs 100): ranks swap, so A's rank_gain is −1 and B's +1. The
+    midpoint day splits Jan 1 (half 0) from Jan 4 (half 1) using the
+    data's own (lo+hi+1) div 2."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, 1, "O", 5.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+            (2, 1, "O", 5.0, dt.datetime(2024, 1, 4), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+    spark.createDataFrame(
+        [(10, "Brand#A"), (11, "Brand#B")],
+        "p_partkey long, p_brand string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "part.parquet"))
+    li = [(1, 10, 3.0), (1, 11, 2.0), (2, 10, 1.0), (2, 11, 4.0)]
+    spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long, l_extendedprice double"
+    ).coalesce(1).write.parquet(os.path.join(sf, "lineitem.parquet"))
+    out = {r.brand: r for r in QUERIES["brand_rank_shift"].fn(spark, sf).collect()}
+    a, b = out["Brand#A"], out["Brand#B"]
+    assert (a.cents_h1, a.cents_h2, a.rank_h1, a.rank_h2, a.rank_gain) == (300, 100, 1, 2, -1)
+    assert (b.cents_h1, b.cents_h2, b.rank_h1, b.rank_h2, b.rank_gain) == (200, 400, 2, 1, 1)

@@ -99,7 +99,8 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           "heavy_hitters_twophase", "cross_source_dups", "source_dataset_card",
           "join_explosion_audit", "ivf_recall_curve", "ship_latency_percentiles",
           "doc_length_histogram", "session_entry_conversion",
-          "column_correlation_audit", "minhash_error_audit"]:
+          "column_correlation_audit", "minhash_error_audit",
+          "boilerplate_ngrams", "token_freq_spectrum", "brand_rank_shift"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n

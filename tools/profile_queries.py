@@ -182,6 +182,9 @@ PROFILED = [
     "session_entry_conversion",
     "column_correlation_audit",
     "minhash_error_audit",
+    "boilerplate_ngrams",
+    "token_freq_spectrum",
+    "brand_rank_shift",
 ]
 
 
