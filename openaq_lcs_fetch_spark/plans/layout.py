@@ -849,11 +849,13 @@ def histogram_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("x")
     )
+    # 1-row bounds frame feeds the fact pass AND two downstream
+    # broadcasts — checkpoint so the bounds scan runs once
     par = c.agg(
         F.min("x").alias("lo"),
         (F.max("x") - F.min("x") + 1).alias("w"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).localCheckpoint()
     qs = spark.createDataFrame([(q,) for q in _HSEL_QS], "pct int")
     # ONE combined fact pass: bucket counts for the histogram plus the
     # five exact predicate counts as conditional sums (no second scan

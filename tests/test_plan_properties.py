@@ -653,3 +653,65 @@ def test_round7b_new_queries_plan_shapes(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 0, tree.count("Scan parquet")
     assert tree.count("Scan ExistingRDD") >= 2
+
+
+def test_round8_new_queries_plan_shapes(spark, sf_dir):
+    """Round-8 pins. Queries rooted on an eagerly-checkpointed rollup
+    must plan their FINAL stage with zero parquet scans — the corpus
+    work ran exactly once into the checkpoint, and any regression that
+    re-plans a scan per consumer (the fk_integrity_audit round-7
+    lesson, re-found this round in the graph queries' symmetric union)
+    shows up here as a scan count, not a silent 2x wall."""
+    for name in (
+        "degree_assortativity",      # edges + sym + deg checkpointed
+        "kcore_nodes",               # peeled sym checkpointed per round
+        "heavy_hitters_twophase",    # candidate set checkpointed
+        "ngram_novelty_curve",       # shingle/batch basis checkpointed
+        "seasonal_hour_outliers",    # hourly rollup checkpointed
+        "brand_rank_shift",          # (brand, half) rollup checkpointed
+        "minhash_error_audit",       # shingles + candidate pairs
+        "ivf_recall_curve",          # one scoring pass feeds all points
+        "histogram_selectivity_audit",  # bounds + histogram checkpointed
+    ):
+        tree = _plan(spark, sf_dir, name).split("\n\n")[0]
+        assert tree.count("Scan parquet") == 0, (name, tree.count("Scan parquet"))
+        assert tree.count("Scan ExistingRDD") >= 1, name
+
+    # single-scan queries: schema pruned to what the query touches
+    plan = _plan(spark, sf_dir, "rfm_segments")
+    assert plan.split("\n\n")[0].count("Scan parquet") == 1
+    rs = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "o_totalprice" in rs and "o_orderstatus" not in rs
+
+    plan = _plan(spark, sf_dir, "doc_length_histogram")
+    assert plan.split("\n\n")[0].count("Scan parquet") == 1
+    rs = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "text" in rs and "source" not in rs
+
+    plan = _plan(spark, sf_dir, "token_freq_spectrum")
+    assert plan.split("\n\n")[0].count("Scan parquet") == 1
+    rs = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "lang" not in rs and "n_chars" not in rs
+
+    # timed_funnel: view/click stages live behind checkpoints, so the
+    # final plan scans events exactly once (the purchase stage)
+    tree = _plan(spark, sf_dir, "timed_funnel").split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree.count("Scan parquet")
+    assert tree.count("Scan ExistingRDD") >= 2
+
+    # ship latency: one scan per side, pruned to join key + date
+    plan = _plan(spark, sf_dir, "ship_latency_percentiles")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2, tree.count("Scan parquet")
+    assert "l_extendedprice" not in plan and "o_totalprice" not in plan
+
+    # sessionized conversion: per-user window, never a global sort
+    plan = _plan(spark, sf_dir, "session_entry_conversion")
+    assert "hashpartitioning(user_id" in plan
+
+    # encoding cost: the three passes (runs, seams, NDV) are the only
+    # fact scans, each pruned past the untouched props column
+    plan = _plan(spark, sf_dir, "encoding_cost_audit")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 3, tree.count("Scan parquet")
+    assert "props" not in plan
