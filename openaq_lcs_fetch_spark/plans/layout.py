@@ -981,7 +981,7 @@ lagd AS (
          lag(user_id) OVER w AS p_user,
          lag(cents) OVER w AS p_cents,
          row_number() OVER w AS rn
-  FROM e WINDOW w AS (ORDER BY event_type, us, event_id)
+  FROM e WINDOW w AS (ORDER BY event_type NULLS LAST, us, event_id)
 ),
 runs AS (
   SELECT
@@ -1064,7 +1064,10 @@ def encoding_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("cents", F.struct("us", "event_id")).alias("first_cents"),
         F.max_by("cents", F.struct("us", "event_id")).alias("last_cents"),
     )
-    tw = Window.orderBy("event_type")
+    # explicit NULLS LAST: Spark defaults nulls-first, DuckDB nulls-
+    # last — a NULL event_type would otherwise stitch the seam chain
+    # in a different type order per engine (latent; pinned explicit)
+    tw = Window.orderBy(F.col("event_type").asc_nulls_last())
     seams = per_type.select(
         "event_type",
         "first_user",

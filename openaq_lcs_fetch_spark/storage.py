@@ -202,6 +202,7 @@ def vacuum_by_retention(
     still driver-side and column-pruned, the documented cost of
     inheriting a deprecated layout.
     """
+    import datetime
     import glob
     import os
 
@@ -209,7 +210,12 @@ def vacuum_by_retention(
     import pyarrow.parquet as pq
 
     def _to_us(v) -> int:
-        if hasattr(v, "timestamp"):  # datetime (any tz handling uniform)
+        if hasattr(v, "timestamp"):  # datetime
+            # Stored values are UTC instants; a NAIVE datetime fed to
+            # .timestamp() would be read in the machine's local tz
+            # (DST-dependent cutoff skew) — pin it to UTC first.
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=datetime.timezone.utc)
             return int(v.timestamp() * 1_000_000)
         v = int(v)  # raw int64 epoch: the nanosAsLong ingest path is ns
         return v // 1000
@@ -222,8 +228,16 @@ def vacuum_by_retention(
         lo = hi = None
         try:
             md = pq.read_metadata(f)
-            arrow_schema = md.schema.to_arrow_schema()
-            idx = arrow_schema.get_field_index(ts_col)
+            # row_group(rg).column(i) indexes FLATTENED parquet leaf
+            # columns — an arrow top-level field index diverges as soon
+            # as any nested column precedes ts_col, silently reading
+            # another column's stats. Resolve the leaf index from the
+            # parquet schema's own leaf paths instead.
+            idx = -1
+            for li in range(len(md.schema.names)):
+                if md.schema.column(li).path == ts_col:
+                    idx = li
+                    break
             if idx >= 0:
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(idx).statistics

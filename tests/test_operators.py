@@ -3240,3 +3240,177 @@ def test_brand_rank_shift_two_brands_swap(spark, tmp_path):
     a, b = out["Brand#A"], out["Brand#B"]
     assert (a.cents_h1, a.cents_h2, a.rank_h1, a.rank_h2, a.rank_gain) == (300, 100, 1, 2, -1)
     assert (b.cents_h1, b.cents_h2, b.rank_h1, b.rank_h2, b.rank_gain) == (200, 400, 2, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# round-9 adversarial fixtures for the round-8 operator families: each
+# drives a degenerate input through BOTH engines and requires agreement
+# (empty/NULL, never a crash or a one-engine answer).
+# ---------------------------------------------------------------------------
+
+
+def _duck_on(sf: str, *tables_needed: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for name in tables_needed:
+        con.sql(
+            f"CREATE VIEW {name} AS"
+            f" SELECT * FROM '{sf}/{name}.parquet/*.parquet'"
+        )
+    return con
+
+
+def test_kcore_nodes_peels_to_empty(spark, tmp_path):
+    """A support-2 path 1–2–3 has max degree 2 < k=3: round one peels
+    the leaves, round two peels the middle — the 3-core is EMPTY.
+    Both the DataFrame fixpoint loop and the recursive-CTE oracle must
+    agree on zero rows (the early-exit path, not an error)."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    baskets = {100: [1, 2], 101: [1, 2], 200: [2, 3], 201: [2, 3]}
+    rows = [(ok, pk) for ok, parts in baskets.items() for pk in parts]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").coalesce(
+        1
+    ).write.parquet(os.path.join(sf, "lineitem.parquet"))
+
+    assert QUERIES["kcore_nodes"].fn(spark, sf).count() == 0
+    con = _duck_on(sf, "lineitem")
+    assert con.sql(QUERIES["kcore_nodes"].oracle).fetchall() == []
+
+
+def test_ngram_novelty_curve_single_batch(spark, tmp_path):
+    """One document → hi == lo, span 1: the batch divisor's degenerate
+    case. Everything lands in batch 0 and every gram is corpus-first
+    (novelty exactly 1e6 ppm); both engines agree."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    rows = [(7, "x y z w", "en", "s1", 7)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    out = QUERIES["ngram_novelty_curve"].fn(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.batch, r.n_docs, r.n_gram_rows, r.novel_grams, r.novelty_ppm) == (
+        0, 1, 2, 2, 1_000_000,
+    )
+    con = _duck_on(sf, "documents")
+    orows = con.sql(QUERIES["ngram_novelty_curve"].oracle).fetchall()
+    assert len(orows) == 1 and orows[0][0] == 0
+
+
+def test_histogram_selectivity_audit_single_value(spark, tmp_path):
+    """All o_totalprice identical → lo = hi, w = 1: every bucket
+    degenerates to the single cell [0,0], every percentile offset is 0,
+    so each predicate matches ALL rows and the interpolated estimate is
+    exact (err_ppm 0). Pins the w=1 division paths on both engines."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    rows = [
+        (i, i, "O", 123.45, dt.datetime(2024, 1, 1), "1-URGENT")
+        for i in range(6)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+
+    out = QUERIES["histogram_selectivity_audit"].fn(spark, sf).collect()
+    assert len(out) == 5
+    for r in out:
+        assert (r.threshold_cents, r.actual_rows, r.est_rows, r.err_ppm) == (
+            12345, 6, 6, 0,
+        )
+    con = _duck_on(sf, "orders")
+    orows = con.sql(QUERIES["histogram_selectivity_audit"].oracle).fetchall()
+    assert len(orows) == 5
+    for orow in orows:
+        assert tuple(orow[1:]) == (12345, 6, 6, 0)
+
+
+def test_cross_source_dups_zero_cross_pairs(spark, tmp_path):
+    """LSH candidates exist (two identical docs) but both live in the
+    SAME source, and the other source holds only an unrelated doc:
+    the cross-source pair set is empty. Both engines must return zero
+    rows — the empty-result hash-parity case."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    text = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, text, "en", "a", len(text)),
+        (2, text, "en", "a", len(text)),
+        (3, "completely different words appear in this one", "en", "b", 46),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    assert QUERIES["cross_source_dups"].fn(spark, sf).count() == 0
+    con = _duck_on(sf, "documents")
+    assert con.sql(QUERIES["cross_source_dups"].oracle).fetchall() == []
+
+
+def test_encoding_cost_audit_null_event_type(spark, tmp_path):
+    """A NULL event_type partition: with default null ordering Spark
+    sorts NULLS FIRST and DuckDB NULLS LAST, which would stitch the
+    seam chain in opposite type orders. Both sides now pin NULLS LAST
+    explicitly — the full output must agree cell-for-cell."""
+    import datetime as dt
+    import math
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (1, t0, 1, "A", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 2, "A", 2.0, "{}"),
+        (3, t0, 2, None, 2.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=1), 3, None, 3.0, "{}"),
+        (5, t0, 3, "B", 3.0, "{}"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    sdf = QUERIES["encoding_cost_audit"].fn(spark, sf).toPandas()
+    con = _duck_on(sf, "events")
+    odf = con.sql(QUERIES["encoding_cost_audit"].oracle).df()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return sorted(
+            tuple(
+                "NULL" if v is None or (isinstance(v, float) and math.isnan(v))
+                else str(v)
+                for v in row
+            )
+            for row in df.itertuples(index=False)
+        )
+
+    assert canon(sdf) == canon(odf)
+    # NULLS LAST puts the NULL type partition AFTER B; user_id under
+    # (type, us, id) order is A:1,2 | B:3 | NULL:2,3 = 1,2,3,2,3 → 5 runs
+    by_col = {r.column_name: r for r in sdf.itertuples(index=False)}
+    assert by_col["event_type"].n_runs == 3  # A, B, NULL each contiguous
+    assert by_col["user_id"].n_runs == 5

@@ -678,3 +678,94 @@ def test_vacuum_by_retention_footer_driven(spark, tmp_path):
     # keep_days large enough -> nothing deletable
     res2 = vacuum_by_retention(root, "ts", keep_days=61)
     assert res2["n_deleted"] == 0 and res2["n_kept"] == 3
+
+
+def test_vacuum_nested_column_before_ts(tmp_path):
+    """Leaf-index resolution: a nested struct BEFORE ts_col flattens to
+    multiple parquet leaf columns, so arrow's top-level field index no
+    longer equals the row-group column index. The vacuum must still
+    read ts's own min/max stats (not another leaf's) — regression for
+    the silent wrong-column read."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from openaq_lcs_fetch_spark.storage import vacuum_by_retention
+
+    root = str(tmp_path / "ds")
+    os.makedirs(root)
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def write_one(name, days):
+        n = len(days)
+        tbl = pa.table(
+            {
+                # struct with TWO int leaves ahead of ts: arrow index of
+                # ts is 1, parquet leaf index of ts is 2
+                "meta": pa.array(
+                    [{"a": 10_000_000_000, "b": 0} for _ in range(n)],
+                    type=pa.struct([("a", pa.int64()), ("b", pa.int64())]),
+                ),
+                "ts": pa.array(
+                    [base + dt.timedelta(days=d) for d in days],
+                    type=pa.timestamp("us", tz="UTC"),
+                ),
+            }
+        )
+        pq.write_table(tbl, os.path.join(root, name))
+
+    write_one("old.parquet", [0])
+    write_one("new.parquet", [60])
+
+    res = vacuum_by_retention(root, "ts", keep_days=31, dry_run=True)
+    # correct stats → only the day-0 file is deletable; a wrong-column
+    # read (meta.a = 10^10 "nanos" ≈ 1970) would misclassify both
+    assert res["deleted"] == ["old.parquet"]
+    assert res["kept"] == ["new.parquet"]
+
+
+def test_vacuum_cutoff_tz_independent(spark, tmp_path):
+    """Naive-datetime footer stats are UTC instants: the computed
+    cutoff_us and the delete set must not depend on the host TZ
+    (regression for the local-time .timestamp() read)."""
+    import datetime as dt
+    import glob
+    import os
+    import time
+
+    from openaq_lcs_fetch_spark.storage import vacuum_by_retention
+
+    base = dt.datetime(2024, 1, 1)
+    root = str(tmp_path / "ds")
+    os.makedirs(root)
+
+    def write_one(name, days):
+        rows = [(i, base + dt.timedelta(days=d)) for i, d in enumerate(days)]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+        tmp = str(tmp_path / ("w_" + name))
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+        os.replace(part, os.path.join(root, name))
+
+    write_one("day0.parquet", [0])
+    write_one("day60.parquet", [60])
+
+    old_tz = os.environ.get("TZ")
+    try:
+        os.environ["TZ"] = "UTC"
+        time.tzset()
+        utc_res = vacuum_by_retention(root, "ts", keep_days=31, dry_run=True)
+        os.environ["TZ"] = "Pacific/Kiritimati"  # UTC+14, no DST
+        time.tzset()
+        kir_res = vacuum_by_retention(root, "ts", keep_days=31, dry_run=True)
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+
+    assert utc_res["cutoff_us"] == kir_res["cutoff_us"]
+    assert utc_res["deleted"] == kir_res["deleted"] == ["day0.parquet"]
