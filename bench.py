@@ -182,25 +182,56 @@ HEADLINE = (
     "boilerplate_ngrams",
     "token_freq_spectrum",
     "brand_rank_shift",
+    # round 9: sink/checkpoint round-trips (K1/K2/K3/K4 made
+    # driver-verifiable — real disk IO is part of the measured cost)
+    "measures_csv_roundtrip",
+    "measures_json_roundtrip",
+    "station_upsert_flow",
+    "checkpoint_roundtrip",
 )
 
 
-def _calibrate(spark) -> float:
-    """Fixed, data-independent reference job (a codegen-heavy scan sum
-    plus one 1000-key shuffle) timed best-of-2. Round-over-round bench
-    comparisons on this box are dominated by SESSION state, not plans:
-    the round-7 reconciliation re-ran the full r6 bench twice and the
-    73-query shared subtotal came back 1.215× the driver's BENCH_r06
-    with a MEDIAN per-query ratio of 1.195 — a uniform multiplicative
-    box/JVM factor (background load, JIT state), while individual
-    untouched queries scattered 0.72×–3.04× around it. Divide each
-    round's per-query walls by (calibration_r{N}/calibration_r{M})
-    before calling anything a mover; the 2022-era alternative —
-    trusting raw per-query deltas — produced the r5 split_leakage_audit
-    and r6 weighted_median_value false alarms."""
+def _loadavg() -> list[float] | None:
+    """Host 1/5/15-minute load averages — co-tenant load is the one
+    session factor the in-JVM calibration jobs cannot see (round 8:
+    fleet ~1.35× on bit-identical plans while the scan job read
+    FASTER; the only unmeasured variable was the box)."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return [float(x) for x in fh.read().split()[:3]]
+    except OSError:
+        return None
+
+
+def _calibrate(spark) -> dict:
+    """Two fixed, data-independent reference jobs timed best-of-2,
+    returned as ``{"scan": s, "fleet": s}``. Round-over-round bench
+    comparisons on this box are dominated by SESSION/BOX state, not
+    plans: the round-7 reconciliation re-ran the full r6 bench twice
+    and the 73-query shared subtotal came back 1.215× the driver's
+    BENCH_r06 with a MEDIAN per-query ratio of 1.195 — a uniform
+    multiplicative factor, while untouched queries scattered
+    0.72×–3.04× around it. Divide each round's per-query walls by the
+    calibration ratio before calling anything a mover.
+
+    ``scan`` is the historical component (codegen-heavy range sum +
+    one 1000-key shuffle) — kept bit-identical so the r01-r08 series
+    stays comparable. Round 8 proved it is NOT shaped like the fleet:
+    three independent r08 runs put the fleet at ~1.35× the r07 record
+    on unchanged plans while ``scan`` read FASTER (0.568 end vs 0.768)
+    — it has 2 stages, one tiny shuffle, no storage, so it is blind to
+    scheduler/shuffle-IO/checkpoint-storage pressure. ``fleet`` is
+    shaped like the median headline query: a 3-stage shuffle chain
+    (wide groupBy → sort-merge self-join above the broadcast threshold
+    → second groupBy) over a localCheckpoint that is written once and
+    READ TWICE — exercising task scheduling breadth (~100 tasks),
+    shuffle write+read, block-manager storage, and the Python-driver
+    round-trips that real queries pay. Use fleet_start/fleet_end for
+    cross-round de-noising; scan remains for continuity with r01-r08.
+    """
     from pyspark.sql import functions as F
 
-    best = float("inf")
+    best_scan = best_fleet = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
         spark.range(100_000_000).select(
@@ -209,8 +240,31 @@ def _calibrate(spark) -> float:
         spark.range(4_000_000).groupBy((F.col("id") % 1000).alias("k")).count().agg(
             F.sum("count")
         ).collect()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3)
+        best_scan = min(best_scan, time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        base = (
+            spark.range(4_000_000)
+            .select(
+                (F.col("id") % 2_000_000).alias("k"),
+                (F.col("id") % 97).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s1"))
+            .localCheckpoint()  # storage write + lineage cut
+        )
+        # 2M distinct keys ≈ 32 MB per side: stays a sort-merge join
+        # (above the 10 MB broadcast threshold), so the self-join pays
+        # a real exchange on BOTH checkpoint re-reads
+        joined = base.join(
+            base.select("k", F.col("s1").alias("s2")), "k"
+        )
+        joined.groupBy((F.col("k") % 1000).alias("g")).agg(
+            F.sum(F.col("s1") + F.col("s2")).alias("t")
+        ).agg(F.sum("t")).collect()
+        base.unpersist()
+        best_fleet = min(best_fleet, time.perf_counter() - t0)
+    return {"scan": round(best_scan, 3), "fleet": round(best_fleet, 3)}
 
 
 def _history_path() -> str | None:
@@ -218,19 +272,31 @@ def _history_path() -> str | None:
     driver archives only the LAST 2000 chars of the stdout line, so each
     round only ~74 of the 100+ per-query walls survive in BENCH_r{N}.json
     and cross-round comparisons are reconstruction-biased. Write the FULL
-    result to docs/BENCH_HISTORY/r{N}.json too, with N inferred as
-    1 + max committed BENCH_r*.json round (the driver records round N's
-    bench AFTER the repo already holds rounds 1..N-1). Repo-relative, so
-    a bench run from a checkout elsewhere still lands next to bench.py;
-    sf-gated to the driver's configuration so local sf0.01 iteration
-    doesn't clobber the round's sf0.1 record."""
+    result to docs/BENCH_HISTORY/r{N}.json too.
+
+    Round-9 hardening (round-8 verdict task #3): history writes are now
+    OPT-IN via ``SPARK_GRAFT_BENCH_HISTORY=1`` — any stray sf0.1 run
+    (judge, local experiment) after the driver's round used to mint a
+    bogus r{N+1} file that the next real round then overwrote. The
+    round number is also inferred from COMMITTED BENCH_r*.json files
+    only (``git ls-files``), so the driver's own untracked
+    BENCH_r{N}.json can no longer bump the inferred round mid-session;
+    the disk listing is only a fallback for a git-less checkout."""
     import re
+    import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        names = subprocess.run(
+            ["git", "-C", repo, "ls-files", "BENCH_r*.json"],
+            capture_output=True, text=True, timeout=10, check=True,
+        ).stdout.split()
+    except Exception:
+        names = os.listdir(repo)
     rounds = [
         int(m.group(1))
-        for f in os.listdir(repo)
-        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        for f in names
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(f)))
     ]
     out_dir = os.path.join(repo, "docs", "BENCH_HISTORY")
     os.makedirs(out_dir, exist_ok=True)
@@ -246,6 +312,7 @@ def main() -> None:
     # warm the JVM + parquet footers outside the timed region
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    load_start = _loadavg()
     calib_start = _calibrate(spark)
 
     # best-of-2 per query: first run pays whole-stage-codegen compile +
@@ -324,6 +391,7 @@ def main() -> None:
         per_query[name] = round(min(times), 3)
 
     calib_end = _calibrate(spark)
+    load_end = _loadavg()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -335,7 +403,19 @@ def main() -> None:
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
         "queries": per_query,
-        "calibration": {"start": calib_start, "end": calib_end},
+        # start/end keep the r01-r08 scan-job series comparable;
+        # fleet_* is the round-9 fleet-shaped component (3-stage
+        # shuffle + localCheckpoint re-read) — use ITS cross-round
+        # ratio for de-noising; loadavg_* records co-tenant load,
+        # the factor no in-JVM job can see
+        "calibration": {
+            "start": calib_start["scan"],
+            "end": calib_end["scan"],
+            "fleet_start": calib_start["fleet"],
+            "fleet_end": calib_end["fleet"],
+            "loadavg_start": load_start,
+            "loadavg_end": load_end,
+        },
         "sf": sf_val,
         # duplicated from "value": the driver archives only the
         # LAST 2000 chars of this line, and with 100+ queries the
@@ -343,7 +423,9 @@ def main() -> None:
         # "queries" always survive
         "total_wall": round(sum(per_query.values()), 3),
     }
-    if sf_val == 0.1:  # the driver's configuration, not local iteration
+    # history writes are opt-in (see _history_path); still sf-gated to
+    # the driver's configuration so sf0.01 iteration never writes
+    if sf_val == 0.1 and os.environ.get("SPARK_GRAFT_BENCH_HISTORY") == "1":
         try:
             with open(_history_path(), "w") as fh:
                 json.dump(result, fh, indent=1, sort_keys=True)

@@ -54,16 +54,18 @@ together with the stale r02 textops/simsearch backfill listed above.
   round-7b queries landed AFTER slot 50 on purpose (``hybrid_rrf_fusion``,
   ``ann_ndcg_eval``, ``compaction_bins``) — they spend round 8's entire
   new-query budget.
-* round 8 (here): the three round-7b queries (the only registered
+* round 8: the three round-7b queries (the only registered
   queries with zero driver rows) in slots 1-3, then ALL 47 r03-stale
-  queries — exactly 50 slots, so in-window new-query velocity is 0 and
-  every round-8 addition lands after slot 50 to head the round-9
-  window. After this window the never-verified set is empty and no
-  driver row is older than round 4. Round 8 added 22 queries
-  (ngram_novelty_curve … brand_rank_shift); the round-9 window is
-  therefore those 22 never-verified + 28 of the 50 r04-stale rows —
-  again exactly 50 — leaving 22 r04-stale for round 10 (velocity ≤ 28
-  that round keeps the ledger monotone).
+  queries — exactly 50 slots, in-window new-query velocity 0
+  (CORRECTNESS_r08: 50/50 green, r03 staleness zeroed). Round 8 added
+  22 queries (ngram_novelty_curve … brand_rank_shift) after slot 50.
+* round 9 (here): those 22 never-verified round-8 queries in slots
+  1-22, then the 28 OLDEST r04-stale queries (audit order:
+  late_shipped_priorities … locf_fill) — again exactly 50. The
+  remaining 22 r04-stale rows (trailing_1h_stats …
+  week_over_week_reconcile) head the round-10 window; any round-9
+  additions land after slot 50, and round-10 velocity must stay ≤ 28
+  to keep the ledger monotone.
 
 The ledger above is now DERIVED, not hand-maintained: once a round's
 CORRECTNESS_r{N}.json is committed, ``python tools/rotation_audit.py``
@@ -86,75 +88,70 @@ from . import windows_q  # noqa: F401
 from . import textops  # noqa: F401
 from . import simsearch  # noqa: F401
 from . import layout  # noqa: F401
+from . import sinks_q  # noqa: F401
 
-# Round-8 driver window (slots 1-50), executing the rotation the
-# round-7 verdict prescribed: (1) the three round-7b queries — the ONLY
-# registered queries with zero driver rows — in slots 1-3; (2) ALL 47
-# queries whose newest green driver row is ROUND 3 (the r03
-# relational/etl block, the r03 llmops/sketch block, and the r03
-# temporal/streaming remainder). 3 + 47 = exactly 50 slots, so round-8
-# new-query velocity inside the window is 0 by design: every query
-# added this round lands AFTER slot 50 and heads the round-9 window.
-# After this window, no driver row is older than round 4 and the
-# never-verified set is empty (``tools/rotation_audit.py`` derives
-# both claims from the committed CORRECTNESS files).
+# Round-9 driver window (slots 1-50), executing the rotation the
+# round-8 verdict prescribed: (1) the 22 round-8 queries — the ONLY
+# registered queries with zero driver rows — in slots 1-22; (2) the 28
+# OLDEST round-4-stale queries in ``tools/rotation_audit.py`` order.
+# 22 + 28 = exactly 50 slots. The remaining 22 r04-stale queries
+# (trailing_1h_stats … week_over_week_reconcile per the audit) head the
+# round-10 window, which is why round-9 in-window new-query velocity is
+# 0 and the round's few additions land after slot 50 by design.
 registry.promote(
     [
-        # (1) round-7b queries — never driver-verified (zero rows)
-        "hybrid_rrf_fusion",
-        "ann_ndcg_eval",
-        "compaction_bins",
-        # (2) last driver row = round 3: relational/etl block
-        "top_revenue_orders",
-        "region_revenue",
-        "brand_top_parts",
-        "priority_monthly",
-        "lineitem_melt_stats",
-        "customers_without_orders",
-        "supplier_nation_stats",
-        "cheapest_parts_per_brand",
-        "nation_pair_volume",
-        "promo_revenue_share",
-        "disjunctive_part_revenue",
-        "large_quantity_orders",
-        "returned_item_customers",
-        "nation_market_share",
-        "top_value_parts",
-        "brand_supplier_counts",
-        "last_shipper_suppliers",
-        "engaged_users",
-        "status_priority_sets",
-        "nation_revenue_share",
-        "forecast_revenue",
-        "small_quantity_revenue",
-        "customer_order_distribution",
-        "top_supplier",
-        # (2) last driver row = round 3: operator/etl remainder
-        "measurand_normalize",
-        "time_range_filter",
-        "sentinel_clean",
-        "whitelist_semi",
-        "latest_3_per_user",
-        "first_event_per_user",
-        "dedup_overlapping",
-        # (2) last driver row = round 3: llmops/sketch block
-        "decontaminate",
-        "pii_scrub",
-        "gopher_quality",
-        "doc_repetition",
-        "corpus_pipeline",
-        "kmv_distinct_users",
-        "pq_codes",
-        "pq_search",
-        "ann_ivf_multicell",
-        # (2) last driver row = round 3: temporal/streaming remainder
-        "views_before_purchase",
-        "session_peak_concurrency",
-        "asof_next_calibration",
-        "asof_calibration",
-        "streaming_gaps",
-        "streaming_click_to_buy",
-        "user_sessions",
+        # (1) round-8 queries — never driver-verified (zero rows)
+        "degree_assortativity",
+        "kcore_nodes",
+        "rfm_segments",
+        "l_diversity_audit",
+        "brand_rank_shift",
+        "ship_latency_percentiles",
+        "ngram_novelty_curve",
+        "cross_source_dups",
+        "source_dataset_card",
+        "doc_length_histogram",
+        "minhash_error_audit",
+        "boilerplate_ngrams",
+        "token_freq_spectrum",
+        "ivf_recall_curve",
+        "seasonal_hour_outliers",
+        "timed_funnel",
+        "session_entry_conversion",
+        "histogram_selectivity_audit",
+        "encoding_cost_audit",
+        "heavy_hitters_twophase",
+        "join_explosion_audit",
+        "column_correlation_audit",
+        # (2) the 28 oldest r04-stale queries, audit order
+        "late_shipped_priorities",
+        "wealthy_inactive_customers",
+        "containment_pairs",
+        "media_features",
+        "media_frame_sample",
+        "lsh_verified_pairs",
+        "token_budget_select",
+        "passage_dedup",
+        "doc_lm_score",
+        "weighted_sample",
+        "bm25_scores",
+        "doc_chunking",
+        "dup_span_stats",
+        "conjunctive_search",
+        "sequence_pack",
+        "semantic_dedup",
+        "ann_recall_eval",
+        "ann_rerank",
+        "embedding_dim_stats",
+        "embedding_covariance",
+        "jl_project",
+        "pca_power_iteration",
+        "logreg_gd_steps",
+        "ivf_pq_search",
+        "value_interpolate",
+        "hourly_completeness",
+        "scd2_intervals",
+        "locf_fill",
     ]
 )
 

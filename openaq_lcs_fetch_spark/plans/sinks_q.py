@@ -1,0 +1,291 @@
+"""Sink/checkpoint round-trip queries — driver-verifiable proofs for
+the §2 rows that were previously pytest-only (K1 CSV sink, K2 JSON
+v0.1 sink, K3 diff-upsert station sink, K4 checkpoint store).
+
+Shape: each query drives the REAL sink (the same code a production run
+uses) into a throwaway temp dir, reads the written artifact back with
+an explicit schema, reduces it to a small deterministic aggregate, and
+pins that aggregate against a DuckDB oracle that computes the same
+numbers straight from the source tables. A hash match is therefore a
+proof that the sink round-trip is lossless — serialization format,
+header/partition layout, null-stripping and all — not just that the
+sink "ran".
+
+Temp-dir hygiene: the readback aggregate is ``localCheckpoint()``-ed
+(eager, a handful of rows into the block manager) so the temp dir can
+be deleted BEFORE the DataFrame is returned; nothing lazy ever points
+at the throwaway path. The only driver-side scalars are the sink
+return dicts themselves (upsert counters, checkpoint high-water marks)
+— the same documented boundary as ``sources/checkpoint.py``.
+
+At 100 TB the sinks already scale (K2 shards its collect_list payloads,
+K3 is one hash-partitioned join on the station key); these queries run
+them at testdata size purely to make their CONTRACT hash-verifiable
+round over round.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.ids import sensor_id
+from ..sinks.measures import assemble_v01, write_measures_csv, write_measures_json
+from ..sinks.stations import diff_upsert
+from ..sources.checkpoint import CheckpointStore, advance, incremental_predicate
+from .registry import query, t
+
+_ISO = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+# ---------------------------------------------------------------------------
+# measures_csv_roundtrip — K1 (reference providers.js:141-159, header
+# measure.js:13-17) + C3 ingest ids + C5 ISO timestamps. Writes every
+# non-NaN event through the gzipped-CSV measures sink, reads the CSV
+# back (explicit schema, per-file headers stripped), and reduces to
+# count / distinct-sensor / exact-cents / ISO min-max. The min/max of
+# the FORMATTED strings equals the formatted min/max instant because
+# second-truncation is monotone — pinned against the oracle formatting
+# the true timestamps directly.
+# ---------------------------------------------------------------------------
+
+_CSV_RT_ORACLE = """
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT 'events-' || CAST(user_id AS VARCHAR) || '-' || event_type)
+       AS BIGINT) AS n_sensors,
+  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+  strftime(MIN(ts), '%Y-%m-%dT%H:%M:%SZ') AS first_iso,
+  strftime(MAX(ts), '%Y-%m-%dT%H:%M:%SZ') AS last_iso
+FROM events
+WHERE NOT isnan(value)
+"""
+
+
+@query("measures_csv_roundtrip", _CSV_RT_ORACLE)
+def measures_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    measures = (
+        t(spark, sf_dir, "events")
+        .filter(~F.isnan("value"))
+        .select(
+            sensor_id(F.lit("events"), "user_id", "event_type").alias("sensor_id"),
+            F.col("value").alias("measure"),
+            F.col("ts").alias("timestamp"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="sgq_csv_rt_")
+    try:
+        path = write_measures_csv(measures, root, "bench")
+        back = (
+            spark.read.schema("sensor_id string, measure double, timestamp string")
+            .option("header", "true")
+            .csv(path)
+        )
+        out = back.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("sensor_id").cast("long").alias("n_sensors"),
+            # cents are integers after the round — the sum is exact and
+            # order-independent in plain LONG, and the CSV double
+            # round-trip (shortest-repr write, exact parse) is lossless
+            F.sum(F.round(F.col("measure") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+            F.min("timestamp").alias("first_iso"),
+            F.max("timestamp").alias("last_iso"),
+        ).localCheckpoint()  # eager: frees the temp dir below
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# measures_json_roundtrip — K2 v0.1 envelope (providers.js:168-185,
+# payload shape clarity.js:177-190) + R5 nested assembly + C12 null
+# strip. Assembles sharded {meta, measures[], locations[]} payload rows
+# (n_shards=4) for purchase events with a nation-derived location dim,
+# writes the day-partitioned gzipped JSON, reads it back with an
+# explicit schema, and verifies per day: the 4-payload grid contract,
+# total nested measures, total nested location rows (each location in
+# exactly ONE shard per day), and the exact cents reduced INSIDE the
+# nested array with a higher-order aggregate — no explode, the payload
+# is verified in its shipped shape.
+# ---------------------------------------------------------------------------
+
+_JSON_RT_ORACLE = """
+SELECT
+  strftime(ts, '%Y-%m-%d') AS day,
+  CAST(4 AS BIGINT) AS n_payloads,
+  CAST(COUNT(*) AS BIGINT) AS n_measures,
+  CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_location_rows,
+  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+WHERE event_type = 'purchase' AND NOT isnan(value)
+GROUP BY 1
+"""
+
+
+@query("measures_json_roundtrip", _JSON_RT_ORACLE)
+def measures_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    measures = (
+        t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & ~F.isnan("value"))
+        .select(
+            sensor_id(F.lit("events"), "user_id", "event_type").alias("sensor_id"),
+            F.col("value").alias("measure"),
+            F.col("ts").alias("timestamp"),
+        )
+    )
+    locations = t(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("location"),
+        F.col("n_name").alias("label"),
+        (F.col("n_nationkey") % 2 == 0).alias("ismobile"),
+        (F.col("n_nationkey") * F.lit(1.5)).alias("lon"),
+        (F.col("n_regionkey") * F.lit(10.0)).alias("lat"),
+    )
+    payload = assemble_v01(measures, locations, source="events", n_shards=4)
+    root = tempfile.mkdtemp(prefix="sgq_json_rt_")
+    try:
+        path = write_measures_json(payload, root, "bench")
+        back = spark.read.schema(
+            "meta struct<schema:string,source:string,matching_method:string>,"
+            " measures array<struct<sensor_id:string,measure:double,"
+            "timestamp:string,flags:map<string,string>>>,"
+            " locations array<struct<location:string,label:string,"
+            "ismobile:boolean,lon:double,lat:double>>,"
+            " day string"
+        ).json(path)
+        out = (
+            back.groupBy("day")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_payloads"),
+                F.sum(F.size("measures")).cast("long").alias("n_measures"),
+                F.sum(F.size("locations")).cast("long").alias("n_location_rows"),
+                F.sum(
+                    F.expr(
+                        "aggregate(measures, 0L,"
+                        " (acc, m) -> acc + CAST(ROUND(m.measure * 100, 0) AS LONG))"
+                    )
+                )
+                .cast("long")
+                .alias("sum_cents"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# station_upsert_flow — K3 diff-upsert + J5 write elision (reference
+# providers.js:94-132: read current object, skip byte-identical PUTs).
+# Seeds a parquet station store from the supplier dim, re-upserts a
+# second batch where only the negative-balance stations changed, and
+# verifies BOTH the sink's own counters (seed written, update written,
+# update elided) and the final store contents read back from disk —
+# the changed rows replaced, the unchanged rows carried over once.
+# ---------------------------------------------------------------------------
+
+_UPSERT_ORACLE = """
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS total,
+  CAST(SUM(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+  CAST(COUNT(*) AS BIGINT) AS seed_written,
+  CAST(SUM(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS upd_written,
+  CAST(SUM(CASE WHEN s_acctbal >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS upd_skipped
+FROM supplier
+"""
+
+
+@query("station_upsert_flow", _UPSERT_ORACLE)
+def station_upsert_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stations_v1 = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("station"),
+        F.col("s_name").alias("label"),
+        F.col("s_nationkey").cast("int").alias("nation"),
+        F.col("s_acctbal").alias("balance"),
+    )
+    # second batch: deterministic change on the negative-balance subset
+    stations_v2 = stations_v1.withColumn(
+        "label",
+        F.when(
+            F.col("balance") < 0, F.concat(F.col("label"), F.lit("*"))
+        ).otherwise(F.col("label")),
+    )
+    root = tempfile.mkdtemp(prefix="sgq_upsert_")
+    try:
+        store = f"{root}/stations"
+        r1 = diff_upsert(spark, stations_v1, store, "station")
+        r2 = diff_upsert(spark, stations_v2, store, "station")
+        back = spark.read.parquet(store)
+        out = (
+            back.agg(
+                F.count(F.lit(1)).cast("long").alias("total"),
+                F.sum(
+                    F.when(F.col("label").endswith("*"), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_updated"),
+            )
+            .select(
+                "total",
+                "n_updated",
+                F.lit(r1["written"]).cast("long").alias("seed_written"),
+                F.lit(r2["written"]).cast("long").alias("upd_written"),
+                F.lit(r2["skipped_unchanged"]).cast("long").alias("upd_skipped"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# checkpoint_roundtrip — K4 checkpoint store + T2 incremental progress
+# + A2 high-water mark (reference fetcher/lib/meta.js:11-43, cmu.js:
+# 56-61,109-114). Processes the even-event-id half as "run 1", saves
+# its high-water mark through the REAL atomic JSON store, reloads it,
+# bounds "run 2" with the pushdown-friendly ts > hwm predicate, and
+# advances again. Verifies the saved/reloaded marks and the
+# incremental row count; the final mark must equal the global max
+# (advance never regresses). Output stays lazy over the source table —
+# nothing points at the temp store after the marks are read.
+# ---------------------------------------------------------------------------
+
+_CKPT_ORACLE = """
+WITH h1 AS (SELECT MAX(ts) AS hwm FROM events WHERE event_id % 2 = 0)
+SELECT
+  h1.hwm AS hwm_first,
+  CAST((SELECT COUNT(*) FROM events WHERE ts > h1.hwm) AS BIGINT)
+    AS n_incremental,
+  COALESCE((SELECT MAX(ts) FROM events WHERE ts > h1.hwm), h1.hwm)
+    AS hwm_final
+FROM h1
+"""
+
+
+@query("checkpoint_roundtrip", _CKPT_ORACLE)
+def checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="sgq_ckpt_")
+    try:
+        store = CheckpointStore(root)
+        run1 = e.filter(F.col("event_id") % 2 == 0)
+        ck1 = advance(store, "events", run1, "ts")
+        loaded = store.load("events")  # the reload a real run performs
+        incremental = e.filter(
+            incremental_predicate(F.col("ts"), loaded, "1970-01-01")
+        )
+        ck2 = advance(store, "events", incremental, "ts")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return incremental.agg(
+        F.count(F.lit(1)).cast("long").alias("n_incremental")
+    ).select(
+        F.lit(ck1.get("high_water_mark")).cast("timestamp").alias("hwm_first"),
+        "n_incremental",
+        F.lit(ck2.get("high_water_mark")).cast("timestamp").alias("hwm_final"),
+    )

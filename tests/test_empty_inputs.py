@@ -75,6 +75,9 @@ REPRESENTATIVE = (
     "doc_length_histogram", "session_entry_conversion",
     "column_correlation_audit", "minhash_error_audit",
     "boilerplate_ngrams", "token_freq_spectrum", "brand_rank_shift",
+    # round-9 additions (sink/checkpoint round-trips)
+    "measures_csv_roundtrip", "measures_json_roundtrip",
+    "station_upsert_flow", "checkpoint_roundtrip",
 )
 
 

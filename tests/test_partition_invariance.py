@@ -100,7 +100,10 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           "join_explosion_audit", "ivf_recall_curve", "ship_latency_percentiles",
           "doc_length_histogram", "session_entry_conversion",
           "column_correlation_audit", "minhash_error_audit",
-          "boilerplate_ngrams", "token_freq_spectrum", "brand_rank_shift"]:
+          "boilerplate_ngrams", "token_freq_spectrum", "brand_rank_shift",
+          # round-9 additions (sink/checkpoint round-trips)
+          "measures_csv_roundtrip", "measures_json_roundtrip",
+          "station_upsert_flow", "checkpoint_roundtrip"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n

@@ -715,3 +715,35 @@ def test_round8_new_queries_plan_shapes(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 3, tree.count("Scan parquet")
     assert "props" not in plan
+
+
+def test_round9_sink_roundtrip_plan_shapes(spark, sf_dir):
+    """Round-9 pins for the sink round-trip queries.
+
+    The three disk-writing round-trips delete their temp dir before
+    returning — the returned plan must therefore be rooted ONLY on the
+    eager localCheckpoint (zero file scans; a lazy read of the deleted
+    artifact would fail at driver collect time, or worse, silently scan
+    a stale path). checkpoint_roundtrip stays lazy over the source
+    table by design, and its incremental ts > hwm predicate must reach
+    the parquet scan as a pushed filter (T2's scan-bounding contract —
+    at 100 TB this predicate is the difference between reading a day
+    and reading the decade)."""
+    for name in (
+        "measures_csv_roundtrip",
+        "measures_json_roundtrip",
+        "station_upsert_flow",
+    ):
+        tree = _plan(spark, sf_dir, name).split("\n\n")[0]
+        assert tree.count("Scan parquet") == 0, (name, tree)
+        assert tree.count("Scan csv") == 0 and tree.count("Scan json") == 0, name
+        assert tree.count("Scan ExistingRDD") >= 1, name
+
+    plan = _plan(spark, sf_dir, "checkpoint_roundtrip")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree.count("Scan parquet")
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "ts" in pushed and "GreaterThan" in pushed, pushed
+    # pruned: only ts survives to the scan (count + filter need nothing else)
+    rs = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "props" not in rs and "event_type" not in rs

@@ -185,6 +185,13 @@ PROFILED = [
     "boilerplate_ngrams",
     "token_freq_spectrum",
     "brand_rank_shift",
+    # round 9: the last >1 s bench query without a profile row, plus
+    # the new sink round-trips (their job breadth is the profile story)
+    "daily_from_hourly",
+    "measures_csv_roundtrip",
+    "measures_json_roundtrip",
+    "station_upsert_flow",
+    "checkpoint_roundtrip",
 ]
 
 
