@@ -784,6 +784,13 @@ COMMENTARY = {
         "DECIMAL(38) integer-microsecond gap mass; (ts, event_id) "
         "ordering makes within-user order total and deterministic."
     ),
+    "checkpoint_roundtrip": (
+        "The K4 incremental contract in the plan: the reloaded "
+        "high-water mark becomes a ts > hwm PushedFilter on the "
+        "parquet scan (at 100 TB this bounds the re-read to the new "
+        "tail, not the decade), ReadSchema is pruned to ts alone, and "
+        "the count aggregates partial/final around one Exchange."
+    ),
 }
 
 
