@@ -350,7 +350,18 @@ def main() -> None:
     # page cache already absorbs the delta-file fsyncs). First
     # streaming query of a session additionally pays ~5-20 s of
     # one-time streaming-engine class-load in run 1; best-of-2
-    # absorbs it. Round 8 closed the partition-count question at the
+    # absorbs it. Round 9 reconciled the family's r07→r08 "1.8-2×"
+    # drift (VERDICT r8 task #5): in the idle→32-spinner→idle sandwich
+    # the streaming trio slows a median 2.89× under load — 1.33× MORE
+    # than the fleet calibration job (2.17×) and ~2× the scan job
+    # (1.50×) — because per-micro-batch scheduling is the most
+    # latency-sensitive shape in the fleet; measured on a quiet box
+    # the same queries return to r07 walls (streaming_hourly 1.96-2.26
+    # vs r07 2.38, sliding 2.01-2.17 vs 2.17, value_histogram
+    # 2.51-2.79 vs 2.33). Conclusion: session/box factor, NOT a plan
+    # regression; expect the streaming family to show the WIDEST
+    # spread whenever loadavg_start is elevated. Round 8 closed the
+    # partition-count question at the
     # last untried point: per-stream shuffle/state partitions = 16
     # (between the 32 default and the measured-slower 8) is ALSO a
     # no-go — interleaved min-of-4 with the bench's own GC/drop
