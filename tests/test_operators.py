@@ -3414,3 +3414,82 @@ def test_encoding_cost_audit_null_event_type(spark, tmp_path):
     by_col = {r.column_name: r for r in sdf.itertuples(index=False)}
     assert by_col["event_type"].n_runs == 3  # A, B, NULL each contiguous
     assert by_col["user_id"].n_runs == 5
+
+
+def test_measures_csv_roundtrip_hand_values(spark, tmp_path):
+    """Three events, one NaN (dropped): the CSV round-trip aggregate
+    must carry exact cents and second-truncated ISO bounds."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 5, 1, 10, 0, 0, 250000)  # sub-second: truncated
+    rows = [
+        (1, t0, 7, "view", 1.25, "{}"),
+        (2, t0 + dt.timedelta(hours=1), 7, "click", 2.50, "{}"),
+        (3, t0 + dt.timedelta(hours=2), 8, "view", float("nan"), "{}"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+    r = QUERIES["measures_csv_roundtrip"].fn(spark, sf).collect()[0]
+    assert (r.n_rows, r.n_sensors, r.sum_cents) == (2, 2, 375)
+    assert r.first_iso == "2024-05-01T10:00:00Z"  # .25s truncated, not rounded
+    assert r.last_iso == "2024-05-01T11:00:00Z"
+
+
+def test_station_upsert_flow_hand_counts(spark, tmp_path):
+    """Four suppliers, one negative balance: seed writes 4, the update
+    writes 1 and elides 3, and the final store holds exactly one
+    starred label."""
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    rows = [
+        (1, "Alpha", 1, 100.0),
+        (2, "Beta", 2, -5.0),
+        (3, "Gamma", 3, 0.0),
+        (4, "Delta", 4, 7.5),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    ).coalesce(1).write.parquet(os.path.join(sf, "supplier.parquet"))
+    r = QUERIES["station_upsert_flow"].fn(spark, sf).collect()[0]
+    assert (r.total, r.n_updated) == (4, 1)
+    assert (r.seed_written, r.upd_written, r.upd_skipped) == (4, 1, 3)
+
+
+def test_checkpoint_roundtrip_hand_marks(spark, tmp_path):
+    """Even ids end at 12:00; two odd rows land strictly after → the
+    incremental scan sees exactly those two and the final mark is the
+    global max."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        (2, t0, 1, "view", 1.0, "{}"),
+        (4, t0 + 2 * h, 1, "view", 1.0, "{}"),   # even max = 12:00
+        (5, t0 + h, 2, "view", 1.0, "{}"),       # before hwm: not incremental
+        (7, t0 + 3 * h, 2, "view", 1.0, "{}"),
+        (9, t0 + 4 * h, 3, "view", 1.0, "{}"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+    r = QUERIES["checkpoint_roundtrip"].fn(spark, sf).collect()[0]
+    assert r.n_incremental == 2
+    assert r.hwm_first == t0 + 2 * h
+    assert r.hwm_final == t0 + 4 * h
