@@ -185,9 +185,10 @@ PROFILED = [
     "boilerplate_ngrams",
     "token_freq_spectrum",
     "brand_rank_shift",
-    # round 9: the last >1 s bench query without a profile row, plus
+    # round 9: the last >1 s bench queries without a profile row, plus
     # the new sink round-trips (their job breadth is the profile story)
     "daily_from_hourly",
+    "cohort_ltv",
     "measures_csv_roundtrip",
     "measures_json_roundtrip",
     "station_upsert_flow",
