@@ -90,10 +90,13 @@ def diff_upsert(
     else:
         existing = spark.createDataFrame([], hashed_new.schema)
 
-    # write elision: drop new rows whose (key, hash) already exists
+    # write elision: drop new rows whose (key, hash) already exists.
+    # localCheckpoint: the changed frame feeds BOTH the counter and the
+    # merge write below — without it the anti-join (and the md5 hashing
+    # above it) re-executes per action, doubling the sink's read load
     changed = hashed_new.join(
         existing.select(key, "content_hash"), on=[key, "content_hash"], how="left_anti"
-    )
+    ).localCheckpoint()
     n_new, n_changed = new.count(), changed.count()
 
     merged = changed.withColumn("_prio", F.lit(0)).unionByName(
