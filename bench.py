@@ -188,6 +188,7 @@ HEADLINE = (
     "measures_json_roundtrip",
     "station_upsert_flow",
     "checkpoint_roundtrip",
+    "run_log_roundtrip",
 )
 
 

@@ -16,7 +16,9 @@ Temp-dir hygiene: the readback aggregate is ``localCheckpoint()``-ed
 be deleted BEFORE the DataFrame is returned; nothing lazy ever points
 at the throwaway path. The only driver-side scalars are the sink
 return dicts themselves (upsert counters, checkpoint high-water marks)
-— the same documented boundary as ``sources/checkpoint.py``.
+and the run-log query's source list (the scheduler's own per-source
+loop, X3 — bounded by the number of SOURCES, never by data volume) —
+the same documented boundary as ``sources/checkpoint.py``.
 
 At 100 TB the sinks already scale (K2 shards its collect_list payloads,
 K3 is one hash-partitioned join on the station key); these queries run
@@ -289,3 +291,71 @@ def checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_incremental",
         F.lit(ck2.get("high_water_mark")).cast("timestamp").alias("hwm_final"),
     )
+
+
+# ---------------------------------------------------------------------------
+# run_log_roundtrip — K5 run-log sink + A3 run summaries (reference
+# providers.js:59-71 SNS publish from fetcher/index.js:29-34;
+# clarity.js:192-208 summary counters). One run per event_type plays
+# one run per source: summarize() computes the reference's counters,
+# publish() appends the structured row to the parquet status table,
+# and the readback — run_ts dropped, it is wall-clock by contract —
+# must reproduce every counter exactly. Proves the log table is a
+# faithful, queryable record of what each run processed.
+# ---------------------------------------------------------------------------
+
+_RUNLOG_ORACLE = """
+SELECT
+  event_type AS source,
+  'success' AS status,
+  CAST(COUNT(*) AS BIGINT) AS n_measures,
+  MIN(ts) AS from_ts,
+  MAX(ts) AS to_ts
+FROM events
+WHERE NOT isnan(value)
+GROUP BY 1
+"""
+
+
+@query("run_log_roundtrip", _RUNLOG_ORACLE)
+def run_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.log import publish, summarize
+
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(~F.isnan("value"))
+        .select(
+            "event_type",
+            F.col("value").alias("measure"),
+            F.col("ts").alias("timestamp"),
+        )
+    )
+    sources = [r[0] for r in e.select("event_type").distinct().collect()]
+    out_schema = (
+        "source string, status string, n_measures long,"
+        " from_ts timestamp, to_ts timestamp"
+    )
+    if not sources:  # zero runs → zero log rows (an empty day partition)
+        return spark.createDataFrame([], out_schema)
+    root = tempfile.mkdtemp(prefix="sgq_runlog_")
+    try:
+        log_path = f"{root}/runlog"
+        for src in sorted(sources):  # one run per source, like the scheduler
+            s = summarize(e.filter(F.col("event_type") == src), src)
+            publish(
+                spark,
+                log_path,
+                source=s["source"],
+                status="success",
+                n_measures=s["n_measures"],
+                from_ts=s["from_ts"],
+                to_ts=s["to_ts"],
+            )
+        out = (
+            spark.read.parquet(log_path)
+            .select("source", "status", "n_measures", "from_ts", "to_ts")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -77,7 +77,7 @@ REPRESENTATIVE = (
     "boilerplate_ngrams", "token_freq_spectrum", "brand_rank_shift",
     # round-9 additions (sink/checkpoint round-trips)
     "measures_csv_roundtrip", "measures_json_roundtrip",
-    "station_upsert_flow", "checkpoint_roundtrip",
+    "station_upsert_flow", "checkpoint_roundtrip", "run_log_roundtrip",
 )
 
 

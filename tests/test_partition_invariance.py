@@ -103,7 +103,8 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           "boilerplate_ngrams", "token_freq_spectrum", "brand_rank_shift",
           # round-9 additions (sink/checkpoint round-trips)
           "measures_csv_roundtrip", "measures_json_roundtrip",
-          "station_upsert_flow", "checkpoint_roundtrip"]:
+          "station_upsert_flow", "checkpoint_roundtrip",
+          "run_log_roundtrip"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n

@@ -733,6 +733,7 @@ def test_round9_sink_roundtrip_plan_shapes(spark, sf_dir):
         "measures_csv_roundtrip",
         "measures_json_roundtrip",
         "station_upsert_flow",
+        "run_log_roundtrip",
     ):
         tree = _plan(spark, sf_dir, name).split("\n\n")[0]
         assert tree.count("Scan parquet") == 0, (name, tree)

@@ -193,6 +193,7 @@ PROFILED = [
     "measures_json_roundtrip",
     "station_upsert_flow",
     "checkpoint_roundtrip",
+    "run_log_roundtrip",
 ]
 
 
