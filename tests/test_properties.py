@@ -586,3 +586,49 @@ def test_token_pagerank_matches_pure_python_spec(spark):
     want = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     got = [(r.tok, r.pr_q) for r in token_pagerank(spark, d).collect()]
     assert got == want
+
+
+def test_diff_upsert_idempotent_and_commutes_with_rerun(spark, tmp_path):
+    """K3 property: re-upserting an identical batch writes ZERO rows
+    (the elision is total), and any randomized sequence of changed /
+    unchanged batches leaves the store equal to last-writer-wins over
+    the keys — checked against a plain dict replay."""
+    import random
+
+    from openaq_lcs_fetch_spark.sinks.stations import diff_upsert
+
+    rng = random.Random(90210)
+    store = str(tmp_path / "store")
+    truth: dict[int, str] = {}
+
+    def batch(pairs):
+        return spark.createDataFrame(
+            [(k, v) for k, v in pairs], "station long, label string"
+        )
+
+    # seed
+    pairs = [(k, f"v0-{k}") for k in range(8)]
+    r = diff_upsert(spark, batch(pairs), store, "station")
+    truth.update(pairs)
+    assert (r["written"], r["skipped_unchanged"], r["total"]) == (8, 0, 8)
+
+    # identical re-run: fully elided, store unchanged
+    r = diff_upsert(spark, batch(pairs), store, "station")
+    assert (r["written"], r["skipped_unchanged"], r["total"]) == (0, 8, 8)
+
+    # three randomized mixed batches
+    for step in range(1, 4):
+        upd = [
+            (k, f"v{step}-{k}" if rng.random() < 0.5 else truth[k])
+            for k in rng.sample(range(8), 5)
+        ]
+        changed = sum(1 for k, v in upd if truth[k] != v)
+        r = diff_upsert(spark, batch(upd), store, "station")
+        assert r["written"] == changed, (step, upd)
+        assert r["skipped_unchanged"] == len(upd) - changed
+        truth.update(upd)
+        got = {
+            row.station: row.label
+            for row in spark.read.parquet(store).collect()
+        }
+        assert got == truth, step
