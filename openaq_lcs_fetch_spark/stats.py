@@ -1,0 +1,132 @@
+"""ANALYZE-style table statistics: one-pass collection, JSON sidecar
+persistence, and the Selinger equi-join cardinality estimate built on
+them.
+
+Companion infrastructure to the CBO-audit *queries*
+(``histogram_selectivity_audit`` / ``column_correlation_audit`` /
+``join_explosion_audit`` in ``plans/layout.py``): those verify the
+estimator MATH against exact answers; this module is the production
+side that collects and stores the statistics a planner would actually
+consult. The reference has no analogue (its only table-shaped state is
+the per-source checkpoint, fetcher/lib/meta.js) — this exists because
+a 100 TB deployment plans joins before running them.
+
+Scale shape: ``collect_table_stats`` is exactly ONE aggregation job
+over the table — every per-column statistic (count/nulls/NDV/min/max/
+avg length) is a column in a single ``agg()``, so the pass is
+map-side-combined and reads each row once however many columns are
+profiled. NDV uses ``approx_count_distinct`` (HyperLogLog++, default
+rsd 0.05) — the same sketch every warehouse ANALYZE uses; exact NDV at
+100 TB would itself be a full shuffle per column. The sidecar is a
+tiny JSON document next to the data (the checkpoint-store pattern,
+atomic tmp+rename), NOT a Spark job.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: dtypes whose min/max are JSON-serializable and order-meaningful
+_ORDERED_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "decimal", "date", "timestamp",
+)
+
+
+def _is_ordered(dtype: str) -> bool:
+    return dtype.startswith(_ORDERED_PREFIXES)
+
+
+def collect_table_stats(
+    df: DataFrame, columns: list[str] | None = None, rsd: float = 0.05
+) -> dict[str, Any]:
+    """One aggregation pass → ``{"n_rows": N, "columns": {col: {...}}}``.
+
+    Per column: ``n_nulls``, ``ndv`` (HLL++ approx, ``rsd`` relative
+    error), and for ordered types ``min``/``max`` (ISO strings for
+    date/timestamp so the document round-trips through JSON); strings
+    add ``avg_len``. NaN counts as a value, not a null (matches both
+    engines' COUNT semantics in the audit queries).
+    """
+    dtypes = dict(df.dtypes)
+    cols = list(columns) if columns is not None else list(df.columns)
+    unknown = [c for c in cols if c not in dtypes]
+    if unknown:
+        raise KeyError(f"collect_table_stats: unknown columns {unknown}")
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nulls__{c}")
+        )
+        aggs.append(F.approx_count_distinct(c, rsd).alias(f"__ndv__{c}"))
+        if _is_ordered(dtypes[c]):
+            aggs.append(F.min(c).alias(f"__min__{c}"))
+            aggs.append(F.max(c).alias(f"__max__{c}"))
+        if dtypes[c] == "string":
+            aggs.append(F.avg(F.length(c)).alias(f"__avglen__{c}"))
+    row = df.agg(*aggs).collect()[0].asDict()
+
+    def _jsonable(v):
+        return v.isoformat() if hasattr(v, "isoformat") else v
+
+    out: dict[str, Any] = {"n_rows": row["__n"], "columns": {}}
+    for c in cols:
+        st: dict[str, Any] = {
+            "dtype": dtypes[c],
+            "n_nulls": row[f"__nulls__{c}"],
+            "ndv": row[f"__ndv__{c}"],
+        }
+        if f"__min__{c}" in row:
+            st["min"] = _jsonable(row[f"__min__{c}"])
+            st["max"] = _jsonable(row[f"__max__{c}"])
+        if f"__avglen__{c}" in row:
+            st["avg_len"] = row[f"__avglen__{c}"]
+        out["columns"][c] = st
+    return out
+
+
+def write_stats(stats: dict[str, Any], path: str) -> str:
+    """Persist next to the data as ``{path}/_stats.json`` (atomic
+    tmp+rename, the checkpoint-store discipline)."""
+    os.makedirs(path, exist_ok=True)
+    target = os.path.join(path, "_stats.json")
+    fd, tmp = tempfile.mkstemp(dir=path)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(stats, fh, sort_keys=True)
+    os.replace(tmp, target)
+    return target
+
+
+def read_stats(path: str) -> dict[str, Any] | None:
+    try:
+        with open(os.path.join(path, "_stats.json")) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def estimate_equijoin_rows(
+    stats_l: dict[str, Any],
+    stats_r: dict[str, Any],
+    key_l: str,
+    key_r: str,
+) -> int:
+    """Selinger estimate: |L ⋈ R| ≈ nL·nR / max(ndvL, ndvR), under
+    uniformity + containment-of-value-sets — the classic System-R
+    formula every CBO starts from. NULL keys never join, so each
+    side's row count is discounted by its null fraction first.
+    ``join_explosion_audit`` (plans/layout.py) is the exact-answer
+    audit of how far this assumption drifts on real key skew.
+    """
+    cl, cr = stats_l["columns"][key_l], stats_r["columns"][key_r]
+    nl = stats_l["n_rows"] - cl["n_nulls"]
+    nr = stats_r["n_rows"] - cr["n_nulls"]
+    ndv = max(cl["ndv"], cr["ndv"], 1)
+    return (nl * nr) // ndv

@@ -769,3 +769,77 @@ def test_vacuum_cutoff_tz_independent(spark, tmp_path):
 
     assert utc_res["cutoff_us"] == kir_res["cutoff_us"]
     assert utc_res["deleted"] == kir_res["deleted"] == ["day0.parquet"]
+
+
+def test_collect_table_stats_one_pass_and_roundtrip(spark, tmp_path):
+    """ANALYZE collector: exact counts/nulls on a hand fixture, NDV
+    within HLL tolerance, ordered min/max JSON round-trip (timestamps
+    as ISO), and the sidecar read_stats == write_stats input."""
+    import datetime as dt
+
+    from openaq_lcs_fetch_spark.stats import (
+        collect_table_stats, read_stats, write_stats,
+    )
+
+    t0 = dt.datetime(2024, 2, 1, 12, 0, 0)
+    rows = [
+        (1, "alpha", 10.0, t0),
+        (2, "beta", 20.0, t0 + dt.timedelta(hours=1)),
+        (3, None, 20.0, t0 + dt.timedelta(hours=2)),
+        (4, "gamma-long", None, None),
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, v double, ts timestamp")
+    st = collect_table_stats(df)
+    assert st["n_rows"] == 4
+    assert st["columns"]["s"]["n_nulls"] == 1
+    assert st["columns"]["v"]["n_nulls"] == 1
+    assert st["columns"]["ts"]["n_nulls"] == 1
+    assert st["columns"]["k"]["ndv"] == 4          # tiny: HLL exact here
+    assert st["columns"]["v"]["ndv"] == 2
+    assert st["columns"]["k"]["min"] == 1 and st["columns"]["k"]["max"] == 4
+    assert st["columns"]["ts"]["min"] == "2024-02-01T12:00:00"
+    assert st["columns"]["ts"]["max"] == "2024-02-01T14:00:00"
+    assert abs(st["columns"]["s"]["avg_len"] - (5 + 4 + 10) / 3) < 1e-9
+    # strings carry no min/max (not JSON-order-meaningful here)
+    assert "min" not in st["columns"]["s"]
+
+    # single-job property: the whole collection is ONE agg -> the
+    # stats document is JSON-serializable as-is
+    path = str(tmp_path / "tbl")
+    write_stats(st, path)
+    assert read_stats(path) == __import__("json").loads(
+        __import__("json").dumps(st)
+    )
+    assert read_stats(str(tmp_path / "nope")) is None
+
+    # column subset + unknown column rejection
+    sub = collect_table_stats(df, columns=["k"])
+    assert list(sub["columns"]) == ["k"]
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        collect_table_stats(df, columns=["missing"])
+
+
+def test_estimate_equijoin_rows_matches_fk_join(spark, sf_dir):
+    """Selinger estimate on real stats: orders ⋈ customer on custkey is
+    a FK join, so the estimate nO·nC / max(ndv) must land within HLL
+    tolerance of the true |orders| (every order has one customer)."""
+    import os
+
+    from openaq_lcs_fetch_spark.stats import (
+        collect_table_stats, estimate_equijoin_rows,
+    )
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    so = collect_table_stats(orders, columns=["o_custkey"])
+    sc = collect_table_stats(cust, columns=["c_custkey"])
+    est = estimate_equijoin_rows(so, sc, "o_custkey", "c_custkey")
+    actual = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+    assert abs(est - actual) / actual < 0.15  # 3x the 5% HLL rsd
+
+    # null discount: a side of all-null keys estimates zero
+    import pyspark.sql.functions as F
+    nulls = orders.select(F.lit(None).cast("long").alias("o_custkey"))
+    sn = collect_table_stats(nulls, columns=["o_custkey"])
+    assert estimate_equijoin_rows(sn, sc, "o_custkey", "c_custkey") == 0
