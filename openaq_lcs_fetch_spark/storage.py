@@ -170,37 +170,20 @@ def compact_by_time(
     return n
 
 
-def vacuum_by_retention(
-    path: str,
-    ts_col: str = "ts",
-    keep_days: int = 30,
-    dry_run: bool = False,
-) -> dict:
-    """Retention vacuum for a parquet dataset: delete every data file
-    whose ENTIRE time range is older than ``max(ts) - keep_days`` —
-    the companion primitive to :func:`compact_by_time` (compaction
-    bounds file count going forward, retention bounds history).
-
-    Decisions come from parquet FOOTER min/max statistics only — no
-    data is read, no Spark job runs; this is driver-side metadata work
-    exactly like a lakehouse VACUUM, O(files) regardless of data
-    volume. The cutoff anchors on the dataset's own newest timestamp
-    (deterministic, no wall clock). A file straddling the cutoff is
-    kept whole: retention is file-granular by design — run
-    compact_by_time first if the tail must be trimmed exactly (its
-    time-sorted one-file-per-bin layout makes straddlers rare).
-
-    Returns {"cutoff_us", "n_deleted", "n_kept", "deleted", "kept"}
-    (cutoff in epoch MICROseconds — every stats flavor is normalized:
-    datetime stats via epoch conversion, raw int64 nanos // 1000);
-    paths relative to ``path``; with ``dry_run`` nothing is removed.
-    Files whose range cannot be established (no stats AND unreadable
-    column — e.g. a corrupt footer) are always kept: missing evidence
-    never deletes data. Legacy INT96-timestamp files (Spark's stats-
-    less deprecated default; our sessions write TIMESTAMP_MICROS, see
-    session.RUNTIME_CONF) fall back to reading the single ts column —
-    still driver-side and column-pruned, the documented cost of
-    inheriting a deprecated layout.
+def file_time_spans(
+    path: str, ts_col: str = "ts"
+) -> dict[str, tuple[int | None, int | None]]:
+    """Per-file (min_us, max_us) time spans from parquet FOOTER
+    statistics — the shared manifest primitive under both
+    :func:`vacuum_by_retention` (file-skipping deletes) and
+    :func:`read_time_range` (file-skipping reads). Driver-side,
+    O(files), no Spark job; every stats flavor normalized to epoch
+    MICROseconds (naive datetimes pinned to UTC, raw int64 nanos
+    // 1000). A file whose span cannot be established maps to
+    (None, None) — callers must treat unknown as "could be anything"
+    (vacuum keeps it, the range reader scans it). Legacy
+    INT96-timestamp files (stats-less) fall back to reading the single
+    ts column, column-pruned.
     """
     import datetime
     import glob
@@ -248,7 +231,7 @@ def vacuum_by_retention(
                     lo = mn if lo is None else min(lo, mn)
                     hi = mx if hi is None else max(hi, mx)
         except Exception:
-            lo = hi = None  # unreadable footer → keep (never delete blind)
+            lo = hi = None  # unreadable footer → unknown (never guess)
         if lo is None:
             try:
                 import pyarrow.compute as pc
@@ -262,6 +245,101 @@ def vacuum_by_retention(
             except Exception:
                 lo = hi = None
         spans[f] = (lo, hi)
+    return spans
+
+
+def read_time_range(
+    spark: SparkSession,
+    path: str,
+    start_us: int,
+    end_us: int,
+    ts_col: str = "ts",
+) -> tuple[DataFrame, dict]:
+    """Manifest-pruned time-range read: select only the files whose
+    footer span overlaps ``[start_us, end_us]`` (inclusive), hand THAT
+    list to ``spark.read.parquet``, and apply the residual row-level
+    predicate on top. Files with unknown spans are always scanned —
+    missing evidence never drops data (the vacuum's stance, mirrored).
+
+    This is the read-side payoff of the same O(files) driver-side
+    manifest pass the vacuum uses: when the dataset is not
+    partitionBy'd on time (e.g. the compact_by_time layout, whose bins
+    are time-sorted but not day-keyed), Spark's catalog has no
+    partition values to prune on, and row-group skipping still pays a
+    footer read per file PER QUERY inside the scan — at 100 TB /
+    ~100k files, planning the file list once on the driver and reading
+    only the overlap is the difference between touching 3 files and
+    listing 100k. Returns ``(df, plan)`` where plan =
+    {"n_total", "n_selected", "selected"} for observability; an empty
+    selection returns an empty DataFrame with the dataset's schema.
+    """
+    import os
+
+    spans = file_time_spans(path, ts_col)
+    selected = [
+        f
+        for f, (lo, hi) in spans.items()
+        if lo is None or (hi >= start_us and lo <= end_us)
+    ]
+    plan = {
+        "n_total": len(spans),
+        "n_selected": len(selected),
+        "selected": [os.path.relpath(f, path) for f in selected],
+    }
+    if not selected:
+        df = spark.read.parquet(path).limit(0)
+    else:
+        df = spark.read.parquet(*selected)
+    from pyspark.sql import functions as F
+
+    from .functions.timestamps import micros
+    from .tables import normalize_ts
+
+    # normalize_ts + micros: the dataset may store ts as TIMESTAMP,
+    # TIMESTAMP_NTZ, or raw int64 nanos — the same three shapes the
+    # ingest boundary handles (tables.normalize_ts); a raw cast would
+    # misread the bigint flavor as seconds
+    df = normalize_ts(df, ts_col)
+    us = micros(F.col(ts_col))
+    return df.filter((us >= start_us) & (us <= end_us)), plan
+
+
+def vacuum_by_retention(
+    path: str,
+    ts_col: str = "ts",
+    keep_days: int = 30,
+    dry_run: bool = False,
+) -> dict:
+    """Retention vacuum for a parquet dataset: delete every data file
+    whose ENTIRE time range is older than ``max(ts) - keep_days`` —
+    the companion primitive to :func:`compact_by_time` (compaction
+    bounds file count going forward, retention bounds history).
+
+    Decisions come from parquet FOOTER min/max statistics only — no
+    data is read, no Spark job runs; this is driver-side metadata work
+    exactly like a lakehouse VACUUM, O(files) regardless of data
+    volume. The cutoff anchors on the dataset's own newest timestamp
+    (deterministic, no wall clock). A file straddling the cutoff is
+    kept whole: retention is file-granular by design — run
+    compact_by_time first if the tail must be trimmed exactly (its
+    time-sorted one-file-per-bin layout makes straddlers rare).
+
+    Returns {"cutoff_us", "n_deleted", "n_kept", "deleted", "kept"}
+    (cutoff in epoch MICROseconds — every stats flavor is normalized:
+    datetime stats via epoch conversion, raw int64 nanos // 1000);
+    paths relative to ``path``; with ``dry_run`` nothing is removed.
+    Files whose range cannot be established (no stats AND unreadable
+    column — e.g. a corrupt footer) are always kept: missing evidence
+    never deletes data. Legacy INT96-timestamp files (Spark's stats-
+    less deprecated default; our sessions write TIMESTAMP_MICROS, see
+    session.RUNTIME_CONF) fall back to reading the single ts column —
+    still driver-side and column-pruned, the documented cost of
+    inheriting a deprecated layout.
+    """
+    import os
+
+    spans = file_time_spans(path, ts_col)
+    files = sorted(spans)
 
     known_max = [hi for _, hi in spans.values() if hi is not None]
     if not known_max:

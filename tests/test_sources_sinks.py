@@ -888,3 +888,75 @@ def test_column_histogram_and_range_selectivity(spark):
     assert sum(h1["counts"]) == 3
     assert estimate_range_selectivity(h1, 7) == 1.0
     assert estimate_range_selectivity(h1, 8) == 0.0
+
+
+def test_read_time_range_prunes_files(spark, tmp_path):
+    """Manifest-pruned range read: only the files whose footer span
+    overlaps the window are handed to the scan; unknown-span files are
+    always scanned; the result equals a full scan + filter; vacuum
+    (refactored onto the same span helper) still agrees."""
+    import datetime as dt
+    import glob
+    import os
+
+    from openaq_lcs_fetch_spark.storage import (
+        file_time_spans, read_time_range, vacuum_by_retention,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    root = str(tmp_path / "ds")
+    os.makedirs(root)
+
+    def write_one(name, days):
+        rows = [(i, base + dt.timedelta(days=d)) for i, d in enumerate(days)]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+        tmp = str(tmp_path / ("w_" + name))
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+        os.replace(part, os.path.join(root, name))
+
+    write_one("d00.parquet", [0, 1])
+    write_one("d10.parquet", [10, 11])
+    write_one("d20.parquet", [20, 21])
+
+    spans = file_time_spans(root, "ts")
+    assert len(spans) == 3 and all(lo is not None for lo, _hi in spans.values())
+
+    def us(d):
+        return int(
+            (base + dt.timedelta(days=d))
+            .replace(tzinfo=dt.timezone.utc)
+            .timestamp()
+            * 1_000_000
+        )
+
+    # window covering only the middle file
+    df, plan = read_time_range(spark, root, us(9), us(12), "ts")
+    assert plan["n_total"] == 3 and plan["n_selected"] == 1
+    assert plan["selected"] == ["d10.parquet"]
+    got = sorted(r.event_id for r in df.collect())
+    assert got == [0, 1]  # the two rows of d10
+
+    # pruned result == full scan + filter (day 1 .. day 10 inclusive)
+    df2, plan2 = read_time_range(spark, root, us(1), us(10), "ts")
+    assert plan2["n_selected"] == 2
+    import pyspark.sql.functions as F
+    want = sorted(
+        (r.event_id, r.ts)
+        for r in spark.read.parquet(root)
+        .filter(
+            (F.col("ts") >= base + dt.timedelta(days=1))
+            & (F.col("ts") <= base + dt.timedelta(days=10))
+        )
+        .collect()
+    )
+    assert sorted((r.event_id, r.ts) for r in df2.collect()) == want
+
+    # empty window → zero files, empty frame, schema intact
+    df3, plan3 = read_time_range(spark, root, us(100), us(101), "ts")
+    assert plan3["n_selected"] == 0 and df3.count() == 0
+    assert set(df3.columns) == {"event_id", "ts"}
+
+    # vacuum on the shared helper still works end to end
+    res = vacuum_by_retention(root, "ts", keep_days=12, dry_run=True)
+    assert res["deleted"] == ["d00.parquet"]
