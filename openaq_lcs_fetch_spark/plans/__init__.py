@@ -63,9 +63,11 @@ together with the stale r02 textops/simsearch backfill listed above.
   1-22, then the 28 OLDEST r04-stale queries (audit order:
   late_shipped_priorities … locf_fill) — again exactly 50. The
   remaining 22 r04-stale rows (trailing_1h_stats …
-  week_over_week_reconcile) head the round-10 window; any round-9
-  additions land after slot 50, and round-10 velocity must stay ≤ 28
-  to keep the ledger monotone.
+  week_over_week_reconcile) head the round-10 window together with
+  round 9's five sink round-trips (measures_csv/json_roundtrip,
+  station_upsert_flow, checkpoint_roundtrip, run_log_roundtrip — all
+  after slot 50 by design): 22 + 5 = 27 slots, leaving ≤ 23 for
+  round-10 additions to keep the ledger monotone.
 
 The ledger above is now DERIVED, not hand-maintained: once a round's
 CORRECTNESS_r{N}.json is committed, ``python tools/rotation_audit.py``
