@@ -632,3 +632,61 @@ def test_diff_upsert_idempotent_and_commutes_with_rerun(spark, tmp_path):
             for row in spark.read.parquet(store).collect()
         }
         assert got == truth, step
+
+
+def test_file_time_spans_match_ground_truth_on_random_files(spark, tmp_path):
+    """Manifest property: for randomized file contents, every footer
+    span equals the file's true (min, max) in epoch micros — the
+    invariant both vacuum_by_retention and read_time_range stand on."""
+    import datetime as dt
+    import glob
+    import os
+    import random
+
+    from openaq_lcs_fetch_spark.storage import file_time_spans
+
+    rng = random.Random(424242)
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    root = str(tmp_path / "ds")
+    os.makedirs(root)
+    truth = {}
+    for i in range(6):
+        offs = sorted(rng.sample(range(0, 10_000_000), rng.randint(1, 20)))
+        rows = [
+            (j, (base + dt.timedelta(seconds=o)).replace(tzinfo=None))
+            for j, o in enumerate(offs)
+        ]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+        tmp = str(tmp_path / f"w_{i}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+        name = f"f{i}.parquet"
+        os.replace(part, os.path.join(root, name))
+        to_us = lambda o: int((base + dt.timedelta(seconds=o)).timestamp() * 1_000_000)
+        truth[name] = (to_us(offs[0]), to_us(offs[-1]))
+
+    spans = file_time_spans(root, "ts")
+    got = {os.path.basename(f): span for f, span in spans.items()}
+    assert got == truth
+
+
+def test_collect_table_stats_sane_on_every_testdata_table(spark, sf_dir):
+    """ANALYZE smoke over the full schema zoo (arrays, strings, every
+    numeric/timestamp flavor): one pass per table, n_rows matches
+    count(), nulls never exceed rows, NDV never exceeds rows by more
+    than HLL tolerance, ordered min <= max."""
+    import os
+
+    from openaq_lcs_fetch_spark.stats import collect_table_stats
+    from openaq_lcs_fetch_spark.tables import TABLE_NAMES
+
+    for name in TABLE_NAMES:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        st = collect_table_stats(df)
+        n = df.count()
+        assert st["n_rows"] == n, name
+        for c, cs in st["columns"].items():
+            assert 0 <= cs["n_nulls"] <= n, (name, c)
+            assert cs["ndv"] <= max(1, int(n * 1.2) + 1), (name, c)
+            if "min" in cs and cs["min"] is not None:
+                assert str(cs["min"]) <= str(cs["max"]) or cs["min"] <= cs["max"], (name, c)
