@@ -189,6 +189,8 @@ HEADLINE = (
     "station_upsert_flow",
     "checkpoint_roundtrip",
     "run_log_roundtrip",
+    "stats_join_strategy",
+    "range_read_roundtrip",
 )
 
 

@@ -59,7 +59,7 @@ together with the stale r02 textops/simsearch backfill listed above.
   queries — exactly 50 slots, in-window new-query velocity 0
   (CORRECTNESS_r08: 50/50 green, r03 staleness zeroed). Round 8 added
   22 queries (ngram_novelty_curve … brand_rank_shift) after slot 50.
-* round 9 (here): those 22 never-verified round-8 queries in slots
+* round 9: those 22 never-verified round-8 queries in slots
   1-22, then the 28 OLDEST r04-stale queries (audit order:
   late_shipped_priorities … locf_fill) — again exactly 50. The
   remaining 22 r04-stale rows (trailing_1h_stats …
@@ -68,6 +68,17 @@ together with the stale r02 textops/simsearch backfill listed above.
   station_upsert_flow, checkpoint_roundtrip, run_log_roundtrip — all
   after slot 50 by design): 22 + 5 = 27 slots, leaving ≤ 23 for
   round-10 additions to keep the ledger monotone.
+* round 10 (here): exactly the composition round 9 prescribed — the
+  5 never-verified sink round-trips in slots 1-5, round 10's two
+  additions (``stats_join_strategy``, the ANALYZE-stats broadcast-vs-
+  shuffle consumer; ``range_read_roundtrip``, the manifest-pruned
+  range reader driven end-to-end — both convert previously pytest-only
+  engine infrastructure into driver proofs, the round-9 pattern) in
+  slots 6-7, then the 22 r04-stale queries, then the 21 OLDEST
+  r05-stale queries (fk_violation_audit … split_leakage_audit).
+  5 + 2 + 22 + 21 = exactly 50. After this round the r04 bucket is
+  empty and r05 holds 29 rows — they head round 11 together with any
+  round-11 additions (≤ 21 keeps the ledger monotone).
 
 The ledger above is now DERIVED, not hand-maintained: once a round's
 CORRECTNESS_r{N}.json is committed, ``python tools/rotation_audit.py``
@@ -92,68 +103,69 @@ from . import simsearch  # noqa: F401
 from . import layout  # noqa: F401
 from . import sinks_q  # noqa: F401
 
-# Round-9 driver window (slots 1-50), executing the rotation the
-# round-8 verdict prescribed: (1) the 22 round-8 queries — the ONLY
-# registered queries with zero driver rows — in slots 1-22; (2) the 28
-# OLDEST round-4-stale queries in ``tools/rotation_audit.py`` order.
-# 22 + 28 = exactly 50 slots. The remaining 22 r04-stale queries
-# (trailing_1h_stats … week_over_week_reconcile per the audit) head the
-# round-10 window, which is why round-9 in-window new-query velocity is
-# 0 and the round's few additions land after slot 50 by design.
+# Round-10 driver window (slots 1-50), executing the rotation the
+# round-9 verdict prescribed (and ``tools/rotation_audit.py`` derives):
+# (1) the 5 round-9 sink round-trips — never driver-verified; (2) the
+# two round-10 additions, also never-verified; (3) the 22 remaining
+# r04-stale queries in audit order; (4) the 21 OLDEST r05-stale
+# queries. 5 + 2 + 22 + 21 = exactly 50 slots. After this round: r04
+# staleness zeroed, r05 down to 29 rows (they head round 11).
 registry.promote(
     [
-        # (1) round-8 queries — never driver-verified (zero rows)
-        "degree_assortativity",
-        "kcore_nodes",
-        "rfm_segments",
-        "l_diversity_audit",
-        "brand_rank_shift",
-        "ship_latency_percentiles",
-        "ngram_novelty_curve",
-        "cross_source_dups",
-        "source_dataset_card",
-        "doc_length_histogram",
-        "minhash_error_audit",
-        "boilerplate_ngrams",
-        "token_freq_spectrum",
-        "ivf_recall_curve",
-        "seasonal_hour_outliers",
-        "timed_funnel",
-        "session_entry_conversion",
-        "histogram_selectivity_audit",
-        "encoding_cost_audit",
-        "heavy_hitters_twophase",
-        "join_explosion_audit",
-        "column_correlation_audit",
-        # (2) the 28 oldest r04-stale queries, audit order
-        "late_shipped_priorities",
-        "wealthy_inactive_customers",
-        "containment_pairs",
-        "media_features",
-        "media_frame_sample",
-        "lsh_verified_pairs",
-        "token_budget_select",
-        "passage_dedup",
-        "doc_lm_score",
-        "weighted_sample",
-        "bm25_scores",
-        "doc_chunking",
-        "dup_span_stats",
-        "conjunctive_search",
-        "sequence_pack",
-        "semantic_dedup",
-        "ann_recall_eval",
-        "ann_rerank",
-        "embedding_dim_stats",
-        "embedding_covariance",
-        "jl_project",
-        "pca_power_iteration",
-        "logreg_gd_steps",
-        "ivf_pq_search",
-        "value_interpolate",
-        "hourly_completeness",
-        "scd2_intervals",
-        "locf_fill",
+        # (1) round-9 sink round-trips — never driver-verified
+        "measures_csv_roundtrip",
+        "measures_json_roundtrip",
+        "station_upsert_flow",
+        "checkpoint_roundtrip",
+        "run_log_roundtrip",
+        # (2) round-10 additions — never driver-verified
+        "stats_join_strategy",
+        "range_read_roundtrip",
+        # (3) the 22 remaining r04-stale queries, audit order
+        "trailing_1h_stats",
+        "user_value_trend",
+        "time_weighted_avg",
+        "streaming_dedup_hourly",
+        "streaming_sessions",
+        "session_window_stats",
+        "approx_event_stats",
+        "funnel_conversion",
+        "retention_cohorts",
+        "ewma_user_value",
+        "event_type_affinity",
+        "event_transitions",
+        "value_histogram",
+        "incremental_hourly_merge",
+        "type_day_chisq",
+        "streaming_enriched_hourly",
+        "record_breaking_values",
+        "streaming_click_nobuy",
+        "streaming_user_final_state",
+        "zorder_locality",
+        "kmv_daily_merge",
+        "cms_user_counts",
+        # (4) the 21 oldest r05-stale queries, audit order
+        "fk_violation_audit",
+        "events_profile",
+        "fuzzy_name_match",
+        "pareto_front_parts",
+        "region_monthly_growth",
+        "cohort_ltv",
+        "fuzzy_er_clusters",
+        "part_cheapest_offer",
+        "customers_all_brands",
+        "copurchase_triangles",
+        "basket_lift_rules",
+        "global_rank_sample",
+        "k_anonymity_audit",
+        "weighted_median_value",
+        "seasonal_naive_error",
+        "hourly_autocorr24",
+        "geo_tz_counts",
+        "doc_token_stats",
+        "bpe_pair_counts",
+        "vocab_oov_rate",
+        "split_leakage_audit",
     ]
 )
 

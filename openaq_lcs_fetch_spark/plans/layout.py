@@ -1405,3 +1405,160 @@ def column_correlation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("month", "o_orderdate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_join_strategy — the ANALYZE consumer, driver-verified: collect
+# real table stats (stats.collect_table_stats, ONE agg pass per table),
+# let choose_join_strategy pick broadcast-vs-shuffle from the EXACT
+# statistics (n_rows / null counts / avg_len — the approximate NDV is
+# deliberately not consulted, so the decision is deterministic), run
+# the join both ways through stats_aware_join, and pin (a) the decision
+# strings, (b) the physical plan shapes the hints produce, and (c) that
+# both strategies return the same row count. The doctored-stats side
+# scales BOTH tables 10^7× so the decision flips to a pinned shuffle —
+# the flip a 100 TB planner must make when the dimension outgrows the
+# broadcast threshold. Companion to the plan-flip pytest over
+# storage.stats_aware_path_join (sidecar-driven variant).
+# ---------------------------------------------------------------------------
+
+_STATS_JOIN_ORACLE = """
+SELECT
+  'broadcast_right' AS dim_strategy,
+  'shuffle' AS big_strategy,
+  TRUE AS dim_plan_broadcast,
+  FALSE AS big_plan_broadcast,
+  TRUE AS big_plan_shuffle,
+  CAST((SELECT COUNT(*) FROM customer c JOIN nation n
+        ON c.c_nationkey = n.n_nationkey) AS BIGINT) AS n_rows_broadcast,
+  CAST((SELECT COUNT(*) FROM customer c JOIN nation n
+        ON c.c_nationkey = n.n_nationkey) AS BIGINT) AS n_rows_shuffle
+"""
+
+
+@query("stats_join_strategy", _STATS_JOIN_ORACLE)
+def stats_join_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..stats import (
+        choose_join_strategy, collect_table_stats, stats_aware_join,
+    )
+    from ..storage import plan_has_exchange
+
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "c_nationkey"
+    )
+    st_c = collect_table_stats(cust)
+    st_n = collect_table_stats(nat)
+
+    dim_strategy = choose_join_strategy(st_c, st_n)
+    j_dim = stats_aware_join(cust, nat, "c_nationkey", st_c, st_n)
+
+    # the same tables with planner-visible sizes scaled 10^7×: at that
+    # size NEITHER side fits under the broadcast line
+    big_c = {**st_c, "n_rows": st_c["n_rows"] * 10_000_000}
+    big_n = {**st_n, "n_rows": st_n["n_rows"] * 10_000_000}
+    big_strategy = choose_join_strategy(big_c, big_n)
+    j_big = stats_aware_join(cust, nat, "c_nationkey", big_c, big_n)
+
+    def _plan(df: DataFrame) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    return (
+        j_dim.agg(F.count(F.lit(1)).cast("long").alias("n_rows_broadcast"))
+        .crossJoin(
+            j_big.agg(F.count(F.lit(1)).cast("long").alias("n_rows_shuffle"))
+        )
+        .select(
+            F.lit(dim_strategy).alias("dim_strategy"),
+            F.lit(big_strategy).alias("big_strategy"),
+            F.lit("BroadcastHashJoin" in _plan(j_dim)).alias(
+                "dim_plan_broadcast"
+            ),
+            F.lit("BroadcastHashJoin" in _plan(j_big)).alias(
+                "big_plan_broadcast"
+            ),
+            F.lit(plan_has_exchange(j_big)).alias("big_plan_shuffle"),
+            "n_rows_broadcast",
+            "n_rows_shuffle",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# range_read_roundtrip — the manifest-pruned range reader, driver-
+# verified the same way the sinks were (round-9 pattern): rewrite
+# events through the REAL compact_by_time executor (time-sorted,
+# NON-time-partitioned _bin= layout — the case where Spark's catalog
+# has nothing to prune on), read a mid-span window back through
+# storage.read_time_range's O(files) footer-span manifest, verify the
+# windowed aggregate against an oracle computing straight from the
+# source table, and emit the pruning evidence (n_selected < n_total)
+# as an output column. The window is integer-exact on both engines:
+# [lo + 2*(hi-lo)//5, lo + (hi-lo)//2] in epoch microseconds (floor
+# division both sides — no float boundary). ~10% of a 30-day span
+# overlaps at most 2-3 of the 8 row-balanced bins, so pruned=TRUE is a
+# structural property of the layout, not luck.
+# ---------------------------------------------------------------------------
+
+_RANGE_RT_BINS = 8
+
+_RANGE_RT_ORACLE = """
+WITH b AS (
+  SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi FROM events
+), w AS (
+  SELECT lo + (hi - lo) // 5 * 2 AS w_lo, lo + (hi - lo) // 2 AS w_hi FROM b
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+  TRUE AS pruned
+FROM events, w
+WHERE epoch_us(ts) >= w_lo AND epoch_us(ts) <= w_hi AND NOT isnan(value)
+"""
+
+
+@query("range_read_roundtrip", _RANGE_RT_ORACLE)
+def range_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..functions.timestamps import micros
+    from ..storage import compact_by_time, read_time_range
+
+    e = t(spark, sf_dir, "events")
+    b = e.agg(
+        F.min(micros(F.col("ts"))).alias("lo"),
+        F.max(micros(F.col("ts"))).alias("hi"),
+    ).collect()[0]  # two scalars — the documented bounded boundary
+    if b["lo"] is None:  # empty source: the oracle's zero-row aggregate
+        return spark.createDataFrame(
+            [(0, None, True)], "n_rows long, sum_cents long, pruned boolean"
+        )
+    lo, hi = int(b["lo"]), int(b["hi"])
+    w_lo = lo + (hi - lo) // 5 * 2
+    w_hi = lo + (hi - lo) // 2
+
+    root = tempfile.mkdtemp(prefix="sgq_range_rt_")
+    try:
+        path = f"{root}/events_compacted"
+        compact_by_time(e, "ts", path, n_bins=_RANGE_RT_BINS)
+        windowed, plan = read_time_range(spark, path, w_lo, w_hi, "ts")
+        out = (
+            windowed.filter(~F.isnan("value"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                # cents are integers after the round: exact + order-free
+                F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                .cast("long")
+                .alias("sum_cents"),
+            )
+            .select(
+                "n_rows",
+                "sum_cents",
+                F.lit(plan["n_selected"] < plan["n_total"]).alias("pruned"),
+            )
+            .localCheckpoint()  # eager: frees the temp dir below
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

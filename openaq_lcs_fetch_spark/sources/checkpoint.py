@@ -59,9 +59,21 @@ def incremental_predicate(ts: Column, checkpoint: dict | None, default_since: st
 
 
 def high_water_mark(df: DataFrame, ts_col: str) -> str | None:
-    """A2: max timestamp of the processed batch (greatestTimestamp)."""
-    row = df.agg(F.max(ts_col).alias("hwm")).collect()[0]
-    return row["hwm"].isoformat() if row["hwm"] is not None else None
+    """A2: max timestamp of the processed batch (greatestTimestamp).
+
+    Formatted ENGINE-side under the session timezone (UTC, pinned in
+    session.RUNTIME_CONF): collecting the raw timestamp would hand back
+    a host-LOCAL naive datetime (non-Arrow collect goes through
+    ``datetime.fromtimestamp``), and re-parsing its isoformat under the
+    UTC session tz in :func:`incremental_predicate` would shift the
+    incremental boundary by the host's UTC offset — the same bug class
+    the vacuum's footer-span reads fixed. Always emits microseconds so
+    marks of the same format compare lexicographically in :func:`advance`.
+    """
+    row = df.agg(
+        F.date_format(F.max(ts_col), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("hwm")
+    ).collect()[0]
+    return row["hwm"]
 
 
 def advance(

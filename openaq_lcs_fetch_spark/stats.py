@@ -24,6 +24,7 @@ atomic tmp+rename), NOT a Spark job.
 
 from __future__ import annotations
 
+import decimal as _decimal
 import json
 import os
 import tempfile
@@ -32,15 +33,20 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: dtypes whose min/max are JSON-serializable and order-meaningful
-_ORDERED_PREFIXES = (
-    "tinyint", "smallint", "int", "bigint", "float", "double",
-    "decimal", "date", "timestamp",
+#: base dtypes whose min/max are JSON-serializable and order-meaningful.
+#: EXACT match on the parenthesis-stripped base type — a prefix match
+#: would let "int" claim "interval day to second" (whose min/max is a
+#: timedelta json.dump cannot serialize).
+_ORDERED_TYPES = frozenset(
+    {
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "decimal", "date", "timestamp", "timestamp_ntz",
+    }
 )
 
 
 def _is_ordered(dtype: str) -> bool:
-    return dtype.startswith(_ORDERED_PREFIXES)
+    return dtype.split("(")[0] in _ORDERED_TYPES
 
 
 def collect_table_stats(
@@ -74,6 +80,11 @@ def collect_table_stats(
     row = df.agg(*aggs).collect()[0].asDict()
 
     def _jsonable(v):
+        # decimal min/max comes back as decimal.Decimal — not JSON-
+        # serializable; surface as float (these are planner statistics,
+        # not ledger values — float precision is the documented contract)
+        if isinstance(v, _decimal.Decimal):
+            return float(v)
         return v.isoformat() if hasattr(v, "isoformat") else v
 
     out: dict[str, Any] = {"n_rows": row["__n"], "columns": {}}
@@ -165,6 +176,96 @@ def collect_column_histogram(
     for r in rows:
         counts[int(r["bucket"])] = int(r["count"])
     return {"col": col, "lo": lo, "hi": hi, "bins": bins, "counts": counts}
+
+
+#: in-memory width guesses (bytes) per base dtype, for broadcast
+#: sizing — deliberately on the generous side (hash-relation overhead):
+#: the cost of a wrong "broadcast" call (executor OOM / driver fetch
+#: storm at 1000 executors) dwarfs the cost of a wrong "shuffle" call.
+_DTYPE_BYTES = {
+    "boolean": 1, "tinyint": 1, "smallint": 2, "int": 4, "bigint": 8,
+    "float": 4, "double": 8, "decimal": 16, "date": 4,
+    "timestamp": 8, "timestamp_ntz": 8,
+}
+_UNKNOWN_DTYPE_BYTES = 48  # arrays/structs/maps: conservative default
+_STRING_OVERHEAD_BYTES = 8  # per-value object/offset overhead
+
+#: Spark's own spark.sql.autoBroadcastJoinThreshold default — the
+#: published, battle-tested cut line for "ship this to every executor".
+BROADCAST_DEFAULT_BYTES = 10 * 1024 * 1024
+
+
+def estimate_row_bytes(stats: dict[str, Any]) -> float:
+    """Estimated in-memory row width from a stats document: fixed dtype
+    widths, ``avg_len`` + overhead for strings, a conservative default
+    for nested types. Null fractions discount each column's
+    contribution (a null costs ~a bit, not a value)."""
+    n = max(stats["n_rows"], 1)
+    width = 0.0
+    for st in stats["columns"].values():
+        frac = 1.0 - min(st["n_nulls"], n) / n
+        base = st["dtype"].split("(")[0]
+        if base == "string":
+            w = st.get("avg_len", 16.0) + _STRING_OVERHEAD_BYTES
+        else:
+            w = _DTYPE_BYTES.get(base, _UNKNOWN_DTYPE_BYTES)
+        width += frac * w
+    return width
+
+
+def estimate_table_bytes(stats: dict[str, Any]) -> int:
+    """``n_rows × estimated row width`` — the number a planner compares
+    against the broadcast threshold. Uses only EXACT statistics
+    (n_rows, null counts, avg_len), so the decision is deterministic
+    for a given table, unlike anything built on the approximate NDV."""
+    return int(stats["n_rows"] * estimate_row_bytes(stats))
+
+
+def choose_join_strategy(
+    stats_l: dict[str, Any] | None,
+    stats_r: dict[str, Any] | None,
+    threshold_bytes: int = BROADCAST_DEFAULT_BYTES,
+) -> str:
+    """Broadcast-vs-shuffle decision from two stats documents:
+    ``broadcast_right`` / ``broadcast_left`` when that side's estimated
+    bytes fit under ``threshold_bytes`` (smaller side wins a tie),
+    ``shuffle`` otherwise. A side with NO stats (None) is never
+    broadcast — missing evidence never ships an unbounded table to
+    every executor, the same stance the vacuum takes on unknown file
+    spans."""
+    bl = estimate_table_bytes(stats_l) if stats_l is not None else None
+    br = estimate_table_bytes(stats_r) if stats_r is not None else None
+    r_ok = br is not None and br <= threshold_bytes
+    l_ok = bl is not None and bl <= threshold_bytes
+    if r_ok and (not l_ok or br <= bl):
+        return "broadcast_right"
+    if l_ok:
+        return "broadcast_left"
+    return "shuffle"
+
+
+def stats_aware_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    stats_l: dict[str, Any] | None,
+    stats_r: dict[str, Any] | None,
+    threshold_bytes: int = BROADCAST_DEFAULT_BYTES,
+    how: str = "inner",
+) -> DataFrame:
+    """The consumer that makes the ANALYZE collector real: join with
+    the physical strategy :func:`choose_join_strategy` picks from the
+    sidecar statistics. Broadcast decisions attach an explicit
+    ``F.broadcast`` hint; a shuffle decision pins SHUFFLE_MERGE so an
+    optimistic runtime size guess can't ship a table the stats say is
+    over the line (the hint is what makes the decision auditable in
+    the plan — see ``stats_join_strategy`` / the plan-flip tests)."""
+    strategy = choose_join_strategy(stats_l, stats_r, threshold_bytes)
+    if strategy == "broadcast_right":
+        return left.join(F.broadcast(right), on=on, how=how)
+    if strategy == "broadcast_left":
+        return F.broadcast(left).join(right, on=on, how=how)
+    return left.hint("shuffle_merge").join(right, on=on, how=how)
 
 
 def estimate_range_selectivity(hist: dict[str, Any], ge: int) -> float:

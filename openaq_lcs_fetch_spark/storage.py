@@ -50,6 +50,37 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on=on)
 
 
+def stats_aware_path_join(
+    spark: SparkSession,
+    left_path: str,
+    right_path: str,
+    on,
+    threshold_bytes: int | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two parquet datasets with the physical strategy chosen from
+    their ``_stats.json`` sidecars (``stats.collect_table_stats`` →
+    ``stats.write_stats``) — the engine path that consumes the ANALYZE
+    collector. A missing sidecar means that side is never broadcast;
+    with neither sidecar present the join is a pinned shuffle (the safe
+    plan at unknown scale). At 100 TB this is the decision that keeps a
+    mis-sized dimension from being shipped to 1000 executors — or a
+    25-row dimension from paying an all-to-all shuffle."""
+    from .stats import BROADCAST_DEFAULT_BYTES, read_stats, stats_aware_join
+
+    if threshold_bytes is None:
+        threshold_bytes = BROADCAST_DEFAULT_BYTES
+    return stats_aware_join(
+        spark.read.parquet(left_path),
+        spark.read.parquet(right_path),
+        on,
+        read_stats(left_path),
+        read_stats(right_path),
+        threshold_bytes,
+        how=how,
+    )
+
+
 def plan_has_exchange(df: DataFrame, include_broadcast: bool = False) -> bool:
     """True if the physical plan shuffles (optionally also counting
     broadcast exchanges — those are cheap dimension ships, not the
@@ -289,7 +320,13 @@ def read_time_range(
     if not selected:
         df = spark.read.parquet(path).limit(0)
     else:
-        df = spark.read.parquet(*selected)
+        # basePath keeps Hive-style partition columns (the _bin= dirs
+        # compact_by_time writes, day= from the JSON sink): a bare
+        # parquet(*selected) read roots discovery at each FILE and
+        # silently drops them — and the empty-selection branch above
+        # (whole-root read) would keep them, so the two branches would
+        # disagree on schema.
+        df = spark.read.option("basePath", path).parquet(*selected)
     from pyspark.sql import functions as F
 
     from .functions.timestamps import micros

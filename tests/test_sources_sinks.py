@@ -960,3 +960,201 @@ def test_read_time_range_prunes_files(spark, tmp_path):
     # vacuum on the shared helper still works end to end
     res = vacuum_by_retention(root, "ts", keep_days=12, dry_run=True)
     assert res["deleted"] == ["d00.parquet"]
+
+
+def test_read_time_range_keeps_partition_columns(spark, tmp_path):
+    """Hive-partitioned layout (the compact_by_time _bin= dirs): the
+    pruned read must recover the partition column via basePath, and the
+    empty-selection branch must return the SAME schema (regression for
+    the bare parquet(*files) read that silently dropped them)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from openaq_lcs_fetch_spark.storage import compact_by_time, read_time_range
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(days=d), float(i))
+        for i, d in enumerate([0, 0, 1, 1, 10, 11, 20, 21])
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, v double")
+    root = str(tmp_path / "compacted")
+    n = compact_by_time(df, "ts", root, n_bins=4)
+    assert n >= 2
+
+    def us(d):
+        return int(
+            (base + dt.timedelta(days=d))
+            .replace(tzinfo=dt.timezone.utc)
+            .timestamp()
+            * 1_000_000
+        )
+
+    got, plan = read_time_range(spark, root, us(9), us(12), "ts")
+    assert 0 < plan["n_selected"] < plan["n_total"]  # actually pruned
+    # partition column recovered, values correct
+    assert "_bin" in got.columns
+    recs = got.select("event_id", "_bin").collect()
+    assert sorted(r.event_id for r in recs) == [4, 5]
+    full = {
+        r.event_id: r._bin
+        for r in spark.read.parquet(root).select("event_id", "_bin").collect()
+    }
+    assert all(full[r.event_id] == r._bin for r in recs)
+
+    # empty window: same schema as the pruned read and the full scan
+    empty, plan0 = read_time_range(spark, root, us(100), us(101), "ts")
+    assert plan0["n_selected"] == 0 and empty.count() == 0
+    assert set(empty.columns) == set(got.columns) == {"event_id", "ts", "v", "_bin"}
+
+    # row-level residual still applies inside a selected file
+    mid, _ = read_time_range(spark, root, us(10), us(10), "ts")
+    assert sorted(r.event_id for r in mid.collect()) == [4]
+
+
+def test_collect_table_stats_decimal_and_interval(spark, tmp_path):
+    """Decimal min/max must survive json.dump (floats in the sidecar),
+    and interval-typed columns must NOT be treated as ordered (the old
+    "int" prefix match claimed "interval day to second" and handed
+    json.dump a timedelta)."""
+    from openaq_lcs_fetch_spark.stats import (
+        collect_table_stats, read_stats, write_stats,
+    )
+
+    df = spark.sql(
+        "SELECT * FROM VALUES"
+        " (CAST(1.25 AS DECIMAL(10,2)), INTERVAL '1' DAY),"
+        " (CAST(7.50 AS DECIMAL(10,2)), INTERVAL '2' DAY)"
+        " AS t(d, iv)"
+    )
+    st = collect_table_stats(df)
+    assert st["columns"]["d"]["min"] == 1.25
+    assert st["columns"]["d"]["max"] == 7.5
+    assert "min" not in st["columns"]["iv"]  # interval: unordered for stats
+    path = str(tmp_path / "dec")
+    write_stats(st, path)  # must not raise TypeError
+    assert read_stats(path)["columns"]["d"]["max"] == 7.5
+
+
+def test_choose_join_strategy_decisions():
+    """Decision table: small side broadcast (tie → right), threshold is
+    a hard line, missing stats never broadcast."""
+    from openaq_lcs_fetch_spark.stats import choose_join_strategy
+
+    def st(n, w=8):
+        return {
+            "n_rows": n,
+            "columns": {"k": {"dtype": "bigint", "n_nulls": 0, "ndv": n}},
+        } if w == 8 else None
+
+    small, big = st(100), st(10**9)
+    assert choose_join_strategy(big, small) == "broadcast_right"
+    assert choose_join_strategy(small, big) == "broadcast_left"
+    assert choose_join_strategy(small, small) == "broadcast_right"  # tie → right
+    assert choose_join_strategy(big, big) == "shuffle"
+    # missing evidence never broadcasts
+    assert choose_join_strategy(big, None) == "shuffle"
+    assert choose_join_strategy(None, small) == "broadcast_right"
+    assert choose_join_strategy(None, None) == "shuffle"
+    # threshold is a hard line: 100 rows × 8B = 800B estimated
+    assert choose_join_strategy(big, small, threshold_bytes=100) == "shuffle"
+
+
+def test_stats_aware_path_join_plan_flips_on_stats(spark, tmp_path):
+    """The ANALYZE consumer: identical data, different sidecars →
+    different physical plans (BroadcastHashJoin when the stats say
+    small, SortMergeJoin when they say big or are absent), same
+    results either way."""
+    from openaq_lcs_fetch_spark.stats import (
+        collect_table_stats, write_stats,
+    )
+    from openaq_lcs_fetch_spark.storage import stats_aware_path_join
+
+    fact = spark.range(200).selectExpr(
+        "id AS row_id", "CAST(id % 5 AS INT) AS k", "id * 1.5 AS v"
+    )
+    dim = spark.range(5).selectExpr("CAST(id AS INT) AS k", "id * 10 AS label")
+    fact_path, dim_path = str(tmp_path / "fact"), str(tmp_path / "dim")
+    fact.write.parquet(fact_path)
+    dim.write.parquet(dim_path)
+    write_stats(collect_table_stats(spark.read.parquet(fact_path)), fact_path)
+    dim_stats = collect_table_stats(spark.read.parquet(dim_path))
+    write_stats(dim_stats, dim_path)
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # truthful stats: 5-row dim → broadcast
+    j_small = stats_aware_path_join(spark, fact_path, dim_path, "k")
+    assert "BroadcastHashJoin" in plan(j_small)
+    want = sorted((r.row_id, r.label) for r in j_small.collect())
+    assert len(want) == 200
+
+    # doctored dim sidecar says the dim is huge → the small FACT side
+    # becomes the broadcast side (BuildLeft)
+    fact_stats = collect_table_stats(spark.read.parquet(fact_path))
+    write_stats({**dim_stats, "n_rows": 10**9}, dim_path)
+    j_flip = stats_aware_path_join(spark, fact_path, dim_path, "k")
+    assert "BuildLeft" in plan(j_flip)
+    assert sorted((r.row_id, r.label) for r in j_flip.collect()) == want
+
+    # both sides huge → pinned shuffle merge join
+    write_stats({**fact_stats, "n_rows": 10**9}, fact_path)
+    j_big = stats_aware_path_join(spark, fact_path, dim_path, "k")
+    p_big = plan(j_big)
+    assert "BroadcastHashJoin" not in p_big and "SortMergeJoin" in p_big
+    assert sorted((r.row_id, r.label) for r in j_big.collect()) == want
+
+    # no sidecar at all → never broadcast, even though the data is tiny
+    import os
+    os.remove(os.path.join(dim_path, "_stats.json"))
+    os.remove(os.path.join(fact_path, "_stats.json"))
+    j_unknown = stats_aware_path_join(spark, fact_path, dim_path, "k")
+    assert "BroadcastHashJoin" not in plan(j_unknown)
+    assert sorted((r.row_id, r.label) for r in j_unknown.collect()) == want
+
+
+def test_high_water_mark_tz_independent(spark):
+    """The checkpoint mark is formatted engine-side under the UTC
+    session tz: swapping the host TZ must not move it (regression for
+    the local-naive collect + UTC re-parse shift; mirrors
+    test_vacuum_cutoff_tz_independent)."""
+    import datetime as dt
+    import os
+    import time
+
+    from openaq_lcs_fetch_spark.sources.checkpoint import (
+        high_water_mark, incremental_predicate,
+    )
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0, 500000)
+    df = spark.createDataFrame(
+        [(1, t0), (2, t0 + dt.timedelta(hours=1))], "event_id long, ts timestamp"
+    )
+
+    old_tz = os.environ.get("TZ")
+    try:
+        os.environ["TZ"] = "UTC"
+        time.tzset()
+        hwm_utc = high_water_mark(df, "ts")
+        os.environ["TZ"] = "Pacific/Kiritimati"  # UTC+14, no DST
+        time.tzset()
+        hwm_kir = high_water_mark(df, "ts")
+        n_kir = df.filter(
+            incremental_predicate(
+                F.col("ts"), {"high_water_mark": hwm_kir}, "1970-01-01"
+            )
+        ).count()
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+
+    assert hwm_utc == hwm_kir == "2024-06-01T13:00:00.500000"
+    assert n_kir == 0  # mark is the batch max → nothing strictly after
+    # empty batch → no mark
+    assert high_water_mark(df.filter("event_id < 0"), "ts") is None
