@@ -191,6 +191,7 @@ HEADLINE = (
     "run_log_roundtrip",
     "stats_join_strategy",
     "range_read_roundtrip",
+    "stats_accuracy_audit",
 )
 
 
@@ -431,6 +432,20 @@ def main() -> None:
             "loadavg_end": load_end,
         },
         "sf": sf_val,
+        # Per-family co-tenant-load sensitivity, measured in the
+        # round-9 idle→32-spinner→idle sandwich at sf0.1
+        # (docs/ORACLE_NOTES.md): median slowdown factor under full
+        # load. Machine-readable so cross-round tooling
+        # (tools/bench_compare.py) can de-noise records mechanically
+        # instead of by prose: the streaming family (queries named
+        # streaming_*) is ~1.33× more load-sensitive than the fleet
+        # calibration job itself, the scan job ~0.7× as sensitive.
+        "load_sensitivity": {
+            "streaming": 2.886,
+            "fleet": 2.165,
+            "scan": 1.503,
+            "family_rule": "startswith('streaming_') -> streaming; else fleet",
+        },
         # duplicated from "value": the driver archives only the
         # LAST 2000 chars of this line, and with 100+ queries the
         # head (metric/value) is truncated away — keys after

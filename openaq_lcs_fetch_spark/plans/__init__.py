@@ -77,8 +77,10 @@ together with the stale r02 textops/simsearch backfill listed above.
   slots 6-7, then the 22 r04-stale queries, then the 21 OLDEST
   r05-stale queries (fk_violation_audit … split_leakage_audit).
   5 + 2 + 22 + 21 = exactly 50. After this round the r04 bucket is
-  empty and r05 holds 29 rows — they head round 11 together with any
-  round-11 additions (≤ 21 keeps the ledger monotone).
+  empty and r05 holds 29 rows. One round-10 addition lands AFTER slot
+  50 on purpose (``stats_accuracy_audit``, the ANALYZE-document-vs-
+  exact audit): it heads the round-11 window together with the 29
+  r05-stale rows — 1 + 29 = 30, leaving ≤ 20 for round-11 additions.
 
 The ledger above is now DERIVED, not hand-maintained: once a round's
 CORRECTNESS_r{N}.json is committed, ``python tools/rotation_audit.py``

@@ -1562,3 +1562,71 @@ def range_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# stats_accuracy_audit — the ANALYZE document itself audited against
+# exact answers (the approx_event_stats stance applied to the stats
+# collector): every EXACT field of the collected document (row count,
+# null count, min/max — timestamps formatted engine-side, TZ-stable —
+# and the string avg_len, whose double is exact because integer
+# lengths sum under 2^53 on both engines) is emitted as an output
+# column the oracle recomputes from the source table, and the
+# approximate NDVs are pinned to a documented 3·rsd envelope against
+# in-plan exact countDistinct — if HLL++ ever drifts past its bound,
+# this query goes red rather than silently shipping bad statistics to
+# the join planner (stats_join_strategy consumes exactly these
+# numbers). Registered after slot 50 by design: heads the round-11
+# window.
+# ---------------------------------------------------------------------------
+
+_STATS_ACC_ORACLE = """
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS nulls_custkey,
+  CAST(MIN(o_custkey) AS VARCHAR) AS lo_custkey,
+  CAST(MAX(o_custkey) AS VARCHAR) AS hi_custkey,
+  strftime(MIN(o_orderdate), '%Y-%m-%dT%H:%M:%S') AS lo_date,
+  strftime(MAX(o_orderdate), '%Y-%m-%dT%H:%M:%S') AS hi_date,
+  CAST(SUM(LENGTH(o_orderpriority)) AS DOUBLE) / COUNT(o_orderpriority)
+    AS avg_len_priority,
+  TRUE AS ndv_custkey_ok,
+  TRUE AS ndv_priority_ok
+FROM orders
+"""
+
+
+@query("stats_accuracy_audit", _STATS_ACC_ORACLE)
+def stats_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..stats import collect_table_stats
+
+    o = t(spark, sf_dir, "orders")
+    st = collect_table_stats(
+        o, columns=["o_custkey", "o_orderpriority", "o_orderdate"]
+    )
+    ck, pr, od = (
+        st["columns"]["o_custkey"],
+        st["columns"]["o_orderpriority"],
+        st["columns"]["o_orderdate"],
+    )
+    return o.agg(
+        F.countDistinct("o_custkey").alias("_x_ck"),
+        F.countDistinct("o_orderpriority").alias("_x_pr"),
+    ).select(
+        F.lit(st["n_rows"]).cast("long").alias("n_rows"),
+        F.lit(ck["n_nulls"]).cast("long").alias("nulls_custkey"),
+        F.lit(str(ck["min"])).alias("lo_custkey"),
+        F.lit(str(ck["max"])).alias("hi_custkey"),
+        F.lit(od["min"]).alias("lo_date"),
+        F.lit(od["max"]).alias("hi_date"),
+        F.lit(float(pr["avg_len"])).alias("avg_len_priority"),
+        (
+            F.abs(F.lit(ck["ndv"]) - F.col("_x_ck"))
+            <= 3 * 0.05 * F.col("_x_ck")
+        ).alias("ndv_custkey_ok"),
+        (
+            F.abs(F.lit(pr["ndv"]) - F.col("_x_pr"))
+            <= 3 * 0.05 * F.col("_x_pr")
+        ).alias("ndv_priority_ok"),
+    )

@@ -1,6 +1,10 @@
 """ANALYZE-style table statistics: one-pass collection, JSON sidecar
-persistence, and the Selinger equi-join cardinality estimate built on
-them.
+persistence, the Selinger equi-join cardinality estimate built on
+them — and the consumer that makes them real: a broadcast-vs-shuffle
+join planner (:func:`choose_join_strategy` / :func:`stats_aware_join`,
+path-level variant ``storage.stats_aware_path_join``) driven by the
+EXACT sidecar statistics, driver-verified by ``stats_join_strategy``
+(plans/layout.py).
 
 Companion infrastructure to the CBO-audit *queries*
 (``histogram_selectivity_audit`` / ``column_correlation_audit`` /
@@ -73,8 +77,23 @@ def collect_table_stats(
         )
         aggs.append(F.approx_count_distinct(c, rsd).alias(f"__ndv__{c}"))
         if _is_ordered(dtypes[c]):
-            aggs.append(F.min(c).alias(f"__min__{c}"))
-            aggs.append(F.max(c).alias(f"__max__{c}"))
+            if dtypes[c].split("(")[0] in ("timestamp", "timestamp_ntz"):
+                # format ENGINE-side under the UTC session tz — a raw
+                # collect hands back a host-LOCAL naive datetime whose
+                # isoformat shifts with the host TZ (the checkpoint
+                # high-water-mark bug class); strip an all-zero
+                # fraction to keep the isoformat() round-trip shape
+                for agg, key in ((F.min(c), "min"), (F.max(c), "max")):
+                    aggs.append(
+                        F.regexp_replace(
+                            F.date_format(agg, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+                            r"\.000000$",
+                            "",
+                        ).alias(f"__{key}__{c}")
+                    )
+            else:
+                aggs.append(F.min(c).alias(f"__min__{c}"))
+                aggs.append(F.max(c).alias(f"__max__{c}"))
         if dtypes[c] == "string":
             aggs.append(F.avg(F.length(c)).alias(f"__avglen__{c}"))
     row = df.agg(*aggs).collect()[0].asDict()

@@ -148,6 +148,7 @@ def compact_by_time(
     ts_col: str,
     path: str,
     n_bins: int = 8,
+    collect_stats: bool = False,
 ) -> int:
     """Execute the ``compaction_bins`` plan: pack event DAYS in time
     order into ``n_bins`` row-balanced bins and rewrite the dataset as
@@ -162,6 +163,11 @@ def compact_by_time(
     per bin; `sortWithinPartitions(ts)` keeps min/max-ts pruning power
     in the rewritten files. One shuffle total (the bin repartition) —
     the rollup and broadcast are day-spine-sized.
+
+    ``collect_stats`` refreshes the ``_stats.json`` sidecar from the
+    rewritten dataset (OPTIMIZE also ANALYZEs — the compaction pass is
+    the natural moment, the data was just read anyway), so
+    :func:`stats_aware_path_join` plans against current numbers.
 
     Returns the number of bins written.
     """
@@ -198,6 +204,12 @@ def compact_by_time(
         .partitionBy("_bin")
         .parquet(path)
     )
+    if collect_stats:
+        from .stats import collect_table_stats, write_stats
+
+        write_stats(
+            collect_table_stats(df.sparkSession.read.parquet(path)), path
+        )
     return n
 
 
@@ -337,6 +349,21 @@ def read_time_range(
     # ingest boundary handles (tables.normalize_ts); a raw cast would
     # misread the bigint flavor as seconds
     df = normalize_ts(df, ts_col)
+    dt = dict(df.dtypes)[ts_col]
+    if dt.startswith("timestamp"):
+        # native timestamp bounds (constant-folded literals) reach the
+        # scan as PushedFilters → parquet row-group pruning INSIDE the
+        # selected files; a unix_micros()-wrapped predicate would not
+        # push. Equivalent to the micros comparison: both are µs
+        # precision, bounds inclusive; the NTZ cast under the pinned
+        # UTC session tz is the same reinterpretation micros() uses.
+        lo_lit = F.timestamp_micros(F.lit(start_us))
+        hi_lit = F.timestamp_micros(F.lit(end_us))
+        if dt == "timestamp_ntz":
+            lo_lit = lo_lit.cast("timestamp_ntz")
+            hi_lit = hi_lit.cast("timestamp_ntz")
+        c = F.col(ts_col)
+        return df.filter((c >= lo_lit) & (c <= hi_lit)), plan
     us = micros(F.col(ts_col))
     return df.filter((us >= start_us) & (us <= end_us)), plan
 
@@ -361,7 +388,15 @@ def vacuum_by_retention(
     compact_by_time first if the tail must be trimmed exactly (its
     time-sorted one-file-per-bin layout makes straddlers rare).
 
-    Returns {"cutoff_us", "n_deleted", "n_kept", "deleted", "kept"}
+    A vacuum that deletes anything also removes the ``_stats.json``
+    sidecar (``stats_invalidated`` in the return dict): the document's
+    n_rows/min/max no longer describe the dataset, and a stale "small"
+    claim could broadcast a table that isn't — the planner's
+    missing-stats stance (never broadcast) is the safe fallback until
+    the next ANALYZE or ``compact_by_time(collect_stats=True)``.
+
+    Returns {"cutoff_us", "n_deleted", "n_kept", "deleted", "kept",
+    "stats_invalidated"}
     (cutoff in epoch MICROseconds — every stats flavor is normalized:
     datetime stats via epoch conversion, raw int64 nanos // 1000);
     paths relative to ``path``; with ``dry_run`` nothing is removed.
@@ -387,6 +422,7 @@ def vacuum_by_retention(
             "n_kept": len(files),
             "deleted": [],
             "kept": rel,
+            "stats_invalidated": False,
         }
     cutoff = max(known_max) - keep_days * 86_400_000_000
     deleted, kept = [], []
@@ -398,10 +434,16 @@ def vacuum_by_retention(
                 os.remove(f)
         else:
             kept.append(os.path.relpath(f, path))
+    stats_invalidated = False
+    sidecar = os.path.join(path, "_stats.json")
+    if deleted and not dry_run and os.path.exists(sidecar):
+        os.remove(sidecar)
+        stats_invalidated = True
     return {
         "cutoff_us": cutoff,
         "n_deleted": len(deleted),
         "n_kept": len(kept),
         "deleted": deleted,
         "kept": kept,
+        "stats_invalidated": stats_invalidated,
     }

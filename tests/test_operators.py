@@ -3465,6 +3465,83 @@ def test_station_upsert_flow_hand_counts(spark, tmp_path):
     assert (r.seed_written, r.upd_written, r.upd_skipped) == (4, 1, 3)
 
 
+def test_measures_json_roundtrip_hand_values(spark, tmp_path):
+    """Two purchase days, two locations: the readback must show the
+    4-payload-per-day shard grid, each location in exactly one shard
+    per day (location rows sum to |nation| per day), and the cents
+    reduced INSIDE the nested arrays — independent of DuckDB."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+    d = dt.timedelta(days=1)
+    rows = [
+        (1, t0, 7, "purchase", 1.25, "{}"),
+        (2, t0, 8, "purchase", 2.50, "{}"),
+        (3, t0 + d, 7, "purchase", 4.00, "{}"),
+        (4, t0 + d, 9, "view", 99.0, "{}"),          # wrong type: excluded
+        (5, t0 + d, 9, "purchase", float("nan"), "{}"),  # NaN: excluded
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+    spark.createDataFrame(
+        [(0, "ALMA", 0, "x"), (1, "BRIO", 1, "y")],
+        "n_nationkey long, n_name string, n_regionkey long, n_comment string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "nation.parquet"))
+
+    got = {
+        r.day: r
+        for r in QUERIES["measures_json_roundtrip"].fn(spark, sf).collect()
+    }
+    assert set(got) == {"2024-05-01", "2024-05-02"}
+    for day in got:
+        assert got[day].n_payloads == 4           # full 4-shard grid
+        assert got[day].n_location_rows == 2      # each location exactly once
+    assert got["2024-05-01"].n_measures == 2
+    assert got["2024-05-01"].sum_cents == 375
+    assert got["2024-05-02"].n_measures == 1
+    assert got["2024-05-02"].sum_cents == 400
+
+
+def test_run_log_roundtrip_hand_counters(spark, tmp_path):
+    """Two sources with known counters: the log table readback must
+    replay n_measures and the from/to bounds per source exactly."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    t0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        (1, t0, 7, "view", 1.0, "{}"),
+        (2, t0 + h, 7, "view", 2.0, "{}"),
+        (3, t0 + 2 * h, 8, "view", float("nan"), "{}"),  # NaN: dropped
+        (4, t0 + 3 * h, 8, "click", 3.0, "{}"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    got = {
+        r.source: r for r in QUERIES["run_log_roundtrip"].fn(spark, sf).collect()
+    }
+    assert set(got) == {"view", "click"}
+    assert all(r.status == "success" for r in got.values())
+    assert (got["view"].n_measures, got["click"].n_measures) == (2, 1)
+    assert got["view"].from_ts == t0 and got["view"].to_ts == t0 + h
+    assert got["click"].from_ts == got["click"].to_ts == t0 + 3 * h
+
+
 def test_checkpoint_roundtrip_hand_marks(spark, tmp_path):
     """Even ids end at 12:00; two odd rows land strictly after → the
     incremental scan sees exactly those two and the final mark is the

@@ -1036,6 +1036,18 @@ def test_collect_table_stats_decimal_and_interval(spark, tmp_path):
     write_stats(st, path)  # must not raise TypeError
     assert read_stats(path)["columns"]["d"]["max"] == 7.5
 
+    # timestamp min/max are formatted engine-side (TZ-stable) and keep
+    # the isoformat shape: fraction only when non-zero
+    import datetime as dt
+    t0 = dt.datetime(2024, 2, 1, 12, 0, 0)
+    tdf = spark.createDataFrame(
+        [(t0,), (t0 + dt.timedelta(seconds=1, microseconds=123456),)],
+        "ts timestamp",
+    )
+    ts_st = collect_table_stats(tdf)["columns"]["ts"]
+    assert ts_st["min"] == "2024-02-01T12:00:00"
+    assert ts_st["max"] == "2024-02-01T12:00:01.123456"
+
 
 def test_choose_join_strategy_decisions():
     """Decision table: small side broadcast (tie → right), threshold is
@@ -1113,6 +1125,60 @@ def test_stats_aware_path_join_plan_flips_on_stats(spark, tmp_path):
     j_unknown = stats_aware_path_join(spark, fact_path, dim_path, "k")
     assert "BroadcastHashJoin" not in plan(j_unknown)
     assert sorted((r.row_id, r.label) for r in j_unknown.collect()) == want
+
+
+def test_stats_sidecar_lifecycle(spark, tmp_path):
+    """ANALYZE lifecycle: compaction refreshes the sidecar, a deleting
+    vacuum invalidates it (stale stats could broadcast a table that
+    isn't small — missing stats never broadcast), a dry-run or
+    no-delete vacuum leaves it alone."""
+    import datetime as dt
+    import os
+
+    from openaq_lcs_fetch_spark.stats import read_stats
+    from openaq_lcs_fetch_spark.storage import (
+        compact_by_time, vacuum_by_retention,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(days=d), float(i))
+        for i, d in enumerate([0, 1, 2, 40, 41, 42])
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, v double")
+    root = str(tmp_path / "ds")
+    compact_by_time(df, "ts", root, n_bins=3, collect_stats=True)
+
+    st = read_stats(root)
+    assert st is not None and st["n_rows"] == 6
+    assert st["columns"]["event_id"]["min"] == 0
+    assert st["columns"]["event_id"]["max"] == 5
+
+    # dry-run deletes nothing → sidecar intact
+    res = vacuum_by_retention(root, "ts", keep_days=10, dry_run=True)
+    assert res["n_deleted"] > 0 and res["stats_invalidated"] is False
+    assert read_stats(root) is not None
+
+    # keep-everything vacuum → sidecar intact
+    res = vacuum_by_retention(root, "ts", keep_days=365)
+    assert res["n_deleted"] == 0 and res["stats_invalidated"] is False
+    assert read_stats(root) is not None
+
+    # deleting vacuum → sidecar removed
+    res = vacuum_by_retention(root, "ts", keep_days=10)
+    assert res["n_deleted"] > 0 and res["stats_invalidated"] is True
+    assert read_stats(root) is None
+    assert not os.path.exists(os.path.join(root, "_stats.json"))
+
+    # refresh via compaction: stats describe the surviving data — the
+    # bin straddling the cutoff ([day2, day40]) was kept whole, so 4
+    # rows survive (file-granular retention by design)
+    compact_by_time(
+        spark.read.parquet(root).drop("_bin"), "ts", str(tmp_path / "ds2"),
+        n_bins=2, collect_stats=True,
+    )
+    st2 = read_stats(str(tmp_path / "ds2"))
+    assert st2["n_rows"] == 4 and st2["columns"]["event_id"]["min"] == 2
 
 
 def test_high_water_mark_tz_independent(spark):

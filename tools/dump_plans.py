@@ -791,6 +791,15 @@ COMMENTARY = {
         "tail, not the decade), ReadSchema is pruned to ts alone, and "
         "the count aggregates partial/final around one Exchange."
     ),
+    "stats_join_strategy": (
+        "Both decisions visible in ONE plan: the truthful-stats join "
+        "subtree builds a BroadcastHashJoin (the 25-row dimension "
+        "ships, the fact side never shuffles), the doctored-stats "
+        "subtree builds a SortMergeJoin with Exchanges on both inputs "
+        "— the SHUFFLE_MERGE hint holding against the runtime's own "
+        "small-size observation. The planner consumed ONLY the stats "
+        "documents; same data, different physical strategies."
+    ),
 }
 
 

@@ -194,6 +194,11 @@ PROFILED = [
     "station_upsert_flow",
     "checkpoint_roundtrip",
     "run_log_roundtrip",
+    # round 10: the stats-planner and manifest-reader proofs (their
+    # profile story is the ANALYZE pass + the pruned scan's file count)
+    "stats_join_strategy",
+    "range_read_roundtrip",
+    "stats_accuracy_audit",
 ]
 
 
