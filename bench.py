@@ -192,6 +192,7 @@ HEADLINE = (
     "stats_join_strategy",
     "range_read_roundtrip",
     "stats_accuracy_audit",
+    "vacuum_roundtrip",
 )
 
 

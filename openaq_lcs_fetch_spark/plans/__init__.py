@@ -77,10 +77,12 @@ together with the stale r02 textops/simsearch backfill listed above.
   slots 6-7, then the 22 r04-stale queries, then the 21 OLDEST
   r05-stale queries (fk_violation_audit … split_leakage_audit).
   5 + 2 + 22 + 21 = exactly 50. After this round the r04 bucket is
-  empty and r05 holds 29 rows. One round-10 addition lands AFTER slot
+  empty and r05 holds 29 rows. Two round-10 additions land AFTER slot
   50 on purpose (``stats_accuracy_audit``, the ANALYZE-document-vs-
-  exact audit): it heads the round-11 window together with the 29
-  r05-stale rows — 1 + 29 = 30, leaving ≤ 20 for round-11 additions.
+  exact audit; ``vacuum_roundtrip``, the retention vacuum's
+  file-granular semantics reproduced in SQL): they head the round-11
+  window together with the 29 r05-stale rows — 2 + 29 = 31, leaving
+  ≤ 19 for round-11 additions.
 
 The ledger above is now DERIVED, not hand-maintained: once a round's
 CORRECTNESS_r{N}.json is committed, ``python tools/rotation_audit.py``

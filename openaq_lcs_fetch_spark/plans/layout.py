@@ -1630,3 +1630,109 @@ def stats_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 3 * 0.05 * F.col("_x_pr")
         ).alias("ndv_priority_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# vacuum_roundtrip — the retention vacuum driver-verified (the last
+# storage primitive that was pytest-only): compact events into the
+# 8-bin time-sorted layout, run the REAL vacuum_by_retention
+# (keep_days=10 against a 30-day span — several whole bins fall), read
+# the surviving files back and verify the aggregate against an oracle
+# that REPRODUCES the vacuum's file-granular semantics in SQL: the
+# compaction_bins packing (same day spine, same cumulative-target
+# floor-divisions) assigns each day a bin = a file, each bin's max ts is
+# its footer span, and a bin survives iff its span max >= dataset max
+# - 10 days — straddling bins kept whole, exactly the documented
+# contract. n_deleted/n_kept and the sidecar invalidation flag ride
+# along as columns. Registered after slot 50: heads the round-11
+# window with stats_accuracy_audit.
+# ---------------------------------------------------------------------------
+
+_VACUUM_RT_BINS = 8
+_VACUUM_RT_KEEP_DAYS = 10
+
+_VACUUM_RT_ORACLE = f"""
+WITH per_day AS (
+  SELECT date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+tgt AS (
+  SELECT CAST((SUM(n) + {_VACUUM_RT_BINS - 1}) // {_VACUUM_RT_BINS} AS BIGINT)
+    AS target
+  FROM per_day
+),
+cum AS (
+  SELECT d, n, CAST(SUM(n) OVER (ORDER BY d) - n AS BIGINT) AS cum0
+  FROM per_day
+),
+binned AS (
+  SELECT d, CAST(c.cum0 // t.target AS BIGINT) AS bin_id
+  FROM cum c CROSS JOIN tgt t
+),
+binmax AS (
+  SELECT b.bin_id, MAX(e.ts) AS bmax
+  FROM events e JOIN binned b ON date_trunc('day', e.ts) = b.d
+  GROUP BY b.bin_id
+),
+cutoff AS (
+  SELECT epoch_us(MAX(ts)) - {_VACUUM_RT_KEEP_DAYS} * 86400000000 AS c
+  FROM events
+),
+keep_days AS (
+  SELECT b.d
+  FROM binned b JOIN binmax m ON b.bin_id = m.bin_id CROSS JOIN cutoff
+  WHERE epoch_us(m.bmax) >= c
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN isnan(e.value) THEN 0
+           ELSE CAST(ROUND(e.value * 100, 0) AS BIGINT) END) AS BIGINT)
+    AS sum_cents,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM binmax CROSS JOIN cutoff
+   WHERE epoch_us(bmax) < c) AS n_deleted,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM binmax CROSS JOIN cutoff
+   WHERE epoch_us(bmax) >= c) AS n_kept,
+  TRUE AS vacuumed
+FROM events e JOIN keep_days k ON date_trunc('day', e.ts) = k.d
+"""
+
+
+@query("vacuum_roundtrip", _VACUUM_RT_ORACLE)
+def vacuum_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..storage import compact_by_time, vacuum_by_retention
+
+    e = t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="sgq_vacuum_rt_")
+    try:
+        path = f"{root}/events_compacted"
+        compact_by_time(e, "ts", path, n_bins=_VACUUM_RT_BINS)
+        res = vacuum_by_retention(
+            path, "ts", keep_days=_VACUUM_RT_KEEP_DAYS
+        )
+        out = (
+            spark.read.parquet(path)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(
+                    F.when(F.isnan("value"), F.lit(0)).otherwise(
+                        F.round(F.col("value") * 100, 0).cast("long")
+                    )
+                )
+                .cast("long")
+                .alias("sum_cents"),
+            )
+            .select(
+                "n_rows",
+                "sum_cents",
+                F.lit(res["n_deleted"]).cast("long").alias("n_deleted"),
+                F.lit(res["n_kept"]).cast("long").alias("n_kept"),
+                F.lit(res["n_deleted"] > 0).alias("vacuumed"),
+            )
+            .localCheckpoint()  # eager: frees the temp dir below
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

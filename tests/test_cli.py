@@ -157,3 +157,63 @@ def test_bench_history_round_inference(tmp_path, monkeypatch):
     (tmp_path / "BENCH_r9.json").write_text("{}")  # unpadded also counts
     assert bench._history_path().endswith(os.path.join("BENCH_HISTORY", "r11.json"))
     assert os.path.isdir(tmp_path / "docs" / "BENCH_HISTORY")
+
+
+def test_bench_compare_denoise(tmp_path, capsys):
+    """bench_compare: per-run load levels from the fleet calibration
+    (mean of start/end vs quietest sample), family-sensitive expected
+    factors, flags only on residual movement, and the truncated
+    driver-record loader."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import bench_compare as BC
+
+    sens = BC.DEFAULT_SENSITIVITY
+    # old run: quiet (fleet 2.0/2.0); new run: loaded (fleet 4.0/4.4)
+    # → idle=2.0, L_old=0, L_new=(4.2/2.0-1)/1.165
+    old = {
+        "queries": {"q_plain": 1.0, "streaming_x": 2.0, "q_reg": 1.0},
+        "calibration": {"fleet_start": 2.0, "fleet_end": 2.0},
+    }
+    l_new = (4.2 / 2.0 - 1.0) / (sens["fleet"] - 1.0)
+    exp_fleet = 1.0 + l_new * (sens["fleet"] - 1.0)      # = 2.1
+    exp_stream = 1.0 + l_new * (sens["streaming"] - 1.0)
+    assert abs(exp_fleet - 2.1) < 1e-9
+    assert exp_stream > exp_fleet  # streaming allowed more movement
+    new = {
+        "queries": {
+            "q_plain": 1.0 * exp_fleet,        # exactly load-attributable
+            "streaming_x": 2.0 * exp_stream,   # ditto, bigger raw ratio
+            "q_reg": 1.0 * exp_fleet * 2.0,    # genuine 2x residual
+        },
+        "calibration": {"fleet_start": 4.0, "fleet_end": 4.4},
+    }
+    po, pn = str(tmp_path / "o.json"), str(tmp_path / "n.json")
+    with open(po, "w") as fh:
+        json.dump(old, fh)
+    with open(pn, "w") as fh:
+        json.dump(new, fh)
+
+    argv = sys.argv
+    try:
+        sys.argv = ["bench_compare.py", po, pn, "--flag-ratio", "1.3"]
+        rc = BC.main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert rc == 1  # q_reg flagged
+    assert "FLAG q_reg" in out
+    assert "FLAG q_plain" not in out and "FLAG streaming_x" not in out
+
+    # truncated driver-record shape: tail cut mid-queries
+    full = json.dumps(new)
+    trunc = {"n": 9, "parsed": None, "tail": full[len(full) // 3:]}
+    pt = str(tmp_path / "t.json")
+    with open(pt, "w") as fh:
+        json.dump(trunc, fh)
+    rec = BC.load_record(pt)
+    assert rec["calibration"]["fleet_start"] == 4.0
+    assert "q_reg" in rec["queries"] or "streaming_x" in rec["queries"]

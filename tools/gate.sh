@@ -15,4 +15,5 @@ cd "$(dirname "$0")/.."
 if [[ "${1:-}" != "--quick" ]]; then
   python -m pytest tests/ -x -q
 fi
+python tools/refresh_counts.py --check
 python tools/check_all.py

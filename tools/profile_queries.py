@@ -199,6 +199,7 @@ PROFILED = [
     "stats_join_strategy",
     "range_read_roundtrip",
     "stats_accuracy_audit",
+    "vacuum_roundtrip",
 ]
 
 
