@@ -193,6 +193,7 @@ HEADLINE = (
     "range_read_roundtrip",
     "stats_accuracy_audit",
     "vacuum_roundtrip",
+    "provider_pipeline_flow",
 )
 
 

@@ -77,12 +77,13 @@ together with the stale r02 textops/simsearch backfill listed above.
   slots 6-7, then the 22 r04-stale queries, then the 21 OLDEST
   r05-stale queries (fk_violation_audit … split_leakage_audit).
   5 + 2 + 22 + 21 = exactly 50. After this round the r04 bucket is
-  empty and r05 holds 29 rows. Two round-10 additions land AFTER slot
-  50 on purpose (``stats_accuracy_audit``, the ANALYZE-document-vs-
-  exact audit; ``vacuum_roundtrip``, the retention vacuum's
-  file-granular semantics reproduced in SQL): they head the round-11
-  window together with the 29 r05-stale rows — 2 + 29 = 31, leaving
-  ≤ 19 for round-11 additions.
+  empty and r05 holds 29 rows. Three round-10 additions land AFTER
+  slot 50 on purpose (``stats_accuracy_audit``, the ANALYZE-document-
+  vs-exact audit; ``vacuum_roundtrip``, the retention vacuum's
+  file-granular semantics reproduced in SQL; ``provider_pipeline_flow``,
+  the wide-CSV provider shape end-to-end vs a pure-SQL oracle): they
+  head the round-11 window together with the 29 r05-stale rows —
+  3 + 29 = 32, leaving ≤ 18 for round-11 additions.
 
 The ledger above is now DERIVED, not hand-maintained: once a round's
 CORRECTNESS_r{N}.json is committed, ``python tools/rotation_audit.py``
@@ -106,6 +107,7 @@ from . import textops  # noqa: F401
 from . import simsearch  # noqa: F401
 from . import layout  # noqa: F401
 from . import sinks_q  # noqa: F401
+from . import providers_q  # noqa: F401
 
 # Round-10 driver window (slots 1-50), executing the rotation the
 # round-9 verdict prescribed (and ``tools/rotation_audit.py`` derives):

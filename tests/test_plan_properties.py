@@ -748,3 +748,40 @@ def test_round9_sink_roundtrip_plan_shapes(spark, sf_dir):
     # pruned: only ts survives to the scan (count + filter need nothing else)
     rs = plan.split("ReadSchema")[1].split("\n")[0]
     assert "props" not in rs and "event_type" not in rs
+
+
+def test_read_time_range_pushes_native_timestamp_bounds(spark, tmp_path):
+    """The manifest-pruned read's residual window must reach the
+    parquet scan as NATIVE timestamp PushedFilters (row-group pruning
+    inside selected files) — a unix_micros()-wrapped predicate would
+    not push and the window would be filter-only."""
+    import contextlib
+    import datetime as dt
+    import io
+
+    from openaq_lcs_fetch_spark.storage import compact_by_time, read_time_range
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(days=d), float(i))
+        for i, d in enumerate([0, 1, 10, 11, 20, 21])
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, v double")
+    root = str(tmp_path / "c")
+    compact_by_time(df, "ts", root, n_bins=3)
+
+    def us(d):
+        return int(
+            (base + dt.timedelta(days=d))
+            .replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+        )
+
+    got, meta = read_time_range(spark, root, us(9), us(12), "ts")
+    assert 0 < meta["n_selected"] < meta["n_total"]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThanOrEqual(ts" in pushed, pushed
+    assert "unix_micros" not in pushed

@@ -200,6 +200,7 @@ PROFILED = [
     "range_read_roundtrip",
     "stats_accuracy_audit",
     "vacuum_roundtrip",
+    "provider_pipeline_flow",
 ]
 
 
