@@ -194,6 +194,8 @@ HEADLINE = (
     "stats_accuracy_audit",
     "vacuum_roundtrip",
     "provider_pipeline_flow",
+    "provider_zip_arrays_flow",
+    "provider_keyed_map_flow",
 )
 
 

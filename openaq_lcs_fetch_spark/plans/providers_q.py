@@ -146,3 +146,263 @@ def provider_pipeline_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# provider_zip_arrays_flow — the parallel-arrays (purpleair) shape:
+# {fields[], data[][]} zip-decoded into record maps (R4), melted over
+# the lookup params with null skip (R1/F6), coerced (no sentinel step
+# on this path — non-numeric simply drops), unit-scaled (µg/m³ ×1,
+# pp100ml ×0.01, pa ×0.01, 'f' passthrough), unix-seconds timestamps
+# (C5), stations first-wins on the station field. The oracle melts the
+# same records from a VALUES table — a wrong zip (field/value
+# misalignment) would scramble every value and fail the hash.
+# Reference anchors: purpleair.js:127-143 (fields/data), :58-76 (per-
+# measurand skip), :73 (unix seconds), measurand.js:19-28 (scales).
+# ---------------------------------------------------------------------------
+
+_ZIP_FLOW_ORACLE = r"""
+WITH rec(station, ts_unix, lat, lon, pm25_raw, um_raw, press_raw, temp_raw) AS (
+  VALUES
+    ('pa1', 1717243200, '40.5', '-75.5', '12.5', '250', '101325', '72.5'),
+    ('pa2', 1717246800, '41.0', '-76.0', '8.75', '100', '100000', '68'),
+    ('pa1', 1717250400, '40.5', '-75.5', 'abc', NULL, '99900', '70')
+),
+long AS (
+  SELECT station, ts_unix, lat, lon,
+         'pm2.5_atm' AS input_param, pm25_raw AS raw_value FROM rec
+  UNION ALL SELECT station, ts_unix, lat, lon, '0.3_um_count', um_raw FROM rec
+  UNION ALL SELECT station, ts_unix, lat, lon, 'pressure', press_raw FROM rec
+  UNION ALL SELECT station, ts_unix, lat, lon, 'temperature', temp_raw FROM rec
+),
+dim(input_param, parameter, scale) AS (
+  VALUES ('pm2.5_atm', 'pm25', 1.0), ('0.3_um_count', 'um003', 0.01),
+         ('pressure', 'pressure', 0.01), ('temperature', 'temperature', 1.0)
+),
+coerced AS (
+  SELECT station, ts_unix, lat, lon, input_param,
+    CASE
+      WHEN regexp_matches(raw_value, '^[+-]?\d{1,3}(,\d{3})+(\.\d*)?$')
+        THEN CAST(replace(raw_value, ',', '') AS DOUBLE)
+      WHEN regexp_matches(raw_value,
+                          '^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$')
+        THEN CAST(raw_value AS DOUBLE)
+      ELSE NULL
+    END AS value
+  FROM long WHERE raw_value IS NOT NULL
+)
+SELECT
+  'zip_fixture-' || c.station || '-' || d.parameter AS sensor_id,
+  c.value * d.scale AS measure,
+  strftime(make_timestamp(CAST(c.ts_unix AS BIGINT) * 1000000),
+           '%Y-%m-%dT%H:%M:%SZ') AS ts_iso,
+  CAST(c.lon AS DOUBLE) AS longitude,
+  CAST(c.lat AS DOUBLE) AS latitude,
+  CAST(2 AS BIGINT) AS n_stations
+FROM coerced c JOIN dim d USING (input_param)
+WHERE c.value IS NOT NULL
+"""
+
+
+@query("provider_zip_arrays_flow", _ZIP_FLOW_ORACLE)
+def provider_zip_arrays_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from ..providers import processor
+
+    root = tempfile.mkdtemp(prefix="sgq_zipflow_")
+    try:
+        path = os.path.join(root, "feed.json")
+        fields = [
+            "sensor_index", "last_seen", "latitude", "longitude",
+            "pm2.5_atm", "0.3_um_count", "pressure", "temperature",
+        ]
+        data = [
+            ["pa1", "1717243200", "40.5", "-75.5", "12.5", "250", "101325", "72.5"],
+            ["pa2", "1717246800", "41.0", "-76.0", "8.75", "100", "100000", "68"],
+            ["pa1", "1717250400", "40.5", "-75.5", "abc", None, "99900", "70"],
+        ]
+        with open(path, "w") as fh:
+            fh.write(_json.dumps({"fields": fields, "data": data}) + "\n")
+        config = {
+            "schema": "v1",
+            "provider": "zip_arrays",
+            "frequency": "hour",
+            "active": True,
+            "meta": {
+                "path": path,
+                "lookup": [
+                    ["pm2.5_atm", "pm25", "µg/m³"],
+                    ["0.3_um_count", "um003", "pp100ml"],
+                    ["pressure", "pressure", "pa"],
+                    ["temperature", "temperature", "f"],
+                ],
+                "source_name": "zip_fixture",
+            },
+        }
+        measures, stations = processor(spark, config)
+        out = (
+            measures.select(
+                "sensor_id",
+                "measure",
+                F.date_format(
+                    "timestamp", "yyyy-MM-dd'T'HH:mm:ss'Z'"
+                ).alias("ts_iso"),
+                "longitude",
+                "latitude",
+            )
+            .crossJoin(
+                F.broadcast(
+                    stations.agg(
+                        F.count(F.lit(1)).cast("long").alias("n_stations")
+                    )
+                )
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# provider_keyed_map_flow — the keyed-map (smartsense/aernode/miri)
+# shape with its bounded row-window policies: readings arrive as an
+# object keyed by measurand (R2 map-entries melt), the newest —
+# possibly incomplete — reading set is dropped and only the last
+# ``last_sets`` survive (aernode.js:115-118 slice window, expressed as
+# a per-device dense_rank), sentinels recode to NULL + flag (NOT -999,
+# §2.11), and stations register from the device listing BEFORE any
+# slicing — a device whose only set was dropped still registers
+# (aernode.js:104-113). The oracle reproduces the dense_rank window in
+# SQL, so both the slicing AND the station-before-slicing contract are
+# cross-engine-proven. A NULL device id row (the miri.js:74 metadata
+# element) is dropped everywhere.
+# ---------------------------------------------------------------------------
+
+_KEYED_FLOW_ORACLE = r"""
+WITH raw(device_id, ts, input_param, raw_value) AS (
+  VALUES
+    ('dev1', '2024-06-01T10:00:00', 'pm25', '15.5'),
+    ('dev1', '2024-06-01T11:00:00', 'pm25', '16.5'),
+    ('dev1', '2024-06-01T11:00:00', 'co', '250'),
+    ('dev1', '2024-06-01T11:00:00', 'temp', 'inv'),
+    ('dev1', '2024-06-01T12:00:00', 'pm25', '17.5'),
+    ('dev2', '2024-06-01T12:00:00', 'pm10', '30')
+),
+sets AS (
+  SELECT device_id, ts,
+         dense_rank() OVER (PARTITION BY device_id ORDER BY ts DESC) AS r
+  FROM (SELECT DISTINCT device_id, ts FROM raw)
+),
+kept AS (  -- last_sets=2 keeps r<=2; drop_latest_reading drops r=1
+  SELECT raw.* FROM raw
+  JOIN sets USING (device_id, ts)
+  WHERE sets.r <= 2 AND sets.r > 1
+),
+dim(input_param, parameter, scale) AS (
+  VALUES ('pm25', 'pm25', 1.0), ('co', 'co', 0.001),
+         ('temp', 'temperature', 1.0), ('pm10', 'pm10', 1.0)
+),
+cleaned AS (
+  SELECT device_id, ts, input_param,
+    CASE
+      WHEN raw_value IN ('', 'NaN', 'n/a', 'inv', 'null', 'undefined')
+        THEN NULL
+      WHEN regexp_matches(raw_value, '^[+-]?\d{1,3}(,\d{3})+(\.\d*)?$')
+        THEN CAST(replace(raw_value, ',', '') AS DOUBLE)
+      WHEN regexp_matches(raw_value,
+                          '^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$')
+        THEN CAST(raw_value AS DOUBLE)
+      ELSE NULL
+    END AS value,
+    CASE
+      WHEN raw_value IN ('', 'NaN', 'n/a', 'inv', 'null', 'undefined')
+        THEN raw_value
+      ELSE NULL
+    END AS sentinel
+  FROM kept
+)
+SELECT
+  'keyed_fixture-' || c.device_id || '-' || d.parameter AS sensor_id,
+  c.value * d.scale AS measure,
+  strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%SZ') AS ts_iso,
+  c.sentinel,
+  CAST(2 AS BIGINT) AS n_stations
+FROM cleaned c JOIN dim d USING (input_param)
+WHERE c.value IS NOT NULL OR c.sentinel IS NOT NULL
+"""
+
+
+@query("provider_keyed_map_flow", _KEYED_FLOW_ORACLE)
+def provider_keyed_map_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from ..providers import processor
+
+    rows = [
+        {"device_id": "dev1", "ts": "2024-06-01T10:00:00", "lat": 40.0,
+         "lon": -75.0, "readings": {"pm25": "15.5"}},
+        {"device_id": "dev1", "ts": "2024-06-01T11:00:00", "lat": 40.0,
+         "lon": -75.0,
+         "readings": {"pm25": "16.5", "co": "250", "temp": "inv"}},
+        {"device_id": "dev1", "ts": "2024-06-01T12:00:00", "lat": 40.0,
+         "lon": -75.0, "readings": {"pm25": "17.5"}},
+        {"device_id": "dev2", "ts": "2024-06-01T12:00:00", "lat": 41.0,
+         "lon": -76.0, "readings": {"pm10": "30"}},
+        # miri.js:74 — the listing's metadata element, not a device
+        {"device_id": None, "ts": "2024-06-01T12:00:00", "lat": 0.0,
+         "lon": 0.0, "readings": {"pm25": "99"}},
+    ]
+    root = tempfile.mkdtemp(prefix="sgq_keyedflow_")
+    try:
+        path = os.path.join(root, "devices.jsonl")
+        with open(path, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+        config = {
+            "schema": "v1",
+            "provider": "keyed_map",
+            "frequency": "hour",
+            "active": True,
+            "meta": {
+                "path": path,
+                "lookup": [
+                    ["pm25", "pm25", "µg/m³"],
+                    ["co", "co", "ppb"],
+                    ["temp", "temperature", "c"],
+                    ["pm10", "pm10", "µg/m³"],
+                ],
+                "last_sets": 2,
+                "drop_latest_reading": True,
+                "source_name": "keyed_fixture",
+            },
+        }
+        measures, stations = processor(spark, config)
+        out = (
+            measures.select(
+                "sensor_id",
+                "measure",
+                F.date_format(
+                    "timestamp", "yyyy-MM-dd'T'HH:mm:ss'Z'"
+                ).alias("ts_iso"),
+                F.col("flags")["qc/sentinel"].alias("sentinel"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    stations.agg(
+                        F.count(F.lit(1)).cast("long").alias("n_stations")
+                    )
+                )
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
