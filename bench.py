@@ -196,6 +196,8 @@ HEADLINE = (
     "provider_pipeline_flow",
     "provider_zip_arrays_flow",
     "provider_keyed_map_flow",
+    "provider_enriched_flow",
+    "provider_mobile_flow",
 )
 
 

@@ -77,14 +77,16 @@ together with the stale r02 textops/simsearch backfill listed above.
   slots 6-7, then the 22 r04-stale queries, then the 21 OLDEST
   r05-stale queries (fk_violation_audit … split_leakage_audit).
   5 + 2 + 22 + 21 = exactly 50. After this round the r04 bucket is
-  empty and r05 holds 29 rows. Five round-10 additions land AFTER
+  empty and r05 holds 29 rows. Seven round-10 additions land AFTER
   slot 50 on purpose (``stats_accuracy_audit``, the ANALYZE-document-
   vs-exact audit; ``vacuum_roundtrip``, the retention vacuum's
-  file-granular semantics reproduced in SQL; the three provider-shape
+  file-granular semantics reproduced in SQL; the five provider-shape
   flow proofs ``provider_pipeline_flow`` / ``provider_zip_arrays_flow``
-  / ``provider_keyed_map_flow``): they head the round-11 window with
-  the 29 r05-stale rows and the 16 oldest r06 rows — 5 + 29 + 16 =
-  exactly 50, zeroing r05 in round 11 with in-window velocity 0.
+  / ``provider_keyed_map_flow`` / ``provider_enriched_flow`` /
+  ``provider_mobile_flow`` — every pipeline shape in the provider
+  registry): they head the round-11 window with the 29 r05-stale rows
+  and the 14 oldest r06 rows — 7 + 29 + 14 = exactly 50, zeroing r05
+  in round 11 with in-window velocity 0.
 
 The ledger above is now DERIVED, not hand-maintained: once a round's
 CORRECTNESS_r{N}.json is committed, ``python tools/rotation_audit.py``

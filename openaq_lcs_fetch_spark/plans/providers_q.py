@@ -406,3 +406,231 @@ def provider_keyed_map_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# provider_enriched_flow — the enriched-measurements (clarity) shape,
+# the reference's most involved pipeline: flat JSON rows enriched
+# against a datasource dimension via broadcast left join with a
+# DISTINCT miss side-output (J2, clarity.js:63-108 + :51-56 —
+# emitted here as an output column, so the miss report itself is
+# cross-engine-proven), QC codes riding as a flags map with the value
+# untouched (clarity.js:163), measurand scaling, ingest-id sensor keys
+# (J3). Unlisted characteristics drop at the measurand join; rows
+# whose datasource misses drop from measures but count in the report.
+# ---------------------------------------------------------------------------
+
+_ENRICHED_FLOW_ORACLE = r"""
+WITH raw(measurement_id, datasource_id, ts, lat, lon, characteristic,
+         value, qc) AS (
+  VALUES
+    ('m1', 'ds1', '2024-06-01T10:00:00', 40.0, -75.0, 'pm2_5ConcMass',
+     12.5, ''),
+    ('m2', 'ds1', '2024-06-01T11:00:00', 40.0, -75.0, 'no2Conc',
+     30.0, 'flagged'),
+    ('m3', 'ds2', '2024-06-01T10:30:00', 41.0, -76.0, 'pm2_5ConcMass',
+     9.0, NULL),
+    ('m4', 'dsX', '2024-06-01T10:00:00', 42.0, -77.0, 'pm2_5ConcMass',
+     1.0, NULL),
+    ('m5', 'ds2', '2024-06-01T10:45:00', 41.0, -76.0, 'windSpeed',
+     3.0, NULL)
+),
+ds(datasource_id, datasource_name) AS (
+  VALUES ('ds1', 'Alpha Site'), ('ds2', 'Beta Site')
+),
+dim(input_param, parameter, scale) AS (
+  VALUES ('pm2_5ConcMass', 'pm25', 1.0), ('no2Conc', 'no2', 0.001)
+),
+misses AS (
+  SELECT COUNT(DISTINCT r.datasource_id) AS n
+  FROM raw r LEFT JOIN ds USING (datasource_id)
+  WHERE ds.datasource_name IS NULL
+)
+SELECT
+  ds.datasource_name || '-' || r.datasource_id || '-' || d.parameter
+    AS sensor_id,
+  r.value * d.scale AS measure,
+  strftime(CAST(r.ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%SZ') AS ts_iso,
+  CASE WHEN r.qc IS NOT NULL AND r.qc <> '' THEN r.qc END AS qc,
+  CAST(2 AS BIGINT) AS n_stations,
+  (SELECT CAST(n AS BIGINT) FROM misses) AS n_misses
+FROM raw r
+JOIN ds USING (datasource_id)
+JOIN dim d ON r.characteristic = d.input_param
+"""
+
+
+@query("provider_enriched_flow", _ENRICHED_FLOW_ORACLE)
+def provider_enriched_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from ..providers.base import REGISTRY
+
+    rows = [
+        {"measurement_id": "m1", "datasource_id": "ds1",
+         "ts": "2024-06-01T10:00:00", "lat": 40.0, "lon": -75.0,
+         "characteristic": "pm2_5ConcMass", "value": 12.5, "qc": ""},
+        {"measurement_id": "m2", "datasource_id": "ds1",
+         "ts": "2024-06-01T11:00:00", "lat": 40.0, "lon": -75.0,
+         "characteristic": "no2Conc", "value": 30.0, "qc": "flagged"},
+        {"measurement_id": "m3", "datasource_id": "ds2",
+         "ts": "2024-06-01T10:30:00", "lat": 41.0, "lon": -76.0,
+         "characteristic": "pm2_5ConcMass", "value": 9.0, "qc": None},
+        # dsX: no datasource row → dropped from measures, counted in
+        # the miss report
+        {"measurement_id": "m4", "datasource_id": "dsX",
+         "ts": "2024-06-01T10:00:00", "lat": 42.0, "lon": -77.0,
+         "characteristic": "pm2_5ConcMass", "value": 1.0, "qc": None},
+        # windSpeed: unlisted characteristic → dropped at the
+        # measurand join (clarity accepts a fixed characteristic set)
+        {"measurement_id": "m5", "datasource_id": "ds2",
+         "ts": "2024-06-01T10:45:00", "lat": 41.0, "lon": -76.0,
+         "characteristic": "windSpeed", "value": 3.0, "qc": None},
+    ]
+    root = tempfile.mkdtemp(prefix="sgq_enrichedflow_")
+    try:
+        mpath = os.path.join(root, "measurements.jsonl")
+        dpath = os.path.join(root, "datasources.jsonl")
+        with open(mpath, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+        with open(dpath, "w") as fh:
+            fh.write(_json.dumps(
+                {"datasource_id": "ds1", "datasource_name": "Alpha Site"}
+            ) + "\n")
+            fh.write(_json.dumps(
+                {"datasource_id": "ds2", "datasource_name": "Beta Site"}
+            ) + "\n")
+        config = {
+            "schema": "v1",
+            "provider": "enriched",
+            "frequency": "hour",
+            "active": True,
+            "meta": {
+                "path": mpath,
+                "datasources_path": dpath,
+                "lookup": [
+                    ["pm2_5ConcMass", "pm25", "µg/m³"],
+                    ["no2Conc", "no2", "ppb"],
+                ],
+                "source_name": "enriched_fixture",
+            },
+        }
+        measures, stations, misses = REGISTRY["enriched"].process_with_misses(
+            spark, config
+        )
+        out = (
+            measures.select(
+                "sensor_id",
+                "measure",
+                F.date_format(
+                    "timestamp", "yyyy-MM-dd'T'HH:mm:ss'Z'"
+                ).alias("ts_iso"),
+                F.col("flags")["enriched/qc"].alias("qc"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    stations.agg(
+                        F.count(F.lit(1)).cast("long").alias("n_stations")
+                    )
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    misses.agg(
+                        F.count(F.lit(1)).cast("long").alias("n_misses")
+                    )
+                )
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# provider_mobile_flow — the mobile-measures (habitatmap) shape: the
+# PAGINATED source with per-reading coordinates, read through the real
+# read_paginated fetcher machinery (3 pages, 2-row overlap per page —
+# the 2-minute sliding re-read duplicate pattern, habitatmap.js:
+# 128-136), a time-range predicate with the no-future guard (F1,
+# utils.js:180-209), (sensor, ts) dedup of the overlap duplicates
+# (T4), and mobile stations from the bounded session listing. The
+# oracle regenerates the offline fetcher's deterministic stream with
+# range()/unnest and applies the same bounds — page-overlap duplicates
+# collapse under DISTINCT seq exactly as dedup_events collapses them.
+# ---------------------------------------------------------------------------
+
+_MOBILE_FLOW_ORACLE = r"""
+WITH seqs AS (
+  SELECT DISTINCT CAST(s AS BIGINT) AS seq FROM (
+    SELECT unnest(range(0, 8)) AS s
+    UNION ALL SELECT unnest(range(6, 16))
+    UNION ALL SELECT unnest(range(14, 24))
+  )
+),
+rows AS (
+  SELECT
+    'sess-' || (seq % 3) AS session,
+    make_timestamp((1700000000 + 30 * seq) * 1000000) AS ts,
+    40.0 + (seq % 50) / 100.0 AS lat,
+    -80.0 - (seq % 50) / 100.0 AS lon,
+    CASE WHEN seq % 2 = 0 THEN 'pm25' ELSE 'rh' END AS param,
+    ROUND(8.0 + (seq * 13 % 40) / 4.0, 2) AS value,
+    seq
+  FROM seqs
+)
+SELECT
+  'mobile_fixture-' || session || '-' || param AS sensor_id,
+  value AS measure,
+  strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso,
+  lon AS longitude,
+  lat AS latitude,
+  CAST(3 AS BIGINT) AS n_stations
+FROM rows
+WHERE seq BETWEEN 2 AND 21  -- start = seq-2 ts, no-future 'now' = seq-21 ts
+"""
+
+
+@query("provider_mobile_flow", _MOBILE_FLOW_ORACLE)
+def provider_mobile_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..providers import processor
+
+    config = {
+        "schema": "v1",
+        "provider": "mobile",
+        "frequency": "minute",
+        "active": True,
+        "meta": {
+            "pages": "3",
+            "page_size": "8",
+            # seq 2 → 1700000060 → 2023-11-14T22:14:20Z;
+            # seq 21 → 1700000630 → 2023-11-14T22:23:50Z
+            "start": "2023-11-14T22:14:20",
+            "now": "2023-11-14T22:23:50",
+            "source_name": "mobile_fixture",
+        },
+    }
+    measures, stations = processor(spark, config)
+    return (
+        measures.select(
+            "sensor_id",
+            "measure",
+            F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+                "ts_iso"
+            ),
+            "longitude",
+            "latitude",
+        )
+        .crossJoin(
+            F.broadcast(
+                stations.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_stations")
+                )
+            )
+        )
+    )

@@ -203,6 +203,8 @@ PROFILED = [
     "provider_pipeline_flow",
     "provider_zip_arrays_flow",
     "provider_keyed_map_flow",
+    "provider_enriched_flow",
+    "provider_mobile_flow",
 ]
 
 
