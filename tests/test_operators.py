@@ -3570,3 +3570,65 @@ def test_checkpoint_roundtrip_hand_marks(spark, tmp_path):
     assert r.n_incremental == 2
     assert r.hwm_first == t0 + 2 * h
     assert r.hwm_final == t0 + 4 * h
+
+
+def test_provider_pipeline_flow_hand_values(spark):
+    """Absolute values computed BY HAND (not vs DuckDB): the June row
+    parses as EDT (UTC-4) and the December row as EST (UTC-5), both
+    minus 15 min; ppb scales to ppm; the comma-grouped value coerces;
+    sentinel rows keep NULL measures with the token in the flag."""
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    rows = {
+        (r.sensor_id, r.ts_iso): r
+        for r in QUERIES["provider_pipeline_flow"].fn(spark, "/unused").collect()
+    }
+    assert len(rows) == 7 and all(r.n_stations == 2 for r in rows.values())
+    # 2024-06-01 10_00 America/New_York = 14:00 UTC (EDT) − 15 min
+    r = rows[("cmu_fixture-st1-co", "2024-06-01T13:45:00Z")]
+    assert r.measure == pytest.approx(0.4) and r.sentinel is None
+    # comma-grouped 1,234.5 ppb → 1.2345 ppm
+    r = rows[("cmu_fixture-st1-co", "2024-06-01T14:45:00Z")]
+    assert r.measure == pytest.approx(1.2345)
+    # 2024-12-01 09_30 America/New_York = 14:30 UTC (EST) − 15 min
+    r = rows[("cmu_fixture-st2-co", "2024-12-01T14:15:00Z")]
+    assert r.measure == pytest.approx(0.00825)
+    # sentinel row: NULL measure, token preserved
+    r = rows[("cmu_fixture-st1-no2", "2024-06-01T13:45:00Z")]
+    assert r.measure is None and r.sentinel == "NaN"
+
+
+def test_provider_keyed_map_flow_hand_values(spark):
+    """By hand: last_sets=2 + drop_latest keeps exactly the middle
+    (11:00) reading set of dev1; dev2's only set drops but dev2 still
+    registers (station-before-slicing)."""
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    got = QUERIES["provider_keyed_map_flow"].fn(spark, "/unused").collect()
+    assert len(got) == 3 and all(r.n_stations == 2 for r in got)
+    by_id = {r.sensor_id: r for r in got}
+    assert set(by_id) == {
+        "keyed_fixture-dev1-pm25",
+        "keyed_fixture-dev1-co",
+        "keyed_fixture-dev1-temperature",
+    }
+    assert all(r.ts_iso == "2024-06-01T11:00:00Z" for r in got)
+    assert by_id["keyed_fixture-dev1-pm25"].measure == pytest.approx(16.5)
+    assert by_id["keyed_fixture-dev1-co"].measure == pytest.approx(0.25)
+    t = by_id["keyed_fixture-dev1-temperature"]
+    assert t.measure is None and t.sentinel == "inv"
+
+
+def test_provider_enriched_flow_hand_values(spark):
+    """By hand: exactly one distinct missing datasource (dsX), the QC
+    code rides as a flag with the value untouched, empty QC → no flag."""
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    got = QUERIES["provider_enriched_flow"].fn(spark, "/unused").collect()
+    assert len(got) == 3
+    assert all(r.n_misses == 1 and r.n_stations == 2 for r in got)
+    by_id = {r.sensor_id: r for r in got}
+    assert by_id["Alpha Site-ds1-no2"].qc == "flagged"
+    assert by_id["Alpha Site-ds1-no2"].measure == pytest.approx(0.03)
+    assert by_id["Alpha Site-ds1-pm25"].qc is None  # empty string → no flag
+    assert by_id["Beta Site-ds2-pm25"].measure == pytest.approx(9.0)
