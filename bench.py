@@ -201,6 +201,20 @@ HEADLINE = (
 )
 
 
+#: Per-family co-tenant-load sensitivity, measured in the round-9
+#: idle→32-spinner→idle sandwich at sf0.1 (docs/ORACLE_NOTES.md):
+#: median slowdown factor under full load. THE single source of truth —
+#: embedded in every bench record and imported by
+#: tools/bench_compare.py as its fallback for records that predate the
+#: block. Re-measure the sandwich before editing.
+LOAD_SENSITIVITY = {
+    "streaming": 2.886,
+    "fleet": 2.165,
+    "scan": 1.503,
+    "family_rule": "startswith('streaming_') -> streaming; else fleet",
+}
+
+
 def _loadavg() -> list[float] | None:
     """Host 1/5/15-minute load averages — co-tenant load is the one
     session factor the in-JVM calibration jobs cannot see (round 8:
@@ -438,20 +452,11 @@ def main() -> None:
             "loadavg_end": load_end,
         },
         "sf": sf_val,
-        # Per-family co-tenant-load sensitivity, measured in the
-        # round-9 idle→32-spinner→idle sandwich at sf0.1
-        # (docs/ORACLE_NOTES.md): median slowdown factor under full
-        # load. Machine-readable so cross-round tooling
-        # (tools/bench_compare.py) can de-noise records mechanically
-        # instead of by prose: the streaming family (queries named
-        # streaming_*) is ~1.33× more load-sensitive than the fleet
-        # calibration job itself, the scan job ~0.7× as sensitive.
-        "load_sensitivity": {
-            "streaming": 2.886,
-            "fleet": 2.165,
-            "scan": 1.503,
-            "family_rule": "startswith('streaming_') -> streaming; else fleet",
-        },
+        # machine-readable so cross-round tooling (bench_compare.py)
+        # can de-noise records mechanically instead of by prose: the
+        # streaming family is ~1.33× more load-sensitive than the
+        # fleet calibration job itself, the scan job ~0.7× as sensitive
+        "load_sensitivity": LOAD_SENSITIVITY,
         # duplicated from "value": the driver archives only the
         # LAST 2000 chars of this line, and with 100+ queries the
         # head (metric/value) is truncated away — keys after

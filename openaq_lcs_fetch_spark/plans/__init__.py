@@ -113,7 +113,14 @@ from . import sinks_q  # noqa: F401
 from . import providers_q  # noqa: F401
 
 # Round-10 driver window (slots 1-50), executing the rotation the
-# round-9 verdict prescribed (and ``tools/rotation_audit.py`` derives):
+# round-9 verdict prescribed. NOTE vs ``tools/rotation_audit.py``: the
+# audit's suggested window lists ALL never-verified queries first, so
+# after the round-10 additions it proposes 14 never + 22 r04 + 14 r05;
+# this promote deliberately defers the 7 round-10 additions past slot
+# 50 (they are this round's registrations — the ledger's standing
+# policy is that same-round additions head the NEXT round's window,
+# keeping the current window for the debt the prior verdict
+# prescribed). The audit encodes the ranking, not that deferral.
 # (1) the 5 round-9 sink round-trips — never driver-verified; (2) the
 # two round-10 additions, also never-verified; (3) the 22 remaining
 # r04-stale queries in audit order; (4) the 21 OLDEST r05-stale

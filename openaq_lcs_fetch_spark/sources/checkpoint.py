@@ -80,7 +80,17 @@ def advance(
     store: CheckpointStore, source: str, df: DataFrame, ts_col: str
 ) -> dict[str, Any]:
     """Save the new high-water mark after a successful run; never moves
-    backwards (late re-reads must not regress the checkpoint)."""
+    backwards (late re-reads must not regress the checkpoint).
+
+    Migration note: a store written by the PRE-TZ-fix
+    ``high_water_mark`` on a host east of UTC holds a future-shifted
+    mark that the never-regress rule will preserve (the corrected mark
+    compares smaller), silently skipping data until wall-clock catches
+    up. There is no safe automatic clamp — a mark legitimately ahead of
+    the current batch is NORMAL under partial re-reads — so such stores
+    must be rebuilt once (delete ``{base}/meta/{source}.json``; the
+    checkpoint is derived state, the next run re-bounds from
+    ``default_since``)."""
     prev = store.load(source) or {}
     hwm = high_water_mark(df, ts_col)
     if hwm is not None and hwm > prev.get("high_water_mark", ""):

@@ -107,6 +107,11 @@ def collect_table_stats(
         return v.isoformat() if hasattr(v, "isoformat") else v
 
     out: dict[str, Any] = {"n_rows": row["__n"], "columns": {}}
+    if set(cols) != set(df.columns):
+        # a subset profile cannot estimate the ROW width — mark it so
+        # the join planner never mistakes "8 bytes of profiled columns"
+        # for "8-byte rows" and broadcasts a wide table
+        out["partial"] = True
     for c in cols:
         st: dict[str, Any] = {
             "dtype": dtypes[c],
@@ -225,7 +230,11 @@ def estimate_row_bytes(stats: dict[str, Any]) -> float:
         frac = 1.0 - min(st["n_nulls"], n) / n
         base = st["dtype"].split("(")[0]
         if base == "string":
-            w = st.get("avg_len", 16.0) + _STRING_OVERHEAD_BYTES
+            # avg_len is None for an all-NULL string column / empty
+            # table (F.avg over no rows) — fall back to the default
+            # width rather than TypeError-ing the planner
+            avg_len = st.get("avg_len")
+            w = (avg_len if avg_len is not None else 16.0) + _STRING_OVERHEAD_BYTES
         else:
             w = _DTYPE_BYTES.get(base, _UNKNOWN_DTYPE_BYTES)
         width += frac * w
@@ -248,12 +257,19 @@ def choose_join_strategy(
     """Broadcast-vs-shuffle decision from two stats documents:
     ``broadcast_right`` / ``broadcast_left`` when that side's estimated
     bytes fit under ``threshold_bytes`` (smaller side wins a tie),
-    ``shuffle`` otherwise. A side with NO stats (None) is never
-    broadcast — missing evidence never ships an unbounded table to
+    ``shuffle`` otherwise. A side with NO stats (None) — or a PARTIAL
+    document (collected over a column subset, whose row-width estimate
+    would silently exclude the unprofiled columns) — is never
+    broadcast: missing evidence never ships an unbounded table to
     every executor, the same stance the vacuum takes on unknown file
     spans."""
-    bl = estimate_table_bytes(stats_l) if stats_l is not None else None
-    br = estimate_table_bytes(stats_r) if stats_r is not None else None
+
+    def _bytes(st):
+        if st is None or st.get("partial"):
+            return None
+        return estimate_table_bytes(st)
+
+    bl, br = _bytes(stats_l), _bytes(stats_r)
     r_ok = br is not None and br <= threshold_bytes
     l_ok = bl is not None and bl <= threshold_bytes
     if r_ok and (not l_ok or br <= bl):

@@ -349,21 +349,24 @@ def read_time_range(
     # ingest boundary handles (tables.normalize_ts); a raw cast would
     # misread the bigint flavor as seconds
     df = normalize_ts(df, ts_col)
-    dt = dict(df.dtypes)[ts_col]
-    if dt.startswith("timestamp"):
-        # native timestamp bounds (constant-folded literals) reach the
-        # scan as PushedFilters → parquet row-group pruning INSIDE the
+    if dict(df.dtypes)[ts_col] == "timestamp":
+        # the post-normalize_ts common case (it canonicalizes bigint
+        # nanos and TIMESTAMP_NTZ to TIMESTAMP): native timestamp
+        # bounds (constant-folded literals) reach the scan as
+        # PushedFilters → parquet row-group pruning INSIDE the
         # selected files; a unix_micros()-wrapped predicate would not
         # push. Equivalent to the micros comparison: both are µs
-        # precision, bounds inclusive; the NTZ cast under the pinned
-        # UTC session tz is the same reinterpretation micros() uses.
-        lo_lit = F.timestamp_micros(F.lit(start_us))
-        hi_lit = F.timestamp_micros(F.lit(end_us))
-        if dt == "timestamp_ntz":
-            lo_lit = lo_lit.cast("timestamp_ntz")
-            hi_lit = hi_lit.cast("timestamp_ntz")
+        # precision, bounds inclusive.
         c = F.col(ts_col)
-        return df.filter((c >= lo_lit) & (c <= hi_lit)), plan
+        return (
+            df.filter(
+                (c >= F.timestamp_micros(F.lit(start_us)))
+                & (c <= F.timestamp_micros(F.lit(end_us)))
+            ),
+            plan,
+        )
+    # any other shape (a ts column normalize_ts doesn't recognize):
+    # correct-but-unpushed micros residual
     us = micros(F.col(ts_col))
     return df.filter((us >= start_us) & (us <= end_us)), plan
 

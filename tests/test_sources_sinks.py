@@ -1072,6 +1072,33 @@ def test_choose_join_strategy_decisions():
     # threshold is a hard line: 100 rows × 8B = 800B estimated
     assert choose_join_strategy(big, small, threshold_bytes=100) == "shuffle"
 
+    # all-NULL string column stores avg_len None — must estimate, not
+    # TypeError (the planner would crash on any such sidecar)
+    nullstr = {
+        "n_rows": 5,
+        "columns": {
+            "s": {"dtype": "string", "n_nulls": 5, "ndv": 0, "avg_len": None}
+        },
+    }
+    assert choose_join_strategy(big, nullstr) == "broadcast_right"
+
+    # a PARTIAL document (column-subset profile) must never broadcast:
+    # its row-width estimate excludes the unprofiled columns, so a
+    # wide table could masquerade as an 8-byte-row one
+    partial = {**small, "partial": True}
+    assert choose_join_strategy(big, partial) == "shuffle"
+    assert choose_join_strategy(partial, small) == "broadcast_right"
+
+
+def test_collect_table_stats_marks_partial(spark):
+    """A subset profile is marked partial; a full profile is not."""
+    from openaq_lcs_fetch_spark.stats import collect_table_stats
+
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    assert "partial" not in collect_table_stats(df)
+    assert "partial" not in collect_table_stats(df, columns=["s", "k"])
+    assert collect_table_stats(df, columns=["k"]).get("partial") is True
+
 
 def test_stats_aware_path_join_plan_flips_on_stats(spark, tmp_path):
     """The ANALYZE consumer: identical data, different sidecars →

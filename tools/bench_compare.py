@@ -39,17 +39,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import statistics
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 #: fallback when neither record carries a load_sensitivity block
-#: (pre-round-10 records) — the round-9 sandwich numbers.
-DEFAULT_SENSITIVITY = {
-    "streaming": 2.886,
-    "fleet": 2.165,
-    "scan": 1.503,
-    "family_rule": "startswith('streaming_') -> streaming; else fleet",
-}
+#: (pre-round-10 records) — imported from bench.py, the single source
+#: of truth for the sandwich measurements (two hand-maintained copies
+#: WILL drift when the sandwich is re-measured).
+from bench import LOAD_SENSITIVITY as DEFAULT_SENSITIVITY  # noqa: E402
 
 
 def family(name: str) -> str:
