@@ -3632,3 +3632,47 @@ def test_provider_enriched_flow_hand_values(spark):
     assert by_id["Alpha Site-ds1-no2"].measure == pytest.approx(0.03)
     assert by_id["Alpha Site-ds1-pm25"].qc is None  # empty string → no flag
     assert by_id["Beta Site-ds2-pm25"].measure == pytest.approx(9.0)
+
+
+def test_provider_zip_arrays_flow_hand_values(spark):
+    """By hand: zip decode alignment (a misaligned zip would swap
+    values between fields), pp100ml/pa scales, non-numeric and null
+    cells drop, 'f' unit passes through unscaled."""
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    got = QUERIES["provider_zip_arrays_flow"].fn(spark, "/unused").collect()
+    assert len(got) == 10 and all(r.n_stations == 2 for r in got)
+    by_key = {(r.sensor_id, r.ts_iso): r for r in got}
+    # rec1 @ unix 1717243200 = 2024-06-01T12:00:00Z
+    r = by_key[("zip_fixture-pa1-um003", "2024-06-01T12:00:00Z")]
+    assert r.measure == pytest.approx(2.5)      # 250 pp100ml → 2.5 /cm³
+    r = by_key[("zip_fixture-pa1-pressure", "2024-06-01T12:00:00Z")]
+    assert r.measure == pytest.approx(1013.25)  # Pa → hPa
+    assert (r.longitude, r.latitude) == (-75.5, 40.5)
+    r = by_key[("zip_fixture-pa2-temperature", "2024-06-01T13:00:00Z")]
+    assert r.measure == pytest.approx(68.0)     # 'f': no conversion
+    # rec3's pm25 'abc' and um003 null both dropped
+    assert ("zip_fixture-pa1-pm25", "2024-06-01T14:00:00Z") not in by_key
+    assert ("zip_fixture-pa1-um003", "2024-06-01T14:00:00Z") not in by_key
+
+
+def test_provider_mobile_flow_hand_values(spark):
+    """By hand: the paginated overlap duplicates collapse, the time
+    bounds keep exactly seqs 2..21 (20 rows), and the no-future guard
+    is inclusive at 'now'."""
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    got = QUERIES["provider_mobile_flow"].fn(spark, "/unused").collect()
+    assert len(got) == 20 and all(r.n_stations == 3 for r in got)
+    by_ts = {r.ts_iso: r for r in got}
+    assert "2023-11-14T22:13:50Z" not in by_ts   # seq 1: before start
+    assert "2023-11-14T22:24:20Z" not in by_ts   # seq 22: after 'now'
+    # seq 2: sess-2, pm25, value 8 + (26 % 40)/4 = 14.5
+    r = by_ts["2023-11-14T22:14:20Z"]
+    assert r.sensor_id == "mobile_fixture-sess-2-pm25"
+    assert r.measure == pytest.approx(14.5)
+    assert (r.latitude, r.longitude) == (40.02, -80.02)
+    # seq 21 (inclusive 'now' bound): sess-0, rh, 8 + (273 % 40)/4 = 16.25
+    r = by_ts["2023-11-14T22:23:50Z"]
+    assert r.sensor_id == "mobile_fixture-sess-0-rh"
+    assert r.measure == pytest.approx(16.25)
