@@ -68,7 +68,7 @@ together with the stale r02 textops/simsearch backfill listed above.
   station_upsert_flow, checkpoint_roundtrip, run_log_roundtrip — all
   after slot 50 by design): 22 + 5 = 27 slots, leaving ≤ 23 for
   round-10 additions to keep the ledger monotone.
-* round 10 (here): exactly the composition round 9 prescribed — the
+* round 10: exactly the composition round 9 prescribed — the
   5 never-verified sink round-trips in slots 1-5, round 10's two
   additions (``stats_join_strategy``, the ANALYZE-stats broadcast-vs-
   shuffle consumer; ``range_read_roundtrip``, the manifest-pruned
@@ -87,6 +87,15 @@ together with the stale r02 textops/simsearch backfill listed above.
   registry): they head the round-11 window with the 29 r05-stale rows
   and the 14 oldest r06 rows — 7 + 29 + 14 = exactly 50, zeroing r05
   in round 11 with in-window velocity 0.
+* round 11 (here): exactly that composition — the 7 never-verified
+  round-10 additions in slots 1-7, the 29 r05-stale rows, the 14
+  oldest r06 rows. Round-11 additions land AFTER slot 50 on purpose
+  (``run_source_roundtrip``, the one-call §3.1 lifecycle composition;
+  ``zorder_range_read``, z-order write + manifest-pruned 2-D range
+  read composed end-to-end; ``join_preflight_audit``, the Selinger
+  estimate consulted as a join blow-up pre-flight): they head the
+  round-12 window with the 36 remaining r06-stale rows and the oldest
+  r07 rows.
 
 The ledger above is now DERIVED, not hand-maintained: once a round's
 CORRECTNESS_r{N}.json is committed, ``python tools/rotation_audit.py``
@@ -112,76 +121,71 @@ from . import layout  # noqa: F401
 from . import sinks_q  # noqa: F401
 from . import providers_q  # noqa: F401
 
-# Round-10 driver window (slots 1-50), executing the rotation the
-# round-9 verdict prescribed. NOTE vs ``tools/rotation_audit.py``: the
-# audit's suggested window lists ALL never-verified queries first, so
-# after the round-10 additions it proposes 14 never + 22 r04 + 14 r05;
-# this promote deliberately defers the 7 round-10 additions past slot
-# 50 (they are this round's registrations — the ledger's standing
-# policy is that same-round additions head the NEXT round's window,
-# keeping the current window for the debt the prior verdict
-# prescribed). The audit encodes the ranking, not that deferral.
-# (1) the 5 round-9 sink round-trips — never driver-verified; (2) the
-# two round-10 additions, also never-verified; (3) the 22 remaining
-# r04-stale queries in audit order; (4) the 21 OLDEST r05-stale
-# queries. 5 + 2 + 22 + 21 = exactly 50 slots. After this round: r04
-# staleness zeroed, r05 down to 29 rows (they head round 11).
+# Round-11 driver window (slots 1-50), executing the composition the
+# round-10 ledger prescribed (and ``tools/rotation_audit.py`` derives
+# identically — in-window new-query velocity is 0, so the audit's
+# never-verified → least-recently-green ranking IS the window):
+# (1) the 7 never-verified round-10 additions (the ANALYZE-accuracy
+# audit, the vacuum round-trip, the five provider-shape flow proofs);
+# (2) ALL 29 r05-stale queries in audit order; (3) the 14 OLDEST
+# r06-stale queries. 7 + 29 + 14 = exactly 50 slots. After this round:
+# r05 staleness zeroed, r06 down to 36 rows (they head round 12
+# together with round 11's own post-slot-50 additions).
 registry.promote(
     [
-        # (1) round-9 sink round-trips — never driver-verified
-        "measures_csv_roundtrip",
-        "measures_json_roundtrip",
-        "station_upsert_flow",
-        "checkpoint_roundtrip",
-        "run_log_roundtrip",
-        # (2) round-10 additions — never driver-verified
-        "stats_join_strategy",
-        "range_read_roundtrip",
-        # (3) the 22 remaining r04-stale queries, audit order
-        "trailing_1h_stats",
-        "user_value_trend",
-        "time_weighted_avg",
-        "streaming_dedup_hourly",
-        "streaming_sessions",
-        "session_window_stats",
-        "approx_event_stats",
-        "funnel_conversion",
-        "retention_cohorts",
-        "ewma_user_value",
-        "event_type_affinity",
-        "event_transitions",
-        "value_histogram",
-        "incremental_hourly_merge",
-        "type_day_chisq",
-        "streaming_enriched_hourly",
-        "record_breaking_values",
-        "streaming_click_nobuy",
-        "streaming_user_final_state",
-        "zorder_locality",
-        "kmv_daily_merge",
-        "cms_user_counts",
-        # (4) the 21 oldest r05-stale queries, audit order
-        "fk_violation_audit",
-        "events_profile",
-        "fuzzy_name_match",
-        "pareto_front_parts",
-        "region_monthly_growth",
-        "cohort_ltv",
-        "fuzzy_er_clusters",
-        "part_cheapest_offer",
-        "customers_all_brands",
-        "copurchase_triangles",
-        "basket_lift_rules",
-        "global_rank_sample",
-        "k_anonymity_audit",
-        "weighted_median_value",
-        "seasonal_naive_error",
-        "hourly_autocorr24",
-        "geo_tz_counts",
-        "doc_token_stats",
-        "bpe_pair_counts",
-        "vocab_oov_rate",
-        "split_leakage_audit",
+        # (1) round-10 additions — never driver-verified
+        "stats_accuracy_audit",
+        "vacuum_roundtrip",
+        "provider_pipeline_flow",
+        "provider_zip_arrays_flow",
+        "provider_keyed_map_flow",
+        "provider_enriched_flow",
+        "provider_mobile_flow",
+        # (2) all 29 r05-stale queries, audit order
+        "ctfidf_top_terms",
+        "domain_cap_sample",
+        "quality_winsorize",
+        "token_pagerank",
+        "ppjoin_pairs",
+        "dedup_shrink_report",
+        "quality_percent_rank",
+        "embedding_int8_quant",
+        "cdc_apply",
+        "ohlc_bars",
+        "isotonic_fit",
+        "cusum_changepoint",
+        "max_drawdown",
+        "theil_sen_daily_slope",
+        "week_over_week_reconcile",
+        "event_motifs",
+        "interval_union_length",
+        "ab_test_zstat",
+        "feature_auc",
+        "salted_join_stats",
+        "longest_streak",
+        "dau_wau_stickiness",
+        "equi_depth_quantiles",
+        "value_mad",
+        "value_outliers_3sigma",
+        "lag_features",
+        "reliability_bins",
+        "streaming_dedup_ww",
+        "bloom_membership",
+        # (3) the 14 oldest r06-stale queries, audit order
+        "item_item_cosine",
+        "gini_revenue",
+        "benford_digits",
+        "order_price_reconcile",
+        "bfs_hops",
+        "watermark_summary",
+        "distinct_users",
+        "hourly_rollup",
+        "hour_ending_rollup",
+        "cohort_union",
+        "enrich_misses",
+        "tz_daily",
+        "props_extract",
+        "recent_orders",
     ]
 )
 
