@@ -13,9 +13,11 @@ Catalyst pushes into the scan.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import tempfile
+import warnings
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -76,6 +78,13 @@ def high_water_mark(df: DataFrame, ts_col: str) -> str | None:
     return row["hwm"]
 
 
+#: how far AHEAD of the current batch a stored mark may sit before
+#: :func:`advance` warns. Partial re-reads legitimately leave the mark
+#: a little ahead; a multi-hour lead matches the pre-TZ-fix
+#: future-shift signature (host UTC offsets are ≤ 14 h) or a clock bug.
+SUSPECT_MARK_GAP = datetime.timedelta(hours=2)
+
+
 def advance(
     store: CheckpointStore, source: str, df: DataFrame, ts_col: str
 ) -> dict[str, Any]:
@@ -90,10 +99,32 @@ def advance(
     the current batch is NORMAL under partial re-reads — so such stores
     must be rebuilt once (delete ``{base}/meta/{source}.json``; the
     checkpoint is derived state, the next run re-bounds from
-    ``default_since``)."""
+    ``default_since``). :data:`SUSPECT_MARK_GAP` makes the hazard
+    detectable at runtime: a stored mark more than that far AHEAD of
+    the batch high-water mark warns (a mark slightly ahead is normal
+    under partial re-reads; hours ahead is the documented TZ-shift
+    signature or a clock problem — either way worth a look)."""
     prev = store.load(source) or {}
     hwm = high_water_mark(df, ts_col)
-    if hwm is not None and hwm > prev.get("high_water_mark", ""):
+    stored = prev.get("high_water_mark", "")
+    if hwm is not None and stored:
+        try:
+            gap = (
+                datetime.datetime.fromisoformat(stored)
+                - datetime.datetime.fromisoformat(hwm)
+            )
+        except ValueError:
+            gap = None  # foreign-format mark: never-regress still applies
+        if gap is not None and gap > SUSPECT_MARK_GAP:
+            warnings.warn(
+                f"checkpoint for {source!r} is {gap} ahead of the batch "
+                f"high-water mark ({stored!r} > {hwm!r}); if this store "
+                "predates the TZ-format fix it is future-shifted and is "
+                "silently skipping data — rebuild it (delete "
+                f"{store._path(source)}; see advance() docstring)",
+                stacklevel=2,
+            )
+    if hwm is not None and hwm > stored:
         prev["high_water_mark"] = hwm
     store.save(source, prev)
     return prev

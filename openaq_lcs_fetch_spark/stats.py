@@ -53,6 +53,15 @@ def _is_ordered(dtype: str) -> bool:
     return dtype.split("(")[0] in _ORDERED_TYPES
 
 
+#: sidecar document schema version. Version 1 is the first schema that
+#: carries the ``partial`` marker for column-subset profiles; documents
+#: WITHOUT a version (written before the marker existed) might be
+#: unmarked subset profiles whose row-width estimate silently excludes
+#: unprofiled columns, so the join planner refuses to broadcast from
+#: them (same stance as partial/missing stats).
+STATS_VERSION = 1
+
+
 def collect_table_stats(
     df: DataFrame, columns: list[str] | None = None, rsd: float = 0.05
 ) -> dict[str, Any]:
@@ -106,7 +115,11 @@ def collect_table_stats(
             return float(v)
         return v.isoformat() if hasattr(v, "isoformat") else v
 
-    out: dict[str, Any] = {"n_rows": row["__n"], "columns": {}}
+    out: dict[str, Any] = {
+        "version": STATS_VERSION,
+        "n_rows": row["__n"],
+        "columns": {},
+    }
     if set(cols) != set(df.columns):
         # a subset profile cannot estimate the ROW width — mark it so
         # the join planner never mistakes "8 bytes of profiled columns"
@@ -132,7 +145,10 @@ def write_stats(stats: dict[str, Any], path: str) -> str:
     tmp+rename, the checkpoint-store discipline)."""
     os.makedirs(path, exist_ok=True)
     target = os.path.join(path, "_stats.json")
-    fd, tmp = tempfile.mkstemp(dir=path)
+    # prefix must keep the underscore: a crash between mkstemp and
+    # os.replace leaves the temp file in the parquet data directory,
+    # and Spark's file index only ignores paths starting with "_"/"."
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="_stats.", suffix=".tmp")
     with os.fdopen(fd, "w") as fh:
         json.dump(stats, fh, sort_keys=True)
     os.replace(tmp, target)
@@ -257,15 +273,16 @@ def choose_join_strategy(
     """Broadcast-vs-shuffle decision from two stats documents:
     ``broadcast_right`` / ``broadcast_left`` when that side's estimated
     bytes fit under ``threshold_bytes`` (smaller side wins a tie),
-    ``shuffle`` otherwise. A side with NO stats (None) — or a PARTIAL
+    ``shuffle`` otherwise. A side with NO stats (None), a PARTIAL
     document (collected over a column subset, whose row-width estimate
-    would silently exclude the unprofiled columns) — is never
-    broadcast: missing evidence never ships an unbounded table to
-    every executor, the same stance the vacuum takes on unknown file
-    spans."""
+    would silently exclude the unprofiled columns), or an UNVERSIONED
+    document (written before the ``partial`` marker existed, so it may
+    be an unmarked subset profile) is never broadcast: missing evidence
+    never ships an unbounded table to every executor, the same stance
+    the vacuum takes on unknown file spans."""
 
     def _bytes(st):
-        if st is None or st.get("partial"):
+        if st is None or st.get("partial") or st.get("version", 0) < 1:
             return None
         return estimate_table_bytes(st)
 

@@ -7,6 +7,9 @@ import glob
 import gzip
 import json
 import os
+import warnings
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -107,12 +110,25 @@ def test_checkpoint_roundtrip(spark, tmp_path):
     # incremental predicate excludes already-seen rows
     remaining = df.filter(incremental_predicate(F.col("ts"), store.load("src"), "1970-01-01"))
     assert remaining.count() == 0
-    # checkpoint never regresses
+    # checkpoint never regresses; a batch this far BEHIND the stored
+    # mark (a month ≫ SUSPECT_MARK_GAP) also trips the future-shifted-
+    # store detector the ADVICE asked for — the pre-TZ-fix hazard is
+    # indistinguishable from a stale mark at runtime, so it warns
     older = spark.createDataFrame([("c", "2023-12-01T00:00:00")], "id string, ts string").withColumn(
         "ts", F.to_timestamp("ts")
     )
-    state2 = advance(store, "src", older, "ts")
+    with pytest.warns(UserWarning, match="ahead of the batch"):
+        state2 = advance(store, "src", older, "ts")
     assert state2["high_water_mark"].startswith("2024-01-02")
+    # a batch only slightly behind the mark (normal partial re-read:
+    # within SUSPECT_MARK_GAP) must NOT warn
+    slightly_older = spark.createDataFrame(
+        [("d", "2024-01-01T23:30:00")], "id string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        state3 = advance(store, "src", slightly_older, "ts")
+    assert state3["high_water_mark"].startswith("2024-01-02")
 
 
 def _measures(spark):
@@ -1056,6 +1072,7 @@ def test_choose_join_strategy_decisions():
 
     def st(n, w=8):
         return {
+            "version": 1,
             "n_rows": n,
             "columns": {"k": {"dtype": "bigint", "n_nulls": 0, "ndv": n}},
         } if w == 8 else None
@@ -1075,6 +1092,7 @@ def test_choose_join_strategy_decisions():
     # all-NULL string column stores avg_len None — must estimate, not
     # TypeError (the planner would crash on any such sidecar)
     nullstr = {
+        "version": 1,
         "n_rows": 5,
         "columns": {
             "s": {"dtype": "string", "n_nulls": 5, "ndv": 0, "avg_len": None}
@@ -1088,6 +1106,12 @@ def test_choose_join_strategy_decisions():
     partial = {**small, "partial": True}
     assert choose_join_strategy(big, partial) == "shuffle"
     assert choose_join_strategy(partial, small) == "broadcast_right"
+
+    # an UNVERSIONED document (pre-"partial"-marker sidecar) may be an
+    # unmarked subset profile — never broadcast from it either
+    legacy = {k: v for k, v in small.items() if k != "version"}
+    assert choose_join_strategy(big, legacy) == "shuffle"
+    assert choose_join_strategy(legacy, small) == "broadcast_right"
 
 
 def test_collect_table_stats_marks_partial(spark):
