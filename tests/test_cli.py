@@ -217,3 +217,81 @@ def test_bench_compare_denoise(tmp_path, capsys):
     rec = BC.load_record(pt)
     assert rec["calibration"]["fleet_start"] == 4.0
     assert "q_reg" in rec["queries"] or "streaming_x" in rec["queries"]
+
+def test_bench_compare_guards(tmp_path, capsys):
+    """The round-11 anti-false-flag guards: (a) quiet-ward expected
+    factors are damped halfway toward 1, so a flat raw wall after a
+    loaded OLD run is NOT a regression; (b) the raw noise floor — only
+    queries whose RAW ratio also regressed are flaggable; (c) the
+    min-wall floor drops sub-half-second jitter; (d) the truncated-tail
+    loader refuses record-level keys spliced in as query walls."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import bench_compare as BC
+
+    sens = BC.DEFAULT_SENSITIVITY
+    s = sens["fleet"]
+    # OLD run loaded (fleet 4.0), NEW run quiet (fleet 2.0): idle=2.0,
+    # L_old=1/(s-1) exactly, L_new=0 → undamped expected = 1/2, damped
+    # (default 0.5) = 0.75. The r09→r10 false-flag shape.
+    old = {
+        "queries": {"q_flat": 1.0, "q_real": 1.0, "q_tiny": 0.3},
+        "calibration": {"fleet_start": 4.0, "fleet_end": 4.0},
+    }
+    new = {
+        "queries": {
+            # flat raw wall: undamped model would read 1.0/0.5 = 2.0x
+            # adjusted AND raw 1.0 is under the floor — never flagged
+            "q_flat": 1.0,
+            # genuine regression: raw 1.6 > floor, adjusted 1.6/0.75 ≈
+            # 2.13 > 1.3 — flagged even under damping
+            "q_real": 1.6,
+            # same shape but a 0.3 s wall: dropped by --min-wall
+            "q_tiny": 0.48,
+        },
+        "calibration": {"fleet_start": 2.0, "fleet_end": 2.0},
+    }
+    po, pn = str(tmp_path / "o.json"), str(tmp_path / "n.json")
+    with open(po, "w") as fh:
+        json.dump(old, fh)
+    with open(pn, "w") as fh:
+        json.dump(new, fh)
+
+    argv = sys.argv
+    try:
+        sys.argv = ["bench_compare.py", po, pn]
+        rc = BC.main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "FLAG q_real" in out
+    assert "FLAG q_flat" not in out and "FLAG q_tiny" not in out
+
+    # undamped (--gain-damp 1.0) reproduces the old false flag on the
+    # flat query ONLY once the raw floor is also disabled — pinning
+    # that both guards are live
+    try:
+        sys.argv = ["bench_compare.py", po, pn,
+                    "--gain-damp", "1.0", "--raw-floor", "0.0"]
+        rc2 = BC.main()
+    finally:
+        sys.argv = argv
+    out2 = capsys.readouterr().out
+    assert rc2 == 1 and "FLAG q_flat" in out2
+
+    # (d) truncation cut PAST the queries object: the surviving tail
+    # holds only record-level keys — loader must fail, not compare
+    # calibration values as walls
+    full = json.dumps(new)
+    cut = full.find('"calibration"')
+    trunc = {"tail": full[cut - 2:]}  # starts at ', "calibration"...'
+    pt = str(tmp_path / "t.json")
+    with open(pt, "w") as fh:
+        json.dump(trunc, fh)
+    import pytest
+    with pytest.raises(SystemExit, match="no per-query walls"):
+        BC.load_record(pt)

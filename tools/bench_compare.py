@@ -31,8 +31,27 @@ high-sensitivity family.) One scalar per run cannot capture load that
 varies DURING a run — treat flags as adjudication prompts, not
 verdicts.
 
-Exit code: 0 if no query's adjusted ratio exceeds --flag-ratio, else 1
-(with the offenders listed) — the same contract as check_all.py.
+Two guards keep the flags actionable (round-10 lesson: the undamped
+model flagged 45/136 bit-identical-plan queries comparing r09→r10,
+because the quiet-ward extrapolation predicted a larger gain than the
+quiet box delivered — measured against the round-10 calibration triple
+builder-record/driver-record/solo-run, only ~half the predicted
+movement materialized):
+
+* **noise floor** (``--raw-floor``, default 1.2): a query is only
+  flaggable when its RAW ratio also regressed past the floor — an
+  adjusted-only "regression" on a flat raw wall is model error, not a
+  plan change;
+* **gain damping** (``--gain-damp``, default 0.5): when the expected
+  factor is < 1 (the model predicts the new run should be FASTER
+  because the old one was loaded), the prediction is damped halfway
+  toward 1 before dividing. Slowdown predictions (expected > 1) stay
+  undamped — the sandwich sensitivities were measured under load, so
+  that direction is interpolation, not extrapolation.
+
+Exit code: 0 if no query exceeds BOTH --raw-floor (raw) and
+--flag-ratio (adjusted), else 1 (with the offenders listed) — the same
+contract as check_all.py.
 """
 
 from __future__ import annotations
@@ -50,6 +69,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: of truth for the sandwich measurements (two hand-maintained copies
 #: WILL drift when the sandwich is re-measured).
 from bench import LOAD_SENSITIVITY as DEFAULT_SENSITIVITY  # noqa: E402
+
+
+#: bench-record keys that are NOT per-query walls; used to reject
+#: entries spliced into a reconstructed truncated record
+_NON_QUERY_KEYS = frozenset(
+    {"metric", "value", "unit", "sf", "total_wall", "calibration",
+     "load_sensitivity", "queries"}
+)
 
 
 def family(name: str) -> str:
@@ -92,9 +119,25 @@ def load_record(path: str) -> dict:
         i = tail.find(', "')
         if i >= 0:
             try:
-                return json.loads('{"queries": {' + tail[i + 2:])
+                out = json.loads('{"queries": {' + tail[i + 2:])
             except json.JSONDecodeError:
-                pass
+                out = None
+            if out is not None:
+                # the ', "' anchor can land PAST the queries object
+                # (truncation cut into calibration/total_wall), splicing
+                # record-level keys in as "query walls" — keep only
+                # plausible wall entries (scalar numbers, not record
+                # metadata) and fail loudly when none survive
+                walls = {
+                    k: v
+                    for k, v in out.get("queries", {}).items()
+                    if k not in _NON_QUERY_KEYS
+                    and isinstance(v, (int, float))
+                    and not isinstance(v, bool)
+                }
+                if walls:
+                    out["queries"] = walls
+                    return out
     raise SystemExit(f"{path}: no per-query walls recoverable")
 
 
@@ -104,6 +147,17 @@ def main() -> int:
     ap.add_argument("new")
     ap.add_argument("--flag-ratio", type=float, default=1.3,
                     help="adjusted ratio above which a query is flagged")
+    ap.add_argument("--raw-floor", type=float, default=1.2,
+                    help="raw ratio a query must ALSO exceed to be "
+                         "flagged (noise floor: adjusted-only movement "
+                         "on a flat raw wall is model error)")
+    ap.add_argument("--gain-damp", type=float, default=0.5,
+                    help="damping applied to expected factors < 1 "
+                         "(quiet-ward extrapolation); 1.0 = undamped")
+    ap.add_argument("--min-wall", type=float, default=0.5,
+                    help="old-run wall (s) below which a query is "
+                         "never flagged: sub-half-second walls are "
+                         "session fixed-overhead jitter, not plan cost")
     args = ap.parse_args()
 
     old = load_record(args.old)
@@ -146,6 +200,11 @@ def main() -> int:
         raw = n / o
         s = sens[family(name)]
         expected = (1.0 + l_new * (s - 1.0)) / (1.0 + l_old * (s - 1.0))
+        if expected < 1.0:
+            # quiet-ward prediction: extrapolation past the sandwich
+            # measurements — damp toward "no movement" (round-10
+            # calibration triple: ~half the predicted gain materialized)
+            expected = 1.0 + args.gain_damp * (expected - 1.0)
         rows.append((name, o, n, raw, raw / expected))
 
     adj = [r[4] for r in rows]
@@ -156,7 +215,12 @@ def main() -> int:
           f"median adjusted ratio {statistics.median(adj):.3f}")
 
     flagged = sorted(
-        (r for r in rows if r[4] > args.flag_ratio),
+        (
+            r for r in rows
+            if r[4] > args.flag_ratio
+            and r[3] > args.raw_floor
+            and r[1] >= args.min_wall
+        ),
         key=lambda r: -r[4],
     )
     for name, o, n, raw, a in flagged:
@@ -164,8 +228,9 @@ def main() -> int:
               f"(raw {raw:.2f}x, adjusted {a:.2f}x, "
               f"family {family(name)})")
     if not flagged:
-        print(f"no query exceeds adjusted {args.flag_ratio}x — "
-              f"all movement is load-attributable")
+        print(f"no query exceeds raw {args.raw_floor}x AND adjusted "
+              f"{args.flag_ratio}x — movement is load-attributable "
+              f"or sub-floor")
     return 1 if flagged else 0
 
 

@@ -1,12 +1,14 @@
 #!/usr/bin/env python
-"""Regenerate the registry-size counts embedded in README.md from the
-live registry, so they can never drift again (the round-9 verdict
-caught README saying 276 while the registry held 277).
+"""Regenerate the registry-size counts embedded in README.md and
+docs/ORACLE_NOTES.md from the live registry, so they can never drift
+again (the round-9 verdict caught README saying 276 while the registry
+held 277; round 10 caught ORACLE_NOTES still saying 213).
 
     python tools/refresh_counts.py [--check]
 
 Rewrites every ``N registered queries`` / ``N callables`` /
-``N ANSI-SQL twins`` occurrence with ``len(plans.QUERIES)``. With
+``N ANSI-SQL twins`` occurrence with ``len(plans.QUERIES)``, and
+ORACLE_NOTES' ``Every registered query (N)`` with the same. With
 ``--check`` it only verifies (exit 1 on drift) — suitable as a canary
 alongside tools/check_all.py.
 """
@@ -31,24 +33,42 @@ def main() -> int:
     n = len(plans.QUERIES)
     n_oracles = sum(1 for q in plans.QUERIES.values() if q.oracle is not None)
 
-    readme = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "README.md"
-    )
-    with open(readme) as fh:
-        text = fh.read()
-    new = re.sub(r"\d+ registered queries", f"{n} registered queries", text)
-    new = re.sub(r"\d+ callables", f"{n} callables", new)
-    new = re.sub(r"\d+ ANSI-SQL twins", f"{n_oracles} ANSI-SQL twins", new)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    targets = {
+        os.path.join(root, "README.md"): (
+            (r"\d+ registered queries", f"{n} registered queries"),
+            (r"\d+ callables", f"{n} callables"),
+            (r"\d+ ANSI-SQL twins", f"{n_oracles} ANSI-SQL twins"),
+        ),
+        os.path.join(root, "docs", "ORACLE_NOTES.md"): (
+            (r"Every registered query \(\d+\)",
+             f"Every registered query ({n})"),
+        ),
+    }
 
-    if new == text:
-        print(f"README counts current: {n} queries, {n_oracles} oracles")
+    stale = []
+    for path, subs in targets.items():
+        with open(path) as fh:
+            text = fh.read()
+        new = text
+        for pat, repl in subs:
+            new = re.sub(pat, repl, new)
+        if new == text:
+            continue
+        stale.append(os.path.basename(path))
+        if not args.check:
+            with open(path, "w") as fh:
+                fh.write(new)
+
+    if not stale:
+        print(f"doc counts current: {n} queries, {n_oracles} oracles")
         return 0
     if args.check:
-        print(f"README counts STALE (registry: {n} queries, {n_oracles} oracles)")
+        print(f"doc counts STALE in {', '.join(stale)} "
+              f"(registry: {n} queries, {n_oracles} oracles)")
         return 1
-    with open(readme, "w") as fh:
-        fh.write(new)
-    print(f"README counts refreshed: {n} queries, {n_oracles} oracles")
+    print(f"doc counts refreshed in {', '.join(stale)}: "
+          f"{n} queries, {n_oracles} oracles")
     return 0
 
 
