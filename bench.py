@@ -198,6 +198,9 @@ HEADLINE = (
     "provider_keyed_map_flow",
     "provider_enriched_flow",
     "provider_mobile_flow",
+    # round 11: the one-call lifecycle composition (dispatch -> sinks ->
+    # checkpoint -> run log, twice; cost is dispatch + sink IO)
+    "run_source_roundtrip",
 )
 
 

@@ -359,3 +359,138 @@ def run_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# run_source_roundtrip — the §3.1 lifecycle COMPOSED: one call to
+# ``Engine.run_source`` (reference fetcher/index.js:12-35, the Lambda
+# invocation) runs provider dispatch → incremental bound → measures CSV
+# sink → station diff-upsert → checkpoint advance → run-log publish, on
+# a deterministic wide-CSV fixture, TWICE. Every piece already has its
+# own driver proof (provider_pipeline_flow, measures_csv_roundtrip,
+# station_upsert_flow, checkpoint_roundtrip, run_log_roundtrip); this
+# pins what the pieces can't — the ORDER and the counter wiring: run 1
+# ingests all 6 long rows (5 values + 1 sentinel flag) and writes 2
+# stations, run 2 re-reads the same feed and the checkpoint bound
+# (meta.incremental, T2) drops every row BEFORE the counters, the
+# diff-upsert elides both unchanged stations (J5), the high-water mark
+# holds (advance never regresses on an empty batch), and the run log
+# records two successes. The sink readback (5 CSV rows after BOTH
+# runs, exact micro-units) proves run 2 appended nothing.
+# ---------------------------------------------------------------------------
+
+_RUN_SOURCE_ORACLE = r"""
+WITH raw(station, ts, input_param, raw_value) AS (
+  VALUES
+    ('st1', '2024-06-01 10_00', 'CO',  '400'),
+    ('st1', '2024-06-01 10_00', 'NO2', '12'),
+    ('st1', '2024-06-01 11_00', 'CO',  'NaN'),
+    ('st1', '2024-06-01 11_00', 'NO2', '14'),
+    ('st2', '2024-06-01 10_00', 'CO',  '8.25'),
+    ('st2', '2024-06-01 10_00', 'NO2', '7')
+),
+cleaned AS (
+  SELECT station, input_param,
+    CASE WHEN raw_value IN ('NaN', 'n/a', 'inv', 'null', 'undefined')
+         THEN NULL ELSE CAST(raw_value AS DOUBLE) END AS value,
+    CASE WHEN raw_value IN ('NaN', 'n/a', 'inv', 'null', 'undefined')
+         THEN raw_value END AS sentinel,
+    timezone('UTC', timezone('America/New_York',
+                             strptime(ts, '%Y-%m-%d %H_%M')))
+      - INTERVAL 15 MINUTE AS ts_utc
+  FROM raw
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS r1_measures,
+  CAST(COUNT(DISTINCT station) AS BIGINT) AS r1_stations,
+  CAST(COUNT(DISTINCT station) AS BIGINT) AS r1_written,
+  MAX(ts_utc) AS hwm1,
+  CAST(0 AS BIGINT) AS r2_measures,
+  CAST(0 AS BIGINT) AS r2_written,
+  CAST(COUNT(DISTINCT station) AS BIGINT) AS r2_skipped,
+  MAX(ts_utc) AS hwm2,
+  CAST(2 AS BIGINT) AS n_success,
+  CAST(SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_csv_rows,
+  CAST(SUM(CAST(ROUND(value * 0.001 * 1000000, 0) AS BIGINT)) AS BIGINT)
+    AS sum_micro
+FROM cleaned
+WHERE value IS NOT NULL OR sentinel IS NOT NULL
+"""
+
+
+@query("run_source_roundtrip", _RUN_SOURCE_ORACLE)
+def run_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..engine import Engine
+
+    root = tempfile.mkdtemp(prefix="sgq_runsource_")
+    try:
+        data = os.path.join(root, "wide.csv")
+        with open(data, "w") as fh:
+            fh.write("Anon_Name,Site_Name,Timestamp,Lat,Lon,CO,NO2\n")
+            fh.write("st1,Site A,2024-06-01 10_00,40.1,-75.2,400,12\n")
+            fh.write("st1,Site A,2024-06-01 11_00,40.1,-75.2,NaN,14\n")
+            fh.write("st2,Site B,2024-06-01 10_00,41.0,-76.0,8.25,7\n")
+        config = {
+            "schema": "v1",
+            "provider": "wide_csv",
+            "frequency": "hour",
+            "active": True,
+            "meta": {
+                "path": data,
+                "params": "CO,NO2",
+                "lookup": [["CO", "co", "ppb"], ["NO2", "no2", "ppb"]],
+                "source_name": "runsource_fixture",
+                "incremental": True,
+            },
+        }
+        out_root = os.path.join(root, "out")
+        eng = Engine(spark)
+        log1 = eng.run_source(config, out_root)
+        log2 = eng.run_source(config, out_root)
+        back = (
+            spark.read.schema("sensor_id string, measure double, timestamp string")
+            .option("header", "true")
+            .csv(log1["measures_path"])
+        )
+        n_success = (
+            spark.read.parquet(f"{out_root}/runlog")
+            .filter(F.col("status") == "fetcher/success")
+            .count()
+        )
+        out = (
+            back.agg(
+                F.count(F.lit(1)).cast("long").alias("n_csv_rows"),
+                # micro-units are integers after the round — exact,
+                # order-independent, and the CSV double round-trip
+                # (shortest-repr write, exact parse) is lossless
+                F.sum(F.round(F.col("measure") * 1000000, 0).cast("long"))
+                .cast("long")
+                .alias("sum_micro"),
+            )
+            .select(
+                F.lit(log1["n_measures"]).cast("long").alias("r1_measures"),
+                F.lit(log1["n_stations"]).cast("long").alias("r1_stations"),
+                F.lit(log1["stations"]["written"]).cast("long").alias("r1_written"),
+                F.lit(log1["checkpoint"]["high_water_mark"])
+                .cast("timestamp")
+                .alias("hwm1"),
+                F.lit(log2["n_measures"]).cast("long").alias("r2_measures"),
+                F.lit(log2["stations"]["written"]).cast("long").alias("r2_written"),
+                F.lit(log2["stations"]["skipped_unchanged"])
+                .cast("long")
+                .alias("r2_skipped"),
+                F.lit(log2["checkpoint"]["high_water_mark"])
+                .cast("timestamp")
+                .alias("hwm2"),
+                F.lit(n_success).cast("long").alias("n_success"),
+                "n_csv_rows",
+                "sum_micro",
+            )
+            .localCheckpoint()  # eager: frees the temp dirs below
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -3676,3 +3676,28 @@ def test_provider_mobile_flow_hand_values(spark):
     r = by_ts["2023-11-14T22:23:50Z"]
     assert r.sensor_id == "mobile_fixture-sess-0-rh"
     assert r.measure == pytest.approx(16.25)
+
+
+def test_run_source_roundtrip_hand_values(spark):
+    """The §3.1 composition proof, checked against values computed BY
+    HAND (independent of both engines): run 1 ingests 6 long rows
+    (5 values + 1 NaN flag) from 2 stations; 2024-06-01 10_00
+    America/New_York = 14:00 UTC (EDT) − 15 min = 13:45, so the
+    high-water mark is the 11_00 row at 14:45 UTC; run 2 is fully
+    bounded away by the checkpoint (0 measures, 0 stations written,
+    2 elided, mark unchanged); the CSV store holds 5 rows totalling
+    400000 + 12000 + 14000 + 8250 + 7000 = 441250 micro-units."""
+    import datetime as dt
+
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    r = QUERIES["run_source_roundtrip"].fn(spark, "/unused").collect()[0]
+    assert r.r1_measures == 6
+    assert r.r1_stations == 2 and r.r1_written == 2
+    assert r.hwm1 == dt.datetime(2024, 6, 1, 14, 45)
+    assert r.r2_measures == 0
+    assert r.r2_written == 0 and r.r2_skipped == 2
+    assert r.hwm2 == r.hwm1  # advance never regresses on an empty batch
+    assert r.n_success == 2
+    assert r.n_csv_rows == 5
+    assert r.sum_micro == 441250

@@ -205,6 +205,9 @@ PROFILED = [
     "provider_keyed_map_flow",
     "provider_enriched_flow",
     "provider_mobile_flow",
+    # round 11: the run_source composition proof (profile story: two
+    # full lifecycle invocations' job breadth)
+    "run_source_roundtrip",
 ]
 
 
