@@ -1736,3 +1736,166 @@ def vacuum_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# join_preflight_audit — the Selinger estimate consulted as a DECISION
+# (stats.join_preflight, the second consumer of the ANALYZE collector
+# after stats_join_strategy): collect real sidecar-shape statistics for
+# the two canonical join shapes join_explosion_audit measures exactly —
+# orders⋈lineitem on orderkey (1:N FK, blow-up ≈ 1) and
+# lineitem⋈lineitem on partkey (the self-join square, blow-up ≈
+# rows-per-part ≈ 30) — and emit each shape's pre-flight verdict. The
+# oracle recomputes the same verdicts from EXACT counts and NDVs; the
+# engine side uses the HLL++ NDVs a production sidecar carries, so a
+# hash match also pins that the 5%-rsd sketch cannot flip a decision
+# with real margins (1.0 vs 4.0 vs ~30 — stats_accuracy_audit bounds
+# the drift). Floor division on both sides — no float boundary in the
+# estimate itself; only the boolean ships.
+# ---------------------------------------------------------------------------
+
+_JPF_ORACLE = """
+WITH o AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv
+  FROM orders
+), l AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv_ok,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS ndv_pk
+  FROM lineitem
+)
+SELECT 'orders_lineitem_orderkey' AS join_name,
+       o.n AS n_left, l.n AS n_right,
+       ((CAST(o.n AS HUGEINT) * l.n // GREATEST(o.ndv, l.ndv_ok))
+          > 4.0 * GREATEST(o.n, l.n)) AS exploding
+FROM o, l
+UNION ALL
+SELECT 'lineitem_self_partkey', l.n, l.n,
+       ((CAST(l.n AS HUGEINT) * l.n // l.ndv_pk) > 4.0 * l.n)
+FROM l
+"""
+
+
+@query("join_preflight_audit", _JPF_ORACLE)
+def join_preflight_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..stats import collect_table_stats, join_preflight
+
+    # key-column-only profiles: join_preflight documents that PARTIAL
+    # docs are usable (it needs the key stats, not the row width)
+    st_o = collect_table_stats(t(spark, sf_dir, "orders"), ["o_orderkey"])
+    st_l = collect_table_stats(
+        t(spark, sf_dir, "lineitem"), ["l_orderkey", "l_partkey"]
+    )
+    rows = [
+        (
+            "orders_lineitem_orderkey",
+            st_o["n_rows"],
+            st_l["n_rows"],
+            join_preflight(st_o, st_l, "o_orderkey", "l_orderkey")["exploding"],
+        ),
+        (
+            "lineitem_self_partkey",
+            st_l["n_rows"],
+            st_l["n_rows"],
+            join_preflight(st_l, st_l, "l_partkey", "l_partkey")["exploding"],
+        ),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "join_name string, n_left long, n_right long, exploding boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# zorder_range_read — write_zordered's payoff composed end-to-end with
+# the manifest primitives (the read-side twin of zorder_locality, which
+# only MEASURES the clustering): rewrite lineitem z-ordered on
+# (l_partkey, l_suppkey) via the REAL write_zordered (suppkey scaled up
+# to a comparable bit range, per zorder_column's contract), then answer
+# a 2-D box predicate (partkey ≤ max//8 AND suppkey ≤ max//8, ~1/64 of
+# the key plane) through storage.read_int_box: footer-envelope file
+# selection on BOTH dimensions + native integer PushedFilters inside
+# the selected files. The oracle computes the same box aggregate
+# straight from the source; pruned=TRUE rides along — a z-contiguous
+# file covers a bounded rectangle in every clustered dimension, so a
+# 1/64 box overlapping most of 16 files would mean the layout (or the
+# envelope math) is broken, not that the data moved. Box bounds are
+# floor-division integers — no float boundary on either engine.
+# ---------------------------------------------------------------------------
+
+_ZRR_FILES = 16
+
+_ZRR_ORACLE = """
+WITH m AS (
+  SELECT MAX(l_partkey) // 8 AS pk_hi, MAX(l_suppkey) // 8 AS sk_hi
+  FROM lineitem
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+    AS qty_cents,
+  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+  TRUE AS pruned
+FROM lineitem, m
+WHERE l_partkey BETWEEN 1 AND m.pk_hi
+  AND l_suppkey BETWEEN 1 AND m.sk_hi
+"""
+
+
+@query("zorder_range_read", _ZRR_ORACLE)
+def zorder_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..storage import read_int_box, write_zordered, zorder_column
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    b = li.agg(
+        F.max("l_partkey").alias("pk"), F.max("l_suppkey").alias("sk")
+    ).collect()[0]  # two scalars — the documented bounded boundary
+    if b["pk"] is None:  # empty source: the oracle's zero-row aggregate
+        return spark.createDataFrame(
+            [(0, None, 0, True)],
+            "n_rows long, qty_cents long, n_parts long, pruned boolean",
+        )
+    pk_hi, sk_hi = int(b["pk"]) // 8, int(b["sk"]) // 8
+    # scale the narrow dimension into the wide one's bit range so both
+    # actually cluster (zorder_column's documented contract)
+    mult = max(1, int(b["pk"]) // max(int(b["sk"]), 1))
+    z = zorder_column(
+        [
+            F.col("l_partkey").bitwiseAND(F.lit(65535)),
+            (F.col("l_suppkey") * F.lit(mult)).bitwiseAND(F.lit(65535)),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="sgq_zrr_")
+    try:
+        path = f"{root}/lineitem_z"
+        write_zordered(li, path, z, n_files=_ZRR_FILES)
+        boxed, plan = read_int_box(
+            spark, path, {"l_partkey": (1, pk_hi), "l_suppkey": (1, sk_hi)}
+        )
+        out = (
+            boxed.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                # quantity cents are integers after the round: exact,
+                # order-independent
+                F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long"))
+                .cast("long")
+                .alias("qty_cents"),
+                F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+            )
+            .select(
+                "n_rows",
+                "qty_cents",
+                "n_parts",
+                F.lit(plan["n_selected"] < plan["n_total"]).alias("pruned"),
+            )
+            .localCheckpoint()  # eager: frees the temp dir below
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

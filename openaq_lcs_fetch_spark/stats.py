@@ -311,13 +311,86 @@ def stats_aware_join(
     ``F.broadcast`` hint; a shuffle decision pins SHUFFLE_MERGE so an
     optimistic runtime size guess can't ship a table the stats say is
     over the line (the hint is what makes the decision auditable in
-    the plan — see ``stats_join_strategy`` / the plan-flip tests)."""
+    the plan — see ``stats_join_strategy`` / the plan-flip tests).
+
+    When ``on`` is a plain same-named key, :func:`join_preflight` also
+    runs and WARNS on an exploding estimate (> JOIN_BLOWUP_FACTOR × the
+    larger input) — the cheapest possible time to learn a join will
+    square, before a single task is scheduled."""
+    key = on if isinstance(on, str) else (
+        on[0] if isinstance(on, (list, tuple)) and len(on) == 1
+        and isinstance(on[0], str) else None
+    )
+    if key is not None:
+        pf = join_preflight(stats_l, stats_r, key, key)
+        if pf is not None and pf["exploding"]:
+            import warnings
+
+            warnings.warn(
+                f"join on {key!r} estimated to emit ~{pf['est_rows']:,} "
+                f"rows ({pf['blowup']:.1f}x the larger input, factor "
+                f"{JOIN_BLOWUP_FACTOR}): pre-aggregate, cap the hot "
+                "keys, or salt before shipping this at scale",
+                stacklevel=2,
+            )
     strategy = choose_join_strategy(stats_l, stats_r, threshold_bytes)
     if strategy == "broadcast_right":
         return left.join(F.broadcast(right), on=on, how=how)
     if strategy == "broadcast_left":
         return F.broadcast(left).join(right, on=on, how=how)
     return left.hint("shuffle_merge").join(right, on=on, how=how)
+
+
+#: blow-up factor over the larger input above which :func:`join_preflight`
+#: flags a join as exploding. A healthy FK equi-join emits about one row
+#: per fact row (blow-up ≈ 1); 4× means the Selinger estimate says the
+#: OUTPUT is four times the bigger input — at 100 TB that is a shuffle
+#: write amplification no plan choice can absorb, so it should be a
+#: deliberate decision (pre-aggregate, df-cap, or skew-salt first), not a
+#: surprise at stage 40. Documented in docs/ORACLE_NOTES.md.
+JOIN_BLOWUP_FACTOR = 4.0
+
+
+def join_preflight(
+    stats_l: dict[str, Any] | None,
+    stats_r: dict[str, Any] | None,
+    key_l: str,
+    key_r: str,
+    blowup_factor: float = JOIN_BLOWUP_FACTOR,
+) -> dict[str, Any] | None:
+    """The Selinger estimate consulted as a DECISION (the
+    ``join_explosion_audit`` math moved from audit to pre-flight):
+    estimate the equi-join's output rows from the two stats documents
+    and flag when it exceeds ``blowup_factor ×`` the larger input.
+
+    Returns ``{"est_rows", "blowup", "exploding"}`` or None when either
+    side lacks usable statistics for the key (missing document, or key
+    column not profiled). PARTIAL documents are fine here — the
+    estimate needs only the key column's n_nulls/ndv plus n_rows, not
+    the row width that makes partial docs broadcast-unsafe.
+
+    The NDVs are HLL++ approximations (rsd 0.05 by default), so treat
+    ``exploding`` as reliable only when the blow-up clears the factor
+    with margin — which real explosions (self-joins on skewed keys,
+    accidental m:n) do by orders of magnitude. ``stats_accuracy_audit``
+    pins the NDV error envelope that bounds this.
+    """
+    if stats_l is None or stats_r is None:
+        return None
+    if key_l not in stats_l["columns"] or key_r not in stats_r["columns"]:
+        return None
+    est = estimate_equijoin_rows(stats_l, stats_r, key_l, key_r)
+    bigger = max(
+        stats_l["n_rows"] - stats_l["columns"][key_l]["n_nulls"],
+        stats_r["n_rows"] - stats_r["columns"][key_r]["n_nulls"],
+        1,
+    )
+    blowup = est / bigger
+    return {
+        "est_rows": est,
+        "blowup": blowup,
+        "exploding": blowup > blowup_factor,
+    }
 
 
 def estimate_range_selectivity(hist: dict[str, Any], ge: int) -> float:

@@ -291,6 +291,120 @@ def file_time_spans(
     return spans
 
 
+def file_int_spans(
+    path: str, cols: list[str]
+) -> dict[str, dict[str, tuple[int | None, int | None]]]:
+    """Per-file (min, max) envelopes for INTEGER columns from parquet
+    FOOTER statistics — the multi-dimension sibling of
+    :func:`file_time_spans`, and the manifest primitive under
+    :func:`read_int_box`. One metadata read per file covers every
+    requested column (driver-side, O(files), no Spark job). A column
+    whose span cannot be established maps to (None, None) — callers
+    must treat unknown as "could be anything" and scan the file.
+
+    This is what makes :func:`write_zordered` pay off at read time: a
+    z-ordered layout gives every file a bounded min/max envelope in
+    EVERY clustered dimension, and these envelopes are exactly those
+    bounds, read once on the driver instead of per-query inside the
+    scan.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    spans: dict[str, dict[str, tuple[int | None, int | None]]] = {}
+    for f in files:
+        per_col: dict[str, tuple[int | None, int | None]] = {
+            c: (None, None) for c in cols
+        }
+        try:
+            md = pq.read_metadata(f)
+            # leaf-path resolution, same reasoning as file_time_spans:
+            # flattened leaf indexes diverge from top-level field
+            # indexes as soon as any nested column precedes ours
+            idx = {
+                md.schema.column(li).path: li
+                for li in range(len(md.schema.names))
+            }
+            for c in cols:
+                li = idx.get(c)
+                if li is None:
+                    continue
+                lo = hi = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(li).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    mn, mx = int(st.min), int(st.max)
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
+                if ok and lo is not None:
+                    per_col[c] = (lo, hi)
+        except Exception:
+            pass  # unreadable footer → all-unknown (never guess)
+        spans[f] = per_col
+    return spans
+
+
+def read_int_box(
+    spark: SparkSession,
+    path: str,
+    bounds: dict[str, tuple[int, int]],
+) -> tuple[DataFrame, dict]:
+    """Manifest-pruned BOX read over a z-ordered (or otherwise
+    multi-dimension-clustered) layout: select only the files whose
+    footer envelope overlaps ``[lo, hi]`` in EVERY bounded column, then
+    apply the residual row-level predicates (plain integer comparisons
+    → native PushedFilters → row-group pruning inside the selected
+    files). Files with an unknown envelope in any bounded column are
+    always scanned — missing evidence never drops data.
+
+    The 100 TB case this exists for: a 2-D predicate on a layout
+    clustered with :func:`write_zordered`. A time-sorted layout prunes
+    only time; the z-order envelopes prune on BOTH dimensions, and the
+    driver-side manifest pass makes that pruning one footer sweep
+    instead of a per-query scan-time cost over ~100k files. Returns
+    ``(df, plan)`` with plan = {"n_total", "n_selected", "selected"}.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    spans = file_int_spans(path, list(bounds))
+    selected = []
+    for f, per_col in spans.items():
+        keep = True
+        for c, (b_lo, b_hi) in bounds.items():
+            lo, hi = per_col.get(c, (None, None))
+            if lo is None:
+                continue  # unknown: cannot exclude on this column
+            if hi < b_lo or lo > b_hi:
+                keep = False
+                break
+        if keep:
+            selected.append(f)
+    plan = {
+        "n_total": len(spans),
+        "n_selected": len(selected),
+        "selected": [os.path.relpath(f, path) for f in selected],
+    }
+    if not selected:
+        df = spark.read.parquet(path).limit(0)
+    else:
+        # basePath: keep Hive-style partition columns, same contract
+        # (and same two-branch schema agreement) as read_time_range
+        df = spark.read.option("basePath", path).parquet(*selected)
+    for c, (b_lo, b_hi) in bounds.items():
+        df = df.filter((F.col(c) >= F.lit(b_lo)) & (F.col(c) <= F.lit(b_hi)))
+    return df, plan
+
+
 def read_time_range(
     spark: SparkSession,
     path: str,

@@ -1275,3 +1275,134 @@ def test_high_water_mark_tz_independent(spark):
     assert n_kir == 0  # mark is the batch max → nothing strictly after
     # empty batch → no mark
     assert high_water_mark(df.filter("event_id < 0"), "ts") is None
+
+
+def test_join_preflight_decision_table():
+    """The Selinger pre-flight as pure math: a benign FK join (blow-up
+    ~1) passes, a skewed m:n estimate (blow-up >> factor) explodes,
+    missing stats or an unprofiled key return None, and partial docs
+    ARE usable (the estimate needs the key column, not the row width)."""
+    from openaq_lcs_fetch_spark.stats import join_preflight
+
+    def doc(n, ndv, nulls=0, key="k", extra=None):
+        d = {
+            "version": 1,
+            "n_rows": n,
+            "columns": {key: {"dtype": "bigint", "n_nulls": nulls, "ndv": ndv}},
+        }
+        if extra:
+            d.update(extra)
+        return d
+
+    # 1:N FK join — 10k facts, 1k dim keys: est = 10k → blow-up 1.0
+    fk = join_preflight(doc(10_000, 1_000), doc(1_000, 1_000), "k", "k")
+    assert fk is not None and not fk["exploding"]
+    assert fk["est_rows"] == 10_000
+    # self-join square on 10 hot keys: est = 1e4·1e4/10 = 1e7 → 1000x
+    boom = join_preflight(doc(10_000, 10), doc(10_000, 10), "k", "k")
+    assert boom["exploding"] and boom["blowup"] > 100
+    # null keys never join — an all-NULL side estimates zero
+    nulls = join_preflight(doc(10_000, 10, nulls=10_000), doc(10_000, 10), "k", "k")
+    assert nulls["est_rows"] == 0 and not nulls["exploding"]
+    # missing evidence → no verdict (callers must not guess)
+    assert join_preflight(None, doc(10, 10), "k", "k") is None
+    assert join_preflight(doc(10, 10), doc(10, 10), "k", "nope") is None
+    # a PARTIAL doc that profiled the key still pre-flights
+    part = join_preflight(
+        doc(10_000, 10, extra={"partial": True}), doc(10_000, 10), "k", "k"
+    )
+    assert part is not None and part["exploding"]
+
+
+def test_stats_aware_path_join_preflight_fires(spark, tmp_path):
+    """The pre-flight wired into the path join: identical code path,
+    skewed sidecars → warning; benign sidecars → silent. The join
+    itself still runs either way (the pre-flight informs, it never
+    blocks — a deliberate explosion is legal)."""
+    import warnings as _w
+
+    from openaq_lcs_fetch_spark.stats import collect_table_stats, write_stats
+    from openaq_lcs_fetch_spark.storage import stats_aware_path_join
+
+    # 200 rows ALL on key 0 on both sides → est 200·200/1 = 40k = 200x
+    skew = spark.range(200).selectExpr("CAST(0 AS INT) AS k", "id AS v")
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    skew.write.parquet(lp)
+    skew.write.parquet(rp)
+    write_stats(collect_table_stats(spark.read.parquet(lp)), lp)
+    write_stats(collect_table_stats(spark.read.parquet(rp)), rp)
+    with pytest.warns(UserWarning, match="estimated to emit"):
+        j = stats_aware_path_join(spark, lp, rp, "k")
+    assert j.count() == 200 * 200  # informs, never blocks
+
+    # benign: unique keys both sides → blow-up 1.0, no warning
+    uniq = spark.range(200).selectExpr("CAST(id AS INT) AS k", "id AS v")
+    lp2, rp2 = str(tmp_path / "l2"), str(tmp_path / "r2")
+    uniq.write.parquet(lp2)
+    uniq.write.parquet(rp2)
+    write_stats(collect_table_stats(spark.read.parquet(lp2)), lp2)
+    write_stats(collect_table_stats(spark.read.parquet(rp2)), rp2)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        j2 = stats_aware_path_join(spark, lp2, rp2, "k")
+    assert j2.count() == 200
+
+
+def test_read_int_box_prunes_on_both_dimensions(spark, tmp_path):
+    """A z-ordered layout answers a 2-D box from a strict file subset;
+    a single-column-sorted layout of the SAME data cannot prune the
+    second dimension. Results identical either way (pruning is a
+    performance property, never a correctness one)."""
+    from openaq_lcs_fetch_spark.storage import (
+        read_int_box, write_zordered, zorder_column,
+    )
+
+    df = spark.range(4096).selectExpr(
+        "CAST(id % 64 AS LONG) AS x",
+        "CAST(id div 64 AS LONG) AS y",
+        "id AS v",
+    )
+    zpath = str(tmp_path / "z")
+    write_zordered(df, zpath, zorder_column(["x", "y"], bits=6), n_files=16)
+    box = {"x": (0, 15), "y": (0, 15)}
+    got, plan = read_int_box(spark, zpath, box)
+    rows = sorted(r.v for r in got.collect())
+    assert len(rows) == 16 * 16
+    # a 1/16 box over 16 z-contiguous files: strict subset, structurally
+    assert plan["n_selected"] < plan["n_total"] == 16
+    # ground truth from the unclustered source
+    want = sorted(
+        r.v
+        for r in df.filter("x BETWEEN 0 AND 15 AND y BETWEEN 0 AND 15").collect()
+    )
+    assert rows == want
+
+    # x-sorted layout: prunes x, but EVERY file spans all of y — the
+    # box still answers correctly, selecting at least as many files
+    xpath = str(tmp_path / "xsort")
+    df.repartitionByRange(16, "x").write.parquet(xpath)
+    got_x, plan_x = read_int_box(spark, xpath, box)
+    assert sorted(r.v for r in got_x.collect()) == want
+    assert plan_x["n_selected"] >= plan["n_selected"]
+
+    # empty box → empty frame with the dataset's schema, no file read
+    empty, plan_e = read_int_box(spark, zpath, {"x": (100, 200), "y": (0, 15)})
+    assert plan_e["n_selected"] == 0 and empty.count() == 0
+    assert empty.columns == got.columns
+
+
+def test_read_int_box_unknown_spans_always_scanned(spark, tmp_path):
+    """A file whose footer lacks stats for a bounded column (here: a
+    column that doesn't exist in the file at all) can never be
+    excluded — missing evidence never drops data."""
+    from openaq_lcs_fetch_spark.storage import file_int_spans, read_int_box
+
+    path = str(tmp_path / "mixed")
+    spark.range(10).selectExpr("id AS x", "id AS v").coalesce(1).write.parquet(path)
+    spans = file_int_spans(path, ["x", "nope"])
+    (per_col,) = spans.values()
+    assert per_col["x"] == (0, 9)
+    assert per_col["nope"] == (None, None)
+    got, plan = read_int_box(spark, path, {"x": (3, 5)})
+    assert plan["n_selected"] == 1  # overlap on the known column
+    assert sorted(r.v for r in got.collect()) == [3, 4, 5]
