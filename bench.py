@@ -201,6 +201,8 @@ HEADLINE = (
     # round 11: the one-call lifecycle composition (dispatch -> sinks ->
     # checkpoint -> run log, twice; cost is dispatch + sink IO)
     "run_source_roundtrip",
+    "join_preflight_audit",
+    "zorder_range_read",
 )
 
 

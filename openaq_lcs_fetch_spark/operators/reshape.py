@@ -21,18 +21,57 @@ def melt(
     var_name: str = "parameter",
     value_name: str = "value",
     drop_null: bool = True,
+    codegen_safe: bool = False,
 ) -> DataFrame:
     """R1: wide → long unpivot. One input row with N parameter columns
     becomes N ``(ids..., parameter, value)`` rows; nulls dropped like the
-    reference's per-measurand null-skip (purpleair.js:60)."""
-    # backtick-quote names: provider headers contain dots ('PM2.5',
-    # cpcb.js:41) which unquoted resolution misparses as struct access
-    out = df.unpivot(
-        ids=[F.col(f"`{c}`") for c in id_vars],
-        values=[F.col(f"`{c}`") for c in value_vars],
-        variableColumnName=var_name,
-        valueColumnName=value_name,
-    )
+    reference's per-measurand null-skip (purpleair.js:60).
+
+    ``codegen_safe`` swaps the physical shape from ``unpivot`` (Expand)
+    to ``explode(array(struct...))`` (Generate) — same rows, same
+    order. Why it exists: Spark's whole-stage codegen keeps Expand
+    outputs in mutable-state array slots, and when a fused downstream
+    projection has a COMMON SUBEXPRESSION over such a column the
+    generated subexpr method's parameter is named
+    ``expand_mutableStateArray_0[1]`` — invalid Java, so janino fails
+    and the whole stage silently falls back to interpreted evaluation
+    (measured on 4.1.2 with the provider clean+flag pair, which shares
+    the sentinel test). Generate uses plain local variables and
+    compiles. Requires same-typed value columns (Expand's implicit
+    coercion is not reproduced); the provider feeds are all-string.
+    """
+    if codegen_safe:
+        dtypes = dict(df.dtypes)
+        kinds = {dtypes[c] for c in value_vars}
+        if len(kinds) > 1:
+            raise TypeError(
+                f"melt(codegen_safe=True) needs same-typed value columns, got {kinds}"
+            )
+        kv = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias(var_name),
+                    F.col(f"`{c}`").alias(value_name),
+                )
+                for c in value_vars
+            ]
+        )
+        out = df.select(
+            *[F.col(f"`{c}`") for c in id_vars], F.explode(kv).alias("_kv")
+        ).select(
+            *[F.col(f"`{c}`") for c in id_vars],
+            F.col(f"_kv.{var_name}").alias(var_name),
+            F.col(f"_kv.{value_name}").alias(value_name),
+        )
+    else:
+        # backtick-quote names: provider headers contain dots ('PM2.5',
+        # cpcb.js:41) which unquoted resolution misparses as struct access
+        out = df.unpivot(
+            ids=[F.col(f"`{c}`") for c in id_vars],
+            values=[F.col(f"`{c}`") for c in value_vars],
+            variableColumnName=var_name,
+            valueColumnName=value_name,
+        )
     if drop_null:
         out = out.filter(F.col(value_name).isNotNull())
     return out

@@ -117,7 +117,15 @@ class WideCsvProvider(Provider):
         raw = read_csv(spark, path, schema, header=True)
         assert len(raw.columns) == ncols
 
-        long = melt(raw, id_cols, params, var_name="input_param", value_name="raw_value")
+        # codegen_safe: the clean+flag pair below shares the sentinel
+        # subexpression, which over an Expand output breaks whole-stage
+        # codegen on this Spark version (see melt's docstring) — the
+        # Generate shape keeps the provider's hot stage compiled
+        long = melt(
+            raw, id_cols, params,
+            var_name="input_param", value_name="raw_value",
+            codegen_safe=True,
+        )
         cleaned = long.withColumn("value", clean_measure(F.col("raw_value"))).withColumn(
             "flags", sentinel_flag(F.col("raw_value"))
         )

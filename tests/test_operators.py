@@ -73,6 +73,32 @@ def test_melt_drops_nulls(spark):
     assert [(r.parameter, r.value) for r in out.collect()] == [("a", 10.0)]
 
 
+def test_melt_codegen_safe_same_rows_generate_shape(spark):
+    """codegen_safe melt: identical rows/order to the Expand shape, a
+    Generate (explode) physical plan (Expand's mutable-state output
+    slots break whole-stage codegen under subexpression elimination on
+    this Spark version — see melt's docstring), nulls still dropped,
+    dotted headers still quoted; mixed-type value columns rejected."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("r1", "10", None, "30"), ("r2", "11", "21", "31")],
+        "id string, `PM2.5` string, b string, c string",
+    )
+    want = [
+        (r.parameter, r.value)
+        for r in melt(df, ["id"], ["PM2.5", "b", "c"]).collect()
+    ]
+    safe = melt(df, ["id"], ["PM2.5", "b", "c"], codegen_safe=True)
+    assert [(r.parameter, r.value) for r in safe.collect()] == want
+    plan = safe._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan and "Expand" not in plan
+
+    mixed = spark.createDataFrame([(1, "x", 2.0)], "id int, a string, b double")
+    with _pytest.raises(TypeError, match="same-typed"):
+        melt(mixed, ["id"], ["a", "b"], codegen_safe=True)
+
+
 def test_explode_map_and_zip(spark):
     df = spark.createDataFrame([(1, {"x": "1", "y": "2"})], "id int, m map<string,string>")
     out = explode_map(df, "m")

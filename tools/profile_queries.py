@@ -208,6 +208,11 @@ PROFILED = [
     # round 11: the run_source composition proof (profile story: two
     # full lifecycle invocations' job breadth)
     "run_source_roundtrip",
+    # the pre-flight's profile story: two key-column ANALYZE passes,
+    # zero joined rows materialized
+    "join_preflight_audit",
+    # z-order payoff proof: one rewrite shuffle, then a 1-file read
+    "zorder_range_read",
 ]
 
 
