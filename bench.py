@@ -203,6 +203,7 @@ HEADLINE = (
     "run_source_roundtrip",
     "join_preflight_audit",
     "zorder_range_read",
+    "provider_stream_roundtrip",
 )
 
 

@@ -91,11 +91,13 @@ together with the stale r02 textops/simsearch backfill listed above.
   round-10 additions in slots 1-7, the 29 r05-stale rows, the 14
   oldest r06 rows. Round-11 additions land AFTER slot 50 on purpose
   (``run_source_roundtrip``, the one-call §3.1 lifecycle composition;
-  ``zorder_range_read``, z-order write + manifest-pruned 2-D range
-  read composed end-to-end; ``join_preflight_audit``, the Selinger
-  estimate consulted as a join blow-up pre-flight): they head the
-  round-12 window with the 36 remaining r06-stale rows and the oldest
-  r07 rows.
+  ``zorder_range_read``, z-order write + manifest-pruned 2-D box read
+  composed end-to-end; ``join_preflight_audit``, the Selinger
+  estimate consulted as a join blow-up pre-flight;
+  ``provider_stream_roundtrip``, the streaming runner driven like two
+  cron ticks sharing one checkpoint): they head the round-12 window
+  with the 36 remaining r06-stale rows and the oldest r07 rows —
+  4 + 36 + 10 = exactly 50, zeroing r06 in round 12.
 
 The ledger above is now DERIVED, not hand-maintained: once a round's
 CORRECTNESS_r{N}.json is committed, ``python tools/rotation_audit.py``

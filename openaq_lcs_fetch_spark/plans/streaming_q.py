@@ -546,3 +546,165 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_available_now(windowed, output_mode="append")
     return out.select(F.col("w.start").alias("win_start"), "event_type", "n")
+
+
+# ---------------------------------------------------------------------------
+# provider_stream_roundtrip — the reference's cron+checkpoint model run
+# on the REAL streaming runner (streaming/provider_stream.py): two
+# availableNow invocations of the keyed-map provider stream share one
+# checkpointLocation and one parquet sink, exactly like two cron ticks
+# of the fetcher Lambda. Invocation 1 drains file 1 (including an
+# intra-batch duplicate reading the watermark dedup collapses);
+# invocation 2 sees file 1 AGAIN plus file 2 — the FileStreamSource's
+# checkpoint makes it process only the new file (exactly-once across
+# restarts), and the dropDuplicates STATE restored from the checkpoint
+# drops file 2's cross-invocation repeat (its event time is inside the
+# 3 h lateness, so the key is still in state). The sink readback pins
+# the final contents; r1_rows pins that invocation 1 alone wrote the
+# file-1 distinct set. The batch twin in SQL: DISTINCT over the union,
+# per-batch for r1. Reference anchors: scheduler/index.js:5-25 (cron
+# tick), fetcher/lib/meta.js:22-41 (checkpoint), habitatmap.js:128-136
+# (sliding re-read duplicates).
+# ---------------------------------------------------------------------------
+
+_PROVIDER_STREAM_ORACLE = r"""
+WITH raw(batch, device_id, ts, input_param, raw_value) AS (
+  VALUES
+    (1, 'dev1', '2024-06-01T10:00:00', 'pm25', '15.5'),
+    (1, 'dev1', '2024-06-01T10:00:00', 'co',   '250'),
+    (1, 'dev1', '2024-06-01T11:00:00', 'pm25', '16.5'),
+    (1, 'dev1', '2024-06-01T11:00:00', 'temp', 'inv'),
+    (1, 'dev1', '2024-06-01T11:00:00', 'pm25', '16.5'),
+    (2, 'dev1', '2024-06-01T11:00:00', 'pm25', '16.5'),
+    (2, 'dev2', '2024-06-01T12:00:00', 'pm10', '30')
+),
+dim(input_param, parameter, scale) AS (
+  VALUES ('pm25', 'pm25', 1.0), ('co', 'co', 0.001),
+         ('temp', 'temperature', 1.0), ('pm10', 'pm10', 1.0)
+),
+cleaned AS (
+  SELECT DISTINCT  -- the watermark dedup's batch twin
+    MIN(batch) OVER (PARTITION BY device_id, ts, input_param) AS batch,
+    device_id, ts, input_param,
+    CASE WHEN raw_value IN ('', 'NaN', 'n/a', 'inv', 'null', 'undefined')
+         THEN NULL ELSE CAST(raw_value AS DOUBLE) END AS value,
+    CASE WHEN raw_value IN ('', 'NaN', 'n/a', 'inv', 'null', 'undefined')
+         THEN raw_value END AS sentinel
+  FROM raw
+),
+m AS (
+  SELECT c.batch, c.value * d.scale AS measure, c.sentinel,
+         CAST(c.ts AS TIMESTAMP) AS ts,
+         'stream_fixture-' || c.device_id || '-' || d.parameter AS sid
+  FROM cleaned c JOIN dim d USING (input_param)
+  WHERE c.value IS NOT NULL OR c.sentinel IS NOT NULL
+)
+SELECT
+  CAST(SUM(CASE WHEN batch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1_rows,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_sensors,
+  CAST(SUM(CASE WHEN sentinel IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_flagged,
+  CAST(SUM(CAST(ROUND(measure * 1000000, 0) AS BIGINT)) AS BIGINT)
+    AS sum_micro,
+  strftime(MAX(ts), '%Y-%m-%dT%H:%M:%SZ') AS last_iso
+FROM m
+"""
+
+
+@query("provider_stream_roundtrip", _PROVIDER_STREAM_ORACLE)
+def provider_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.provider_stream import keyed_map_stream, start_to_parquet
+
+    file1 = [
+        {"device_id": "dev1", "ts": "2024-06-01T10:00:00", "lat": 40.0,
+         "lon": -75.0, "readings": {"pm25": "15.5", "co": "250"}},
+        {"device_id": "dev1", "ts": "2024-06-01T11:00:00", "lat": 40.0,
+         "lon": -75.0, "readings": {"pm25": "16.5", "temp": "inv"}},
+        # intra-batch duplicate of (dev1-pm25, 11:00)
+        {"device_id": "dev1", "ts": "2024-06-01T11:00:00", "lat": 40.0,
+         "lon": -75.0, "readings": {"pm25": "16.5"}},
+    ]
+    file2 = [
+        # cross-invocation repeat, inside the 3 h lateness of file 1's
+        # max — the restored dedup state must drop it
+        {"device_id": "dev1", "ts": "2024-06-01T11:00:00", "lat": 40.0,
+         "lon": -75.0, "readings": {"pm25": "16.5"}},
+        {"device_id": "dev2", "ts": "2024-06-01T12:00:00", "lat": 41.0,
+         "lon": -76.0, "readings": {"pm10": "30"}},
+    ]
+    config = {
+        "schema": "v1",
+        "provider": "keyed_map",
+        "frequency": "hour",
+        "active": True,
+        "meta": {
+            "lookup": [
+                ["pm25", "pm25", "µg/m³"],
+                ["co", "co", "ppb"],
+                ["temp", "temperature", "c"],
+                ["pm10", "pm10", "µg/m³"],
+            ],
+            "lateness": "3 hours",
+            "source_name": "stream_fixture",
+        },
+    }
+    root = tempfile.mkdtemp(prefix="sgq_pstream_")
+    try:
+        src = os.path.join(root, "src")
+        out_path = os.path.join(root, "out")
+        ckpt = os.path.join(root, "ckpt")
+        os.makedirs(src)
+        config["meta"]["path"] = src
+
+        def _tick(rows: list[dict], name: str) -> None:
+            with open(os.path.join(src, name), "w") as fh:
+                for r in rows:
+                    fh.write(_json.dumps(r) + "\n")
+            q = start_to_parquet(
+                keyed_map_stream(spark, config),
+                out_path, ckpt,
+                frequency="hour", available_now=True,
+            )
+            q.awaitTermination()
+
+        _tick(file1, "f1.jsonl")  # cron tick 1
+        r1_rows = spark.read.parquet(out_path).count()
+        _tick(file2, "f2.jsonl")  # cron tick 2: restart from checkpoint
+        out = (
+            spark.read.parquet(out_path)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.countDistinct("sensor_id").cast("long").alias("n_sensors"),
+                F.sum(
+                    F.when(F.col("flags").isNotNull(), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_flagged"),
+                # micro-units are integers after the round — exact,
+                # order-independent (NULL measures skip the sum)
+                F.sum(F.round(F.col("measure") * 1000000, 0).cast("long"))
+                .cast("long")
+                .alias("sum_micro"),
+                F.date_format(
+                    F.max("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+                ).alias("last_iso"),
+            )
+            .select(
+                F.lit(r1_rows).cast("long").alias("r1_rows"),
+                "n_rows",
+                "n_sensors",
+                "n_flagged",
+                "sum_micro",
+                "last_iso",
+            )
+            .localCheckpoint()  # eager: frees the temp dirs below
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -481,3 +481,23 @@ def test_streaming_csv_quarantine_foreach_batch(spark, tmp_path):
     assert good == {"s1": 1.0, "s3": 3.0, "s4": 4.0}
     bad = sorted(r.raw_line for r in spark.read.parquet(bad_out).collect())
     assert bad == ["broken_line_only", "s2,oops"]
+
+
+def test_provider_stream_roundtrip_hand_values(spark):
+    """The two-cron-tick streaming proof against values computed BY
+    HAND: tick 1 writes the 4 distinct file-1 rows (the intra-batch
+    (dev1-pm25, 11:00) duplicate collapses; the 'inv' temp row ships a
+    NULL measure + flag); tick 2 adds ONLY dev2-pm10@12:00 — the
+    file-1 repeat is dropped by the dedup state restored from the
+    checkpoint and file 1 itself is not reprocessed (exactly-once).
+    sum over measures: 15.5 + 0.25 (250 ppb) + 16.5 + 30 = 62.25 →
+    62_250_000 micro-units."""
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    r = QUERIES["provider_stream_roundtrip"].fn(spark, "/unused").collect()[0]
+    assert r.r1_rows == 4
+    assert r.n_rows == 5
+    assert r.n_sensors == 4
+    assert r.n_flagged == 1
+    assert r.sum_micro == 62_250_000
+    assert r.last_iso == "2024-06-01T12:00:00Z"

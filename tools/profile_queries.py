@@ -213,6 +213,9 @@ PROFILED = [
     "join_preflight_audit",
     # z-order payoff proof: one rewrite shuffle, then a 1-file read
     "zorder_range_read",
+    # two real streaming invocations sharing a checkpoint: the profile
+    # story is micro-batch count, not data volume
+    "provider_stream_roundtrip",
 ]
 
 
