@@ -334,6 +334,13 @@ def file_int_spans(
                 li = idx.get(c)
                 if li is None:
                     continue
+                # integer physical types ONLY: int(stats) of a FLOAT
+                # column truncates, and a truncated file-max below the
+                # box lower bound would wrongly EXCLUDE a file that
+                # holds in-box rows (5.9 → 5 < box-lo 5.5). Non-integer
+                # columns stay unknown → always scanned.
+                if md.schema.column(li).physical_type not in ("INT32", "INT64"):
+                    continue
                 lo = hi = None
                 ok = True
                 for rg in range(md.num_row_groups):

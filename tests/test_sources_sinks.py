@@ -1403,6 +1403,16 @@ def test_read_int_box_unknown_spans_always_scanned(spark, tmp_path):
     (per_col,) = spans.values()
     assert per_col["x"] == (0, 9)
     assert per_col["nope"] == (None, None)
+
+    # a FLOAT column's stats must stay unknown — int() truncation of a
+    # float max could wrongly exclude a file holding in-box rows
+    fpath = str(tmp_path / "floaty")
+    spark.range(10).selectExpr(
+        "id AS x", "id + 0.9 AS f"
+    ).coalesce(1).write.parquet(fpath)
+    (fcol,) = file_int_spans(fpath, ["f", "x"]).values()
+    assert fcol["f"] == (None, None)
+    assert fcol["x"] == (0, 9)
     got, plan = read_int_box(spark, path, {"x": (3, 5)})
     assert plan["n_selected"] == 1  # overlap on the known column
     assert sorted(r.v for r in got.collect()) == [3, 4, 5]
