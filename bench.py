@@ -204,6 +204,7 @@ HEADLINE = (
     "join_preflight_audit",
     "zorder_range_read",
     "provider_stream_roundtrip",
+    "scheduler_tick_roundtrip",
 )
 
 

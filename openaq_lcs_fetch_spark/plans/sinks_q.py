@@ -494,3 +494,132 @@ def run_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# scheduler_tick_roundtrip — the TOP of §3.1 composed: scheduler tick →
+# per-frequency gating (T1) → one isolated engine.run_source per due
+# source (X3) → shared run-log table. Reference: EventBridge rate rules
+# (cdk/stack.ts:109-141) → SQS batchSize 1 → one Lambda per source
+# (scheduler/index.js:5-25); a failing source publishes fetcher/error
+# and blocks nothing. Two ticks on a four-config registry: minute
+# source A (runs both ticks; incremental, so tick 2 ingests nothing),
+# hour source B (due only at minute_of_day % 60 == 0), minute source C
+# with a missing feed (isolated error both ticks), inactive D (never
+# grouped). Verified: per-tick due counts, the run-log status census,
+# and both sinks' readbacks — if the cadence math, the isolation, or
+# the shared-log wiring were wrong, some column flips and the hash
+# breaks.
+# ---------------------------------------------------------------------------
+
+_SCHED_TICK_ORACLE = r"""
+WITH a(param, raw_value) AS (VALUES ('CO', '400'), ('NO2', '12')),
+b(param, raw_value) AS (VALUES ('CO', '8.25'))
+SELECT
+  CAST(2 AS BIGINT) AS tick1_due,   -- A + C (hour gate closed at :01)
+  CAST(3 AS BIGINT) AS tick2_due,   -- A + B + C (minute_of_day 120)
+  CAST(3 AS BIGINT) AS n_success,   -- A twice, B once
+  CAST(2 AS BIGINT) AS n_error,     -- C both ticks, isolated
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS a_rows,
+  (SELECT CAST(SUM(CAST(ROUND(CAST(raw_value AS DOUBLE) * 0.001 * 1000000,
+                              0) AS BIGINT)) AS BIGINT) FROM a)
+    AS a_sum_micro,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS b_rows,
+  (SELECT CAST(SUM(CAST(ROUND(CAST(raw_value AS DOUBLE) * 0.001 * 1000000,
+                              0) AS BIGINT)) AS BIGINT) FROM b)
+    AS b_sum_micro
+"""
+
+
+@query("scheduler_tick_roundtrip", _SCHED_TICK_ORACLE)
+def scheduler_tick_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..engine import Engine
+    from ..scheduler import by_frequency, run_tick
+
+    root = tempfile.mkdtemp(prefix="sgq_schedtick_")
+    try:
+        def _feed(name: str, rows: list[str]) -> str:
+            path = os.path.join(root, name)
+            with open(path, "w") as fh:
+                fh.write("Anon_Name,Site_Name,Timestamp,Lat,Lon,CO,NO2\n")
+                fh.writelines(r + "\n" for r in rows)
+            return path
+
+        def _cfg(source: str, freq: str, path: str, active: bool = True,
+                 params: str = "CO,NO2") -> dict:
+            return {
+                "schema": "v1",
+                "provider": "wide_csv",
+                "frequency": freq,
+                "active": active,
+                "meta": {
+                    "path": path,
+                    "params": params,
+                    "lookup": [["CO", "co", "ppb"], ["NO2", "no2", "ppb"]],
+                    "source_name": source,
+                    "incremental": True,
+                },
+            }
+
+        a_path = _feed("a.csv", ["st1,Site A,2024-06-01 10_00,40.1,-75.2,400,12"])
+        b_path = _feed("b.csv", ["st2,Site B,2024-06-01 10_00,41.0,-76.0,8.25,"])
+        cfgs = [
+            _cfg("src_a", "minute", a_path),
+            _cfg("src_b", "hour", b_path),
+            _cfg("src_c", "minute", os.path.join(root, "missing.csv")),
+            _cfg("src_d", "minute", a_path, active=False),
+        ]
+        groups = by_frequency(cfgs)
+        out_root = os.path.join(root, "out")
+        eng = Engine(spark)
+        logs1 = run_tick(eng, groups, 61, out_root)    # :01 past the hour
+        logs2 = run_tick(eng, groups, 120, out_root)   # on the hour
+        runlog = spark.read.parquet(f"{out_root}/runlog")
+        n_success = runlog.filter(F.col("status") == "fetcher/success").count()
+        n_error = runlog.filter(F.col("status") == "fetcher/error").count()
+
+        def _csv(source: str):
+            return (
+                spark.read.schema(
+                    "sensor_id string, measure double, timestamp string"
+                )
+                .option("header", "true")
+                .csv(f"{out_root}/measures/{source}")
+            )
+
+        out = (
+            _csv("src_a").agg(
+                F.count(F.lit(1)).cast("long").alias("a_rows"),
+                F.sum(F.round(F.col("measure") * 1000000, 0).cast("long"))
+                .cast("long")
+                .alias("a_sum_micro"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    _csv("src_b").agg(
+                        F.count(F.lit(1)).cast("long").alias("b_rows"),
+                        F.sum(
+                            F.round(F.col("measure") * 1000000, 0).cast("long")
+                        )
+                        .cast("long")
+                        .alias("b_sum_micro"),
+                    )
+                )
+            )
+            .select(
+                F.lit(len(logs1)).cast("long").alias("tick1_due"),
+                F.lit(len(logs2)).cast("long").alias("tick2_due"),
+                F.lit(n_success).cast("long").alias("n_success"),
+                F.lit(n_error).cast("long").alias("n_error"),
+                "a_rows",
+                "a_sum_micro",
+                "b_rows",
+                "b_sum_micro",
+            )
+            .localCheckpoint()  # eager: frees the temp dirs below
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -3727,3 +3727,19 @@ def test_run_source_roundtrip_hand_values(spark):
     assert r.n_success == 2
     assert r.n_csv_rows == 5
     assert r.sum_micro == 441250
+
+
+def test_scheduler_tick_roundtrip_hand_values(spark):
+    """The scheduler-tick composition against values computed BY HAND:
+    tick at minute 61 runs the two minute sources only (A succeeds, the
+    missing-feed C errors, isolated); tick at minute 120 adds the hour
+    source B; the inactive D never runs. A is incremental, so tick 2
+    re-ingests nothing: A's sink holds exactly its 2 fixture values
+    (0.4 + 0.012 ppm = 412_000 micro) and B's its one (8_250 micro)."""
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    r = QUERIES["scheduler_tick_roundtrip"].fn(spark, "/unused").collect()[0]
+    assert r.tick1_due == 2 and r.tick2_due == 3
+    assert r.n_success == 3 and r.n_error == 2
+    assert r.a_rows == 2 and r.a_sum_micro == 412_000
+    assert r.b_rows == 1 and r.b_sum_micro == 8_250

@@ -216,6 +216,8 @@ PROFILED = [
     # two real streaming invocations sharing a checkpoint: the profile
     # story is micro-batch count, not data volume
     "provider_stream_roundtrip",
+    # five run_source invocations across two ticks: dispatch-bounded
+    "scheduler_tick_roundtrip",
 ]
 
 
