@@ -205,6 +205,7 @@ HEADLINE = (
     "zorder_range_read",
     "provider_stream_roundtrip",
     "scheduler_tick_roundtrip",
+    "dry_run_preview",
 )
 
 

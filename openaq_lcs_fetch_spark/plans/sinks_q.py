@@ -623,3 +623,93 @@ def scheduler_tick_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# dry_run_preview — K6 (reference DRYRUN, providers.js:151-155): a
+# dry-run invocation of the SAME run_source computes the full per-run
+# summary (counts, stations — with the incremental bound applied, so
+# the preview matches what a real run would ingest) and then SHORT-
+# CIRCUITS every sink: no measures dir, no station store, no
+# checkpoint, no run-log row. The real run that follows must report
+# the exact counts the preview promised and actually write them. Both
+# halves hash-verified against one oracle; wrote_nothing is checked
+# against the filesystem between the two calls.
+# ---------------------------------------------------------------------------
+
+_DRY_RUN_ORACLE = r"""
+WITH a(param, raw_value) AS (VALUES ('CO', '400'), ('NO2', '12'))
+SELECT
+  'dry-run' AS dry_status,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS dry_measures,
+  CAST(1 AS BIGINT) AS dry_stations,
+  TRUE AS wrote_nothing,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS real_measures,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS csv_rows,
+  (SELECT CAST(SUM(CAST(ROUND(CAST(raw_value AS DOUBLE) * 0.001 * 1000000,
+                              0) AS BIGINT)) AS BIGINT) FROM a)
+    AS sum_micro
+"""
+
+
+@query("dry_run_preview", _DRY_RUN_ORACLE)
+def dry_run_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..engine import Engine
+
+    root = tempfile.mkdtemp(prefix="sgq_dryrun_")
+    try:
+        data = os.path.join(root, "wide.csv")
+        with open(data, "w") as fh:
+            fh.write("Anon_Name,Site_Name,Timestamp,Lat,Lon,CO,NO2\n")
+            fh.write("st1,Site A,2024-06-01 10_00,40.1,-75.2,400,12\n")
+        config = {
+            "schema": "v1",
+            "provider": "wide_csv",
+            "frequency": "hour",
+            "active": True,
+            "meta": {
+                "path": data,
+                "params": "CO,NO2",
+                "lookup": [["CO", "co", "ppb"], ["NO2", "no2", "ppb"]],
+                "source_name": "dry_fixture",
+                "incremental": True,
+            },
+        }
+        out_root = os.path.join(root, "out")
+        eng = Engine(spark)
+        dry = eng.run_source(config, out_root, dry_run=True)
+        wrote_nothing = not any(
+            os.path.exists(os.path.join(out_root, d))
+            for d in ("measures", "stations", "runlog")
+        ) and not os.path.exists(
+            os.path.join(out_root, "meta", "dry_fixture.json")
+        )
+        real = eng.run_source(config, out_root)
+        back = (
+            spark.read.schema("sensor_id string, measure double, timestamp string")
+            .option("header", "true")
+            .csv(real["measures_path"])
+        )
+        out = (
+            back.agg(
+                F.count(F.lit(1)).cast("long").alias("csv_rows"),
+                F.sum(F.round(F.col("measure") * 1000000, 0).cast("long"))
+                .cast("long")
+                .alias("sum_micro"),
+            )
+            .select(
+                F.lit(dry["status"]).alias("dry_status"),
+                F.lit(dry["n_measures"]).cast("long").alias("dry_measures"),
+                F.lit(dry["n_stations"]).cast("long").alias("dry_stations"),
+                F.lit(wrote_nothing).alias("wrote_nothing"),
+                F.lit(real["n_measures"]).cast("long").alias("real_measures"),
+                "csv_rows",
+                "sum_micro",
+            )
+            .localCheckpoint()  # eager: frees the temp dirs below
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

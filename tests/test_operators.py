@@ -3743,3 +3743,18 @@ def test_scheduler_tick_roundtrip_hand_values(spark):
     assert r.n_success == 3 and r.n_error == 2
     assert r.a_rows == 2 and r.a_sum_micro == 412_000
     assert r.b_rows == 1 and r.b_sum_micro == 8_250
+
+
+def test_dry_run_preview_hand_values(spark):
+    """K6 dry-run by hand: the preview reports the 2 fixture measures
+    and 1 station WITHOUT creating the measures/station/runlog dirs or
+    a checkpoint mark; the real run then delivers exactly the promised
+    counts (0.4 + 0.012 ppm = 412_000 micro-units)."""
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    r = QUERIES["dry_run_preview"].fn(spark, "/unused").collect()[0]
+    assert r.dry_status == "dry-run"
+    assert r.dry_measures == 2 and r.dry_stations == 1
+    assert r.wrote_nothing is True
+    assert r.real_measures == 2
+    assert r.csv_rows == 2 and r.sum_micro == 412_000

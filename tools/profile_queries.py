@@ -218,6 +218,8 @@ PROFILED = [
     "provider_stream_roundtrip",
     # five run_source invocations across two ticks: dispatch-bounded
     "scheduler_tick_roundtrip",
+    # K6: one previewed + one real lifecycle invocation
+    "dry_run_preview",
 ]
 
 
