@@ -206,6 +206,7 @@ HEADLINE = (
     "provider_stream_roundtrip",
     "scheduler_tick_roundtrip",
     "dry_run_preview",
+    "backfill_flow",
 )
 
 

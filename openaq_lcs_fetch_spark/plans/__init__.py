@@ -97,10 +97,11 @@ together with the stale r02 textops/simsearch backfill listed above.
   ``provider_stream_roundtrip``, the streaming runner driven like two
   cron ticks sharing one checkpoint; ``scheduler_tick_roundtrip``, the
   scheduler's cadence gating + per-source isolation composed with the
-  engine; ``dry_run_preview``, K6's no-write preview contract): they
-  head the round-12 window with the 36 remaining r06-stale rows and
-  the oldest r07 rows — 6 + 36 + 8 = exactly 50, zeroing r06 in
-  round 12.
+  engine; ``dry_run_preview``, K6's no-write preview contract;
+  ``backfill_flow``, the S3 two-phase token-paginated backfill with
+  sorted early-exit): they head the round-12 window with the 36
+  remaining r06-stale rows and the oldest r07 rows — 7 + 36 + 7 =
+  exactly 50, zeroing r06 in round 12.
 
 The ledger above is now DERIVED, not hand-maintained: once a round's
 CORRECTNESS_r{N}.json is committed, ``python tools/rotation_audit.py``

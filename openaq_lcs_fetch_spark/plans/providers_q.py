@@ -634,3 +634,72 @@ def provider_mobile_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# backfill_flow — the two-phase historical backfill (S3: token-
+# paginated DESCENDING listing with the sorted early-exit bound, then
+# executor-side per-file fetch) driven end-to-end through the REAL
+# read_backfill machinery on the deterministic offline fetcher.
+# Reference anchors: cmu.js:246-274 (listObjects token loop),
+# cmu.js:260-264 (descending names → stop at the checkpoint),
+# cmu.js:126-186 (processFile), cmu.js:90-91 (greatest name → next
+# checkpoint). The oracle regenerates the fetcher's arithmetic with
+# range(): 7 of 10 files survive the since bound (06-04 .. 06-10),
+# 3 hourly rows each, value = 10 + hour + day — if the early-exit
+# leaked extra files (30 rows) or the executor fetch dropped one, the
+# counts and sums break. The greatest listing name rides along as the
+# next-checkpoint column.
+# ---------------------------------------------------------------------------
+
+_BACKFILL_ORACLE = r"""
+WITH g AS (
+  SELECT d, h
+  FROM (SELECT unnest(range(4, 11)) AS d)
+  CROSS JOIN (SELECT unnest(range(0, 3)) AS h)
+),
+rows AS (
+  SELECT d, h, 10.0 + h + d AS value,
+         '2024-06-' || lpad(CAST(d AS VARCHAR), 2, '0') || 'T'
+           || lpad(CAST(h AS VARCHAR), 2, '0') || ':00:00' AS ts
+  FROM g
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT d) AS BIGINT) AS n_days,
+  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+  MIN(ts) AS first_ts,
+  MAX(ts) AS last_ts,
+  'readings-2024-06-10' AS greatest
+FROM rows
+"""
+
+
+@query("backfill_flow", _BACKFILL_ORACLE)
+def backfill_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.http import read_backfill
+
+    df, greatest = read_backfill(
+        spark,
+        lister="openaq_lcs_fetch_spark.sources.fetchers:daily_file_listing",
+        file_fetcher="openaq_lcs_fetch_spark.sources.fetchers:daily_file_rows",
+        schema_ddl="station string, ts string, value double",
+        since="readings-2024-06-04",  # checkpoint: days 01-03 done
+        files_per_task=2,
+        n_files="10",
+        page_size="4",
+        rows_per_file="3",
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct(F.substring("ts", 1, 10)).cast("long").alias("n_days"),
+        # cents are integers after the round — exact, order-independent
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    ).select(
+        "n_rows", "n_days", "sum_cents", "first_ts", "last_ts",
+        F.lit(greatest).alias("greatest"),
+    )

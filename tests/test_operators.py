@@ -3758,3 +3758,18 @@ def test_dry_run_preview_hand_values(spark):
     assert r.wrote_nothing is True
     assert r.real_measures == 2
     assert r.csv_rows == 2 and r.sum_micro == 412_000
+
+
+def test_backfill_flow_hand_values(spark):
+    """The S3 backfill proof by hand: 7 files survive the since bound
+    (06-04..06-10), 3 hourly rows each = 21; value 10+h+d summed over
+    h∈{0,1,2}, d∈{4..10} → 3·(10·7 + Σd) + 7·Σh = 3·119 + 21 = 378.0 →
+    37_800 cents; greatest listing name becomes the next checkpoint."""
+    from openaq_lcs_fetch_spark.plans import QUERIES
+
+    r = QUERIES["backfill_flow"].fn(spark, "/unused").collect()[0]
+    assert r.n_rows == 21 and r.n_days == 7
+    assert r.sum_cents == 37_800
+    assert r.first_ts == "2024-06-04T00:00:00"
+    assert r.last_ts == "2024-06-10T02:00:00"
+    assert r.greatest == "readings-2024-06-10"

@@ -220,6 +220,9 @@ PROFILED = [
     "scheduler_tick_roundtrip",
     # K6: one previewed + one real lifecycle invocation
     "dry_run_preview",
+    # S3 two-phase backfill: 4 listing pages driver-side, files
+    # fetched 2-per-task on executors
+    "backfill_flow",
 ]
 
 
