@@ -690,3 +690,57 @@ def test_collect_table_stats_sane_on_every_testdata_table(spark, sf_dir):
             assert cs["ndv"] <= max(1, int(n * 1.2) + 1), (name, c)
             if "min" in cs and cs["min"] is not None:
                 assert str(cs["min"]) <= str(cs["max"]) or cs["min"] <= cs["max"], (name, c)
+
+
+def test_file_int_spans_match_ground_truth_on_random_files(spark, tmp_path):
+    """Manifest property, integer flavor: for randomized multi-file
+    layouts, every footer envelope equals each file's true (min, max)
+    per requested column — the invariant read_int_box's file exclusion
+    stands on — and a box read over the layout always returns exactly
+    the rows a plain filtered read returns, whatever subset of files
+    the envelopes excluded."""
+    import glob
+    import os
+    import random
+
+    from openaq_lcs_fetch_spark.storage import file_int_spans, read_int_box
+
+    rng = random.Random(171717)
+    root = str(tmp_path / "ds")
+    os.makedirs(root)
+    truth = {}
+    all_rows = []
+    for i in range(6):
+        xs = [rng.randint(-500, 500) for _ in range(rng.randint(1, 25))]
+        ys = [rng.randint(0, 10_000) for _ in xs]
+        rows = list(zip(xs, ys, range(len(xs))))
+        all_rows += [(x, y) for x, y, _ in rows]
+        df = spark.createDataFrame(rows, "x long, y long, k long")
+        tmp = str(tmp_path / f"w_{i}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+        name = f"f{i}.parquet"
+        os.replace(part, os.path.join(root, name))
+        truth[name] = {
+            "x": (min(xs), max(xs)),
+            "y": (min(ys), max(ys)),
+        }
+
+    spans = file_int_spans(root, ["x", "y"])
+    got = {os.path.basename(f): per for f, per in spans.items()}
+    assert got == truth
+
+    # correctness never depends on pruning: random boxes, exact rows
+    for _ in range(5):
+        x_lo = rng.randint(-500, 400)
+        x_hi = x_lo + rng.randint(0, 300)
+        y_lo = rng.randint(0, 9_000)
+        y_hi = y_lo + rng.randint(0, 3_000)
+        boxed, plan = read_int_box(
+            spark, root, {"x": (x_lo, x_hi), "y": (y_lo, y_hi)}
+        )
+        want = sorted(
+            (x, y) for x, y in all_rows if x_lo <= x <= x_hi and y_lo <= y <= y_hi
+        )
+        assert sorted((r.x, r.y) for r in boxed.collect()) == want
+        assert 0 <= plan["n_selected"] <= plan["n_total"] == 6
