@@ -87,7 +87,7 @@ together with the stale r02 textops/simsearch backfill listed above.
   registry): they head the round-11 window with the 29 r05-stale rows
   and the 14 oldest r06 rows — 7 + 29 + 14 = exactly 50, zeroing r05
   in round 11 with in-window velocity 0.
-* round 11 (here): exactly that composition — the 7 never-verified
+* round 11: exactly that composition — the 7 never-verified
   round-10 additions in slots 1-7, the 29 r05-stale rows, the 14
   oldest r06 rows. Round-11 additions land AFTER slot 50 on purpose
   (``run_source_roundtrip``, the one-call §3.1 lifecycle composition;
@@ -99,9 +99,15 @@ together with the stale r02 textops/simsearch backfill listed above.
   scheduler's cadence gating + per-source isolation composed with the
   engine; ``dry_run_preview``, K6's no-write preview contract;
   ``backfill_flow``, the S3 two-phase token-paginated backfill with
-  sorted early-exit): they head the round-12 window with the 36
-  remaining r06-stale rows and the oldest r07 rows — 7 + 36 + 7 =
-  exactly 50, zeroing r06 in round 12.
+  sorted early-exit): they head the round-12 window.
+  CORRECTNESS_r11: 50/50 green, r05 staleness zeroed.
+* round 12 (here): the 7 never-verified round-11 additions in slots
+  1-7, then ALL 36 r06-stale rows in audit order, then the 7 OLDEST
+  r07 rows — 7 + 36 + 7 = exactly 50, zeroing r06. Round-12 additions
+  land AFTER slot 50 on purpose (retry/backoff proof, secrets-merge
+  proof, the negative z-order guard proof, the unified-compaction
+  proof, the preflight→salted-join mitigation proof): they head the
+  round-13 window with the remaining 43 r07-stale rows.
 
 The ledger above is now DERIVED, not hand-maintained: once a round's
 CORRECTNESS_r{N}.json is committed, ``python tools/rotation_audit.py``
@@ -127,71 +133,71 @@ from . import layout  # noqa: F401
 from . import sinks_q  # noqa: F401
 from . import providers_q  # noqa: F401
 
-# Round-11 driver window (slots 1-50), executing the composition the
-# round-10 ledger prescribed (and ``tools/rotation_audit.py`` derives
+# Round-12 driver window (slots 1-50), executing the composition the
+# round-11 ledger prescribed (and ``tools/rotation_audit.py`` derives
 # identically — in-window new-query velocity is 0, so the audit's
 # never-verified → least-recently-green ranking IS the window):
-# (1) the 7 never-verified round-10 additions (the ANALYZE-accuracy
-# audit, the vacuum round-trip, the five provider-shape flow proofs);
-# (2) ALL 29 r05-stale queries in audit order; (3) the 14 OLDEST
-# r06-stale queries. 7 + 29 + 14 = exactly 50 slots. After this round:
-# r05 staleness zeroed, r06 down to 36 rows (they head round 12
-# together with round 11's own post-slot-50 additions).
+# (1) the 7 never-verified round-11 additions (the five lifecycle
+# composition proofs, the join pre-flight, the z-order box read);
+# (2) ALL 36 r06-stale queries in audit order; (3) the 7 OLDEST
+# r07-stale queries. 7 + 36 + 7 = exactly 50 slots. After this round:
+# r06 staleness zeroed, r07 down to 43 rows (they head round 13
+# together with round 12's own post-slot-50 additions).
 registry.promote(
     [
-        # (1) round-10 additions — never driver-verified
-        "stats_accuracy_audit",
-        "vacuum_roundtrip",
-        "provider_pipeline_flow",
-        "provider_zip_arrays_flow",
-        "provider_keyed_map_flow",
-        "provider_enriched_flow",
-        "provider_mobile_flow",
-        # (2) all 29 r05-stale queries, audit order
-        "ctfidf_top_terms",
-        "domain_cap_sample",
-        "quality_winsorize",
-        "token_pagerank",
-        "ppjoin_pairs",
-        "dedup_shrink_report",
-        "quality_percent_rank",
-        "embedding_int8_quant",
-        "cdc_apply",
-        "ohlc_bars",
-        "isotonic_fit",
-        "cusum_changepoint",
-        "max_drawdown",
-        "theil_sen_daily_slope",
-        "week_over_week_reconcile",
-        "event_motifs",
-        "interval_union_length",
-        "ab_test_zstat",
-        "feature_auc",
-        "salted_join_stats",
-        "longest_streak",
-        "dau_wau_stickiness",
-        "equi_depth_quantiles",
-        "value_mad",
-        "value_outliers_3sigma",
-        "lag_features",
-        "reliability_bins",
-        "streaming_dedup_ww",
-        "bloom_membership",
-        # (3) the 14 oldest r06-stale queries, audit order
-        "item_item_cosine",
-        "gini_revenue",
-        "benford_digits",
-        "order_price_reconcile",
-        "bfs_hops",
-        "watermark_summary",
-        "distinct_users",
-        "hourly_rollup",
-        "hour_ending_rollup",
-        "cohort_union",
-        "enrich_misses",
-        "tz_daily",
-        "props_extract",
-        "recent_orders",
+        # (1) round-11 additions — never driver-verified
+        "provider_stream_roundtrip",
+        "join_preflight_audit",
+        "zorder_range_read",
+        "run_source_roundtrip",
+        "scheduler_tick_roundtrip",
+        "dry_run_preview",
+        "backfill_flow",
+        # (2) all 36 r06-stale queries, audit order
+        "latest_complete_hour",
+        "order_calendar",
+        "distinct_pairs",
+        "ingest_id_join",
+        "value_percentiles",
+        "daily_from_hourly",
+        "quarantine_summary",
+        "profile_numerics",
+        "table_manifest",
+        "hour_of_day_profile",
+        "user_type_impurity",
+        "nearest_poi",
+        "source_lang_tv",
+        "centroid_lang_classifier",
+        "quality_quantile_map",
+        "bpe_train_merges",
+        "corpus_mix_weights",
+        "cosine_topk",
+        "kaplan_meier",
+        "hourly_type_correlation",
+        "ma_crossover",
+        "new_vs_returning",
+        "hourly_value_emd",
+        "hourly_ks_drift",
+        "ols_hourly_trend",
+        "transition_dwell_times",
+        "mase_naive_eval",
+        "seasonal_decompose_24",
+        "iqr_fences_outliers",
+        "weekday_anova",
+        "cramers_v",
+        "churn_features",
+        "wilson_proportion_ci",
+        "streaming_value_histogram",
+        "streaming_sliding_counts",
+        "hll_distinct_events",
+        # (3) the 7 oldest r07-stale queries, audit order
+        "pricing_summary",
+        "clustering_coefficients",
+        "fk_integrity_audit",
+        "doc_language",
+        "doc_quality",
+        "doc_fingerprint",
+        "dedup_exact",
     ]
 )
 

@@ -1865,11 +1865,18 @@ def zorder_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale the narrow dimension into the wide one's bit range so both
     # actually cluster (zorder_column's documented contract)
     mult = max(1, int(b["pk"]) // max(int(b["sk"]), 1))
+    # mask/bits derived from the OBSERVED max scaled key (next power of
+    # two), not a fixed 16-bit mask: at sf ≥ ~0.33 l_partkey exceeds
+    # 65535 and a fixed mask would wrap the key, so z-files stop
+    # bounding the raw column and pruned=TRUE can flip FALSE
+    bits = max(int(b["pk"]), int(b["sk"]) * mult).bit_length()
+    mask = (1 << bits) - 1
     z = zorder_column(
         [
-            F.col("l_partkey").bitwiseAND(F.lit(65535)),
-            (F.col("l_suppkey") * F.lit(mult)).bitwiseAND(F.lit(65535)),
-        ]
+            F.col("l_partkey").bitwiseAND(F.lit(mask)),
+            (F.col("l_suppkey") * F.lit(mult)).bitwiseAND(F.lit(mask)),
+        ],
+        bits=bits,
     )
     root = tempfile.mkdtemp(prefix="sgq_zrr_")
     try:

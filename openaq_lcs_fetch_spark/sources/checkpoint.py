@@ -85,6 +85,18 @@ def high_water_mark(df: DataFrame, ts_col: str) -> str | None:
 SUSPECT_MARK_GAP = datetime.timedelta(hours=2)
 
 
+def _naive_utc(dt: datetime.datetime) -> datetime.datetime:
+    """Normalize to naive UTC so the gap subtraction never raises.
+
+    Engine-written marks are naive (UTC by the pinned session tz), but a
+    pre-fix or foreign writer may have stored ``...+00:00``/``Z``;
+    subtracting aware from naive raises TypeError — on exactly the
+    legacy stores the warning exists to detect."""
+    if dt.tzinfo is not None:
+        return dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return dt
+
+
 def advance(
     store: CheckpointStore, source: str, df: DataFrame, ts_col: str
 ) -> dict[str, Any]:
@@ -109,9 +121,8 @@ def advance(
     stored = prev.get("high_water_mark", "")
     if hwm is not None and stored:
         try:
-            gap = (
-                datetime.datetime.fromisoformat(stored)
-                - datetime.datetime.fromisoformat(hwm)
+            gap = _naive_utc(datetime.datetime.fromisoformat(stored)) - _naive_utc(
+                datetime.datetime.fromisoformat(hwm)
             )
         except ValueError:
             gap = None  # foreign-format mark: never-regress still applies

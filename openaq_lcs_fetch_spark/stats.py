@@ -380,11 +380,14 @@ def join_preflight(
     if key_l not in stats_l["columns"] or key_r not in stats_r["columns"]:
         return None
     est = estimate_equijoin_rows(stats_l, stats_r, key_l, key_r)
-    bigger = max(
-        stats_l["n_rows"] - stats_l["columns"][key_l]["n_nulls"],
-        stats_r["n_rows"] - stats_r["columns"][key_r]["n_nulls"],
-        1,
-    )
+    # denominator convention: RAW n_rows, not null-discounted. The
+    # join_preflight_audit oracle uses GREATEST(o.n, l.n) raw, and both
+    # sides must agree or a nullable-key table drifts engine-vs-oracle
+    # near the factor. Raw is also the conservative choice for the
+    # decision this gates: nulls never match, so the raw denominator
+    # only UNDER-states blowup — it can delay a warning, never emit a
+    # spurious one.
+    bigger = max(stats_l["n_rows"], stats_r["n_rows"], 1)
     blowup = est / bigger
     return {
         "est_rows": est,

@@ -143,6 +143,65 @@ def write_zordered(
     )
 
 
+def parquet_bytes(path: str) -> int:
+    """Total bytes of parquet data under ``path`` (local FS walk)."""
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def parquet_file_count(path: str) -> int:
+    import os
+
+    return sum(
+        f.endswith(".parquet")
+        for _root, _dirs, files in os.walk(path)
+        for f in files
+    )
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Size-targeted small-files compaction (SURVEY §2.9 partitioning
+    hygiene) — the sibling of :func:`compact_by_time` for layouts with
+    no time dimension to bin on. Formerly ``sinks/compact.py``; moved
+    here so the repo has ONE compaction module.
+
+    Streaming sinks and fine-grained partitionBy layouts accrete many
+    small files; at scale each file is a task, a listing entry, and a
+    scheduling unit, so a table of 10⁶ kilobyte files can cost more to
+    PLAN than to read. This rewrites the prefix into
+    ceil(bytes/target) files. Shuffle-free (``coalesce``: existing
+    partitions concatenate map-side, no Exchange) and atomic on the
+    reader side: readers see the old layout until the final directory
+    swap (an object-store deployment swaps a manifest/pointer instead —
+    same two-phase publish the measures sink uses; the compaction PLAN
+    is identical). Returns the new file count.
+
+    Prefer :func:`compact_by_time` when the table HAS a timestamp
+    column — its one-file-per-time-bin output keeps min/max-ts pruning
+    power that a bare coalesce destroys.
+    """
+    import math
+    import shutil
+    import uuid
+
+    n_files = max(1, math.ceil(parquet_bytes(path) / target_file_bytes))
+    tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
+    shutil.move(path, bak)
+    shutil.move(tmp, path)
+    shutil.rmtree(bak)
+    return parquet_file_count(path)
+
+
 def compact_by_time(
     df: DataFrame,
     ts_col: str,
@@ -334,25 +393,42 @@ def file_int_spans(
                 li = idx.get(c)
                 if li is None:
                     continue
-                # integer physical types ONLY: int(stats) of a FLOAT
-                # column truncates, and a truncated file-max below the
-                # box lower bound would wrongly EXCLUDE a file that
-                # holds in-box rows (5.9 → 5 < box-lo 5.5). Non-integer
-                # columns stay unknown → always scanned.
-                if md.schema.column(li).physical_type not in ("INT32", "INT64"):
+                sch = md.schema.column(li)
+                # TRUE integer columns ONLY — both levels must agree:
+                # * physical INT32/INT64: int(stats) of a FLOAT column
+                #   truncates, and a truncated file-max below the box
+                #   lower bound would wrongly EXCLUDE a file that holds
+                #   in-box rows (5.9 → 5 < box-lo 5.5).
+                # * logical NONE/Int: Spark writes decimal(≤18, s>0)
+                #   with an INT physical type, so the physical check
+                #   alone lets scaled decimals through and int(st.min)
+                #   silently truncates 5.99 → 5 — the exact hazard the
+                #   float guard documents. DATE/TIME/TIMESTAMP logicals
+                #   are rejected for the same reason (stats decode to
+                #   non-int Python values). Rejected columns stay
+                #   unknown → always scanned.
+                if sch.physical_type not in ("INT32", "INT64"):
                     continue
-                lo = hi = None
-                ok = True
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(li).statistics
-                    if st is None or not st.has_min_max:
-                        ok = False
-                        break
-                    mn, mx = int(st.min), int(st.max)
-                    lo = mn if lo is None else min(lo, mn)
-                    hi = mx if hi is None else max(hi, mx)
-                if ok and lo is not None:
-                    per_col[c] = (lo, hi)
+                lt = str(sch.logical_type.type).upper()
+                if lt not in ("NONE", "INT"):
+                    continue
+                # per-column try: one undecodable column must not
+                # discard the envelopes already read for this file
+                try:
+                    lo = hi = None
+                    ok = True
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(li).statistics
+                        if st is None or not st.has_min_max:
+                            ok = False
+                            break
+                        mn, mx = int(st.min), int(st.max)
+                        lo = mn if lo is None else min(lo, mn)
+                        hi = mx if hi is None else max(hi, mx)
+                    if ok and lo is not None:
+                        per_col[c] = (lo, hi)
+                except Exception:
+                    pass  # this column unknown; keep the others
         except Exception:
             pass  # unreadable footer → all-unknown (never guess)
         spans[f] = per_col

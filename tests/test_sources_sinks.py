@@ -345,7 +345,7 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     data, shuffle-free (coalesce), atomic swap of the directory."""
     import os
 
-    from openaq_lcs_fetch_spark.sinks.compact import (
+    from openaq_lcs_fetch_spark.storage import (
         compact_parquet,
         parquet_file_count,
     )
