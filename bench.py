@@ -207,6 +207,9 @@ HEADLINE = (
     "scheduler_tick_roundtrip",
     "dry_run_preview",
     "backfill_flow",
+    # round 12: the join pre-flight escalated to salted-join mitigation
+    # (hot-key stats pass + routed salted shuffle, driven end-to-end)
+    "preflight_salted_join",
 )
 
 

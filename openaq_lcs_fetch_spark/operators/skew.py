@@ -85,23 +85,6 @@ def salted_agg(
 
 
 def salted_join(
-    facts: DataFrame,
-    dim: DataFrame,
-    on: str,
-    salt_buckets: int = 16,
-) -> DataFrame:
-    """Skewed fact⋈dim equi-join when the dim is too big to broadcast:
-    salt the fact side randomly, explode the dim side across all salts,
-    join on (key, salt) — each hot key spreads over ``salt_buckets``
-    tasks. Salt is deterministic (see ``salted_agg``)."""
-    f = facts.withColumn("_salt", _row_salt(facts, salt_buckets))
-    d = dim.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
-    )
-    return f.join(d, on=[on, "_salt"]).drop("_salt")
-
-
-def salted_join(
     fact: DataFrame,
     dim: DataFrame,
     key: str,

@@ -63,7 +63,10 @@ STATS_VERSION = 1
 
 
 def collect_table_stats(
-    df: DataFrame, columns: list[str] | None = None, rsd: float = 0.05
+    df: DataFrame,
+    columns: list[str] | None = None,
+    rsd: float = 0.05,
+    hot_keys: list[str] | None = None,
 ) -> dict[str, Any]:
     """One aggregation pass → ``{"n_rows": N, "columns": {col: {...}}}``.
 
@@ -72,6 +75,16 @@ def collect_table_stats(
     date/timestamp so the document round-trips through JSON); strings
     add ``avg_len``. NaN counts as a value, not a null (matches both
     engines' COUNT semantics in the audit queries).
+
+    ``hot_keys`` (opt-in, one extra groupBy pass per named column —
+    expected join keys only, not every column) adds exact
+    ``top_values: [{"value", "count"}, ...]`` (top 3 by frequency) to
+    those columns. This is the per-key evidence
+    :func:`join_preflight` / :func:`stats_aware_join` use to tell a
+    genuinely skewed key (one value owns a large share of the rows —
+    salting helps) from a uniformly m:n key (salting just adds a
+    shuffle column). The pass is a groupBy-count-limit(3): the shuffle
+    carries (key, partial count) pairs — NDV-sized, never rows.
     """
     dtypes = dict(df.dtypes)
     cols = list(columns) if columns is not None else list(df.columns)
@@ -137,6 +150,21 @@ def collect_table_stats(
         if f"__avglen__{c}" in row:
             st["avg_len"] = row[f"__avglen__{c}"]
         out["columns"][c] = st
+    for c in hot_keys or []:
+        if c not in out["columns"]:
+            raise KeyError(f"collect_table_stats: hot_keys column {c!r} "
+                           "not in the profiled column set")
+        top = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(c)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .orderBy(F.desc("__cnt"), F.col(c))  # value tiebreak: stable
+            .limit(3)
+            .collect()
+        )
+        out["columns"][c]["top_values"] = [
+            {"value": _jsonable(r[c]), "count": r["__cnt"]} for r in top
+        ]
     return out
 
 
@@ -304,6 +332,7 @@ def stats_aware_join(
     stats_r: dict[str, Any] | None,
     threshold_bytes: int = BROADCAST_DEFAULT_BYTES,
     how: str = "inner",
+    mitigate_skew: bool = True,
 ) -> DataFrame:
     """The consumer that makes the ANALYZE collector real: join with
     the physical strategy :func:`choose_join_strategy` picks from the
@@ -314,18 +343,52 @@ def stats_aware_join(
     the plan — see ``stats_join_strategy`` / the plan-flip tests).
 
     When ``on`` is a plain same-named key, :func:`join_preflight` also
-    runs and WARNS on an exploding estimate (> JOIN_BLOWUP_FACTOR × the
-    larger input) — the cheapest possible time to learn a join will
-    square, before a single task is scheduled."""
+    runs on an exploding estimate (> JOIN_BLOWUP_FACTOR × the larger
+    input) — the cheapest possible time to learn a join will square,
+    before a single task is scheduled. What happens next depends on
+    the evidence (``mitigate_skew`` is the escape hatch — False
+    restores warn-only):
+
+    * pre-flight fires AND the stats identify a HOT key (the opt-in
+      ``collect_table_stats(hot_keys=...)`` top-values pass shows one
+      value owning ≥ HOT_KEY_SHARE of the bigger side's rows) AND the
+      join is an inner shuffle join AND the dim replication is bounded
+      (smaller.n_rows × salt_buckets ≤ bigger.n_rows, so spreading
+      costs less than one extra pass over the fact side) → the join is
+      ROUTED through :func:`operators.skew.salted_join` — each hot
+      key's rows spread over ``salt_buckets`` reducers instead of one
+      straggler task. Result-identical to the plain join
+      (``salted_join_stats`` proves plan-change-only equivalence);
+      column order is normalized back to the plain-join shape.
+    * pre-flight fires without that evidence (uniform m:n explosion,
+      broadcast strategy, outer join, oversized dim) → WARN as before:
+      salting can't fix a uniform blow-up, and a broadcast join has no
+      per-key reducer to skew.
+    """
     key = on if isinstance(on, str) else (
         on[0] if isinstance(on, (list, tuple)) and len(on) == 1
         and isinstance(on[0], str) else None
     )
+    strategy = choose_join_strategy(stats_l, stats_r, threshold_bytes)
     if key is not None:
         pf = join_preflight(stats_l, stats_r, key, key)
         if pf is not None and pf["exploding"]:
             import warnings
 
+            routed = None
+            if mitigate_skew and strategy == "shuffle" and how == "inner":
+                routed = _salted_route(
+                    left, right, key, pf, stats_l, stats_r
+                )
+            if routed is not None:
+                warnings.warn(
+                    f"join on {key!r} estimated to emit ~{pf['est_rows']:,} "
+                    f"rows ({pf['blowup']:.1f}x the larger input) with a "
+                    "hot key — routed through salted_join (set "
+                    "mitigate_skew=False to opt out)",
+                    stacklevel=2,
+                )
+                return routed
             warnings.warn(
                 f"join on {key!r} estimated to emit ~{pf['est_rows']:,} "
                 f"rows ({pf['blowup']:.1f}x the larger input, factor "
@@ -333,12 +396,60 @@ def stats_aware_join(
                 "keys, or salt before shipping this at scale",
                 stacklevel=2,
             )
-    strategy = choose_join_strategy(stats_l, stats_r, threshold_bytes)
     if strategy == "broadcast_right":
         return left.join(F.broadcast(right), on=on, how=how)
     if strategy == "broadcast_left":
         return F.broadcast(left).join(right, on=on, how=how)
     return left.hint("shuffle_merge").join(right, on=on, how=how)
+
+
+#: share of a table's rows the single most frequent key value must own
+#: before stats_aware_join treats an exploding join as SKEWED (salting
+#: helps) rather than uniformly m:n (salting just adds a column). At
+#: 10% one reducer gets ≥ 10% of the shuffle — 3×+ the average at 32
+#: partitions, worse at 1000 — while a uniform explosion never puts
+#: 10% of rows on one key past trivial NDV. Documented in
+#: docs/ORACLE_NOTES.md with the replication bound.
+HOT_KEY_SHARE = 0.10
+
+#: fact-side salt fan-out for the routed salted_join (each hot key
+#: spreads over this many reducers; the dim side replicates this many
+#: times, which the replication bound keeps below one fact-side pass).
+SALT_BUCKETS = 16
+
+
+def _salted_route(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    pf: dict[str, Any],
+    stats_l: dict[str, Any],
+    stats_r: dict[str, Any],
+) -> DataFrame | None:
+    """Route an exploding inner shuffle join through salted_join when
+    the evidence supports it; None when it doesn't (caller falls back
+    to warn-only). See :func:`stats_aware_join` for the decision
+    table."""
+    from .operators.skew import salted_join
+
+    n_l, n_r = stats_l["n_rows"], stats_r["n_rows"]
+    fact_is_left = n_l >= n_r
+    hot = pf["hot_l"] if fact_is_left else pf["hot_r"]
+    if hot is None or hot["share"] < HOT_KEY_SHARE:
+        return None
+    big_n, small_n = (n_l, n_r) if fact_is_left else (n_r, n_l)
+    if small_n * SALT_BUCKETS > big_n:
+        return None  # replication would cost more than it saves
+    fact, dim = (left, right) if fact_is_left else (right, left)
+    joined = salted_join(fact, dim, key, salt_buckets=SALT_BUCKETS)
+    # normalize to the plain-join column order: key, left cols, right
+    # cols (salted_join puts the FACT side first, which may be right)
+    order = (
+        [key]
+        + [c for c in left.columns if c != key]
+        + [c for c in right.columns if c != key]
+    )
+    return joined.select(*order)
 
 
 #: blow-up factor over the larger input above which :func:`join_preflight`
@@ -389,10 +500,24 @@ def join_preflight(
     # spurious one.
     bigger = max(stats_l["n_rows"], stats_r["n_rows"], 1)
     blowup = est / bigger
+
+    def _hot(stats: dict[str, Any], key: str) -> dict[str, Any] | None:
+        # hot-key evidence, present only when the collector profiled
+        # top_values (opt-in hot_keys pass): share of the table's rows
+        # owned by the single most frequent key value. Raw n_rows
+        # denominator — same convention as the blow-up above.
+        tv = stats["columns"][key].get("top_values")
+        if not tv:
+            return None
+        share = tv[0]["count"] / max(stats["n_rows"], 1)
+        return {"value": tv[0]["value"], "share": share}
+
     return {
         "est_rows": est,
         "blowup": blowup,
         "exploding": blowup > blowup_factor,
+        "hot_l": _hot(stats_l, key_l),
+        "hot_r": _hot(stats_r, key_r),
     }
 
 

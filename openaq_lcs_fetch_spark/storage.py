@@ -57,6 +57,7 @@ def stats_aware_path_join(
     on,
     threshold_bytes: int | None = None,
     how: str = "inner",
+    mitigate_skew: bool = True,
 ) -> DataFrame:
     """Join two parquet datasets with the physical strategy chosen from
     their ``_stats.json`` sidecars (``stats.collect_table_stats`` →
@@ -78,6 +79,7 @@ def stats_aware_path_join(
         read_stats(right_path),
         threshold_bytes,
         how=how,
+        mitigate_skew=mitigate_skew,
     )
 
 

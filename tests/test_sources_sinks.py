@@ -1348,6 +1348,124 @@ def test_stats_aware_path_join_preflight_fires(spark, tmp_path):
     assert j2.count() == 200
 
 
+def test_collect_table_stats_hot_keys_top_values(spark):
+    """The opt-in hot_keys pass records exact top-3 (value, count)
+    frequencies; nulls excluded; unprofiled columns raise."""
+    from openaq_lcs_fetch_spark.stats import collect_table_stats
+
+    df = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 15 + [("d",)] * 5
+        + [(None,)] * 10,
+        "k string",
+    )
+    st = collect_table_stats(df, hot_keys=["k"])
+    tv = st["columns"]["k"]["top_values"]
+    assert [(e["value"], e["count"]) for e in tv] == [
+        ("a", 50), ("b", 30), ("c", 15)
+    ]
+    # no hot_keys → no top_values field (the pass costs a job per column)
+    assert "top_values" not in collect_table_stats(df)["columns"]["k"]
+    with pytest.raises(KeyError):
+        collect_table_stats(df, columns=["k"], hot_keys=["nope"])
+
+
+def _skew_fixture(spark):
+    """fact: 40k rows, 50% on key 0, rest uniform over 99 keys (ndv
+    ~100); dim: 2k rows over the same 100 keys, 20 rows per key. The
+    Selinger estimate is 40k*2k/100 = 800k = 20x the fact side —
+    exploding — and the fact side's hot share is 0.5."""
+    fact = spark.range(40_000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN CAST(0 AS BIGINT) "
+        "ELSE CAST(id % 99 + 1 AS BIGINT) END AS k",
+        "id AS v",
+    )
+    dim = spark.range(2_000).selectExpr(
+        "CAST(id % 100 AS BIGINT) AS k", "id AS d"
+    )
+    return fact, dim
+
+
+def test_stats_aware_join_salts_exploding_hot_key(spark):
+    """The pre-flight escalated to MITIGATION: exploding estimate +
+    hot-key evidence + pinned shuffle + bounded dim replication →
+    stats_aware_join routes through salted_join (the physical join key
+    includes _salt), result-identical to the plain join and in the
+    plain join's column order. mitigate_skew=False is the escape
+    hatch back to warn-only."""
+    from openaq_lcs_fetch_spark.stats import (
+        collect_table_stats, stats_aware_join,
+    )
+
+    fact, dim = _skew_fixture(spark)
+    st_f = collect_table_stats(fact, hot_keys=["k"])
+    st_d = collect_table_stats(dim)
+    # threshold_bytes=1 pins the shuffle strategy: the 2k-row dim would
+    # broadcast in practice (and a broadcast join has no reducer to
+    # skew); the test exercises the mitigation, not the threshold
+    with pytest.warns(UserWarning, match="routed through salted_join"):
+        j = stats_aware_join(fact, dim, "k", st_f, st_d, threshold_bytes=1)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan  # the salted physical shape
+    plain = fact.join(dim, "k")
+    assert j.columns == plain.columns
+    assert (
+        j.agg({"v": "sum", "d": "sum"}).collect()
+        == plain.agg({"v": "sum", "d": "sum"}).collect()
+    )
+    assert j.count() == plain.count() == 40_000 * 20
+
+    # escape hatch: warn-only, unsalted plan
+    with pytest.warns(UserWarning, match="pre-aggregate"):
+        j2 = stats_aware_join(
+            fact, dim, "k", st_f, st_d, threshold_bytes=1,
+            mitigate_skew=False,
+        )
+    assert "_salt" not in j2._jdf.queryExecution().executedPlan().toString()
+
+
+def test_stats_aware_join_salted_route_guards(spark):
+    """The mitigation's negative space: dim-on-the-left still
+    normalizes to the plain column order; no hot-key evidence, outer
+    joins, and oversized dims all fall back to warn-only."""
+    from openaq_lcs_fetch_spark.stats import (
+        collect_table_stats, stats_aware_join,
+    )
+
+    fact, dim = _skew_fixture(spark)
+    st_f = collect_table_stats(fact, hot_keys=["k"])
+    st_d = collect_table_stats(dim)
+
+    # dim on the LEFT: routed (fact is still the salted side), columns
+    # normalized to the plain dim-join-fact order
+    with pytest.warns(UserWarning, match="routed through salted_join"):
+        j = stats_aware_join(dim, fact, "k", st_d, st_f, threshold_bytes=1)
+    assert j.columns == dim.join(fact, "k").columns
+    assert j.count() == 40_000 * 20
+
+    # no top_values evidence on the fact side → warn-only
+    st_f_plain = collect_table_stats(fact)
+    with pytest.warns(UserWarning, match="pre-aggregate"):
+        j2 = stats_aware_join(
+            fact, dim, "k", st_f_plain, st_d, threshold_bytes=1
+        )
+    assert "_salt" not in j2._jdf.queryExecution().executedPlan().toString()
+
+    # outer join → warn-only (salted_join is inner-only)
+    with pytest.warns(UserWarning, match="pre-aggregate"):
+        j3 = stats_aware_join(
+            fact, dim, "k", st_f, st_d, threshold_bytes=1, how="left"
+        )
+    assert "_salt" not in j3._jdf.queryExecution().executedPlan().toString()
+
+    # dim too big to replicate (small*16 > big) → warn-only
+    st_d_big = dict(st_d, n_rows=10_000)
+    with pytest.warns(UserWarning, match="pre-aggregate"):
+        j4 = stats_aware_join(
+            fact, dim, "k", st_f, st_d_big, threshold_bytes=1
+        )
+    assert "_salt" not in j4._jdf.queryExecution().executedPlan().toString()
+
+
 def test_read_int_box_prunes_on_both_dimensions(spark, tmp_path):
     """A z-ordered layout answers a 2-D box from a strict file subset;
     a single-column-sorted layout of the SAME data cannot prune the

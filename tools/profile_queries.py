@@ -223,6 +223,9 @@ PROFILED = [
     # S3 two-phase backfill: 4 listing pages driver-side, files
     # fetched 2-per-task on executors
     "backfill_flow",
+    # round 12: preflight→salted-join mitigation — profile story: the
+    # hot-key stats pass + the salted (key, _salt) shuffle join
+    "preflight_salted_join",
 ]
 
 
