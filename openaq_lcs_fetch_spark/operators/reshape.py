@@ -39,6 +39,9 @@ def melt(
     the sentinel test). Generate uses plain local variables and
     compiles. Requires same-typed value columns (Expand's implicit
     coercion is not reproduced); the provider feeds are all-string.
+    The regression is CI-guarded by ``debug.assert_compiles`` (codegen
+    fallback disabled → the janino failure raises instead of silently
+    running interpreted) — no log-grepping needed.
     """
     if codegen_safe:
         dtypes = dict(df.dtypes)

@@ -295,3 +295,51 @@ def test_bench_compare_guards(tmp_path, capsys):
     import pytest
     with pytest.raises(SystemExit, match="no per-query walls"):
         BC.load_record(pt)
+
+
+def test_bench_compare_rerun_list(tmp_path, capsys):
+    """--rerun-list prints ONLY the flagged query names, one per line
+    (machine-consumable: feeds check_all --only for a targeted quiet
+    re-run); exit code unchanged; empty output + rc 0 when nothing is
+    flagged."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import bench_compare as BC
+
+    old = {
+        "queries": {"q_reg": 1.0, "q_flat": 1.0, "streaming_reg": 1.0},
+        "calibration": {"fleet_start": 2.0, "fleet_end": 2.0},
+    }
+    new = {
+        "queries": {"q_reg": 2.0, "q_flat": 1.0, "streaming_reg": 2.0},
+        "calibration": {"fleet_start": 2.0, "fleet_end": 2.0},
+    }
+    po, pn = str(tmp_path / "o.json"), str(tmp_path / "n.json")
+    with open(po, "w") as fh:
+        json.dump(old, fh)
+    with open(pn, "w") as fh:
+        json.dump(new, fh)
+
+    argv = sys.argv
+    try:
+        sys.argv = ["bench_compare.py", po, pn, "--rerun-list"]
+        rc = BC.main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    # bare names only, severity order (adjusted ratio desc), no
+    # analysis lines — the whole contract a shell substitution needs
+    assert rc == 1
+    assert sorted(out.split()) == ["q_reg", "streaming_reg"]
+    assert "FLAG" not in out and "calibration" not in out
+
+    # nothing flagged → empty stdout, rc 0
+    try:
+        sys.argv = ["bench_compare.py", po, po, "--rerun-list"]
+        rc0 = BC.main()
+    finally:
+        sys.argv = argv
+    assert rc0 == 0 and capsys.readouterr().out == ""

@@ -99,6 +99,45 @@ def test_melt_codegen_safe_same_rows_generate_shape(spark):
         melt(mixed, ["id"], ["a", "b"], codegen_safe=True)
 
 
+def test_codegen_guard_makes_janino_fallback_loud(spark):
+    """The self-announcing janino guard (VERDICT r11 task 7):
+    assert_compiles runs a plan with codegen fallback disabled, so the
+    4.1.2 Expand+CSE bug RAISES (CompileException) instead of silently
+    running interpreted — and the codegen_safe melt shape passes it.
+    This is the test that would have caught the bug (and will catch a
+    regression of melt(codegen_safe=True) back to the Expand shape).
+    Conf restored either way."""
+    import pytest as _pytest
+
+    from openaq_lcs_fetch_spark.debug import assert_compiles
+    from openaq_lcs_fetch_spark.functions.cleaning import (
+        clean_measure, sentinel_flag,
+    )
+
+    df = spark.createDataFrame(
+        [("s1", "1.5", "2,000", "N/A")],
+        "sid string, a string, b string, c string",
+    ).repartition(2)
+
+    def shaped(codegen_safe):
+        # the provider hot path's clean+flag pair shares the sentinel
+        # subexpression over the melted column — the trigger shape
+        long = melt(df, ["sid"], ["a", "b", "c"], codegen_safe=codegen_safe)
+        return long.withColumn(
+            "value", clean_measure(F.col("value"))
+        ).withColumn("flags", sentinel_flag(F.col("value")))
+
+    assert_compiles(shaped(codegen_safe=True))  # compiled clean
+
+    with _pytest.raises(Exception, match="CompileException|Failed to compile"):
+        assert_compiles(shaped(codegen_safe=False))
+    # the guard restored the conf: the buggy shape still EXECUTES
+    # under normal fallback (interpreted, correct rows)
+    assert spark.conf.get("spark.sql.codegen.fallback") == "true"
+    # 3 melted rows: the N/A sentinel nulls the VALUE, not the row
+    assert shaped(codegen_safe=False).count() == 3
+
+
 def test_explode_map_and_zip(spark):
     df = spark.createDataFrame([(1, {"x": "1", "y": "2"})], "id int, m map<string,string>")
     out = explode_map(df, "m")

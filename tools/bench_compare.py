@@ -158,6 +158,13 @@ def main() -> int:
                     help="old-run wall (s) below which a query is "
                          "never flagged: sub-half-second walls are "
                          "session fixed-overhead jitter, not plan cost")
+    ap.add_argument("--rerun-list", action="store_true",
+                    help="print ONLY the flagged query names, one per "
+                         "line (no analysis output) — feeds a targeted "
+                         "quiet re-run: tools/check_all.py --only "
+                         "$(tools/bench_compare.py old new --rerun-list)"
+                         " confirms/denies a flag in seconds instead of"
+                         " a full bench")
     args = ap.parse_args()
 
     old = load_record(args.old)
@@ -184,13 +191,15 @@ def main() -> int:
             idle = min(_cal_samples(old, keys) + _cal_samples(new, keys))
             l_old = max(0.0, (c_old / idle - 1.0) / (s_cal - 1.0))
             l_new = max(0.0, (c_new / idle - 1.0) / (s_cal - 1.0))
-            print(f"{label} calibration: {c_old:.3f} -> {c_new:.3f} "
-                  f"(idle est {idle:.3f}; load level "
-                  f"{l_old:.3f} -> {l_new:.3f})")
+            if not args.rerun_list:
+                print(f"{label} calibration: {c_old:.3f} -> {c_new:.3f} "
+                      f"(idle est {idle:.3f}; load level "
+                      f"{l_old:.3f} -> {l_new:.3f})")
             break
     else:
         l_old = l_new = 0.0
-        print("calibration missing in a record: comparing RAW ratios")
+        if not args.rerun_list:
+            print("calibration missing in a record: comparing RAW ratios")
 
     rows = []
     for name in shared:
@@ -210,9 +219,10 @@ def main() -> int:
     adj = [r[4] for r in rows]
     tot_o = sum(r[1] for r in rows)
     tot_n = sum(r[2] for r in rows)
-    print(f"{len(rows)} shared queries; total wall {tot_o:.1f} -> "
-          f"{tot_n:.1f} s (raw {tot_n / tot_o:.3f}x); "
-          f"median adjusted ratio {statistics.median(adj):.3f}")
+    if not args.rerun_list:
+        print(f"{len(rows)} shared queries; total wall {tot_o:.1f} -> "
+              f"{tot_n:.1f} s (raw {tot_n / tot_o:.3f}x); "
+              f"median adjusted ratio {statistics.median(adj):.3f}")
 
     flagged = sorted(
         (
@@ -223,6 +233,10 @@ def main() -> int:
         ),
         key=lambda r: -r[4],
     )
+    if args.rerun_list:
+        for name, *_ in flagged:
+            print(name)
+        return 1 if flagged else 0
     for name, o, n, raw, a in flagged:
         print(f"  FLAG {name}: {o:.2f} -> {n:.2f} s "
               f"(raw {raw:.2f}x, adjusted {a:.2f}x, "
