@@ -208,8 +208,14 @@ HEADLINE = (
     "dry_run_preview",
     "backfill_flow",
     # round 12: the join pre-flight escalated to salted-join mitigation
-    # (hot-key stats pass + routed salted shuffle, driven end-to-end)
+    # (hot-key stats pass + routed salted shuffle, driven end-to-end),
+    # the per-call retry path through the Python DataSource (cost is
+    # deliberate: 0.6 s of deterministic backoff + worker dispatch),
+    # the S6 secrets merge, and the z-order float-guard negative proof
     "preflight_salted_join",
+    "retry_backoff_flow",
+    "secrets_merge_flow",
+    "zorder_float_guard",
 )
 
 

@@ -1973,3 +1973,87 @@ def preflight_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(mitigated).alias("mitigated"),
         F.lit(salted_plan).alias("salted_plan"),
     )
+
+
+# ---------------------------------------------------------------------------
+# zorder_float_guard — the z-order read path's NEGATIVE proof: the
+# truncation guard in storage.file_int_spans (integer physical AND
+# logical types only, storage.py) made driver-visible. A box bound on
+# a DOUBLE column (l_quantity) must select ALL files — int(st.min) of
+# a float envelope truncates (5.9 -> 5), and a truncated file-max
+# below the box lower bound would wrongly EXCLUDE a file holding
+# in-box rows; the guard refuses the envelope, unknown means scan.
+# The same read on the INT column (l_partkey) of the same range-
+# clustered layout DOES prune — proving the full scan on the float
+# dimension is the guard working, not pruning being broken. Results
+# on both dimensions hash-match the straight source-table oracle;
+# scanned_all rides along (TRUE for the float dim, FALSE for the int
+# dim) as the structural column.
+# ---------------------------------------------------------------------------
+
+_ZFG_FILES = 8
+
+_ZFG_ORACLE = """
+WITH m AS (SELECT MAX(l_partkey) // 8 AS pk_hi FROM lineitem)
+SELECT 'float_dim' AS dim_kind,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+         AS qty_cents,
+       TRUE AS scanned_all
+FROM lineitem WHERE l_quantity BETWEEN 10 AND 20
+UNION ALL
+SELECT 'int_dim',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT),
+       FALSE
+FROM lineitem, m WHERE l_partkey BETWEEN 1 AND m.pk_hi
+"""
+
+
+@query("zorder_float_guard", _ZFG_ORACLE)
+def zorder_float_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..storage import read_int_box, write_zordered
+
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    b = li.agg(F.max("l_partkey").alias("pk")).collect()[0]
+    if b["pk"] is None:  # empty source: both oracle branches aggregate 0
+        return spark.createDataFrame(
+            [("float_dim", 0, None, True), ("int_dim", 0, None, False)],
+            "dim_kind string, n_rows long, qty_cents long, "
+            "scanned_all boolean",
+        )
+    pk_hi = int(b["pk"]) // 8
+    root = tempfile.mkdtemp(prefix="sgq_zfg_")
+    try:
+        path = f"{root}/lineitem_rc"
+        # 1-D range clustering is enough: the proof is about which
+        # column types may prune, not about multi-dimension envelopes
+        write_zordered(li, path, F.col("l_partkey"), n_files=_ZFG_FILES)
+
+        def agg_box(bounds, kind, expect_all):
+            boxed, plan = read_int_box(spark, path, bounds)
+            scanned_all = plan["n_selected"] == plan["n_total"]
+            assert scanned_all == expect_all, (kind, plan)
+            return boxed.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long"))
+                .cast("long")
+                .alias("qty_cents"),
+            ).select(
+                F.lit(kind).alias("dim_kind"),
+                "n_rows",
+                "qty_cents",
+                F.lit(scanned_all).alias("scanned_all"),
+            )
+
+        out = (
+            agg_box({"l_quantity": (10, 20)}, "float_dim", True)
+            .unionByName(agg_box({"l_partkey": (1, pk_hi)}, "int_dim", False))
+            .localCheckpoint()  # eager: frees the temp dir below
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

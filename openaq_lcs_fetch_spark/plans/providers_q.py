@@ -703,3 +703,151 @@ def backfill_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows", "n_days", "sum_cents", "first_ts", "last_ts",
         F.lit(greatest).alias("greatest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# retry_backoff_flow — X2's per-call retry driven end-to-end as a
+# driver proof (previously pytest-only: the flaky fetcher + the
+# with_retries path through the PySpark DataSource). Every page's
+# first TWO fetch calls raise a transient ConnectionError on the
+# worker; with_retries (fetcher/lib/utils.js:14-16 maxRetries, our
+# sources/retry.py) absorbs them with deterministic backoff and the
+# scan still returns every row exactly once. The attempt counters are
+# VERIFIED columns: each page's counter file must read exactly
+# fail_times (the fault genuinely fired, then stopped), the row count
+# proves no retry duplicated or dropped a page, and the pm25 checksum
+# pins the payload. Oracle regenerates the synthetic fetcher's
+# arithmetic with range() — 4 pages x 5 rows, station = seq % 7,
+# pm25 = 5.0 + (seq*37 % 100)/10.
+# ---------------------------------------------------------------------------
+
+_RETRY_ORACLE = """
+WITH seq AS (SELECT unnest(range(0, 20)) AS s)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT s % 7) AS BIGINT) AS n_stations,
+  CAST(SUM(CAST(ROUND((5.0 + (s * 37 % 100) / 10.0) * 10, 0) AS BIGINT))
+    AS BIGINT) AS pm25_decis,
+  CAST(4 AS BIGINT) AS n_pages_faulted,
+  CAST(8 AS BIGINT) AS transient_failures,
+  TRUE AS all_recovered
+FROM seq
+"""
+
+
+@query("retry_backoff_flow", _RETRY_ORACLE)
+def retry_backoff_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+    import tempfile
+
+    from ..sources.http import register as register_http
+
+    register_http(spark)
+    cdir = tempfile.mkdtemp(prefix="sgq_retry_")
+    try:
+        scan = (
+            spark.read.format("paginated_http")
+            .schema(
+                "station string, unix_ts long, pm25 double, "
+                "temperature double"
+            )
+            .option(
+                "fetcher",
+                "openaq_lcs_fetch_spark.sources.fetchers:flaky_readings",
+            )
+            .option("pages", "4")
+            .option("page_size", "5")
+            .option("fail_times", "2")
+            .option("counter_dir", cdir)
+            .load()
+        )
+        # one bounded collect (1 row) — the scan must EXECUTE before
+        # the counters are read, and the counters are driver-side
+        agg = scan.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("station").cast("long").alias("n_stations"),
+            # one-decimal values: x10 + round is exact in both engines
+            F.sum(F.round(F.col("pm25") * 10, 0).cast("long"))
+            .cast("long")
+            .alias("pm25_decis"),
+        ).collect()[0]
+        counters = sorted(glob.glob(f"{cdir}/page_*"))
+        fails = [int(open(c).read()) for c in counters]
+    finally:
+        shutil.rmtree(cdir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            agg["n_rows"],
+            agg["n_stations"],
+            agg["pm25_decis"],
+            len(counters),
+            sum(fails),
+            all(f == 2 for f in fails) and len(counters) == 4,
+        )],
+        "n_rows long, n_stations long, pm25_decis long, "
+        "n_pages_faulted long, transient_failures long, "
+        "all_recovered boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# secrets_merge_flow — S6's out-of-band config merge as a fixture
+# query (previously pytest-only). The reference fetches a
+# SecretsManager document named by config.secretKey and spreads it
+# into the source config before dispatch (fetchSecret
+# fetcher/lib/utils.js:90-122; merge fetcher/lib/providers.js:42-45);
+# locally the store is the environment (SECRET_{key} holds JSON).
+# Three contract cases as rows: (1) merged — secret values WIN over
+# config meta, config-only keys survive; (2) no_key — a config
+# without secretKey passes through untouched; (3) missing_secret —
+# a named-but-absent secret raises (the reference would fail the
+# auth'd fetch), surfaced as an error row. Pure driver-side fixture:
+# the oracle is the expected merge output as VALUES.
+# ---------------------------------------------------------------------------
+
+_SECRETS_ORACLE = """
+SELECT * FROM (VALUES
+  ('merged', 'api_key', 'fixture-key-123'),
+  ('merged', 'endpoint', 'https://sensors.example.test/v2'),
+  ('merged', 'page_size', '50'),
+  ('no_key', 'endpoint', 'https://sensors.example.test/v1'),
+  ('no_key', 'page_size', '50'),
+  ('missing_secret', 'error', 'KeyError')
+) t(kase, key, value)
+"""
+
+
+@query("secrets_merge_flow", _SECRETS_ORACLE)
+def secrets_merge_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+
+    from ..sources.secrets import merge_secret
+
+    base_meta = {
+        "endpoint": "https://sensors.example.test/v1",
+        "page_size": "50",
+    }
+    rows: list[tuple[str, str, str]] = []
+    os.environ["SECRET_fixture_token"] = json.dumps(
+        {"api_key": "fixture-key-123",
+         "endpoint": "https://sensors.example.test/v2"}
+    )
+    try:
+        merged = merge_secret(
+            {"secretKey": "fixture_token", "meta": dict(base_meta)}
+        )
+        rows += [("merged", k, str(v)) for k, v in merged["meta"].items()]
+        passthrough = merge_secret({"meta": dict(base_meta)})
+        rows += [
+            ("no_key", k, str(v)) for k, v in passthrough["meta"].items()
+        ]
+        try:
+            merge_secret({"secretKey": "absent_fixture_xyz"})
+            rows.append(("missing_secret", "error", "NONE"))
+        except KeyError:
+            rows.append(("missing_secret", "error", "KeyError"))
+    finally:
+        del os.environ["SECRET_fixture_token"]
+    return spark.createDataFrame(rows, "kase string, key string, value string")

@@ -95,7 +95,11 @@ def collect_table_stats(
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nulls__{c}")
+            # coalesce: SUM over an EMPTY table is NULL, and a None
+            # null-count TypeErrors the planner's width math downstream
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+            ).alias(f"__nulls__{c}")
         )
         aggs.append(F.approx_count_distinct(c, rsd).alias(f"__ndv__{c}"))
         if _is_ordered(dtypes[c]):

@@ -104,7 +104,10 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           # round-9 additions (sink/checkpoint round-trips)
           "measures_csv_roundtrip", "measures_json_roundtrip",
           "station_upsert_flow", "checkpoint_roundtrip",
-          "run_log_roundtrip"]:
+          "run_log_roundtrip",
+          # round-12 additions
+          "preflight_salted_join", "zorder_float_guard",
+          "retry_backoff_flow", "secrets_merge_flow"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n

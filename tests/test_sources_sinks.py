@@ -1534,3 +1534,30 @@ def test_read_int_box_unknown_spans_always_scanned(spark, tmp_path):
     got, plan = read_int_box(spark, path, {"x": (3, 5)})
     assert plan["n_selected"] == 1  # overlap on the known column
     assert sorted(r.v for r in got.collect()) == [3, 4, 5]
+
+
+def test_file_int_spans_rejects_non_integer_logical_types(spark, tmp_path):
+    """Spark writes decimal(<=18, s>0) with INT32/INT64 PHYSICAL types;
+    the physical check alone would let int(st.min) silently truncate
+    5.99 -> 5 and wrongly exclude a file — so the guard also requires
+    the LOGICAL type to be NONE/Int. DATE/TIMESTAMP logicals (also
+    int-physical) are rejected the same way, and one rejected column
+    must not discard the file's other envelopes."""
+    from openaq_lcs_fetch_spark.storage import file_int_spans
+
+    path = str(tmp_path / "typed")
+    spark.range(10).selectExpr(
+        "id AS x",
+        "CAST(id + 0.99 AS DECIMAL(9,2)) AS d9",    # INT32-physical decimal
+        "CAST(id + 0.99 AS DECIMAL(18,2)) AS d18",  # INT64-physical decimal
+        "DATE'2024-01-01' + CAST(id AS INT) AS dt",
+        "TIMESTAMP'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts",
+        "CAST(id AS SMALLINT) AS s16",              # logical INT(16): fine
+    ).coalesce(1).write.parquet(path)
+    (per_col,) = file_int_spans(
+        path, ["x", "d9", "d18", "dt", "ts", "s16"]
+    ).values()
+    assert per_col["x"] == (0, 9)
+    assert per_col["s16"] == (0, 9)  # true small-int: logical INT accepted
+    for c in ("d9", "d18", "dt", "ts"):
+        assert per_col[c] == (None, None), c  # unknown -> always scanned

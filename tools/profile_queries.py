@@ -226,6 +226,12 @@ PROFILED = [
     # round 12: preflight→salted-join mitigation — profile story: the
     # hot-key stats pass + the salted (key, _salt) shuffle join
     "preflight_salted_join",
+    # retry proof: Python-DataSource scan with 8 absorbed transient
+    # faults; secrets: driver-only fixture; float guard: footer sweep
+    # + one full scan (the guard) + one pruned scan
+    "retry_backoff_flow",
+    "secrets_merge_flow",
+    "zorder_float_guard",
 ]
 
 
