@@ -216,6 +216,7 @@ HEADLINE = (
     "retry_backoff_flow",
     "secrets_merge_flow",
     "zorder_float_guard",
+    "compact_roundtrip",
 )
 
 

@@ -104,15 +104,15 @@ together with the stale r02 textops/simsearch backfill listed above.
 * round 12 (here): the 7 never-verified round-11 additions in slots
   1-7, then ALL 36 r06-stale rows in audit order, then the 7 OLDEST
   r07 rows — 7 + 36 + 7 = exactly 50, zeroing r06. Round-12 additions
-  land AFTER slot 50 on purpose — exactly four
+  land AFTER slot 50 on purpose — exactly five
   (``preflight_salted_join``, the pre-flight escalated to a routed
   salted join; ``retry_backoff_flow``, X2's per-call retry driven
   through the Python DataSource; ``secrets_merge_flow``, S6's config
   merge contract; ``zorder_float_guard``, the float/decimal truncation
-  guard's negative proof): they head the round-13 window with 46
-  r07-stale rows (the compaction-surface unification needed no new
-  query — ``compact_parquet`` folded into ``storage.py`` beside the
-  driver-proven ``compact_by_time``).
+  guard's negative proof; ``compact_roundtrip``, the unified
+  compaction surface's own proof — ``compact_parquet`` folded into
+  ``storage.py`` beside the driver-proven ``compact_by_time``): they
+  head the round-13 window with 45 r07-stale rows.
 
 The ledger above is now DERIVED, not hand-maintained: once a round's
 CORRECTNESS_r{N}.json is committed, ``python tools/rotation_audit.py``

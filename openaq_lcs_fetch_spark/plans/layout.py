@@ -2057,3 +2057,66 @@ def zorder_float_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# compact_roundtrip — the size-targeted small-files compaction
+# (storage.compact_parquet, the sibling of the driver-proven
+# compact_by_time; folded in from sinks/compact.py this round so the
+# repo has ONE compaction module) driven end-to-end: fragment a copy
+# of events into 64 tiny files, compact to target-sized files
+# (shuffle-free coalesce + atomic directory swap), and verify the
+# rewrite changed LAYOUT only — row count, distinct users, and the
+# value checksum hash-match the straight source-table oracle, with
+# `compacted` (file count strictly fell) as the structural column.
+# ---------------------------------------------------------------------------
+
+_CR_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       TRUE AS compacted
+FROM events
+"""
+
+
+@query("compact_roundtrip", _CR_ORACLE)
+def compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..storage import compact_parquet, parquet_file_count
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    if e.limit(1).count() == 0:  # empty source cannot fragment: the
+        # oracle's zero-row aggregate with the structural constant
+        return spark.createDataFrame(
+            [(0, 0, None, True)],
+            "n_rows long, n_users long, value_cents long, "
+            "compacted boolean",
+        )
+    root = tempfile.mkdtemp(prefix="sgq_cr_")
+    try:
+        path = f"{root}/events_frag"
+        e.repartition(64).write.parquet(path)  # genuinely fragmented
+        before = parquet_file_count(path)
+        after = compact_parquet(spark, path, target_file_bytes=8 * 1024 * 1024)
+        out = (
+            spark.read.parquet(path)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.countDistinct("user_id").cast("long").alias("n_users"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                .cast("long")
+                .alias("value_cents"),
+            )
+            .select(
+                "n_rows", "n_users", "value_cents",
+                F.lit(after < before).alias("compacted"),
+            )
+            .localCheckpoint()  # eager: frees the temp dir below
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

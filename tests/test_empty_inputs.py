@@ -80,7 +80,7 @@ REPRESENTATIVE = (
     "station_upsert_flow", "checkpoint_roundtrip", "run_log_roundtrip",
     # round-12 additions
     "preflight_salted_join", "zorder_float_guard",
-    "retry_backoff_flow", "secrets_merge_flow",
+    "retry_backoff_flow", "secrets_merge_flow", "compact_roundtrip",
 )
 
 

@@ -107,7 +107,8 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           "run_log_roundtrip",
           # round-12 additions
           "preflight_salted_join", "zorder_float_guard",
-          "retry_backoff_flow", "secrets_merge_flow"]:
+          "retry_backoff_flow", "secrets_merge_flow",
+          "compact_roundtrip"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n

@@ -232,6 +232,9 @@ PROFILED = [
     "retry_backoff_flow",
     "secrets_merge_flow",
     "zorder_float_guard",
+    # the folded small-files compaction: 64-file fragment, one
+    # shuffle-free coalesce rewrite, readback aggregate
+    "compact_roundtrip",
 ]
 
 
