@@ -445,7 +445,15 @@ def _salted_route(
     if small_n * SALT_BUCKETS > big_n:
         return None  # replication would cost more than it saves
     fact, dim = (left, right) if fact_is_left else (right, left)
-    joined = salted_join(fact, dim, key, salt_buckets=SALT_BUCKETS)
+    # pin the shuffle: the route only fires when choose_join_strategy
+    # said SHUFFLE (stats say neither side broadcasts), and the same
+    # rule as stats_aware_join's shuffle branch applies — a runtime
+    # size guess must not override the planner (it would silently
+    # broadcast a table the stats say is over the line, and the salt
+    # would be dead weight in a broadcast plan anyway)
+    joined = salted_join(
+        fact, dim.hint("shuffle_hash"), key, salt_buckets=SALT_BUCKETS
+    )
     # normalize to the plain-join column order: key, left cols, right
     # cols (salted_join puts the FACT side first, which may be right)
     order = (

@@ -800,6 +800,15 @@ COMMENTARY = {
         "small-size observation. The planner consumed ONLY the stats "
         "documents; same data, different physical strategies."
     ),
+    "preflight_salted_join": (
+        "The pre-flight ROUTED, not just warned: the Selinger estimate "
+        "said 5x the fact side and the hot-key stats showed one type "
+        "owning >= 20% of rows, so the join subtree is the salted "
+        "shape — hash partitioning on (event_type, _salt), each hot "
+        "type spread over 16 reducers, the 25-row dim exploded 16x "
+        "(bounded by the small*16 <= big replication rule). A plan-"
+        "only change: the rollup above it is the plain-join oracle's."
+    ),
 }
 
 
