@@ -744,3 +744,57 @@ def test_file_int_spans_match_ground_truth_on_random_files(spark, tmp_path):
         )
         assert sorted((r.x, r.y) for r in boxed.collect()) == want
         assert 0 <= plan["n_selected"] <= plan["n_total"] == 6
+
+
+def test_salted_route_equals_plain_join_on_random_skew(spark):
+    """Batch-style property: for random Zipf-ish key shapes, whenever
+    the pre-flight routes through salted_join the result is EXACTLY the
+    plain join (same multiset of rows, same columns) — the mitigation
+    is a pure execution-strategy change. Also asserts the route's
+    decision is internally consistent: routed => the plan is salted,
+    not routed => it isn't. Seeded random, one Spark pass per shape."""
+    from openaq_lcs_fetch_spark.stats import (
+        collect_table_stats,
+        stats_aware_join,
+    )
+
+    rng = random.Random(12)
+    for trial in range(4):
+        n_fact = rng.randint(5_000, 20_000)
+        n_keys = rng.randint(20, 120)
+        hot_share_target = rng.choice([0.0, 0.3, 0.6])  # 0.0: uniform
+        dim_rows_per_key = rng.randint(1, 30)
+        hot_cut = int(n_fact * hot_share_target)
+        fact = spark.range(n_fact).selectExpr(
+            f"CASE WHEN id < {hot_cut} THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST(id % {n_keys} AS BIGINT) END AS k",
+            "id AS v",
+        )
+        dim = spark.range(n_keys * dim_rows_per_key).selectExpr(
+            f"CAST(id % {n_keys} AS BIGINT) AS k", "id AS d"
+        )
+        st_f = collect_table_stats(fact, hot_keys=["k"])
+        st_d = collect_table_stats(dim)
+        import warnings as _w
+
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            j = stats_aware_join(fact, dim, "k", st_f, st_d,
+                                 threshold_bytes=1)
+        routed = any("routed through salted_join" in str(c.message)
+                     for c in caught)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert ("_salt" in plan) == routed, (trial, routed)
+        plain = fact.join(dim, "k")
+        assert j.columns == plain.columns
+        got = j.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sv"),
+            F.sum("d").alias("sd"),
+        ).collect()
+        want = plain.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sv"),
+            F.sum("d").alias("sd"),
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want)), trial
