@@ -62,6 +62,11 @@ def salted_agg(
     (``F.rand`` is row-order-dependent and breaks exactly-once sinks
     downstream even when the aggregate itself is retry-safe).
     """
+    if "_salt" in df.columns:
+        raise ValueError(
+            "salted_agg: input already has a '_salt' column — the salt "
+            "would silently shadow it; rename the data column first"
+        )
     salted = df.withColumn("_salt", _row_salt(df, salt_buckets))
     partial_aggs, final_aggs = [], []
     for col, how in aggs.items():
@@ -100,6 +105,12 @@ def salted_join(
     the dim broadcasts, broadcast beats salting (no shuffle at all),
     and AQE's runtime skew split handles moderate skew without the
     dimension replication cost."""
+    if "_salt" in fact.columns or "_salt" in dim.columns:
+        raise ValueError(
+            "salted_join: an input already has a '_salt' column — the "
+            "salt would silently shadow it (and the final drop would "
+            "remove the data column); rename it first"
+        )
     salted_fact = fact.withColumn("_salt", _row_salt(fact, salt_buckets))
     rep_dim = dim.select(
         "*",

@@ -59,6 +59,19 @@ def test_salted_agg_matches_plain(spark, sf_dir):
         assert s[k][1] == p[k][1]
 
 
+def test_salted_ops_reject_salt_column_collision(spark):
+    """A pre-existing '_salt' column would be silently shadowed (and
+    dropped on the way out) — both salted ops refuse instead."""
+    df = spark.range(4).selectExpr("id AS k", "id AS _salt")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_agg(df, ["k"], {"_salt": "sum"})
+    clean = spark.range(4).selectExpr("id AS k", "id AS v")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(df, clean, "k")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(clean, df, "k")
+
+
 def test_salted_join_matches_plain(spark):
     facts = spark.createDataFrame(
         [(i % 3, f"v{i}") for i in range(100)], "k int, v string"
