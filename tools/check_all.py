@@ -50,7 +50,12 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
-    ap.add_argument("--only", default="", help="comma-separated query names")
+    ap.add_argument(
+        "--only", default=[], nargs="*",
+        help="query names — space- and/or comma-separated, so both "
+             "--only a,b and --only $(bench_compare ... --rerun-list) "
+             "(newline/space-split by the shell) work",
+    )
     args = ap.parse_args()
 
     from openaq_lcs_fetch_spark.plans import QUERIES
@@ -63,7 +68,7 @@ def main() -> int:
     for t in TABLE_NAMES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
 
-    names = [n for n in args.only.split(",") if n] or list(QUERIES)
+    names = [n for tok in args.only for n in tok.split(",") if n] or list(QUERIES)
     failed: list[str] = []
     for i, name in enumerate(names, 1):
         q = QUERIES[name]
