@@ -112,7 +112,18 @@ together with the stale r02 textops/simsearch backfill listed above.
   guard's negative proof; ``compact_roundtrip``, the unified
   compaction surface's own proof — ``compact_parquet`` folded into
   ``storage.py`` beside the driver-proven ``compact_by_time``): they
-  head the round-13 window with 45 r07-stale rows.
+  head the round-13 window with 43 r07-stale rows.
+* round 13 (here): the 5 never-verified round-12 additions in slots
+  1-5, then ALL 43 r07-stale rows in audit order, then the 2 OLDEST
+  r08 rows — 5 + 43 + 2 = exactly 50, zeroing r07. Round-13 additions
+  land AFTER slot 50 on purpose (``http_pushdown_audit``, S2's
+  filter/column pushdown through the Python DataSource made
+  driver-visible; ``rate_floor_flow``, X2's ``min_call_interval_ms``
+  pacing proven via per-call timestamps; ``salted_path_join``, the
+  sidecar-persisted ``hot_keys`` stats driving the salted route purely
+  from ``_stats.json`` on disk): they head the round-14 window with
+  the 48 remaining r08-stale rows — 3 + 48 = 51, one over, so round 14
+  takes the 3 + 47 oldest and round 15 clears the last r08 row.
 
 The ledger above is now DERIVED, not hand-maintained: once a round's
 CORRECTNESS_r{N}.json is committed, ``python tools/rotation_audit.py``
@@ -138,71 +149,72 @@ from . import layout  # noqa: F401
 from . import sinks_q  # noqa: F401
 from . import providers_q  # noqa: F401
 
-# Round-12 driver window (slots 1-50), executing the composition the
-# round-11 ledger prescribed (and ``tools/rotation_audit.py`` derives
+# Round-13 driver window (slots 1-50), executing the composition the
+# round-12 ledger prescribed (and ``tools/rotation_audit.py`` derives
 # identically — in-window new-query velocity is 0, so the audit's
 # never-verified → least-recently-green ranking IS the window):
-# (1) the 7 never-verified round-11 additions (the five lifecycle
-# composition proofs, the join pre-flight, the z-order box read);
-# (2) ALL 36 r06-stale queries in audit order; (3) the 7 OLDEST
-# r07-stale queries. 7 + 36 + 7 = exactly 50 slots. After this round:
-# r06 staleness zeroed, r07 down to 43 rows (they head round 13
-# together with round 12's own post-slot-50 additions).
+# (1) the 5 never-verified round-12 additions (the salted-join route,
+# the z-order float negative proof, the unified compaction proof, the
+# retry counters, the secrets merge contract); (2) ALL 43 r07-stale
+# queries in audit order; (3) the 2 OLDEST r08-stale queries.
+# 5 + 43 + 2 = exactly 50 slots. After this round: r07 staleness
+# zeroed, r08 down to 48 rows (they head rounds 14-15 together with
+# round 13's own post-slot-50 additions).
 registry.promote(
     [
-        # (1) round-11 additions — never driver-verified
-        "provider_stream_roundtrip",
-        "join_preflight_audit",
-        "zorder_range_read",
-        "run_source_roundtrip",
-        "scheduler_tick_roundtrip",
-        "dry_run_preview",
-        "backfill_flow",
-        # (2) all 36 r06-stale queries, audit order
-        "latest_complete_hour",
-        "order_calendar",
-        "distinct_pairs",
-        "ingest_id_join",
-        "value_percentiles",
-        "daily_from_hourly",
-        "quarantine_summary",
-        "profile_numerics",
-        "table_manifest",
-        "hour_of_day_profile",
-        "user_type_impurity",
-        "nearest_poi",
-        "source_lang_tv",
-        "centroid_lang_classifier",
-        "quality_quantile_map",
-        "bpe_train_merges",
-        "corpus_mix_weights",
-        "cosine_topk",
-        "kaplan_meier",
-        "hourly_type_correlation",
-        "ma_crossover",
-        "new_vs_returning",
-        "hourly_value_emd",
-        "hourly_ks_drift",
-        "ols_hourly_trend",
-        "transition_dwell_times",
-        "mase_naive_eval",
-        "seasonal_decompose_24",
-        "iqr_fences_outliers",
-        "weekday_anova",
-        "cramers_v",
-        "churn_features",
-        "wilson_proportion_ci",
-        "streaming_value_histogram",
-        "streaming_sliding_counts",
-        "hll_distinct_events",
-        # (3) the 7 oldest r07-stale queries, audit order
-        "pricing_summary",
-        "clustering_coefficients",
-        "fk_integrity_audit",
-        "doc_language",
-        "doc_quality",
-        "doc_fingerprint",
-        "dedup_exact",
+        # (1) round-12 additions — never driver-verified
+        "preflight_salted_join",
+        "zorder_float_guard",
+        "compact_roundtrip",
+        "retry_backoff_flow",
+        "secrets_merge_flow",
+        # (2) all 43 r07-stale queries, audit order
+        "simhash_docs",
+        "ngram_jaccard_top",
+        "minhash_signatures",
+        "minhash_lsh_pairs",
+        "multimodal_meta",
+        "simhash_near_dups",
+        "corpus_clean",
+        "bpe_token_stats",
+        "token_doc_freq",
+        "doc_winnow",
+        "corpus_sample",
+        "corpus_split",
+        "tfidf_top_terms",
+        "bigram_lift_top",
+        "dedup_components",
+        "sample_k_per_source",
+        "dedup_keep_best",
+        "inverted_postings",
+        "ann_lsh_buckets",
+        "ann_bucket_search",
+        "label_centroids",
+        "embedding_norms",
+        "ann_ivf_search",
+        "ann_multiprobe_search",
+        "kmeans_clusters",
+        "ann_ivf_probe2",
+        "range_window_counts",
+        "last_touch_attribution",
+        "streaming_hourly",
+        "pricing_rollup",
+        "sliding_3h_counts",
+        "embedding_near_dups",
+        "orders_cube",
+        "value_changes",
+        "customer_deciles",
+        "cumulative_monthly_revenue",
+        "event_type_pivot",
+        "stratified_sample",
+        "salted_type_stats",
+        "brand_weighted_price",
+        "purchase_streaks",
+        "hll_distinct_fast",
+        "skew_audit",
+        # (3) the 2 oldest r08-stale queries, audit order
+        "top_revenue_orders",
+        "region_revenue",
     ]
 )
 

@@ -801,8 +801,12 @@ def retry_backoff_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Three contract cases as rows: (1) merged — secret values WIN over
 # config meta, config-only keys survive; (2) no_key — a config
 # without secretKey passes through untouched; (3) missing_secret —
-# a named-but-absent secret raises (the reference would fail the
-# auth'd fetch), surfaced as an error row. Pure driver-side fixture:
+# a named-but-absent secret raises, surfaced as an error row. The
+# KeyError is an intentional local hardening OVER the reference:
+# its fetchSecret swallows the lookup error (.catch → {}) and
+# dispatches without the secret, deferring failure to the auth'd
+# fetch — here the missing secret fails loud by name at merge time.
+# Pure driver-side fixture:
 # the oracle is the expected merge output as VALUES.
 # ---------------------------------------------------------------------------
 
@@ -851,3 +855,167 @@ def secrets_merge_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         del os.environ["SECRET_fixture_token"]
     return spark.createDataFrame(rows, "kase string, key string, value string")
+
+
+# ---------------------------------------------------------------------------
+# http_pushdown_audit — F2's source-side predicate pushdown through the
+# Python DataSource made driver-visible (previously pytest-only,
+# test_paginated_filter_pushdown). A pm25 > 10.0 range predicate on the
+# paginated scan must (a) REACH the fetcher as a pushed filter — the
+# recording fetcher writes the pushed_filters option it received per
+# page, the Spark twin of purpleair translating predicates into URL
+# query params (purpleair.js:120-125) — and (b) still produce exactly
+# the filtered result even though the fixture fetcher IGNORES the push
+# and returns full pages (the reader re-applies pushed predicates, so
+# a fetcher that ignores them stays correct). filter_pushed verifies
+# every page's audit file names the GreaterThan on pm25; the row
+# counts/checksum hash-match the oracle's re-generation of the
+# synthetic arithmetic (4 pages x 5 rows: station = seq % 7,
+# pm25 = 5.0 + (seq*37 % 100)/10). The float boundary is parity-safe:
+# equality with 10.0 happens only at seq*37 % 100 = 50, where both
+# engines hold exactly 10.0.
+# ---------------------------------------------------------------------------
+
+_PUSHDOWN_ORACLE = """
+WITH seq AS (SELECT unnest(range(0, 20)) AS s),
+r AS (
+  SELECT s, 5.0 + (s * 37 % 100) / 10.0 AS pm25 FROM seq
+  WHERE 5.0 + (s * 37 % 100) / 10.0 > 10.0
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT s % 7) AS BIGINT) AS n_stations,
+  CAST(SUM(CAST(ROUND(pm25 * 10, 0) AS BIGINT)) AS BIGINT) AS pm25_decis,
+  CAST(4 AS BIGINT) AS pages_fetched,
+  TRUE AS filter_pushed
+FROM r
+"""
+
+
+@query("http_pushdown_audit", _PUSHDOWN_ORACLE)
+def http_pushdown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+    import tempfile
+
+    from ..sources.http import register as register_http
+
+    register_http(spark)
+    adir = tempfile.mkdtemp(prefix="sgq_push_")
+    try:
+        scan = (
+            spark.read.format("paginated_http")
+            .schema(
+                "station string, unix_ts long, pm25 double, "
+                "temperature double"
+            )
+            .option(
+                "fetcher",
+                "openaq_lcs_fetch_spark.sources.fetchers:recording_readings",
+            )
+            .option("pages", "4")
+            .option("page_size", "5")
+            .option("audit_dir", adir)
+            .load()
+            .filter(F.col("pm25") > 10.0)
+        )
+        agg = scan.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("station").cast("long").alias("n_stations"),
+            F.sum(F.round(F.col("pm25") * 10, 0).cast("long"))
+            .cast("long")
+            .alias("pm25_decis"),
+        ).collect()[0]
+        audits = sorted(glob.glob(f"{adir}/page_*"))
+        seen = [open(a).read() for a in audits]
+    finally:
+        shutil.rmtree(adir, ignore_errors=True)
+    pushed = len(audits) == 4 and all(
+        "GreaterThan" in s and "pm25" in s for s in seen
+    )
+    return spark.createDataFrame(
+        [(agg["n_rows"], agg["n_stations"], agg["pm25_decis"],
+          len(audits), pushed)],
+        "n_rows long, n_stations long, pm25_decis long, "
+        "pages_fetched long, filter_pushed boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# rate_floor_flow — X2's request-rate floor driven end-to-end
+# (previously pytest-only): min_call_interval_ms paces consecutive
+# fetch calls WITHIN a task (the per-task rate half of X2; partitioning
+# bounds the parallel half — the reference throttles with pLimit(10)
+# cmu.js:74 and batch(..., 20) airgradient.js:101-110). Three pages in
+# ONE task (pages_per_task=3) with a 120 ms floor; the paced fetcher
+# records time.monotonic() per call, and the driver verifies every
+# consecutive gap ≥ 0.12 s — one-sided and deterministic (sleep
+# guarantees at least the interval; no upper-bound assert, so co-tenant
+# load can't flake it). Payload columns hash-match the oracle's
+# re-generation of the synthetic arithmetic (3 pages x 4 rows).
+# ---------------------------------------------------------------------------
+
+_RATE_ORACLE = """
+WITH seq AS (SELECT unnest(range(0, 12)) AS s)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT s % 7) AS BIGINT) AS n_stations,
+  CAST(SUM(CAST(ROUND((5.0 + (s * 37 % 100) / 10.0) * 10, 0) AS BIGINT))
+    AS BIGINT) AS pm25_decis,
+  CAST(3 AS BIGINT) AS n_calls,
+  CAST(2 AS BIGINT) AS n_gaps,
+  TRUE AS floor_held
+FROM seq
+"""
+
+
+@query("rate_floor_flow", _RATE_ORACLE)
+def rate_floor_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+    import tempfile
+
+    from ..sources.http import register as register_http
+
+    register_http(spark)
+    tdir = tempfile.mkdtemp(prefix="sgq_rate_")
+    try:
+        scan = (
+            spark.read.format("paginated_http")
+            .schema(
+                "station string, unix_ts long, pm25 double, "
+                "temperature double"
+            )
+            .option(
+                "fetcher",
+                "openaq_lcs_fetch_spark.sources.fetchers:paced_readings",
+            )
+            .option("pages", "3")
+            .option("page_size", "4")
+            .option("pages_per_task", "3")  # one task → pacing applies
+            .option("min_call_interval_ms", "120")
+            .option("trace_dir", tdir)
+            .load()
+        )
+        agg = scan.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("station").cast("long").alias("n_stations"),
+            F.sum(F.round(F.col("pm25") * 10, 0).cast("long"))
+            .cast("long")
+            .alias("pm25_decis"),
+        ).collect()[0]
+        traces = sorted(
+            glob.glob(f"{tdir}/page_*"),
+            key=lambda p: int(p.rsplit("_", 1)[-1]),
+        )
+        stamps = [float(open(t).read()) for t in traces]
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    gaps = [b - a for a, b in zip(stamps, stamps[1:])]
+    floor_held = len(stamps) == 3 and all(g >= 0.12 for g in gaps)
+    return spark.createDataFrame(
+        [(agg["n_rows"], agg["n_stations"], agg["pm25_decis"],
+          len(stamps), len(gaps), floor_held)],
+        "n_rows long, n_stations long, pm25_decis long, "
+        "n_calls long, n_gaps long, floor_held boolean",
+    )

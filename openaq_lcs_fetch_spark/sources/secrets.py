@@ -24,7 +24,12 @@ def lookup(secret_key: str) -> dict[str, Any] | None:
 def merge_secret(config: dict[str, Any]) -> dict[str, Any]:
     """Return config with its secret merged into meta (secret values
     win, like the reference's object spread). No secretKey → unchanged.
-    Missing secret → error (the reference would fail the auth'd fetch).
+    Missing secret → KeyError: a deliberate local HARDENING over the
+    reference, whose fetchSecret swallows the lookup error
+    (``.catch`` → ``{}``, fetcher/lib/utils.js:90-122) and dispatches
+    without credentials — deferring the failure to an opaque auth
+    error (or silent empty result) at fetch time. Failing loud at
+    merge time names the missing secret instead.
     """
     key = config.get("secretKey")
     if not key:

@@ -433,9 +433,23 @@ def _salted_route(
     """Route an exploding inner shuffle join through salted_join when
     the evidence supports it; None when it doesn't (caller falls back
     to warn-only). See :func:`stats_aware_join` for the decision
-    table."""
+    table.
+
+    Two input shapes make the route itself unsafe, and both fall back
+    to warn-only rather than raise (the route is an optional execution
+    strategy — it must never turn a previously-tolerated join into an
+    exception): a pre-existing ``_salt`` column on either side (would
+    collide with salted_join's internal column), and left/right
+    sharing a NON-key column name (the normalizing ``select(*order)``
+    back to plain-join column order would be ambiguous; the plain join
+    keeps both copies, which select-by-name cannot reproduce)."""
     from .operators.skew import salted_join
 
+    if "_salt" in left.columns or "_salt" in right.columns:
+        return None
+    shared = (set(left.columns) & set(right.columns)) - {key}
+    if shared:
+        return None
     n_l, n_r = stats_l["n_rows"], stats_r["n_rows"]
     fact_is_left = n_l >= n_r
     hot = pf["hot_l"] if fact_is_left else pf["hot_r"]

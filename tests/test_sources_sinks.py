@@ -361,6 +361,33 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.agg({"k": "sum"}).first()[0] == 10_000 * 9_999 // 2
+    # publish hygiene: no tmp/bak residue beside the live directory
+    assert os.listdir(str(tmp_path)) == ["small_files"]
+
+
+def test_exchange_paths_single_syscall_swap(tmp_path):
+    """The compact_parquet publish primitive: renameat2(RENAME_EXCHANGE)
+    swaps two directories in ONE syscall on Linux — the live path is
+    never absent. Pin that it works on this platform (the two-rename
+    fallback, with its documented absence window, is for platforms
+    without the syscall) and that both contents swap intact."""
+    import sys
+
+    from openaq_lcs_fetch_spark.storage import _exchange_paths
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    (a / "old.txt").write_text("old")
+    (b / "new.txt").write_text("new")
+    swapped = _exchange_paths(str(a), str(b))
+    if sys.platform.startswith("linux"):
+        assert swapped  # the atomic path must be live where we deploy
+        assert (a / "new.txt").read_text() == "new"
+        assert (b / "old.txt").read_text() == "old"
+        assert not (a / "old.txt").exists()
+    # missing operand → clean False (caller falls back), never raises
+    assert _exchange_paths(str(tmp_path / "nope"), str(a)) is False
 
 
 def test_compact_by_time_one_sorted_file_per_bin(spark, tmp_path):
@@ -1464,6 +1491,79 @@ def test_stats_aware_join_salted_route_guards(spark):
             fact, dim, "k", st_f, st_d_big, threshold_bytes=1
         )
     assert "_salt" not in j4._jdf.queryExecution().executedPlan().toString()
+
+    # pre-existing _salt column → warn-only, NOT salted_join's
+    # ValueError: the route is an optional strategy and must never
+    # turn a previously-tolerated join into an exception
+    fact_salted = fact.withColumnRenamed("v", "_salt")
+    st_fs = collect_table_stats(fact_salted, hot_keys=["k"])
+    with pytest.warns(UserWarning, match="pre-aggregate"):
+        j5 = stats_aware_join(
+            fact_salted, dim, "k", st_fs, st_d, threshold_bytes=1
+        )
+    assert j5.count() == 40_000 * 20
+
+    # left/right sharing a NON-key column name → warn-only: the plain
+    # join keeps both copies, which the route's normalizing
+    # select-by-name cannot reproduce (it would raise AMBIGUOUS_REFERENCE)
+    dim_dup = dim.withColumnRenamed("d", "v")
+    st_dd = collect_table_stats(dim_dup)
+    with pytest.warns(UserWarning, match="pre-aggregate"):
+        j6 = stats_aware_join(
+            fact, dim_dup, "k", st_f, st_dd, threshold_bytes=1
+        )
+    assert j6.count() == 40_000 * 20
+    assert j6.columns == fact.join(dim_dup, "k").columns  # both v copies
+
+
+def test_salted_route_fires_from_sidecars_on_disk(spark, tmp_path):
+    """The round-12 gap closed: the salted-join mitigation driven
+    PURELY from ``_stats.json`` sidecars on disk. compact_by_time
+    (collect_stats=True, hot_keys=[key]) persists the top-values skew
+    evidence into the fact side's sidecar; stats_aware_path_join then
+    reads both sidecars back and routes the exploding hot-key join
+    through salted_join — no in-memory stats hand-off anywhere.
+    Result-identical to the plain path join."""
+    from openaq_lcs_fetch_spark.stats import (
+        collect_table_stats, read_stats, write_stats,
+    )
+    from openaq_lcs_fetch_spark.storage import (
+        compact_by_time, stats_aware_path_join,
+    )
+
+    fact, dim = _skew_fixture(spark)
+    fact = fact.withColumn(
+        "ts",
+        F.expr("timestamp'2024-03-01 00:00:00' + make_interval(0, 0, 0, "
+               "CAST(v % 4 AS INT), 0, 0, 0)"),
+    )
+    fp = str(tmp_path / "fact")
+    dp = str(tmp_path / "dim")
+    compact_by_time(fact, "ts", fp, n_bins=4, collect_stats=True,
+                    hot_keys=["k"])
+    dim.write.parquet(dp)
+    write_stats(collect_table_stats(spark.read.parquet(dp)), dp)
+
+    # the sidecar itself carries the evidence (JSON round-trip intact)
+    side = read_stats(fp)
+    top = side["columns"]["k"]["top_values"]
+    assert top[0] == {"value": 0, "count": 20_000}
+
+    # threshold_bytes=1 pins the shuffle strategy (same rationale as
+    # the in-memory route test: exercise the mitigation, not the
+    # broadcast threshold)
+    with pytest.warns(UserWarning, match="routed through salted_join"):
+        j = stats_aware_path_join(spark, fp, dp, "k", threshold_bytes=1)
+    assert "_salt" in j._jdf.queryExecution().executedPlan().toString()
+    plain = spark.read.parquet(fp).join(spark.read.parquet(dp), "k")
+    assert j.columns == plain.columns
+    assert j.count() == plain.count() == 40_000 * 20
+
+    # hot_keys without collect_stats refuses up front (evidence has
+    # nowhere to live), before any rewrite IO
+    with pytest.raises(ValueError, match="collect_stats"):
+        compact_by_time(fact, "ts", str(tmp_path / "x"), hot_keys=["k"])
+    assert not (tmp_path / "x").exists()
 
 
 def test_read_int_box_prunes_on_both_dimensions(spark, tmp_path):
