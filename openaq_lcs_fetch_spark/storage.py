@@ -167,6 +167,34 @@ def parquet_file_count(path: str) -> int:
     )
 
 
+def _exchange_paths(a: str, b: str) -> bool:
+    """Atomically SWAP two paths in one syscall — Linux
+    ``renameat2(RENAME_EXCHANGE)``. Returns False when unavailable
+    (non-Linux, libc without the wrapper, or a filesystem that rejects
+    the flag — e.g. some network mounts), letting the caller fall back
+    to a two-rename publish. Both paths must exist and live on the
+    same filesystem."""
+    import ctypes
+    import os
+    import sys
+
+    if not sys.platform.startswith("linux"):
+        return False
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        fn = libc.renameat2
+    except (OSError, AttributeError):
+        return False
+    AT_FDCWD = -100
+    RENAME_EXCHANGE = 2
+    ret = fn(
+        ctypes.c_int(AT_FDCWD), os.fsencode(a),
+        ctypes.c_int(AT_FDCWD), os.fsencode(b),
+        ctypes.c_uint(RENAME_EXCHANGE),
+    )
+    return ret == 0
+
+
 def compact_parquet(
     spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
 ) -> int:
@@ -180,11 +208,19 @@ def compact_parquet(
     scheduling unit, so a table of 10⁶ kilobyte files can cost more to
     PLAN than to read. This rewrites the prefix into
     ceil(bytes/target) files. Shuffle-free (``coalesce``: existing
-    partitions concatenate map-side, no Exchange) and atomic on the
-    reader side: readers see the old layout until the final directory
-    swap (an object-store deployment swaps a manifest/pointer instead —
-    same two-phase publish the measures sink uses; the compaction PLAN
-    is identical). Returns the new file count.
+    partitions concatenate map-side, no Exchange).
+
+    Publish semantics: the rewrite lands in a temp directory, then on
+    Linux the temp and live directories are swapped in ONE
+    ``renameat2(RENAME_EXCHANGE)`` syscall — a local reader observes
+    the old layout or the new one, never a missing path. Where the
+    exchange syscall is unavailable the publish falls back to two
+    renames (old→bak, tmp→live), which has a sub-millisecond window
+    in which the path is absent — acceptable for the single-writer
+    maintenance pass this implements, and moot on an object-store
+    deployment, which swaps a manifest/pointer instead (the same
+    two-phase publish the measures sink uses; the compaction PLAN is
+    identical). Returns the new file count.
 
     Prefer :func:`compact_by_time` when the table HAS a timestamp
     column — its one-file-per-time-bin output keeps min/max-ts pruning
@@ -197,10 +233,13 @@ def compact_parquet(
     n_files = max(1, math.ceil(parquet_bytes(path) / target_file_bytes))
     tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
     spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
-    shutil.move(path, bak)
-    shutil.move(tmp, path)
-    shutil.rmtree(bak)
+    if _exchange_paths(tmp, path):
+        shutil.rmtree(tmp)  # tmp now holds the OLD layout
+    else:
+        bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
+        shutil.move(path, bak)
+        shutil.move(tmp, path)
+        shutil.rmtree(bak)
     return parquet_file_count(path)
 
 
@@ -210,6 +249,7 @@ def compact_by_time(
     path: str,
     n_bins: int = 8,
     collect_stats: bool = False,
+    hot_keys: list[str] | None = None,
 ) -> int:
     """Execute the ``compaction_bins`` plan: pack event DAYS in time
     order into ``n_bins`` row-balanced bins and rewrite the dataset as
@@ -229,12 +269,24 @@ def compact_by_time(
     rewritten dataset (OPTIMIZE also ANALYZEs — the compaction pass is
     the natural moment, the data was just read anyway), so
     :func:`stats_aware_path_join` plans against current numbers.
+    ``hot_keys`` (requires ``collect_stats``) names the table's
+    DECLARED join keys: each gets the exact top-values pass
+    (``stats.collect_table_stats(hot_keys=...)``) persisted into the
+    sidecar, so the salted-join mitigation (``stats._salted_route``)
+    can fire from disk — without it the sidecar carries no skew
+    evidence and ``stats_aware_path_join`` can only warn on an
+    exploding hot-key join, never route it.
 
     Returns the number of bins written.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    if hot_keys and not collect_stats:
+        raise ValueError(
+            "compact_by_time: hot_keys requires collect_stats=True "
+            "(skew evidence lives in the _stats.json sidecar)"
+        )
     per_day = df.groupBy(F.date_trunc("day", ts_col).alias("_d")).agg(
         F.count(F.lit(1)).alias("_n")
     )
@@ -269,7 +321,10 @@ def compact_by_time(
         from .stats import collect_table_stats, write_stats
 
         write_stats(
-            collect_table_stats(df.sparkSession.read.parquet(path)), path
+            collect_table_stats(
+                df.sparkSession.read.parquet(path), hot_keys=hot_keys
+            ),
+            path,
         )
     return n
 

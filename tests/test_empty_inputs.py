@@ -81,6 +81,8 @@ REPRESENTATIVE = (
     # round-12 additions
     "preflight_salted_join", "zorder_float_guard",
     "retry_backoff_flow", "secrets_merge_flow", "compact_roundtrip",
+    # round-13 additions
+    "salted_path_join", "http_pushdown_audit", "rate_floor_flow",
 )
 
 

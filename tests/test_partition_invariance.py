@@ -108,7 +108,9 @@ for n in ["pricing_summary", "minhash_lsh_pairs", "kmeans_clusters",
           # round-12 additions
           "preflight_salted_join", "zorder_float_guard",
           "retry_backoff_flow", "secrets_merge_flow",
-          "compact_roundtrip"]:
+          "compact_roundtrip",
+          # round-13 additions
+          "salted_path_join", "http_pushdown_audit", "rate_floor_flow"]:
     s = canon(qs[n](spark, sf).toPandas())
     o = canon(con.sql(osql[n]).df())
     assert s == o, n

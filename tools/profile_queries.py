@@ -235,6 +235,13 @@ PROFILED = [
     # the folded small-files compaction: 64-file fragment, one
     # shuffle-free coalesce rewrite, readback aggregate
     "compact_roundtrip",
+    # round 13: sidecar-driven salted route (compact+ANALYZE hot_keys
+    # → path join routes salted); pushdown audit (DataSource scan with
+    # the predicate consumed at source); rate floor (one 3-page task
+    # paced at 120 ms)
+    "salted_path_join",
+    "http_pushdown_audit",
+    "rate_floor_flow",
 ]
 
 
