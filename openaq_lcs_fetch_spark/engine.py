@@ -80,6 +80,9 @@ class Engine:
                 )
 
             log = summarize(measures, provider)
+            # checkpoint-format mark from the summary's own aggregate —
+            # popped here so dry-run returns the same log shape as ever
+            hwm_pre = log.pop("_hwm", None)
             log["n_stations"] = stations.count()
             if dry_run:
                 log["status"] = "dry-run"
@@ -118,7 +121,12 @@ class Engine:
                 self.spark, stations, f"{out_root}/stations/{provider}", "sensor_node_id"
             )
             store = CheckpointStore(out_root)
-            log["checkpoint"] = advance(store, provider, measures, "timestamp")
+            # the summary pass already computed the checkpoint-format
+            # mark over this very frame — advance() skips its own
+            # full-plan aggregation (one fewer evaluation per run)
+            log["checkpoint"] = advance(
+                store, provider, measures, "timestamp", hwm=hwm_pre
+            )
             log["status"] = "fetcher/success"
             publish(
                 self.spark,

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localdf import local_df
+
 GEOMETRY_COMMENT = "geometry arrays are [lon, lat] (station.js:10)"
 
 
@@ -48,8 +50,9 @@ DEFAULT_TZ_BOXES: tuple[tuple[float, float, float, float, str], ...] = (
 
 
 def tz_dim(spark: SparkSession, boxes=DEFAULT_TZ_BOXES) -> DataFrame:
-    return spark.createDataFrame(
-        list(boxes), "lon_min double, lon_max double, lat_min double, lat_max double, tz string"
+    return local_df(
+        spark, list(boxes),
+        "lon_min double, lon_max double, lat_min double, lat_max double, tz string",
     )
 
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .localdf import local_df
+
 from .schemas import MEASURAND
 
 #: Unit → (normalized_unit, scale). Conversions from measurand.js:19-28.
@@ -115,7 +117,7 @@ def measurand_dim(
 ) -> DataFrame:
     """The broadcast dimension table, whitelist already applied
     (reference getSupportedMeasurands, measurand.js:47-77)."""
-    df = spark.createDataFrame(measurand_rows(lookup), MEASURAND)
+    df = local_df(spark, measurand_rows(lookup), MEASURAND)
     return df.filter(F.col("parameter").isin(list(supported)))
 
 

@@ -31,6 +31,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..localdf import local_df
+
 GRID = 4096
 
 
@@ -104,8 +106,8 @@ def grid_quantiles(
     )
     cells = eb.groupBy("_k", "_bkt").agg(F.sum("_w").alias("_bw"))
     wb = Window.partitionBy("_k").orderBy("_bkt")
-    qspec = spark.createDataFrame(
-        [(int(n), int(d)) for n, d in fractions], "num int, den int"
+    qspec = local_df(
+        spark, [(int(n), int(d)) for n, d in fractions], "num int, den int"
     )
     crossing = (
         cells.withColumn(

@@ -16,6 +16,7 @@ from ..operators.dedup import dedup_events, first_per_key
 from ..operators.joins import enrich_with_miss_report, semi_filter, union_all
 from ..operators.quantiles import sql_range_bucket
 from ..operators.topk import top_k_per_key
+from ..localdf import local_df
 from .registry import query, sql_exact_sum, t
 
 # ---------------------------------------------------------------------------
@@ -54,7 +55,7 @@ FROM events e JOIN measurands m ON e.event_type = m.input_param
 @query("measurand_normalize", _NORMALIZE_ORACLE)
 def measurand_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
-    dim = spark.createDataFrame(
+    dim = local_df(spark, 
         list(_MEASURAND_ROWS),
         "input_param string, parameter string, unit string, normalized_unit string, scale double",
     )
@@ -163,7 +164,7 @@ GROUP BY event_type
 @query("whitelist_semi", _WHITELIST_ORACLE)
 def whitelist_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
-    allowed = spark.createDataFrame(
+    allowed = local_df(spark, 
         [("click",), ("view",), ("purchase",)], "event_type string"
     )
     return (
@@ -569,7 +570,7 @@ GROUP BY s.c_name
 
 @query("ingest_id_join", _INGEST_JOIN_ORACLE)
 def ingest_id_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    params = spark.createDataFrame(
+    params = local_df(spark, 
         [("clicks",), ("views",), ("revenue",), ("signups",)], "parameter string"
     )
     stations = (
@@ -1248,7 +1249,7 @@ def nearest_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(-60_000_000) + hmod(":lat", 120_000_000)).alias("lat"),
         (F.lit(-180_000_000) + hmod(":lon", 360_000_000)).alias("lon"),
     )
-    pois = spark.createDataFrame(_POIS, "poi_id long, plat long, plon long")
+    pois = local_df(spark, _POIS, "poi_id long, plat long, plon long")
     d2 = (F.col("lat") - F.col("plat")) * (F.col("lat") - F.col("plat")) + (
         F.col("lon") - F.col("plon")
     ) * (F.col("lon") - F.col("plon"))

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import h60
 from ..storage import sql_zorder, zorder_column
+from ..localdf import local_df
 from .registry import query, t
 
 # ---------------------------------------------------------------------------
@@ -856,7 +857,7 @@ def histogram_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("x") - F.min("x") + 1).alias("w"),
         F.count(F.lit(1)).alias("n"),
     ).localCheckpoint()
-    qs = spark.createDataFrame([(q,) for q in _HSEL_QS], "pct int")
+    qs = local_df(spark, [(q,) for q in _HSEL_QS], "pct int")
     # ONE combined fact pass: bucket counts for the histogram plus the
     # five exact predicate counts as conditional sums (no second scan
     # per predicate)
@@ -1531,7 +1532,7 @@ def range_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(micros(F.col("ts"))).alias("hi"),
     ).collect()[0]  # two scalars — the documented bounded boundary
     if b["lo"] is None:  # empty source: the oracle's zero-row aggregate
-        return spark.createDataFrame(
+        return local_df(spark, 
             [(0, None, True)], "n_rows long, sum_cents long, pruned boolean"
         )
     lo, hi = int(b["lo"]), int(b["hi"])
@@ -1801,7 +1802,7 @@ def join_preflight_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             join_preflight(st_l, st_l, "l_partkey", "l_partkey")["exploding"],
         ),
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         "join_name string, n_left long, n_right long, exploding boolean",
     )
@@ -1857,7 +1858,7 @@ def zorder_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_partkey").alias("pk"), F.max("l_suppkey").alias("sk")
     ).collect()[0]  # two scalars — the documented bounded boundary
     if b["pk"] is None:  # empty source: the oracle's zero-row aggregate
-        return spark.createDataFrame(
+        return local_df(spark, 
             [(0, None, 0, True)],
             "n_rows long, qty_cents long, n_parts long, pruned boolean",
         )
@@ -2020,7 +2021,7 @@ def zorder_float_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
     b = li.agg(F.max("l_partkey").alias("pk")).collect()[0]
     if b["pk"] is None:  # empty source: both oracle branches aggregate 0
-        return spark.createDataFrame(
+        return local_df(spark, 
             [("float_dim", 0, None, True), ("int_dim", 0, None, False)],
             "dim_kind string, n_rows long, qty_cents long, "
             "scanned_all boolean",
@@ -2108,9 +2109,10 @@ def salted_path_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n long, variant_sum long, "
         "from_sidecar boolean, mitigated boolean, salted_plan boolean"
     )
-    if e.limit(1).count() == 0:  # empty source: nothing to compact,
-        # and the oracle's join+groupBy over no rows is 0 rows
-        return spark.createDataFrame([], schema)
+    if not e.head(1):  # empty source: nothing to compact, and the
+        # oracle's join+groupBy over no rows is 0 rows. head(1) is an
+        # executeTake — one partition-at-a-time probe, no count job.
+        return local_df(spark, [], schema)
     dim = (
         e.select("event_type")
         .distinct()
@@ -2195,7 +2197,7 @@ def compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
     if e.limit(1).count() == 0:  # empty source cannot fragment: the
         # oracle's zero-row aggregate with the structural constant
-        return spark.createDataFrame(
+        return local_df(spark, 
             [(0, 0, None, True)],
             "n_rows long, n_users long, value_cents long, "
             "compacted boolean",

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..localdf import local_df
 from .registry import query, t
 from .textops import _SQL_TOKS, _sql_hmod, _sql_shingles
 
@@ -647,7 +648,7 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("n_chars"),
     )
     tot = actual.agg(F.sum("n_chars").cast("long").alias("total_chars"))
-    spec = spark.createDataFrame(
+    spec = local_df(spark, 
         list(_MIX_TARGETS), "source string, target_pct int"
     )
     j = actual.join(F.broadcast(spec), "source", "left").crossJoin(

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localdf import local_df
 from .registry import query
 
 #: (station, site, local ts 'yyyy-MM-dd HH_mm', lat, lon, CO, NO2) —
@@ -776,7 +777,7 @@ def retry_backoff_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         fails = [int(open(c).read()) for c in counters]
     finally:
         shutil.rmtree(cdir, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(
             agg["n_rows"],
             agg["n_stations"],
@@ -854,7 +855,7 @@ def secrets_merge_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append(("missing_secret", "error", "KeyError"))
     finally:
         del os.environ["SECRET_fixture_token"]
-    return spark.createDataFrame(rows, "kase string, key string, value string")
+    return local_df(spark, rows, "kase string, key string, value string")
 
 
 # ---------------------------------------------------------------------------
@@ -933,7 +934,7 @@ def http_pushdown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed = len(audits) == 4 and all(
         "GreaterThan" in s and "pm25" in s for s in seen
     )
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(agg["n_rows"], agg["n_stations"], agg["pm25_decis"],
           len(audits), pushed)],
         "n_rows long, n_stations long, pm25_decis long, "
@@ -1013,7 +1014,7 @@ def rate_floor_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tdir, ignore_errors=True)
     gaps = [b - a for a, b in zip(stamps, stamps[1:])]
     floor_held = len(stamps) == 3 and all(g >= 0.12 for g in gaps)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(agg["n_rows"], agg["n_stations"], agg["pm25_decis"],
           len(stamps), len(gaps), floor_held)],
         "n_rows long, n_stations long, pm25_decis long, "

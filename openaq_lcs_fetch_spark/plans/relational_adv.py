@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.quantiles import range_bucket, sql_range_bucket
+from ..localdf import local_df
 from .registry import query, t
 
 # Integer-cents revenue term (see relational.py): exact and
@@ -1724,7 +1725,7 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes = q.groupBy("c_mktsegment", "c_nationkey", "bal_decile").agg(
         F.count(F.lit(1)).alias("sz")
     )
-    ks = spark.createDataFrame([(2,), (5,), (10,)], "k int")
+    ks = local_df(spark, [(2,), (5,), (10,)], "k int")
     return (
         classes.crossJoin(F.broadcast(ks))
         .groupBy("k")
@@ -1977,7 +1978,7 @@ def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_obs"))
     )
     tot = obs.agg(F.sum("n_obs").alias("n"))
-    spec = spark.createDataFrame(_BENFORD_PPM, "digit int, exp_ppm long")
+    spec = local_df(spark, _BENFORD_PPM, "digit int, exp_ppm long")
     d38 = "decimal(38,0)"
     joined = (
         F.broadcast(spec)
@@ -2668,7 +2669,7 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("sz"),
         F.countDistinct("sens").alias("diversity"),
     )
-    ls = spark.createDataFrame([(2,), (3,), (4,)], "l int")
+    ls = local_df(spark, [(2,), (3,), (4,)], "l int")
     return (
         classes.crossJoin(F.broadcast(ls))
         .groupBy("l")
@@ -2777,7 +2778,7 @@ def brand_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rollup roots the brands-spine diamond: scan once
         .localCheckpoint()
     )
-    halves = spark.createDataFrame([(0,), (1,)], "half int")
+    halves = local_df(spark, [(0,), (1,)], "half int")
     dense = (
         rev.select("brand")
         .distinct()

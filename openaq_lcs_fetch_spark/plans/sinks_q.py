@@ -38,6 +38,7 @@ from ..functions.ids import sensor_id
 from ..sinks.measures import assemble_v01, write_measures_csv, write_measures_json
 from ..sinks.stations import diff_upsert
 from ..sources.checkpoint import CheckpointStore, advance, incremental_predicate
+from ..localdf import local_df
 from .registry import query, t
 
 _ISO = "yyyy-MM-dd'T'HH:mm:ss'Z'"
@@ -336,7 +337,7 @@ def run_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         " from_ts timestamp, to_ts timestamp"
     )
     if not sources:  # zero runs → zero log rows (an empty day partition)
-        return spark.createDataFrame([], out_schema)
+        return local_df(spark, [], out_schema)
     root = tempfile.mkdtemp(prefix="sgq_runlog_")
     try:
         log_path = f"{root}/runlog"
@@ -576,9 +577,15 @@ def scheduler_tick_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng = Engine(spark)
         logs1 = run_tick(eng, groups, 61, out_root)    # :01 past the hour
         logs2 = run_tick(eng, groups, 120, out_root)   # on the hour
-        runlog = spark.read.parquet(f"{out_root}/runlog")
-        n_success = runlog.filter(F.col("status") == "fetcher/success").count()
-        n_error = runlog.filter(F.col("status") == "fetcher/error").count()
+        census = (
+            spark.read.parquet(f"{out_root}/runlog")
+            .agg(
+                F.count(F.when(F.col("status") == "fetcher/success", 1)).alias("s"),
+                F.count(F.when(F.col("status") == "fetcher/error", 1)).alias("e"),
+            )
+            .collect()[0]  # one job for the whole status census, not two
+        )
+        n_success, n_error = census["s"], census["e"]
 
         def _csv(source: str):
             return (

@@ -28,6 +28,7 @@ from ..streaming.pipeline import (
     read_events_stream_with_heartbeat,
     run_available_now,
 )
+from ..localdf import local_df
 from .registry import query
 
 _STREAMING_ORACLE = """
@@ -250,7 +251,7 @@ def streaming_enriched_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry import exact_sum
 
     stream = read_events_stream_with_heartbeat(spark, sf_dir)
-    dim = spark.createDataFrame(
+    dim = local_df(spark, 
         _ENRICH_DIM, "event_type string, category string, weight int"
     )
     # the broadcast join is stateless and keeps the sentinel rows (their
@@ -652,6 +653,9 @@ def provider_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             "lateness": "3 hours",
             "source_name": "stream_fixture",
+            # rows-scale control feed: a handful of state partitions,
+            # not one per session core (see start_to_parquet)
+            "state_partitions": 4,
         },
     }
     root = tempfile.mkdtemp(prefix="sgq_pstream_")
@@ -670,6 +674,7 @@ def provider_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 keyed_map_stream(spark, config),
                 out_path, ckpt,
                 frequency="hour", available_now=True,
+                state_partitions=config["meta"].get("state_partitions"),
             )
             q.awaitTermination()
 

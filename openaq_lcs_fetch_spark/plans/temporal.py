@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join_broadcast
+from ..localdf import local_df
 from .registry import query, t
 
 # ---------------------------------------------------------------------------
@@ -40,7 +41,7 @@ ASOF LEFT JOIN calib c
 
 
 def _calib(spark: SparkSession) -> DataFrame:
-    types = spark.createDataFrame(
+    types = local_df(spark, 
         [("click",), ("view",), ("purchase",), ("signup",), ("error",)],
         "event_type string",
     )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 from ..functions import similarity as SIM
 from ..operators.dedup import exact_dedup_groups
+from ..localdf import local_df
 from .registry import query, t
 
 # --- shared SQL fragments (the DuckDB mirror of functions.text) -----------
@@ -1415,7 +1416,7 @@ FROM j GROUP BY source, weight ORDER BY source
 @query("weighted_sample", _ws_oracle())
 def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    wdf = spark.createDataFrame(_WS_WEIGHTS, "source string, weight double")
+    wdf = local_df(spark, _WS_WEIGHTS, "source string, weight double")
     h = F.conv(
         F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ws"))), 1, 15),
         16,
@@ -2465,7 +2466,7 @@ def centroid_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         (TX.h60(F.col("doc_id").cast("string")) % 5).alias("fold"),
     )
-    chars = spark.createDataFrame([(c,) for c in _CLF_CHARS], "ch string")
+    chars = local_df(spark, [(c,) for c in _CLF_CHARS], "ch string")
     feat = docs.crossJoin(F.broadcast(chars)).select(
         "doc_id",
         "lang",

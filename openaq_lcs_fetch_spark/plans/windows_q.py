@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions.timestamps import micros
 from ..operators.quantiles import sql_range_bucket as _sql_range_bucket
+from ..localdf import local_df
 from .registry import query, sql_exact_sum, t
 
 # ---------------------------------------------------------------------------
@@ -1447,7 +1448,7 @@ def salted_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry import exact_sum
 
     e = t(spark, sf_dir, "events").select("event_type", "value")
-    dim = spark.createDataFrame(
+    dim = local_df(spark, 
         _SALT_DIM, "event_type string, category string, weight int"
     ).hint("shuffle_hash")  # defeat auto-broadcast: exercise the salted shuffle
     joined = salted_join(e, dim, "event_type", salt_buckets=16)

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..localdf import local_df
+
 
 def write_measures_csv(measures: DataFrame, root: str, provider: str) -> str:
     """K1: gzipped CSV under measures/{provider}/."""
@@ -99,7 +101,7 @@ def assemble_v01(
     days = m_day.select("day").distinct()
     if default_day is not None:
         days = days.unionByName(
-            m_day.sparkSession.createDataFrame([(default_day,)], "day string")
+            local_df(m_day.sparkSession, [(default_day,)], "day string")
         ).distinct()
     grid = (
         days

@@ -26,6 +26,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..localdf import local_df
+
 
 def content_hash(df: DataFrame, key: str) -> DataFrame:
     """md5 over the canonical row JSON (sorted struct fields, nulls
@@ -88,16 +90,30 @@ def diff_upsert(
     if os.path.exists(store_path):
         existing = spark.read.parquet(store_path)
     else:
-        existing = spark.createDataFrame([], hashed_new.schema)
+        existing = local_df(spark, [], hashed_new.schema)
 
     # write elision: drop new rows whose (key, hash) already exists.
-    # localCheckpoint: the changed frame feeds BOTH the counter and the
-    # merge write below — without it the anti-join (and the md5 hashing
-    # above it) re-executes per action, doubling the sink's read load
-    changed = hashed_new.join(
-        existing.select(key, "content_hash"), on=[key, "content_hash"], how="left_anti"
+    # A left join with a hit marker instead of a left_anti: ONE
+    # materialization then yields n_new, n_changed AND the changed set,
+    # where the anti-join shape needed a second full evaluation of the
+    # incoming plan just for new.count(). The store's key is unique by
+    # construction (the row_number merge below), so the left join
+    # cannot fan out; dropDuplicates guards a foreign/corrupt store.
+    # localCheckpoint: the marked frame feeds the counter AND the merge
+    # write — without it the join (and the md5 hashing above it)
+    # re-executes per action, doubling the sink's read load.
+    marked = hashed_new.join(
+        existing.select(key, "content_hash")
+        .dropDuplicates([key, "content_hash"])
+        .withColumn("_hit", F.lit(1)),
+        on=[key, "content_hash"],
+        how="left",
     ).localCheckpoint()
-    n_new, n_changed = new.count(), changed.count()
+    counts = marked.agg(
+        F.count(F.lit(1)).alias("n"), F.count("_hit").alias("h")
+    ).collect()[0]
+    n_new, n_changed = counts["n"], counts["n"] - counts["h"]
+    changed = marked.filter(F.col("_hit").isNull()).drop("_hit")
 
     merged = changed.withColumn("_prio", F.lit(0)).unionByName(
         existing.withColumn("_prio", F.lit(1))

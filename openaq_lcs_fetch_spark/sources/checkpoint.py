@@ -98,7 +98,11 @@ def _naive_utc(dt: datetime.datetime) -> datetime.datetime:
 
 
 def advance(
-    store: CheckpointStore, source: str, df: DataFrame, ts_col: str
+    store: CheckpointStore,
+    source: str,
+    df: DataFrame,
+    ts_col: str,
+    hwm: str | None = None,
 ) -> dict[str, Any]:
     """Save the new high-water mark after a successful run; never moves
     backwards (late re-reads must not regress the checkpoint).
@@ -115,9 +119,16 @@ def advance(
     detectable at runtime: a stored mark more than that far AHEAD of
     the batch high-water mark warns (a mark slightly ahead is normal
     under partial re-reads; hours ahead is the documented TZ-shift
-    signature or a clock problem — either way worth a look)."""
+    signature or a clock problem — either way worth a look).
+
+    ``hwm`` lets a caller that ALREADY aggregated the batch (e.g.
+    ``sinks.log.summarize``, which computes the identically-formatted
+    mark in its single pass) skip the extra full-plan evaluation; it
+    must be the ``high_water_mark``-format string over the same
+    ``(df, ts_col)``."""
     prev = store.load(source) or {}
-    hwm = high_water_mark(df, ts_col)
+    if hwm is None:
+        hwm = high_water_mark(df, ts_col)
     stored = prev.get("high_water_mark", "")
     if hwm is not None and stored:
         try:

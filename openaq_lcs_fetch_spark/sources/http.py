@@ -26,6 +26,8 @@ from collections.abc import Callable, Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..localdf import local_df
+
 try:  # PySpark 4 Python DataSource API
     from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
@@ -336,4 +338,4 @@ def read_until_exhausted(
         rows.extend(batch)
         if stop is not None and stop(batch):
             break
-    return spark.createDataFrame(rows, schema_ddl)
+    return local_df(spark, rows, schema_ddl)

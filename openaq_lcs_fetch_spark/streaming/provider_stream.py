@@ -48,18 +48,47 @@ def start_to_parquet(
     checkpoint: str,
     frequency: str = "hour",
     available_now: bool = False,
+    state_partitions: int | None = None,
 ):
     """writeStream with the reference's cadence model (T1): the source
     frequency picks the processing-time trigger; availableNow drains a
-    bounded backlog (≙ one cron invocation)."""
-    writer = (
-        measures.writeStream.format("parquet")
-        .option("path", out_path)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=TRIGGER_BY_FREQUENCY[frequency])
-    return writer.start()
+    bounded backlog (≙ one cron invocation).
+
+    ``state_partitions`` (config ``meta.state_partitions``) sizes the
+    stream's shuffle/state-store partitioning to the SOURCE's per-batch
+    volume instead of the session default: a per-provider control feed
+    of pages/rows does not need one state-store instance per session
+    core, and each extra instance costs a per-micro-batch load+commit
+    (measured interleaved at the fixture scale: 32→4 instances ≈ −25%
+    per invocation; the sf0.1 *data* streams measured the opposite —
+    see bench.py — which is exactly why this is per-source data, not a
+    global knob). Spark fixes the count in the checkpoint's offset
+    metadata at first start, so it only applies to a bounded
+    ``available_now`` run where the conf save/restore brackets the
+    whole query lifetime; later restarts inherit the checkpointed
+    value regardless of the session conf."""
+    spark = measures.sparkSession
+    saved = None
+    if state_partitions is not None and available_now:
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        writer = (
+            measures.writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=TRIGGER_BY_FREQUENCY[frequency])
+        q = writer.start()
+        if saved is not None:
+            # bounded run: wait it out so the conf restore below cannot
+            # race the stream's own capture of the session conf
+            q.awaitTermination()
+        return q
+    finally:
+        if saved is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
