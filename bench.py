@@ -509,7 +509,16 @@ def main() -> None:
     stopper.start()
     stopper.join(timeout=30)
     if stopper.is_alive():
-        os._exit(0)  # teardown hung; the record is safe, don't linger
+        # teardown hung: reap the py4j gateway JVM explicitly before
+        # exiting so a wedged stop() cannot orphan the child process
+        # (the record is already on stdout either way)
+        try:
+            proc = spark.sparkContext._gateway.proc
+            if proc is not None:
+                proc.terminate()
+        except Exception:
+            pass
+        os._exit(0)
 
 
 if __name__ == "__main__":

@@ -79,47 +79,97 @@ class Engine:
                     )
                 )
 
-            log = summarize(measures, provider)
+            # the measures summary and the station count are independent
+            # read-only aggregates over different frames — overlap them
+            # so the second job's tasks back-fill the first one's tail
+            # (guide §2.6). Error precedence matches the sequential
+            # code: a summarize failure surfaces first.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_sum = pool.submit(summarize, measures, provider)
+                f_cnt = pool.submit(stations.count)
+                sum_exc = cnt_exc = None
+                try:
+                    log = f_sum.result()
+                except Exception as e:
+                    sum_exc = e
+                try:
+                    n_stations = f_cnt.result()
+                except Exception as e:
+                    cnt_exc = e
+            if sum_exc is not None:
+                raise sum_exc
+            if cnt_exc is not None:
+                raise cnt_exc
             # checkpoint-format mark from the summary's own aggregate —
             # popped here so dry-run returns the same log shape as ever
             hwm_pre = log.pop("_hwm", None)
-            log["n_stations"] = stations.count()
+            log["n_stations"] = n_stations
             if dry_run:
                 log["status"] = "dry-run"
                 return log
 
             sink_kind = config.get("meta", {}).get("sink", "csv")
-            if sink_kind == "json":
-                locations = stations.selectExpr(
-                    "sensor_node_id AS location",
-                    "coalesce(sensor_node_site_name, sensor_node_id) AS label"
-                    if "sensor_node_site_name" in stations.columns
-                    else "sensor_node_id AS label",
-                    "sensor_node_ismobile AS ismobile",
-                    "sensor_node_geometry[0] AS lon"
-                    if "sensor_node_geometry" in stations.columns
-                    else "CAST(NULL AS DOUBLE) AS lon",
-                    "sensor_node_geometry[1] AS lat"
-                    if "sensor_node_geometry" in stations.columns
-                    else "CAST(NULL AS DOUBLE) AS lat",
-                )
-                payload = assemble_v01(
-                    measures.filter("measure IS NOT NULL"),
-                    locations,
-                    provider,
-                    # the run date anchors the envelope when a batch has
-                    # zero measures (reference: one envelope per batch)
-                    default_day=_dt.now(_timezone.utc).strftime("%Y-%m-%d"),
-                )
-                log["measures_path"] = write_measures_json(payload, out_root, provider)
-            else:
-                log["measures_path"] = write_measures_csv(
+
+            def _measures_sink() -> str:
+                if sink_kind == "json":
+                    locations = stations.selectExpr(
+                        "sensor_node_id AS location",
+                        "coalesce(sensor_node_site_name, sensor_node_id) AS label"
+                        if "sensor_node_site_name" in stations.columns
+                        else "sensor_node_id AS label",
+                        "sensor_node_ismobile AS ismobile",
+                        "sensor_node_geometry[0] AS lon"
+                        if "sensor_node_geometry" in stations.columns
+                        else "CAST(NULL AS DOUBLE) AS lon",
+                        "sensor_node_geometry[1] AS lat"
+                        if "sensor_node_geometry" in stations.columns
+                        else "CAST(NULL AS DOUBLE) AS lat",
+                    )
+                    payload = assemble_v01(
+                        measures.filter("measure IS NOT NULL"),
+                        locations,
+                        provider,
+                        # the run date anchors the envelope when a batch
+                        # has zero measures (one envelope per batch)
+                        default_day=_dt.now(_timezone.utc).strftime("%Y-%m-%d"),
+                    )
+                    return write_measures_json(payload, out_root, provider)
+                return write_measures_csv(
                     measures.filter("measure IS NOT NULL"), out_root, provider
                 )
 
-            log["stations"] = diff_upsert(
-                self.spark, stations, f"{out_root}/stations/{provider}", "sensor_node_id"
-            )
+            # the measures sink and the station upsert write DISJOINT
+            # per-provider paths — overlap them too (same §2.6 shape,
+            # same sequential error precedence: measures sink first).
+            # The checkpoint advance and the run-log publish stay
+            # strictly AFTER both sinks — a crash mid-run must never
+            # leave an advanced checkpoint pointing past unwritten data.
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_m = pool.submit(_measures_sink)
+                f_u = pool.submit(
+                    diff_upsert,
+                    self.spark,
+                    stations,
+                    f"{out_root}/stations/{provider}",
+                    "sensor_node_id",
+                )
+                m_exc = u_exc = None
+                try:
+                    measures_path = f_m.result()
+                except Exception as e:
+                    m_exc = e
+                try:
+                    upsert_counts = f_u.result()
+                except Exception as e:
+                    u_exc = e
+            if m_exc is not None:
+                raise m_exc
+            if u_exc is not None:
+                raise u_exc
+            log["measures_path"] = measures_path
+            log["stations"] = upsert_counts
             store = CheckpointStore(out_root)
             # the summary pass already computed the checkpoint-format
             # mark over this very frame — advance() skips its own

@@ -185,13 +185,35 @@ def _exchange_paths(a: str, b: str) -> bool:
         fn = libc.renameat2
     except (OSError, AttributeError):
         return False
+    # declared explicitly rather than relying on ctypes' int-sized
+    # defaults, so the call is well-defined on any 64-bit ABI
+    fn.argtypes = [
+        ctypes.c_int, ctypes.c_char_p,
+        ctypes.c_int, ctypes.c_char_p,
+        ctypes.c_uint,
+    ]
+    fn.restype = ctypes.c_int
     AT_FDCWD = -100
     RENAME_EXCHANGE = 2
-    ret = fn(
-        ctypes.c_int(AT_FDCWD), os.fsencode(a),
-        ctypes.c_int(AT_FDCWD), os.fsencode(b),
-        ctypes.c_uint(RENAME_EXCHANGE),
-    )
+    ctypes.set_errno(0)
+    ret = fn(AT_FDCWD, os.fsencode(a), AT_FDCWD, os.fsencode(b), RENAME_EXCHANGE)
+    if ret != 0:
+        # EINVAL/ENOSYS/EXDEV → flag unsupported here; anything else is
+        # still a safe False (caller's two-rename fallback), but make
+        # the unexpected fallback observable instead of silent
+        import errno
+        import warnings
+
+        err = ctypes.get_errno()
+        # ENOENT: the documented both-paths-must-exist precondition;
+        # EINVAL/ENOSYS/EXDEV: kernel/filesystem without the flag
+        if err not in (errno.ENOENT, errno.EINVAL, errno.ENOSYS, errno.EXDEV):
+            warnings.warn(
+                f"renameat2(RENAME_EXCHANGE) failed with errno {err} "
+                f"({errno.errorcode.get(err, '?')}) for {a!r} <-> {b!r}; "
+                "falling back to the non-atomic two-rename publish",
+                stacklevel=2,
+            )
     return ret == 0
 
 
