@@ -421,6 +421,16 @@ def main() -> None:
     # fixed cost is query lifecycle (per-micro-batch IncrementalExecution
     # re-planning + start/stop), not state-store instance count, so
     # partition right-sizing cannot recover it.
+    # ROUND 14 RETIRED that partition-count no-go: after the r14
+    # lifecycle slimming (1-slice local frames, fewer tiny jobs) a
+    # fresh interleaved A/B on an idle box (load 0.00, best-of-4 per
+    # arm, arms alternating per round) measured source-size-derived
+    # state partitions (8 at sf0.1) at 0.42-0.64x the 32-partition
+    # session default on all five headline streaming queries
+    # (click_nobuy 5.49->2.30 s) — see
+    # streaming/pipeline.py::stream_state_partitions and
+    # OPTIMIZATION_r14.md change-log #6. The RocksDB and tmpfs
+    # no-gos above stand.
     # Round-7 in-situ reconciliation (full bench, idle box, after the
     # round-7b additions): the 73 BENCH_r06-visible shared queries
     # summed to 0.859x the driver's r6 walls (median per-query 0.841,

@@ -27,6 +27,7 @@ from ..streaming.pipeline import (
     read_events_stream,
     read_events_stream_with_heartbeat,
     run_available_now,
+    stream_state_partitions,
 )
 from ..localdf import local_df
 from .registry import query
@@ -41,7 +42,7 @@ FROM events GROUP BY 1, 2
 def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream_with_heartbeat(spark, sf_dir)
     windowed = hourly_window_counts(stream)
-    out = run_available_now(windowed, output_mode="append")
+    out = run_available_now(windowed, output_mode="append", state_partitions=stream_state_partitions(spark, sf_dir))
     return out.select(
         F.col("w.start").alias("hour"), "event_type", "n"
     )
@@ -76,7 +77,7 @@ def streaming_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, sf_dir)
     gaps = sensor_gaps(stream, "user_id", gap="24 hours")
-    return run_available_now(gaps)
+    return run_available_now(gaps, state_partitions=stream_state_partitions(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -128,7 +129,7 @@ def streaming_click_to_buy(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") > F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
     )
-    out = run_available_now(joined)
+    out = run_available_now(joined, state_partitions=stream_state_partitions(spark, sf_dir))
     return out.select(
         F.col("c_user").alias("user_id"),
         (micros(F.col("c_ts"))).alias("click_us"),
@@ -160,7 +161,8 @@ def streaming_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream_with_heartbeat(spark, sf_dir)
     out = run_available_now(
-        dedup_then_hourly_counts(stream), output_mode="append"
+        dedup_then_hourly_counts(stream), output_mode="append",
+        state_partitions=stream_state_partitions(spark, sf_dir),
     )
     return out.select(F.col("w.start").alias("hour"), "event_type", "n")
 
@@ -190,7 +192,7 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows push the watermark past every real session. Sentinel sessions
     # (user_id < 0) are themselves never watermark-closed, but sessions
     # are keyed — filter defensively AFTER the sink materializes.
-    out = run_available_now(sw, output_mode="append")
+    out = run_available_now(sw, output_mode="append", state_partitions=stream_state_partitions(spark, sf_dir))
     return out.filter(F.col("user_id") >= 0).select(
         "user_id",
         F.col("w.start").alias("session_start"),
@@ -268,7 +270,7 @@ def streaming_enriched_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(F.col("value") * F.col("weight"), alias="weighted_value"),
         )
     )
-    out = run_available_now(agg, output_mode="append")
+    out = run_available_now(agg, output_mode="append", state_partitions=stream_state_partitions(spark, sf_dir))
     return out.select(
         F.col("w.start").alias("hour"), "category", "n", "weight_sum", "weighted_value"
     )
@@ -384,7 +386,7 @@ def streaming_click_nobuy(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
         "leftOuter",
     )
-    out = run_available_now(joined)
+    out = run_available_now(joined, state_partitions=stream_state_partitions(spark, sf_dir))
     # heartbeat rows excluded batch-side, after the watermark did its job
     return out.filter(F.col("click_id") >= 0).select(
         F.col("c_user").alias("user_id"),
@@ -423,7 +425,7 @@ def streaming_user_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = read_events_stream_with_heartbeat(spark, sf_dir)
     summaries = user_final_state(raw.withWatermark("ts", "2 hours"))
-    out = run_available_now(summaries)
+    out = run_available_now(summaries, state_partitions=stream_state_partitions(spark, sf_dir))
     return out.filter(F.col("user_id") >= 0)
 
 
@@ -467,7 +469,7 @@ def streaming_dedup_ww(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed = deduped.groupBy(
         F.window("ts", "1 hour").alias("w"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
-    out = run_available_now(windowed, output_mode="append")
+    out = run_available_now(windowed, output_mode="append", state_partitions=stream_state_partitions(spark, sf_dir))
     return out.select(F.col("w.start").alias("hour"), "event_type", "n")
 
 
@@ -509,7 +511,7 @@ def streaming_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type", "cell")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    out = run_available_now(windowed, output_mode="append")
+    out = run_available_now(windowed, output_mode="append", state_partitions=stream_state_partitions(spark, sf_dir))
     return out.select(F.col("w.start").alias("hour"), "event_type", "cell", "n")
 
 
@@ -545,7 +547,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    out = run_available_now(windowed, output_mode="append")
+    out = run_available_now(windowed, output_mode="append", state_partitions=stream_state_partitions(spark, sf_dir))
     return out.select(F.col("w.start").alias("win_start"), "event_type", "n")
 
 

@@ -229,18 +229,92 @@ def dedup_then_hourly_counts(stream: DataFrame, delay: str = "3 hours") -> DataF
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
-def run_available_now(result: DataFrame, output_mode: str = "append") -> DataFrame:
+#: source bytes per state partition for bounded replays (see
+#: stream_state_partitions) — parquet-compressed input, so the
+#: in-memory state behind one partition is a low multiple of this.
+STATE_PARTITION_BYTES = 32 * 1024 * 1024
+
+
+def stream_state_partitions(spark: SparkSession, sf_dir: str) -> int | None:
+    """Shuffle/state-store partition count for a bounded replay of the
+    events stream, derived from the SOURCE SIZE instead of pinned to
+    the session default (one state-store instance per session core).
+
+    Why: every state partition costs a per-micro-batch store
+    load+commit (and a task), and AQE cannot coalesce stateful
+    partitioning — it is fixed at query start — so the sizing must
+    happen up front from the input (guide §2.2's partition-sizing rule
+    applied to streaming state; the round rule: derive from input
+    size, never a constant tuned to one machine). Policy: one
+    partition per ~32 MB of source parquet, floor 8 (parallelism
+    margin for tiny replays), capped at the session's shuffle
+    partitions (the cluster-sized value — this function only ever
+    goes BELOW it, and only when the input is demonstrably small).
+
+    Measured interleaved at sf0.1 (2 MB source → 8 partitions) vs the
+    32-partition session default on an idle box (load 0.00),
+    alternating arms within each of 4 rounds, best-of-4 each:
+    streaming_click_nobuy 5.49→2.30 s, streaming_dedup_ww 2.82→1.48 s
+    (stream-stream join / dedup carry 2-4 state stores per partition),
+    streaming_hourly 1.66→0.88 s, sliding_counts 1.61→0.97 s,
+    value_histogram 2.30→1.47 s — every interleaved pair favored the
+    sized arm (this retires the r7/r8 fixed-8/16-partition no-go: those
+    predate this round's lifecycle slimming, and were re-measured, not
+    assumed). user_final_state is neutral (its cost is
+    the Python stateful workers, not store count). Returns None (keep
+    the session conf) when the source size cannot be determined.
+    """
+    import math
+
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        if os.path.isdir(path):
+            nbytes = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        else:
+            nbytes = os.path.getsize(path)
+    except OSError:
+        return None  # unknown source size: keep the session default
+    session = int(spark.conf.get("spark.sql.shuffle.partitions") or 200)
+    return min(session, max(8, math.ceil(nbytes / STATE_PARTITION_BYTES)))
+
+
+def run_available_now(
+    result: DataFrame,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Execute a bounded streaming query to a memory sink and return the
     materialized result as a batch DataFrame (the driver-facing bridge).
+
+    ``state_partitions`` (usually ``stream_state_partitions(...)``)
+    right-sizes the query's shuffle/state partitioning to its input;
+    the session conf is restored after the bounded run terminates, so
+    nothing leaks into later queries. Spark pins the count in the
+    checkpoint at first start — the save/set/await/restore bracket
+    covers the whole query lifetime, so the restore cannot race the
+    stream's own capture of the conf.
     """
-    name = f"stream_out_{uuid.uuid4().hex[:10]}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = result.sparkSession
+    saved = None
+    if state_partitions is not None:
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        name = f"stream_out_{uuid.uuid4().hex[:10]}"
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if saved is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
     return spark.table(name)

@@ -501,3 +501,69 @@ def test_provider_stream_roundtrip_hand_values(spark):
     assert r.n_flagged == 1
     assert r.sum_micro == 62_250_000
     assert r.last_iso == "2024-06-01T12:00:00Z"
+
+
+def test_stream_state_partitions_policy(spark, sf_dir, tmp_path):
+    """State-partition sizing: derived from source bytes with a floor of
+    8, capped by the session's shuffle partitions, None when the source
+    is missing (keep the session conf)."""
+    from openaq_lcs_fetch_spark.streaming.pipeline import (
+        STATE_PARTITION_BYTES,
+        stream_state_partitions,
+    )
+
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # real fixture: small source -> the floor, never above the session conf
+    n = stream_state_partitions(spark, sf_dir)
+    assert n is not None and 1 <= n <= session and n >= min(8, session)
+
+    # missing source -> None (caller keeps the session default)
+    assert stream_state_partitions(spark, str(tmp_path / "nope")) is None
+
+    # a directory source: bytes summed across part files; ~3 partition
+    # quanta of bytes still sits below the floor of 8
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"x" * 1024)
+    assert stream_state_partitions(spark, str(tmp_path)) == min(8, session)
+
+    # sizing math above the floor (monkey-free: a sparse file keeps this cheap)
+    big = tmp_path / "big" / "events.parquet"
+    big.parent.mkdir()
+    with open(big, "wb") as f:
+        f.seek(20 * STATE_PARTITION_BYTES - 1)
+        f.write(b"\0")
+    assert stream_state_partitions(spark, str(big.parent)) == min(session, 20)
+
+
+def test_run_available_now_restores_session_conf(spark, tmp_path):
+    """run_available_now(state_partitions=N) pins the bounded stream's
+    state partitioning to N and restores the session conf afterwards;
+    the result is identical to the default-partitioned run."""
+    from openaq_lcs_fetch_spark.streaming.pipeline import run_available_now
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(src / "b1.json", [
+        {"sensor_node_id": "n1", "site": "A", "lat": 1.0},
+        {"sensor_node_id": "n2", "site": "B", "lat": 2.0},
+        {"sensor_node_id": "n2", "site": "B", "lat": 2.0},
+    ])
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def counts(state_partitions):
+        agg = (
+            _station_stream(spark, str(src))
+            .groupBy("sensor_node_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        out = run_available_now(
+            agg, output_mode="complete", state_partitions=state_partitions
+        )
+        return sorted((r.sensor_node_id, r.n) for r in out.collect())
+
+    sized = counts(2)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == saved
+    assert sized == counts(None) == [("n1", 1), ("n2", 2)]
+    assert spark.conf.get("spark.sql.shuffle.partitions") == saved
