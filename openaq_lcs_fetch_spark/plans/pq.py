@@ -97,13 +97,21 @@ def _build(spark: SparkSession, sf_dir: str):
     vecs = t(spark, sf_dir, "embeddings").select(
         "vec_id", _quantized(F.col("embedding")).alias("q")
     )
-    sub = _subvectors(vecs)
+    # sub/cb1/codes each feed 2-3 downstream branches and each stage
+    # composes the previous one, so the un-truncated logical tree
+    # repeats the scan+explode subtree ~6x — Catalyst (re-)optimizing
+    # that tree was ~0.5 s of a ~2 s query wall (guide §3.3 "very wide
+    # plans: planning time itself becomes the bottleneck"; measured
+    # r14: pq_search 1.88 -> 1.54 s with the three lazy truncations).
+    # Lazy localCheckpoint: each is materialized once on first use and
+    # every later branch re-reads the short RDD-backed plan instead.
+    sub = _subvectors(vecs).localCheckpoint(eager=False)
     cb0 = sub.filter(F.col("vec_id") < _K).select(
         "m", F.col("vec_id").alias("cid"), F.col("subq").alias("cq")
     )
     a1 = _assign(sub, cb0)
-    cb1 = _recenter(sub, a1)
-    codes = _assign(sub, cb1)
+    cb1 = _recenter(sub, a1).localCheckpoint(eager=False)
+    codes = _assign(sub, cb1).localCheckpoint(eager=False)
     return sub, cb1, codes
 
 

@@ -1241,7 +1241,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("int").alias("pos"), F.lit(1000).cast("long").alias("vq")
     )
     y = norm = None
-    for _ in range(_PCA_ITERS):
+    for it in range(_PCA_ITERS):
         dots = (
             comp.join(F.broadcast(vq), "pos")
             .groupBy("vec_id")
@@ -1252,6 +1252,13 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("pos")
             .agg(F.sum(F.col("dot") * F.col("qc")).alias("y"))
         )
+        if it < _PCA_ITERS - 1:
+            # y feeds BOTH norm and vq, and the next iteration composes
+            # on top of vq — without truncation the logical tree grows
+            # ~3x per iteration (356 plan lines, ~0.5 s of Catalyst per
+            # action; guide §3.3). The 64-row lazy checkpoint collapses
+            # it (measured r14: 1.57 -> 1.26 s best, means 2.25 -> 1.55).
+            y = y.localCheckpoint(eager=False)
         dec = F.col("y").cast("decimal(19,0)")
         norm = y.agg(
             F.sqrt(F.sum(dec * dec).cast("double")).alias("norm")

@@ -312,7 +312,15 @@ JOIN sigs sb ON sb.doc_id = p.id_b
 @query("minhash_lsh_pairs", _minhash_lsh_sql())
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    sigs = SIM.minhash_signatures(docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3)
+    # lazy truncation: the bucket self-join references sigs on BOTH
+    # sides, so the un-truncated tree carries the shingle explode +
+    # 16-min aggregate twice (measured r14: 1.68 -> 1.46 s best). NOT
+    # applied inside lsh_verified_pairs — there the same checkpoint
+    # serializes against the verify stage's own eager shingle
+    # checkpoint and measured slightly slower.
+    sigs = SIM.minhash_signatures(
+        docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3
+    ).localCheckpoint(eager=False)
     # fused path: signatures ride through the bucket join, estimate
     # computed in the candidate stage (no join back to sigs)
     return SIM.lsh_similar_pairs(sigs, "doc_id", k=_MINHASH_K, bands=_MINHASH_BANDS)
@@ -2721,7 +2729,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     w_seq = Window.partitionBy("word").orderBy("i")
-    bests = []
+    best_rows: list[tuple[int, str, str, int]] = []
     for r in range(1, _BPE_ROUNDS + 1):
         p = (
             w.select("word", "freq", F.posexplode("syms").alias("i", "s"))
@@ -2732,14 +2740,19 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("s").alias("a"), F.col("s_next").alias("b"))
             .agg(F.sum("freq").cast("long").alias("n"))
         )
-        best = pairs.orderBy(F.desc("n"), "a", "b").limit(1).localCheckpoint()
-        bests.append(best.select(F.lit(r).alias("round"), "a", "b", "n"))
+        # the winning pair is ONE row over a <=vocab-sized pair table —
+        # take it to the driver (TakeOrdered, one job) instead of
+        # checkpoint + broadcast-join: the old shape paid an eager
+        # checkpoint job plus a broadcast exchange per round just to
+        # compare two string columns against one row (guide §1.2).
+        top = pairs.orderBy(F.desc("n"), "a", "b").limit(1).collect()
+        if not top:  # no adjacent pair left anywhere: nothing can ever
+            break    # merge again — identical output to the old no-op rounds
+        a_v, b_v = top[0]["a"], top[0]["b"]
+        best_rows.append((r, a_v, b_v, int(top[0]["n"])))
 
         m = (
-            p.join(
-                F.broadcast(best),
-                (F.col("s") == F.col("a")) & (F.col("s_next") == F.col("b")),
-            )
+            p.filter((F.col("s") == F.lit(a_v)) & (F.col("s_next") == F.lit(b_v)))
             .select("word", F.col("i").alias("pos"))
         )
         grp = (
@@ -2789,10 +2802,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
 
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionAll(b)
-    return out
+    return local_df(
+        spark, best_rows, "round int, a string, b string, n long"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3403,6 +3415,9 @@ def minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     sh = SIM.shingle_table(docs, "doc_id", "text", shingle_n=3).localCheckpoint()
+    # sigs feeds three branches (banding + sig_a + sig_b); the lazy
+    # truncation stops the 16-min aggregate subtree from appearing in
+    # each (measured r14 interleaved: best 3.00 -> 2.73 s)
     sigs = sh.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(TX.HASH_MOD)).alias(
@@ -3410,7 +3425,7 @@ def minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for i, (a, b) in enumerate(SIM.minhash_params(_MINHASH_K))
         ]
-    )
+    ).localCheckpoint(eager=False)
     pairs = SIM.lsh_candidate_pairs(
         sigs, "doc_id", k=_MINHASH_K, bands=_MINHASH_BANDS
     ).localCheckpoint()
