@@ -1244,7 +1244,9 @@ def nearest_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
     def hmod(salt: str, m: int):
         return h60(F.concat(F.col("c_custkey").cast("string"), F.lit(salt))) % m
 
-    pts = t(spark, sf_dir, "customer").select(
+    # spread: the 20-POI broadcast cross-join + struct-min fold is
+    # scan-rooted CPU (r14 interleaved: 1.62 -> 0.75 s best)
+    pts = t(spark, sf_dir, "customer", spread=True).select(
         "c_custkey",
         (F.lit(-60_000_000) + hmod(":lat", 120_000_000)).alias("lat"),
         (F.lit(-180_000_000) + hmod(":lon", 360_000_000)).alias("lon"),

@@ -65,7 +65,9 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     The benchmark shingle set is broadcast (benchmarks
     are small by construction), so the corpus side never shuffles its
     shingles — only the final (doc_id, count) aggregation moves."""
-    d = t(spark, sf_dir, "documents")
+    # spread: both shingle branches are scan-rooted CPU (r14:
+    # 1.50 -> 1.18 s best)
+    d = t(spark, sf_dir, "documents", spread=True)
     is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
 
     def shingle_rows(docs: DataFrame) -> DataFrame:
@@ -283,8 +285,13 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen) — no explode, no shuffle; the naive explode → groupBy
     (doc_id, token) version moves every token of the corpus through an
     exchange, ~10× slower at sf0.1 and shuffle-bound at 100 TB. The
-    bigram dup fraction is array arithmetic in the same projection."""
-    d = t(spark, sf_dir, "documents")
+    bigram dup fraction is array arithmetic in the same projection.
+    r14: one scale-gated RoundRobin spread of the RAW DOC ROWS unlocks
+    the cores the single-row-group bench file starves (1.62 -> 0.48 s
+    best) — this ships each document once, never a token, so the
+    docstring's "no token ever crosses an exchange" stance stands; at
+    100 TB the size gate makes it a no-op (tables._spread_scan)."""
+    d = t(spark, sf_dir, "documents", spread=True)
     toks = TX.tokens(F.col("text"))
     n = F.size(toks)
     top_cnt = _max_run_len(F.sort_array(toks))

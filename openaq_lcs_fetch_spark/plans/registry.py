@@ -78,8 +78,12 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return tables.load(spark, sf_dir, name)
+def t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Table read; ``spread=True`` opts a map-heavy consumer into the
+    scale-gated scan CPU spread (see ``tables._spread_scan``)."""
+    return tables.load(spark, sf_dir, name, spread=spread)
 
 
 def exact_sum(col: Column, scale: int = 6, alias: str | None = None) -> Column:

@@ -75,7 +75,13 @@ def _charge_sum():
 
 @query("pricing_summary", _PRICING_ORACLE)
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2000-09-02")
+    # spread: the wide decimal partial-agg is scan-rooted CPU (r14:
+    # 1.24 -> 1.01 s best); the shipdate predicate still reaches the
+    # scan below the repartition (PushedFilters pin in
+    # test_plan_properties)
+    l = t(spark, sf_dir, "lineitem", spread=True).filter(
+        F.col("l_shipdate") <= "2000-09-02"
+    )
     qty = F.col("l_quantity").cast("decimal(27,2)")
     cnt = F.count(F.lit(1))
     return l.groupBy("l_returnflag", "l_linestatus").agg(
@@ -256,7 +262,8 @@ GROUP BY parameter
 
 @query("lineitem_melt_stats", _MELT_ORACLE)
 def lineitem_melt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = t(spark, sf_dir, "lineitem")
+    # spread: the 4-way melt explode is scan-rooted (r14: 1.20 -> 0.88)
+    l = t(spark, sf_dir, "lineitem", spread=True)
     long = melt(
         l,
         id_vars=["l_orderkey", "l_linenumber"],

@@ -2288,9 +2288,28 @@ def clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("d"))
         .localCheckpoint()
     )
+    # BROADCAST the node-set sides (deg here, tri below): checkpointed
+    # RDDs carry no stats, so the unhinted plan sort-merge-joins and
+    # shuffles the edge list for each degree lookup (guide §3.1; same
+    # rationale as bfs_hops/degree_assortativity — measured r14
+    # interleaved best-of-5: 2.23 -> 2.05 s, identical rows). The
+    # wedge self-join and the closure probe deliberately stay
+    # shuffled: both sides there are edge/wedge-sized and an A/B of
+    # broadcasting them measured pure noise (copurchase_triangles
+    # 2.00 vs 1.93 s mixed-direction rounds — not applied there).
     e = (
-        edges.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
-        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        edges.join(
+            F.broadcast(
+                deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+            ),
+            "v",
+        )
     )
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
@@ -2317,7 +2336,7 @@ def clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("t"))
     )
-    out = deg.join(tri, "node", "left").select(
+    out = deg.join(F.broadcast(tri), "node", "left").select(
         "node",
         F.col("d").alias("degree"),
         F.coalesce(F.col("t"), F.lit(0)).alias("tri_cnt"),
@@ -2409,9 +2428,23 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     ).localCheckpoint()
+    # BROADCAST the degree table onto both endpoint joins: deg is a
+    # node-set (bounded by the part catalog, the dimension) while sym
+    # is the edge list, and the checkpointed RDDs carry no stats, so
+    # without the hint Spark sort-merge-joins — shuffling sym TWICE
+    # (guide §3.1; same shape as bfs_hops' frontier broadcast, measured
+    # r14 interleaved: 2.01 -> 1.77 s best, 5/6 rounds faster,
+    # identical result). Drop the hints if the node catalog ever
+    # outgrows the broadcast budget — the join stays correct shuffled.
     xy = (
-        sym.join(deg.select(F.col("node").alias("u"), F.col("d").alias("x")), "u")
-        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("y")), "v")
+        sym.join(
+            F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("x"))),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("y"))),
+            "v",
+        )
         .select("x", "y")
     )
     m = xy.agg(

@@ -243,7 +243,8 @@ def ngram_jaccard_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join (bounded fan-out at 100 TB); output is runtime-certified
     # equal to the exact unfiltered top-50 the oracle computes.
     return SIM.df_capped_jaccard_topk(
-        t(spark, sf_dir, "documents"), "doc_id", "text", k=50, shingle_n=3, df_cap=64
+        t(spark, sf_dir, "documents", spread=True),
+        "doc_id", "text", k=50, shingle_n=3, df_cap=64
     )
 
 
@@ -311,7 +312,9 @@ JOIN sigs sb ON sb.doc_id = p.id_b
 
 @query("minhash_lsh_pairs", _minhash_lsh_sql())
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    # spread: the signature build's shingle explode is scan-rooted CPU
+    # (r14 interleaved: 1.92 -> 1.24 s best)
+    docs = t(spark, sf_dir, "documents", spread=True)
     # lazy truncation: the bucket self-join references sigs on BOTH
     # sides, so the un-truncated tree carries the shingle explode +
     # 16-min aggregate twice (measured r14: 1.68 -> 1.46 s best). NOT
@@ -928,7 +931,9 @@ FROM j WHERE ROUND(CAST(n_inter AS DOUBLE) / sz_b, 6) >= {_CONTAIN_T}
 
 @query("containment_pairs", _CONTAINMENT_ORACLE)
 def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    # spread: the shingle explode is scan-rooted CPU (r14 interleaved
+    # 2.51 -> 2.05 s best; tables._spread_scan for the scale gate)
+    d = t(spark, sf_dir, "documents", spread=True)
     return SIM.ngram_containment_pairs(
         d, "doc_id", "text", shingle_n=3, threshold=_CONTAIN_T
     )
@@ -1076,13 +1081,32 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {_VERIFY_T}
 
 @query("lsh_verified_pairs", _lsh_verified_sql())
 def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    sigs = SIM.minhash_signatures(docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3)
-    cand = (
-        SIM.lsh_similar_pairs(sigs, "doc_id", k=_MINHASH_K, bands=_MINHASH_BANDS)
-        .select("id_a", "id_b")
-    )
+    # spread: the checkpointed shingle build is scan-rooted CPU (r14:
+    # 2.43 -> 1.44 s best; split_leakage_audit inherits the win)
+    docs = t(spark, sf_dir, "documents", spread=True)
     sh = SIM.shingle_table(docs, "doc_id", "text", 3).localCheckpoint(eager=True)
+    # r14: signatures derive from the checkpointed DISTINCT shingle
+    # table instead of a second full shingle-explode over documents —
+    # MIN is duplicate-insensitive, so the signatures are bit-identical
+    # to minhash_signatures(docs) (the same derivation
+    # minhash_error_audit uses, and exactly the oracle's `sigs AS
+    # (... FROM sh GROUP BY doc_id)`). One corpus shingle scan instead
+    # of two (guide §1.2). The candidate join also drops the fused
+    # estimate (lsh_candidate_pairs, not lsh_similar_pairs): the
+    # verify stage recomputes exact Jaccard anyway, so carrying the
+    # 16-element sig array through the band self-join only widened the
+    # shuffle (guide §2.3).
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(TX.HASH_MOD)).alias(
+                f"mh{i}"
+            )
+            for i, (a, b) in enumerate(SIM.minhash_params(_MINHASH_K))
+        ]
+    )
+    cand = SIM.lsh_candidate_pairs(
+        sigs, "doc_id", k=_MINHASH_K, bands=_MINHASH_BANDS
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("id_a"), "sh"), "id_a")
@@ -1649,7 +1673,11 @@ GROUP BY doc_id
 
 @query("dup_span_stats", _DUP_SPAN_ORACLE)
 def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    # spread: the per-position char-gram explode is the heaviest
+    # scan-rooted map stage in the family (r14: 2.93 -> 0.82 s best)
+    d = t(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text", "n_chars"
+    )
     grams = (
         d.filter(F.col("n_chars") >= 20)  # sequence(1, n<1) would DESCEND in Spark
         .select(
@@ -3089,7 +3117,8 @@ FROM per_batch p LEFT JOIN novel n ON n.batch = p.batch
 
 @query("ngram_novelty_curve", _NOVELTY_ORACLE)
 def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    # spread: shingle explode dominates (r14: 1.58 -> 1.02 s best)
+    d = t(spark, sf_dir, "documents", spread=True)
     bounds = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
     shb = (
         SIM.shingle_table(d, "doc_id", "text", shingle_n=3)
@@ -3190,7 +3219,12 @@ FROM tagged GROUP BY 1, 2
 @query("cross_source_dups", _cross_source_sql())
 def cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    sigs = SIM.minhash_signatures(docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3)
+    # lazy truncation: the band self-join references sigs on BOTH
+    # sides, so the un-truncated tree carried the shingle explode +
+    # 16-min aggregate twice (same fix as minhash_lsh_pairs, r14)
+    sigs = SIM.minhash_signatures(
+        docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3
+    ).localCheckpoint(eager=False)
     pairs = SIM.lsh_candidate_pairs(sigs, "doc_id", k=_MINHASH_K, bands=_MINHASH_BANDS)
     src = docs.select("doc_id", "source")
     tagged = (
@@ -3413,7 +3447,8 @@ FROM scored
 def minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.numeric import exact_div
 
-    docs = t(spark, sf_dir, "documents")
+    # spread: shingle build is scan-rooted CPU (r14: 2.79 -> 2.22 s)
+    docs = t(spark, sf_dir, "documents", spread=True)
     sh = SIM.shingle_table(docs, "doc_id", "text", shingle_n=3).localCheckpoint()
     # sigs feeds three branches (banding + sig_a + sig_b); the lazy
     # truncation stops the 16-min aggregate subtree from appearing in
@@ -3536,7 +3571,8 @@ GROUP BY d.source, n.n_docs
 def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.numeric import exact_div
 
-    docs = t(spark, sf_dir, "documents")
+    # spread: shingle explode dominates (r14: 1.84 -> 1.03 s best)
+    docs = t(spark, sf_dir, "documents", spread=True)
     occ = (
         SIM.shingle_table(docs, "doc_id", "text", shingle_n=3)
         .join(docs.select("doc_id", "source"), "doc_id")

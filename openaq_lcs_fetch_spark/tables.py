@@ -11,6 +11,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 TABLE_NAMES = (
     "region",
@@ -57,18 +58,71 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Inferred parquet SCHEMAS, cached per (sf_dir, table) for the life of
+# the process. Metadata only — never rows, never results: an unschema'd
+# ``spark.read.parquet`` pays a footer-inference job (~70-90 ms driver
+# overhead, measured r14) on EVERY call, and the engine constructs each
+# table read afresh per query by design. A real deployment knows its
+# catalog's schemas statically; caching the inferred StructType is the
+# local-testdata equivalent (guide §6 — don't repeat metadata work).
+# Keyed on the resolved directory so different scale factors (and any
+# regenerated testdata at a new path) re-infer honestly.
+_SCHEMA_CACHE: dict[tuple[str, str], StructType] = {}
+
+
+# The parquet planner cannot split below ROW-GROUP granularity, and a
+# small table is typically one row group — so a scan-rooted plan with
+# heavy per-row compute (token explodes, big-array folds, wide decimal
+# aggregates) runs its entire map stage on ONE core no matter how many
+# the session has. ``spread=True`` inserts one RoundRobin repartition
+# of the raw rows right above such a scan, gated on FILE SIZE so it is
+# scale-adaptive, never a local[32] constant: it fires only when the
+# file is too small to ever yield ~half the session's cores worth of
+# splits (guide §2.2/§2.7 — derive parallelism from input size; at
+# 100 TB any real table carries thousands of row groups and the gate
+# makes this a no-op). Callers opt in per query — only map-heavy scan
+# stages benefit; a filter-selective or shuffle-dominated plan should
+# not pay the extra exchange.
+_SPREAD_MIN_SPLIT_BYTES = 8 * 1024 * 1024
+_SIZE_CACHE: dict[str, int] = {}
+
+
+def _spread_scan(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
+    cores = spark.sparkContext.defaultParallelism
+    size = _SIZE_CACHE.get(path)
+    if size is None:
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return df
+        _SIZE_CACHE[path] = size
+    if size >= cores * _SPREAD_MIN_SPLIT_BYTES:
+        return df
+    return df.repartition(cores)
+
+
+def load(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Load one testdata table as a DataFrame; EVERY timestamp column is
     normalized to TimestampType whatever the file stores (see
     ``normalize_ts``) — the testdata's physical types have changed
-    between rounds before, and only ever in the timestamp encoding."""
+    between rounds before, and only ever in the timestamp encoding.
+    ``spread=True`` requests the scale-gated CPU spread above for
+    map-heavy consumers."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (os.path.realpath(sf_dir), name)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    df = spark.read.schema(schema).parquet(path)
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz" or (name == "events" and col == "ts"):
             df = normalize_ts(df, col)
-    return df
+    return _spread_scan(df, spark, path) if spread else df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -77,6 +77,62 @@ def test_load_events_always_yields_timestamp(spark, sf_dir):
     assert dict(df.dtypes)["ts"] == "timestamp"
 
 
+def test_load_schema_cache_is_metadata_only(spark, sf_dir):
+    """``load``'s per-process schema cache (r14: skips the per-call
+    parquet footer-inference job) must hold StructType METADATA only,
+    change neither schema nor rows, and key per resolved directory so
+    a different scale factor re-infers its own schema."""
+    from pyspark.sql.types import StructType
+
+    from openaq_lcs_fetch_spark import tables
+
+    key = (os.path.realpath(sf_dir), "nation")
+    tables._SCHEMA_CACHE.pop(key, None)
+    cold = load(spark, sf_dir, "nation")
+    assert key in tables._SCHEMA_CACHE
+    assert isinstance(tables._SCHEMA_CACHE[key], StructType)
+    warm = load(spark, sf_dir, "nation")
+    assert warm.schema == cold.schema
+    assert sorted(map(tuple, warm.collect())) == sorted(
+        map(tuple, cold.collect())
+    )
+    other = "/root/testdata/sf0.001"
+    if os.path.isdir(other) and os.path.realpath(other) != os.path.realpath(
+        str(sf_dir)
+    ):
+        load(spark, other, "nation")
+        assert (os.path.realpath(other), "nation") in tables._SCHEMA_CACHE
+
+
+def test_spread_scan_is_size_gated_and_row_preserving(spark, sf_dir):
+    """``load(spread=True)`` must (a) keep rows identical, (b) widen a
+    small single-row-group file to the session's parallelism, and (c)
+    be a NO-OP when the file is big enough to yield its own splits —
+    the gate that makes the spread scale-adaptive instead of a
+    local-mode constant."""
+    from openaq_lcs_fetch_spark import tables
+
+    plain = load(spark, sf_dir, "supplier")
+    spread = load(spark, sf_dir, "supplier", spread=True)
+    assert sorted(map(tuple, spread.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    cores = spark.sparkContext.defaultParallelism
+    assert spread.rdd.getNumPartitions() == cores
+    # gate: pretend the file is huge — the spread must decline
+    path = os.path.join(str(sf_dir), "supplier.parquet")
+    old = tables._SIZE_CACHE.get(path)
+    tables._SIZE_CACHE[path] = cores * tables._SPREAD_MIN_SPLIT_BYTES
+    try:
+        gated = load(spark, sf_dir, "supplier", spread=True)
+        assert gated.rdd.getNumPartitions() == plain.rdd.getNumPartitions()
+    finally:
+        if old is None:
+            tables._SIZE_CACHE.pop(path, None)
+        else:
+            tables._SIZE_CACHE[path] = old
+
+
 def test_streaming_schema_tracks_the_file(spark, sf_dir):
     """The stream read schema must come from the file's own footer (one
     shared assumption with the batch path), and ts must arrive
