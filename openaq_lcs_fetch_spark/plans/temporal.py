@@ -61,7 +61,12 @@ def _calib(spark: SparkSession) -> DataFrame:
 
 @query("asof_calibration", _ASOF_ORACLE)
 def asof_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    # spread: the broadcast as-of array probe is scan-rooted per-row
+    # CPU (r14 interleaved best-of-4: 1.56 -> 1.33 s, 4/4 wins;
+    # tables._spread_scan for the scale gate)
+    e = t(spark, sf_dir, "events", spread=True).select(
+        "event_id", "event_type", "ts"
+    )
     calib = _calib(spark).withColumnRenamed("calib_ts", "ts")
     # calibration marks are dimension-sized (5 types x 6-hourly) → the
     # broadcast as-of plan: the events fact table is never shuffled or

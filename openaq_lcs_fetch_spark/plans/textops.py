@@ -812,7 +812,10 @@ FROM reach GROUP BY id
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
 
-    d = t(spark, sf_dir, "documents")
+    # spread: edge generation's shingle explode is scan-rooted CPU
+    # (r14 interleaved best-of-4: 2.88 -> 2.63 s, 4/4 pairwise wins,
+    # mean 3.76 -> 2.82; tables._spread_scan for the scale gate)
+    d = t(spark, sf_dir, "documents", spread=True)
     edges = SIM.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.3)
     comp = connected_components(
         d.select("doc_id"), edges, id_col="doc_id", src_col="id_a", dst_col="id_b"
@@ -2293,7 +2296,9 @@ GROUP BY d.source
 def dedup_shrink_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
 
-    d = t(spark, sf_dir, "documents")
+    # spread: same edge-generation pipeline as dedup_components (r14
+    # interleaved best-of-4: 3.74 -> 3.36 s, 3/4 pairwise wins)
+    d = t(spark, sf_dir, "documents", spread=True)
     edges = SIM.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.3)
     comp = connected_components(
         d.select("doc_id"), edges, id_col="doc_id", src_col="id_a", dst_col="id_b"
