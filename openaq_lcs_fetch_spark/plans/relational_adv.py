@@ -1403,6 +1403,51 @@ def customers_all_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRIANGLES_MIN_SUPPORT = 2
 
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v, _c): within-order DISTINCT part pairs (u < v) with their
+    co-occurrence counts — the shared edge basis of the graph family
+    (bfs_hops, kcore_nodes, copurchase_triangles, clustering_
+    coefficients, degree_assortativity, item_item_cosine).
+
+    Built from per-order basket arrays (collect_set is the DISTINCT)
+    with a MAP-SIDE pair expansion instead of the items self-join on
+    l_orderkey: 2 exchanges (orderkey rollup + pair count) instead of 4
+    (distinct, two join re-shuffles, pair count) and no sort-merge join
+    (guide §2.4 — remove shuffles outright). sort_array pins u < v.
+    Fan-out and per-task memory stay bounded by C(basket, 2) — the same
+    bound the self-join had, now materialized per row instead of via
+    join. Measured r14 interleaved best-of-4 through two full
+    consumers: copurchase_triangles 2.83 -> 2.06 s best (4/4 pairwise
+    wins), kcore_nodes 2.85 -> 2.10 s (4/4); edge sets bit-identical.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("_ps")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_ps, (x, i) -> "
+                "transform(slice(_ps, i + 2, size(_ps) - i - 1), "
+                "y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("_p")
+    ).select("_p.u", "_p.v")
+    return pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("_c"))
+
+
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, min_support: int
+) -> DataFrame:
+    """Support-gated co-purchase edge list (u, v), u < v."""
+    return (
+        _copurchase_pairs(spark, sf_dir)
+        .filter(F.col("_c") >= min_support)
+        .select("u", "v")
+    )
+
+
 _TRIANGLES_ORACLE = f"""
 WITH items AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -1446,24 +1491,11 @@ FROM wedges w JOIN oriented o ON o.src = w.v1 AND o.dst = w.v2
 
 @query("copurchase_triangles", _TRIANGLES_ORACLE)
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = (
-        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    )
-    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
     # edges is the algorithm's working set (support-filtered E) and is
     # consumed by degrees, orientation and the closure probe; without
-    # materialization each consumer replays the corpus self-join —
+    # materialization each consumer replays the corpus pair expansion —
     # the planned tree held 36 parquet scans before these checkpoints
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") >= _TRIANGLES_MIN_SUPPORT)
-        .select("u", "v")
-        .localCheckpoint()
-    )
+    edges = _copurchase_edges(spark, sf_dir, _TRIANGLES_MIN_SUPPORT).localCheckpoint()
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -1798,6 +1830,10 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not just a scan — unlike quality_quantile_map's scan-only diamond,
     # which measured faster WITHOUT a checkpoint). Measured at sf0.1:
     # 3.00 s → 2.70 s steady-state and two distinct-shuffles eliminated.
+    # (r14: the _copurchase_pairs basket expansion was A/B'd here too
+    # and LOST 1/4 — with items already checkpointed the self-join
+    # reads the materialized distinct table, so the basket arrays only
+    # add explode work. Kept as-is by measurement.)
     items = (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -2135,22 +2171,9 @@ FROM dist GROUP BY 1
 
 @query("bfs_hops", _BFS_ORACLE)
 def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = (
-        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    )
-    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") >= _BFS_MIN_SUPPORT)
-        .select("u", "v")
-        # checkpoint before the symmetric union (both branches read
-        # edges — uncheckpointed, the corpus pair-join runs twice)
-        .localCheckpoint()
-    )
+    # checkpoint before the symmetric union (both branches read edges —
+    # uncheckpointed, the corpus pair expansion runs twice)
+    edges = _copurchase_edges(spark, sf_dir, _BFS_MIN_SUPPORT).localCheckpoint()
     dedges = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
@@ -2264,23 +2287,10 @@ FROM deg d LEFT JOIN tri t ON t.node = d.node
 
 @query("clustering_coefficients", _CLUSTER_ORACLE)
 def clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = (
-        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    )
-    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
     # edges feeds deg, orientation and the closure probe — checkpoint
-    # the support-filtered edge list so the corpus pair-join runs once
-    # (the copurchase_triangles diamond rule)
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") >= _TRIANGLES_MIN_SUPPORT)
-        .select("u", "v")
-        .localCheckpoint()
-    )
+    # the support-filtered edge list so the corpus pair expansion runs
+    # once (the copurchase_triangles diamond rule)
+    edges = _copurchase_edges(spark, sf_dir, _TRIANGLES_MIN_SUPPORT).localCheckpoint()
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -2403,24 +2413,11 @@ FROM m
 @query("degree_assortativity", _ASSORT_ORACLE)
 def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d38 = "decimal(38,0)"
-    items = (
-        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    )
-    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") >= _TRIANGLES_MIN_SUPPORT)
-        .select("u", "v")
-        # checkpoint BEFORE the symmetric union: both union branches
-        # reference edges, so an uncheckpointed plan runs the corpus
-        # pair-join twice (measured 7.6 s → 3.7 s at sf0.1; same fix
-        # applied to kcore_nodes 4.9 s → 2.9 s and bfs_hops)
-        .localCheckpoint()
-    )
+    # checkpoint BEFORE the symmetric union: both union branches
+    # reference edges, so an uncheckpointed plan runs the corpus
+    # pair expansion twice (measured 7.6 s → 3.7 s at sf0.1; same fix
+    # applied to kcore_nodes and bfs_hops)
+    edges = _copurchase_edges(spark, sf_dir, _TRIANGLES_MIN_SUPPORT).localCheckpoint()
     # sym roots deg AND the xy probe — checkpoint so the union runs once
     sym = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -2525,22 +2522,9 @@ GROUP BY u
 
 @query("kcore_nodes", _KCORE_ORACLE)
 def kcore_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = (
-        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    )
-    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") >= _TRIANGLES_MIN_SUPPORT)
-        .select("u", "v")
-        # checkpoint before the symmetric union (both branches read
-        # edges — uncheckpointed, the corpus pair-join runs twice)
-        .localCheckpoint()
-    )
+    # checkpoint before the symmetric union (both branches read edges —
+    # uncheckpointed, the corpus pair expansion runs twice)
+    edges = _copurchase_edges(spark, sf_dir, _TRIANGLES_MIN_SUPPORT).localCheckpoint()
     sym = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()

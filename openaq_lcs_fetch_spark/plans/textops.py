@@ -1099,18 +1099,25 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify stage recomputes exact Jaccard anyway, so carrying the
     # 16-element sig array through the band self-join only widened the
     # shuffle (guide §2.3).
+    # r14 follow-up: the per-doc `sizes` count rides the SAME groupBy
+    # (sh is distinct, so COUNT(*) here == the oracle's sizes CTE) and
+    # the fused aggregate is lazily checkpointed — sh is aggregated by
+    # doc_id ONCE per run instead of twice (sigs + sizes), and the four
+    # plan references (band self-join a/b, sz_a, sz_b) share the
+    # materialized result (guide §1.2; interleaved A/B with
+    # split_leakage_audit 4/4 wins, 2.00 -> 1.78 s best).
     sigs = sh.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(TX.HASH_MOD)).alias(
                 f"mh{i}"
             )
             for i, (a, b) in enumerate(SIM.minhash_params(_MINHASH_K))
-        ]
-    )
+        ],
+        F.count(F.lit(1)).alias("sz"),
+    ).localCheckpoint(eager=False)
     cand = SIM.lsh_candidate_pairs(
         sigs, "doc_id", k=_MINHASH_K, bands=_MINHASH_BANDS
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("id_a"), "sh"), "id_a")
         .join(sh.select(F.col("doc_id").alias("id_b"), "sh"), ["id_b", "sh"])
@@ -1118,8 +1125,8 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     jac = (
-        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        inter.join(sigs.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sigs.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
@@ -3457,19 +3464,24 @@ def minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = SIM.shingle_table(docs, "doc_id", "text", shingle_n=3).localCheckpoint()
     # sigs feeds three branches (banding + sig_a + sig_b); the lazy
     # truncation stops the 16-min aggregate subtree from appearing in
-    # each (measured r14 interleaved: best 3.00 -> 2.73 s)
+    # each (measured r14 interleaved: best 3.00 -> 2.73 s).
+    # r14 follow-up: the per-doc size COUNT rides the same groupBy (sh
+    # is distinct, so COUNT(*) == the oracle's sizes CTE) — one
+    # aggregation of sh instead of two, and the scored plan joins the
+    # sizes as columns already on sig_a/sig_b instead of two extra
+    # joins (5 -> 3; interleaved A/B 3/4 wins, best 2.42 -> 2.07 s).
     sigs = sh.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(TX.HASH_MOD)).alias(
                 f"mh{i}"
             )
             for i, (a, b) in enumerate(SIM.minhash_params(_MINHASH_K))
-        ]
+        ],
+        F.count(F.lit(1)).alias("sz"),
     ).localCheckpoint(eager=False)
     pairs = SIM.lsh_candidate_pairs(
         sigs, "doc_id", k=_MINHASH_K, bands=_MINHASH_BANDS
     ).localCheckpoint()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     # exact intersection restricted to candidate docs (semi-join first)
     cand_ids = (
         pairs.select(F.col("id_a").alias("doc_id"))
@@ -3487,10 +3499,12 @@ def minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig_a = sigs.select(
         F.col("doc_id").alias("id_a"),
+        F.col("sz").alias("sza"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_MINHASH_K)],
     )
     sig_b = sigs.select(
         F.col("doc_id").alias("id_b"),
+        F.col("sz").alias("szb"),
         *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_MINHASH_K)],
     )
     matches = sum(
@@ -3500,8 +3514,6 @@ def minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         pairs.join(sig_a, "id_a")
         .join(sig_b, "id_b")
-        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb")), "id_b")
         .join(inter, ["id_a", "id_b"], "left")
         .select(
             exact_div(
