@@ -793,3 +793,48 @@ def test_read_time_range_pushes_native_timestamp_bounds(spark, tmp_path):
     pushed = plan.split("PushedFilters")[1].split("\n")[0]
     assert "GreaterThanOrEqual(ts" in pushed and "LessThanOrEqual(ts" in pushed, pushed
     assert "unix_micros" not in pushed
+
+
+def test_copurchase_edges_are_joinless_and_identical(spark, sf_dir):
+    """r14: the graph family's shared edge basis (_copurchase_pairs)
+    builds within-order part pairs from per-order basket arrays with a
+    MAP-SIDE expansion — the plan must carry no join at all and at most
+    2 exchanges (order rollup + pair count), and the edge set must be
+    row-identical to the reference distinct + self-join formulation it
+    replaced (the oracle's shape)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from openaq_lcs_fetch_spark.plans.relational_adv import (
+        _TRIANGLES_MIN_SUPPORT,
+        _copurchase_edges,
+    )
+    from openaq_lcs_fetch_spark.plans.registry import t
+
+    edges = _copurchase_edges(spark, sf_dir, _TRIANGLES_MIN_SUPPORT)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        edges.explain("formatted")
+    plan = buf.getvalue()
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree, tree  # no SMJ/BHJ/shuffled-hash anywhere
+    assert tree.count("Exchange") <= 2, tree
+
+    items = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    ref = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= _TRIANGLES_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    got = sorted(map(tuple, edges.collect()))
+    want = sorted(map(tuple, ref.collect()))
+    assert got == want and len(got) > 0
