@@ -214,12 +214,31 @@ def ngram_jaccard_pairs(
     return _pairs_from_shingles(sh, id_col, threshold)
 
 
-def _pairs_from_shingles(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+def _pairs_from_shingles(
+    sh: DataFrame, id_col: str, threshold: float, pin_parts: int | None = None
+) -> DataFrame:
     """Exact Jaccard pairs from a prepared (id, sh) table (callers
-    checkpoint ``sh`` — it feeds three plan branches)."""
+    checkpoint ``sh`` — it feeds three plan branches).
+
+    ``pin_parts`` pins the self-join's shuffle to that partition count
+    (a REPARTITION_BY_NUM exchange the join reuses — no extra shuffle).
+    Why: the pair-count reduce stage is CPU-bound per row while its
+    shuffle BYTES are small, so AQE's byte-based coalescing (1 MB
+    minPartitionSize) serializes it onto a handful of cores on small
+    inputs (measured r14: ngram_jaccard_top averaged ~7 of 32 cores;
+    interleaved A/B with the pin 2.33 → 2.06 s mean, 5/5 pairwise
+    wins). Pinning opts the join out of AQE skew-splitting, so callers
+    may ONLY pin when per-key fan-out is provably bounded — the
+    df-capped vacuous path (max_df ≤ df_cap proven by a scalar probe)
+    qualifies; the uncapped dedup edge joins do NOT (hot shingles are
+    exactly where AQE skew handling must stay available; an A/B there
+    measured 3/5 marginal anyway). At scale the exchange is above the
+    coalescing floor and the pin requests what the conf would give —
+    a no-op."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    side = sh.repartition(pin_parts, "sh") if pin_parts else sh
+    a = side.alias("a")
+    b = side.alias("b")
     inter = (
         a.join(b, on="sh")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -324,9 +343,9 @@ def df_capped_jaccard_topk(
     sh = shingle_table(docs, id_col, text_col, shingle_n).localCheckpoint(eager=True)
     df_tab = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
 
-    def _plain_topk() -> DataFrame:
+    def _plain_topk(pin_parts: int | None = None) -> DataFrame:
         return (
-            _pairs_from_shingles(sh, id_col, 0.0)
+            _pairs_from_shingles(sh, id_col, 0.0, pin_parts=pin_parts)
             .orderBy(F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc())
             .limit(k)
         )
@@ -334,8 +353,12 @@ def df_capped_jaccard_topk(
     max_df = df_tab.agg(F.max("_df")).first()[0] or 0
     if max_df <= df_cap:
         # certificate holds with bound 0: every shingle's fan-out is
-        # within the cap, candidates are complete, plain == capped
-        return _plain_topk()
+        # within the cap, candidates are complete, plain == capped —
+        # and the bounded fan-out makes the parallelism pin skew-safe
+        # (see _pairs_from_shingles)
+        return _plain_topk(
+            pin_parts=int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        )
 
     ann = sh.join(df_tab, "sh").localCheckpoint(eager=True)
     per_doc = ann.groupBy(id_col).agg(
@@ -512,12 +535,17 @@ def _containment_emit(j: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def _containment_plain(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+def _containment_plain(
+    sh: DataFrame, id_col: str, threshold: float, pin_parts: int | None = None
+) -> DataFrame:
     """Unfiltered co-occurrence self-join → exact containment. Correct at
     any df distribution but quadratic in shingle document frequency —
-    the fallback / vacuously-capped path, never the default at scale."""
+    the fallback / vacuously-capped path, never the default at scale.
+    ``pin_parts``: same CPU-parallelism pin (and same only-when-
+    df-bounded caller contract) as _pairs_from_shingles."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    side = sh.repartition(pin_parts, "sh") if pin_parts else sh
+    a, b = side.alias("a"), side.alias("b")
     inter = (
         a.join(b, on="sh")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -580,7 +608,14 @@ def ngram_containment_pairs(
     max_df = df_tab.agg(F.max("_df")).first()[0] or 0
     if max_df <= df_cap:
         # vacuous cap: every shingle's fan-out is within df_cap already
-        return _containment_plain(sh, id_col, threshold)
+        # (bounded fan-out → the parallelism pin is skew-safe; measured
+        # r14 interleaved: containment_pairs 2.76 → 2.51 s mean, 4/5)
+        return _containment_plain(
+            sh,
+            id_col,
+            threshold,
+            pin_parts=int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        )
 
     ann = sh.join(df_tab, "sh").localCheckpoint(eager=True)
     per_doc = ann.groupBy(id_col).agg(

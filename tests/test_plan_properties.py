@@ -838,3 +838,16 @@ def test_copurchase_edges_are_joinless_and_identical(spark, sf_dir):
     got = sorted(map(tuple, edges.collect()))
     want = sorted(map(tuple, ref.collect()))
     assert got == want and len(got) > 0
+
+
+def test_df_capped_vacuous_join_pins_parallelism(spark, sf_dir):
+    """r14: in the df-capped generators' VACUOUS path (max_df <= cap,
+    proven by the scalar probe) the shingle self-join is pinned to the
+    session shuffle-partition count via a REPARTITION_BY_NUM exchange —
+    AQE's byte-based coalescing otherwise serializes the CPU-bound
+    pair-count stage on byte-small inputs. The pin must appear in the
+    plan (both testdata SFs are vacuous: max shingle df ~25 < 64) and
+    the join must reuse it rather than add an exchange on top."""
+    for name in ("ngram_jaccard_top", "containment_pairs"):
+        plan = _plan(spark, sf_dir, name)
+        assert "REPARTITION_BY_NUM" in plan, name
