@@ -1408,7 +1408,8 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(u, v, _c): within-order DISTINCT part pairs (u < v) with their
     co-occurrence counts — the shared edge basis of the graph family
     (bfs_hops, kcore_nodes, copurchase_triangles, clustering_
-    coefficients, degree_assortativity, item_item_cosine).
+    coefficients, degree_assortativity; item_item_cosine measured
+    faster on its own checkpointed-distinct form and stays apart).
 
     Built from per-order basket arrays (collect_set is the DISTINCT)
     with a MAP-SIDE pair expansion instead of the items self-join on
