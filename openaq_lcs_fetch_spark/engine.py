@@ -11,7 +11,7 @@ from __future__ import annotations
 from datetime import datetime as _dt, timezone as _timezone
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 
 from pyspark.sql import functions as F
 
@@ -79,38 +79,62 @@ class Engine:
                     )
                 )
 
-            # the measures summary and the station count are independent
-            # read-only aggregates over different frames — overlap them
-            # so the second job's tasks back-fill the first one's tail
-            # (guide §2.6). Error precedence matches the sequential
-            # code: a summarize failure surfaces first.
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                f_sum = pool.submit(summarize, measures, provider)
-                f_cnt = pool.submit(stations.count)
-                sum_exc = cnt_exc = None
-                try:
-                    log = f_sum.result()
-                except Exception as e:
-                    sum_exc = e
-                try:
-                    n_stations = f_cnt.result()
-                except Exception as e:
-                    cnt_exc = e
-            if sum_exc is not None:
-                raise sum_exc
-            if cnt_exc is not None:
-                raise cnt_exc
-            # checkpoint-format mark from the summary's own aggregate —
-            # popped here so dry-run returns the same log shape as ever
-            hwm_pre = log.pop("_hwm", None)
-            log["n_stations"] = n_stations
             if dry_run:
+                # the measures summary and the station count are
+                # independent read-only aggregates over different
+                # frames — overlap them so the second job's tasks
+                # back-fill the first one's tail (guide §2.6). Error
+                # precedence matches the sequential code: a summarize
+                # failure surfaces first.
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    f_sum = pool.submit(summarize, measures, provider)
+                    f_cnt = pool.submit(stations.count)
+                    sum_exc = cnt_exc = None
+                    try:
+                        log = f_sum.result()
+                    except Exception as e:
+                        sum_exc = e
+                    try:
+                        n_stations = f_cnt.result()
+                    except Exception as e:
+                        cnt_exc = e
+                if sum_exc is not None:
+                    raise sum_exc
+                if cnt_exc is not None:
+                    raise cnt_exc
+                log.pop("_hwm", None)
+                log["n_stations"] = n_stations
                 log["status"] = "dry-run"
                 return log
 
             sink_kind = config.get("meta", {}).get("sink", "csv")
+
+            # r15 (guide §1.2/§4; r14 verdict task #2 — fuse the sink
+            # writes with their counters): in a REAL run the summary
+            # counters RIDE THE MEASURES SINK WRITE as observed metrics
+            # (CollectMetrics on the exact frame summarize() read —
+            # BEFORE the sink's measure-IS-NOT-NULL filter), and the
+            # station count falls out of diff_upsert's own observed
+            # counters (written + skipped == the incoming station
+            # count) — zero standalone pre-sink aggregation jobs. The
+            # JSON sink keeps the standalone summary (assemble_v01
+            # references the measures subtree from two branches, and an
+            # observation node may appear only once per query), but
+            # submits it into the SAME pool so it overlaps the sinks.
+            obs = None
+            if sink_kind != "json":
+                obs = Observation()
+                measures = measures.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("timestamp").alias("from_ts"),
+                    F.max("timestamp").alias("to_ts"),
+                    F.date_format(
+                        F.max("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+                    ).alias("hwm"),
+                )
 
             def _measures_sink() -> str:
                 if sink_kind == "json":
@@ -142,11 +166,17 @@ class Engine:
 
             # the measures sink and the station upsert write DISJOINT
             # per-provider paths — overlap them too (same §2.6 shape,
-            # same sequential error precedence: measures sink first).
-            # The checkpoint advance and the run-log publish stay
-            # strictly AFTER both sinks — a crash mid-run must never
-            # leave an advanced checkpoint pointing past unwritten data.
-            with ThreadPoolExecutor(max_workers=2) as pool:
+            # same sequential error precedence: summary first, then
+            # measures sink, then upsert). The checkpoint advance and
+            # the run-log publish stay strictly AFTER both sinks — a
+            # crash mid-run must never leave an advanced checkpoint
+            # pointing past unwritten data.
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                f_sum = (
+                    pool.submit(summarize, measures, provider)
+                    if obs is None
+                    else None
+                )
                 f_m = pool.submit(_measures_sink)
                 f_u = pool.submit(
                     diff_upsert,
@@ -155,7 +185,14 @@ class Engine:
                     f"{out_root}/stations/{provider}",
                     "sensor_node_id",
                 )
-                m_exc = u_exc = None
+                s_exc = m_exc = u_exc = None
+                log = hwm_pre = None
+                if f_sum is not None:
+                    try:
+                        log = f_sum.result()
+                        hwm_pre = log.pop("_hwm", None)
+                    except Exception as e:
+                        s_exc = e
                 try:
                     measures_path = f_m.result()
                 except Exception as e:
@@ -164,10 +201,27 @@ class Engine:
                     upsert_counts = f_u.result()
                 except Exception as e:
                     u_exc = e
+            if s_exc is not None:
+                raise s_exc
             if m_exc is not None:
                 raise m_exc
             if u_exc is not None:
                 raise u_exc
+            if obs is not None:
+                # the summary counters observed on the sink write —
+                # same single-pass aggregate summarize() ran, zero
+                # extra evaluations of the provider plan
+                row = obs.get
+                log = {
+                    "source": provider,
+                    "n_measures": row["n"],
+                    "from_ts": row["from_ts"],
+                    "to_ts": row["to_ts"],
+                }
+                hwm_pre = row["hwm"]
+            log["n_stations"] = (
+                upsert_counts["written"] + upsert_counts["skipped_unchanged"]
+            )
             log["measures_path"] = measures_path
             log["stations"] = upsert_counts
             store = CheckpointStore(out_root)

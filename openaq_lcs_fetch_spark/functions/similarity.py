@@ -45,6 +45,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _session_shuffle_parts(df: DataFrame) -> int | None:
+    """``spark.sql.shuffle.partitions`` as an int, or None when the conf
+    is non-numeric (e.g. a platform's "auto") — the parallelism pin then
+    degrades to the unpinned plan instead of failing at plan-build time."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return None
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -356,9 +366,7 @@ def df_capped_jaccard_topk(
         # within the cap, candidates are complete, plain == capped —
         # and the bounded fan-out makes the parallelism pin skew-safe
         # (see _pairs_from_shingles)
-        return _plain_topk(
-            pin_parts=int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        )
+        return _plain_topk(pin_parts=_session_shuffle_parts(sh))
 
     ann = sh.join(df_tab, "sh").localCheckpoint(eager=True)
     per_doc = ann.groupBy(id_col).agg(
@@ -611,10 +619,7 @@ def ngram_containment_pairs(
         # (bounded fan-out → the parallelism pin is skew-safe; measured
         # r14 interleaved: containment_pairs 2.76 → 2.51 s mean, 4/5)
         return _containment_plain(
-            sh,
-            id_col,
-            threshold,
-            pin_parts=int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            sh, id_col, threshold, pin_parts=_session_shuffle_parts(sh)
         )
 
     ann = sh.join(df_tab, "sh").localCheckpoint(eager=True)

@@ -36,6 +36,22 @@ from ..localdf import local_df
 GRID = 4096
 
 
+def grid_stats(
+    df: DataFrame, key: str, value: str, weight: Column | None = None
+) -> DataFrame:
+    """Per-key (``_k``, ``_vmin``, ``_vmax``, ``_tw``) in the internal
+    format ``grid_quantiles(stats=...)`` consumes, localCheckpointed
+    (the caller reuses it across passes — see value_mad, which derives
+    its SECOND pass's stats from the first's instead of re-scanning)."""
+    w = weight if weight is not None else F.lit(1)
+    e = df.select(F.col(key).alias("_k"), F.col(value).alias("_v"), w.alias("_w"))
+    return e.groupBy("_k").agg(
+        F.min("_v").alias("_vmin"),
+        F.max("_v").alias("_vmax"),
+        F.sum("_w").alias("_tw"),
+    ).localCheckpoint()
+
+
 def grid_quantiles(
     df: DataFrame,
     key: str,
@@ -43,6 +59,7 @@ def grid_quantiles(
     weight: Column | None = None,
     fractions: Sequence[tuple[int, int]] = ((1, 2),),
     grid: int = GRID,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Exact lower weighted quantiles per ``key``.
 
@@ -74,6 +91,15 @@ def grid_quantiles(
       broadcast threshold / driver memory. For big keys use a plain
       windowed rank per key instead — with many keys the per-key row
       count is small and the window parallelizes on its own.
+
+    ``stats`` (optional) is a caller-supplied per-key stats frame in
+    :func:`grid_stats` format, skipping this call's own stats scan.
+    Contract: ``_tw`` must EXACTLY equal the sum of weights per key
+    (it is the quantile threshold's denominator); ``_vmin``/``_vmax``
+    only need to BOUND the values (``_vmin <= v <= _vmax``) — the
+    bucketing stays monotone affine under any bounds, and the answer
+    is a data-value selection, so where the cell boundaries land can
+    never change it (looser bounds only cost resolution).
     """
     spark = df.sparkSession
     w = weight if weight is not None else F.lit(1)
@@ -83,11 +109,8 @@ def grid_quantiles(
     # frame — at corpus scale that is 3 extra fact scans per
     # grid_quantiles call (value_mad's two chained calls planned 35
     # parquet scans before this checkpoint + the call-site one)
-    stats = e.groupBy("_k").agg(
-        F.min("_v").alias("_vmin"),
-        F.max("_v").alias("_vmax"),
-        F.sum("_w").alias("_tw"),
-    ).localCheckpoint()
+    if stats is None:
+        stats = grid_stats(df, key, value, weight)
     bucket = F.when(
         F.col("_vmax") > F.col("_vmin"),
         F.least(

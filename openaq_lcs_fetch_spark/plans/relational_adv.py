@@ -1403,6 +1403,40 @@ def customers_all_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRIANGLES_MIN_SUPPORT = 2
 
+#: Broadcasting a graph NODE-SET (deg / frontier / visited / tri — a
+#: long key plus a long value, ~48 B/row once built into the hash
+#: relation) is only safe while the node catalog is far below the
+#: broadcast caps (8 GB / 512M rows, and realistically the driver and
+#: executor heaps). The co-purchase graph's node space is distinct
+#: l_partkey ⊆ the part dimension, whose parquet footer row count is a
+#: metadata-only read — so the hints are GATED on it and a
+#: part catalog outgrowing the budget structurally falls back to the
+#: shuffled join instead of OOMing the driver (r14 verdict item #3;
+#: guide §3.1 — broadcast only a side you know fits).
+_NODE_BCAST_MAX_ROWS = 8_000_000  # ≈ 400 MB hashed: inside every budget
+_NODE_COUNT_CACHE: dict[str, int | None] = {}  # metadata only, never rows
+
+
+def _graph_node_broadcaster(sf_dir: str):
+    """``F.broadcast`` when the part catalog provably fits the broadcast
+    budget, else identity (the joins stay correct shuffled)."""
+    import os
+
+    key = os.path.realpath(sf_dir)
+    if key not in _NODE_COUNT_CACHE:
+        try:
+            import pyarrow.parquet as pq
+
+            _NODE_COUNT_CACHE[key] = pq.ParquetFile(
+                os.path.join(sf_dir, "part.parquet")
+            ).metadata.num_rows
+        except Exception:
+            _NODE_COUNT_CACHE[key] = None  # unknown size: cannot prove fit
+    n = _NODE_COUNT_CACHE[key]
+    if n is not None and n <= _NODE_BCAST_MAX_ROWS:
+        return F.broadcast
+    return lambda df: df
+
 
 def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(u, v, _c): within-order DISTINCT part pairs (u < v) with their
@@ -2175,6 +2209,7 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint before the symmetric union (both branches read edges —
     # uncheckpointed, the corpus pair expansion runs twice)
     edges = _copurchase_edges(spark, sf_dir, _BFS_MIN_SUPPORT).localCheckpoint()
+    bn = _graph_node_broadcaster(sf_dir)
     dedges = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
@@ -2195,14 +2230,14 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exchanges x 6 hops). Semi/anti against broadcast keeps the
         # edge table un-shuffled all rounds (guide §3.1/§2.4; measured
         # r14 interleaved best-of-4: 3.73 -> 2.80 s, identical rows).
-        # For graphs whose frontier outgrows the broadcast budget, drop
-        # the hints — the join shape stays correct and reverts to the
-        # shuffled plan.
+        # The hints are size-GATED (_graph_node_broadcaster): a node
+        # catalog outgrowing the broadcast budget reverts structurally
+        # to the shuffled plan instead of OOMing on the hard hint.
         expanded = (
-            dedges.join(F.broadcast(frontier), frontier.node == dedges.u, "left_semi")
+            dedges.join(bn(frontier), frontier.node == dedges.u, "left_semi")
             .select(F.col("v").alias("node"))
             .distinct()
-            .join(F.broadcast(dist.select("node")), "node", "left_anti")
+            .join(bn(dist.select("node")), "node", "left_anti")
             .select("node", F.lit(hop).alias("hop"))
             .localCheckpoint()
         )
@@ -2308,17 +2343,16 @@ def clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffled: both sides there are edge/wedge-sized and an A/B of
     # broadcasting them measured pure noise (copurchase_triangles
     # 2.00 vs 1.93 s mixed-direction rounds — not applied there).
+    # Size-gated (r15): _graph_node_broadcaster drops the hints when
+    # the part catalog outgrows the broadcast budget.
+    bn = _graph_node_broadcaster(sf_dir)
     e = (
         edges.join(
-            F.broadcast(
-                deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-            ),
+            bn(deg.select(F.col("node").alias("u"), F.col("d").alias("du"))),
             "u",
         )
         .join(
-            F.broadcast(
-                deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-            ),
+            bn(deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))),
             "v",
         )
     )
@@ -2347,7 +2381,7 @@ def clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("t"))
     )
-    out = deg.join(F.broadcast(tri), "node", "left").select(
+    out = deg.join(bn(tri), "node", "left").select(
         "node",
         F.col("d").alias("degree"),
         F.coalesce(F.col("t"), F.lit(0)).alias("tri_cnt"),
@@ -2432,15 +2466,17 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without the hint Spark sort-merge-joins — shuffling sym TWICE
     # (guide §3.1; same shape as bfs_hops' frontier broadcast, measured
     # r14 interleaved: 2.01 -> 1.77 s best, 5/6 rounds faster,
-    # identical result). Drop the hints if the node catalog ever
-    # outgrows the broadcast budget — the join stays correct shuffled.
+    # identical result). Size-gated (r15): _graph_node_broadcaster
+    # drops the hints when the node catalog outgrows the broadcast
+    # budget — the join stays correct shuffled.
+    bn = _graph_node_broadcaster(sf_dir)
     xy = (
         sym.join(
-            F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("x"))),
+            bn(deg.select(F.col("node").alias("u"), F.col("d").alias("x"))),
             "u",
         )
         .join(
-            F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("y"))),
+            bn(deg.select(F.col("node").alias("v"), F.col("d").alias("y"))),
             "v",
         )
         .select("x", "y")

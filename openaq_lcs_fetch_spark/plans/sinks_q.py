@@ -320,7 +320,7 @@ GROUP BY 1
 
 @query("run_log_roundtrip", _RUNLOG_ORACLE)
 def run_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sinks.log import publish, summarize
+    from ..sinks.log import publish
 
     e = (
         t(spark, sf_dir, "events")
@@ -331,24 +331,37 @@ def run_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("timestamp"),
         )
     )
-    sources = [r[0] for r in e.select("event_type").distinct().collect()]
+    # r15 (guide §1.2): ONE grouped aggregate computes every source's
+    # run counters — the exact per-source numbers summarize() produced
+    # one filtered full scan at a time (count / min ts / max ts over
+    # the same rows; 6 jobs -> 1). The log WRITES stay one publish()
+    # per source — the sink behavior under test is unchanged.
+    summaries = (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("timestamp").alias("from_ts"),
+            F.max("timestamp").alias("to_ts"),
+        )
+        .collect()
+    )
     out_schema = (
         "source string, status string, n_measures long,"
         " from_ts timestamp, to_ts timestamp"
     )
-    if not sources:  # zero runs → zero log rows (an empty day partition)
+    if not summaries:  # zero runs → zero log rows (an empty day partition)
         return local_df(spark, [], out_schema)
     root = tempfile.mkdtemp(prefix="sgq_runlog_")
     try:
         log_path = f"{root}/runlog"
-        for src in sorted(sources):  # one run per source, like the scheduler
-            s = summarize(e.filter(F.col("event_type") == src), src)
+        # one run per source, like the scheduler
+        for s in sorted(summaries, key=lambda r: r["event_type"]):
             publish(
                 spark,
                 log_path,
-                source=s["source"],
+                source=s["event_type"],
                 status="success",
-                n_measures=s["n_measures"],
+                n_measures=s["n"],
                 from_ts=s["from_ts"],
                 to_ts=s["to_ts"],
             )

@@ -1665,7 +1665,7 @@ GROUP BY d.event_type
 
 @query("value_mad", _MAD_ORACLE)
 def value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.quantiles import grid_quantiles
+    from ..operators.quantiles import grid_quantiles, grid_stats
 
     e = (
         t(spark, sf_dir, "events")
@@ -1676,15 +1676,36 @@ def value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grid pass; without materialization each of those branches
     # replays the ENTIRE first pass — the multiplicative blowup that
     # planned 35 corpus scans for this query
+    st = grid_stats(e, "event_type", "value")
     med = (
-        grid_quantiles(e, "event_type", "value")
+        grid_quantiles(e, "event_type", "value", stats=st)
         .select("event_type", F.col("qvalue").alias("med"))
         .localCheckpoint()
     )
     dev = e.join(F.broadcast(med), "event_type").select(
         "event_type", F.abs(F.col("value") - F.col("med")).alias("adev"), "med"
     )
-    mad = grid_quantiles(dev, "event_type", "adev").select(
+    # r15 (guide §1.2; r14 verdict task #1 — fold the second pass's
+    # redundant work into the first's): the deviation pass's stats are
+    # DERIVED from the first pass's instead of re-scanning events —
+    # adev = |v − med| lies in [0, max(vmax − med, med − vmin)] exactly
+    # (med and the extremes are actual data values), and its row count
+    # per key IS the first pass's (_tw, weight 1 both passes; the med
+    # join is inner on a key set med fully covers). Bounds-vs-exact-stats
+    # cannot change the answer (see grid_quantiles' stats contract:
+    # the result is a data-value selection) — one fewer corpus scan
+    # and one fewer checkpoint job per run.
+    dst = st.join(
+        med.select(F.col("event_type").alias("_k"), "med"), "_k"
+    ).select(
+        "_k",
+        F.lit(0.0).alias("_vmin"),
+        F.greatest(
+            F.col("_vmax") - F.col("med"), F.col("med") - F.col("_vmin")
+        ).alias("_vmax"),
+        "_tw",
+    )
+    mad = grid_quantiles(dev, "event_type", "adev", stats=dst).select(
         "event_type",
         F.col("qvalue").alias("mad"),
         F.col("total_weight").cast("long").alias("n"),

@@ -23,7 +23,7 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..localdf import local_df
@@ -93,26 +93,28 @@ def diff_upsert(
         existing = local_df(spark, [], hashed_new.schema)
 
     # write elision: drop new rows whose (key, hash) already exists.
-    # A left join with a hit marker instead of a left_anti: ONE
-    # materialization then yields n_new, n_changed AND the changed set,
-    # where the anti-join shape needed a second full evaluation of the
+    # A left join with a hit marker instead of a left_anti: the marker
+    # yields n_new, n_changed AND the changed set from one plan, where
+    # the anti-join shape needed a second full evaluation of the
     # incoming plan just for new.count(). The store's key is unique by
     # construction (the row_number merge below), so the left join
     # cannot fan out; dropDuplicates guards a foreign/corrupt store.
-    # localCheckpoint: the marked frame feeds the counter AND the merge
-    # write — without it the join (and the md5 hashing above it)
-    # re-executes per action, doubling the sink's read load.
+    # r15 (guide §1.2; r14 verdict task #2 — fuse sink writes with
+    # their counters): the counters RIDE THE MERGE WRITE as observed
+    # metrics (CollectMetrics) instead of a localCheckpoint job + a
+    # separate aggregate job — the incoming plan (and the md5 hashing
+    # above it) is evaluated exactly ONCE, inside the write action.
+    # Observed metrics are exact on success (only successful tasks
+    # contribute), and the crash-safety ordering is untouched: same
+    # staged write, same rename swap.
+    obs_new = Observation()
     marked = hashed_new.join(
         existing.select(key, "content_hash")
         .dropDuplicates([key, "content_hash"])
         .withColumn("_hit", F.lit(1)),
         on=[key, "content_hash"],
         how="left",
-    ).localCheckpoint()
-    counts = marked.agg(
-        F.count(F.lit(1)).alias("n"), F.count("_hit").alias("h")
-    ).collect()[0]
-    n_new, n_changed = counts["n"], counts["n"] - counts["h"]
+    ).observe(obs_new, F.count(F.lit(1)).alias("n"), F.count("_hit").alias("h"))
     changed = marked.filter(F.col("_hit").isNull()).drop("_hit")
 
     merged = changed.withColumn("_prio", F.lit(0)).unionByName(
@@ -124,10 +126,14 @@ def diff_upsert(
     w = Window.partitionBy(key).orderBy(
         F.col("_prio").asc(), F.col("content_hash").asc()
     )
+    # the post-merge row count (== the swapped store's count) rides the
+    # same write: no post-swap re-read of the store just to count it
+    obs_total = Observation()
     result = (
         merged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_prio")
+        .observe(obs_total, F.count(F.lit(1)).alias("t"))
     )
 
     # stage NEXT TO the store so the renames below are same-filesystem
@@ -140,6 +146,8 @@ def diff_upsert(
     tag = uuid.uuid4().hex[:10]
     tmp = os.path.join(parent, f".{os.path.basename(store_path)}.new.{tag}")
     result.write.mode("overwrite").parquet(tmp)
+    counts = obs_new.get  # available once the write action completed
+    n_new, n_changed = counts["n"], counts["n"] - counts["h"]
     old = os.path.join(parent, f".{os.path.basename(store_path)}.old.{tag}")
     if os.path.exists(store_path):
         os.rename(store_path, old)
@@ -149,5 +157,5 @@ def diff_upsert(
     return {
         "written": n_changed,
         "skipped_unchanged": n_new - n_changed,
-        "total": spark.read.parquet(store_path).count(),
+        "total": obs_total.get["t"],
     }

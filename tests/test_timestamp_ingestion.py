@@ -106,8 +106,10 @@ def test_load_schema_cache_is_metadata_only(spark, sf_dir):
 
 def test_spread_scan_is_size_gated_and_row_preserving(spark, sf_dir):
     """``load(spread=True)`` must (a) keep rows identical, (b) widen a
-    small single-row-group file to the session's parallelism, and (c)
-    be a NO-OP when the file is big enough to yield its own splits —
+    small single-row-group file to a BYTE-DERIVED width capped at the
+    session's parallelism (r15: ceil(size / _SPREAD_TASK_BYTES), so a
+    near-empty table no longer fans to ``cores`` single-row tasks), and
+    (c) be a NO-OP when the file is big enough to yield its own splits —
     the gate that makes the spread scale-adaptive instead of a
     local-mode constant."""
     from openaq_lcs_fetch_spark import tables
@@ -118,12 +120,26 @@ def test_spread_scan_is_size_gated_and_row_preserving(spark, sf_dir):
         map(tuple, plain.collect())
     )
     cores = spark.sparkContext.defaultParallelism
-    assert spread.rdd.getNumPartitions() == cores
-    # gate: pretend the file is huge — the spread must decline
     path = os.path.join(str(sf_dir), "supplier.parquet")
+    size = os.path.getsize(path)
+    want = min(cores, -(-size // tables._SPREAD_TASK_BYTES) or 1)
+    assert spread.rdd.getNumPartitions() == want
     old = tables._SIZE_CACHE.get(path)
-    tables._SIZE_CACHE[path] = cores * tables._SPREAD_MIN_SPLIT_BYTES
     try:
+        # width: a file worth >= cores tasks spreads to exactly cores
+        tables._SIZE_CACHE[path] = cores * tables._SPREAD_TASK_BYTES
+        assert (
+            load(spark, sf_dir, "supplier", spread=True).rdd.getNumPartitions()
+            == cores
+        )
+        # width: a near-empty file spreads to ONE task, not cores
+        tables._SIZE_CACHE[path] = 1
+        assert (
+            load(spark, sf_dir, "supplier", spread=True).rdd.getNumPartitions()
+            == 1
+        )
+        # gate: pretend the file is huge — the spread must decline
+        tables._SIZE_CACHE[path] = cores * tables._SPREAD_MIN_SPLIT_BYTES
         gated = load(spark, sf_dir, "supplier", spread=True)
         assert gated.rdd.getNumPartitions() == plain.rdd.getNumPartitions()
     finally:
