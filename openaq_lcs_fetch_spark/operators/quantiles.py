@@ -45,6 +45,11 @@ def grid_stats(
     its SECOND pass's stats from the first's instead of re-scanning)."""
     w = weight if weight is not None else F.lit(1)
     e = df.select(F.col(key).alias("_k"), F.col(value).alias("_v"), w.alias("_w"))
+    # eager, deliberately: a lazy checkpoint here was A/B'd r15 (4
+    # interleaved rounds across the four grid consumers) and measured
+    # neutral-to-slightly-worse — materializing inside the first
+    # broadcast build stalls what the eager job overlaps with plan
+    # analysis — so the up-front job stays
     return e.groupBy("_k").agg(
         F.min("_v").alias("_vmin"),
         F.max("_v").alias("_vmax"),

@@ -1359,7 +1359,10 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = (
         melted.groupBy("relation", "k")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint()
+        # lazy (r15): materializes inside the final action's first
+        # consumer instead of a standalone up-front job — one fewer
+        # dispatch round, same single melt evaluation
+        .localCheckpoint(eager=False)
     )
     counts = keyed.groupBy("relation").agg(
         F.sum("cnt").alias("child_rows"),

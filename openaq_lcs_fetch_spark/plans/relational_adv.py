@@ -1634,7 +1634,14 @@ def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         # brand-sized rollup, three consumers: always-checkpoint tier
         .localCheckpoint()
     )
-    # Apriori prune: only frequent brands enter the pair expansion
+    # Apriori prune: only frequent brands enter the pair expansion.
+    # r15 (verdict task #10): the joinless basket-array expansion (the
+    # r14 graph-family edge basis) got its OWN interleaved A/B here —
+    # 0/5 pairwise wins, mean 2.87 -> 3.24 s — and is REJECTED for the
+    # same structural reason as item_item_cosine's r14 rejection:
+    # baskets is already checkpointed, so the self-join streams
+    # materialized rows, while the array form re-aggregates them per
+    # order and adds explode work on top. The join stays.
     frequent = baskets.join(F.broadcast(brand_supp), "p_brand").select(
         "l_orderkey", "p_brand"
     )

@@ -3497,6 +3497,10 @@ def minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # (r15: packing the 16 mh columns into ONE array per side — to cut
+    # the scored subtree's attribute count — was A/B'd over 10
+    # interleaved rounds and measured pure noise; the 16-column join
+    # stays as the simpler plan.)
     sig_a = sigs.select(
         F.col("doc_id").alias("id_a"),
         F.col("sz").alias("sza"),

@@ -16,11 +16,11 @@ from __future__ import annotations
 import os
 import tempfile
 import threading
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localdf import local_df
 from ..tables import normalize_ts
 
 TRIGGER_BY_FREQUENCY = {
@@ -304,8 +304,23 @@ def run_available_now(
     output_mode: str = "append",
     state_partitions: int | None = None,
 ) -> DataFrame:
-    """Execute a bounded streaming query to a memory sink and return the
-    materialized result as a batch DataFrame (the driver-facing bridge).
+    """Execute a bounded streaming query through a foreachBatch bridge
+    and return the materialized result as a batch DataFrame (the
+    driver-facing bridge).
+
+    foreachBatch + per-batch ``localCheckpoint`` instead of the memory
+    sink (r15; r14 verdict task #5). The memory sink collects every
+    batch's rows to the driver JVM and re-registers its table per
+    batch; checkpointing each batch keeps the rows as block-manager
+    blocks and the bridge returns their union — no per-batch sink
+    commit, no driver row copy, no JVM↔Python round trip (a
+    collect-and-rebuild bridge variant was A/B'd too: it wins on small
+    outputs but pays per-row Python conversion on large ones —
+    streaming_value_histogram 2.9-3.3 s vs 1.6-1.8 s checkpointed).
+    Interleaved A/B vs the memory sink at sf0.1 is in
+    OPTIMIZATION_r15.md (every streaming query flat-or-faster). The
+    result stays bounded exactly as before — the memory sink held the
+    same rows on the driver.
 
     ``state_partitions`` (usually ``stream_state_partitions(...)``)
     right-sizes the query's shuffle/state partitioning to its input;
@@ -313,11 +328,19 @@ def run_available_now(
     cloned the session (under ``_CONF_BRACKET_LOCK``), so nothing
     leaks into later queries or concurrent threads.
     """
+    if output_mode not in ("append", "update", "complete"):
+        raise ValueError(f"unsupported output_mode {output_mode!r}")
     spark = result.sparkSession
-    name = f"stream_out_{uuid.uuid4().hex[:10]}"
+    schema = result.schema
+    frames: list[DataFrame] = []
+
+    def _sink(df: DataFrame, _batch_id: int) -> None:
+        # materialize the micro-batch result before the batch ends —
+        # the checkpointed blocks outlive the streaming query
+        frames.append(df.localCheckpoint())
+
     writer = (
-        result.writeStream.format("memory")
-        .queryName(name)
+        result.writeStream.foreachBatch(_sink)
         .outputMode(output_mode)
         .trigger(availableNow=True)
     )
@@ -334,4 +357,18 @@ def run_available_now(
     else:
         q = writer.start()
     q.awaitTermination()
-    return spark.table(name)
+    if output_mode == "complete":
+        # complete mode re-emits the FULL result each batch (the memory
+        # sink replaced its table) — keep the last emission only
+        frames_out = frames[-1:]
+    else:
+        # append emits finalized rows once; update emits each key's
+        # refreshed row per batch — union in batch order reproduces
+        # the memory sink's append-per-batch table exactly
+        frames_out = frames
+    if not frames_out:
+        return local_df(spark, [], schema)
+    out = frames_out[0]
+    for f in frames_out[1:]:
+        out = out.unionAll(f)
+    return out
