@@ -1907,6 +1907,11 @@ FROM classified GROUP BY split_lo, split_hi
 @query("split_leakage_audit", _leakage_sql())
 def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
+    # (r15: lazily checkpointing this composed selection — the r14
+    # item-8 truncation — was A/B'd in-process over 5 interleaved
+    # rounds: 2.54 vs 2.52 s mean, LOSES on the quiet rounds; the
+    # materialization stalls what the composed pipeline streams, so
+    # the plain composition stays.)
     pairs = lsh_verified_pairs(spark, sf_dir).select("id_a", "id_b")
     bucket = TX.hmod(F.col("text")) % 100
     split = (

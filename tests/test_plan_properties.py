@@ -847,7 +847,61 @@ def test_df_capped_vacuous_join_pins_parallelism(spark, sf_dir):
     AQE's byte-based coalescing otherwise serializes the CPU-bound
     pair-count stage on byte-small inputs. The pin must appear in the
     plan (both testdata SFs are vacuous: max shingle df ~25 < 64) and
-    the join must reuse it rather than add an exchange on top."""
+    the join must reuse it rather than add an exchange on top — so
+    EVERY hashpartitioning-on-sh exchange in the plan must be the
+    REPARTITION_BY_NUM one (r15, ADVICE #2: a regression that stacked
+    a planner-inserted sh exchange on top of the pin would otherwise
+    still pass)."""
     for name in ("ngram_jaccard_top", "containment_pairs"):
         plan = _plan(spark, sf_dir, name)
         assert "REPARTITION_BY_NUM" in plan, name
+        sh_exchanges = [
+            line
+            for line in plan.split("\n")
+            if "hashpartitioning(sh" in line
+        ]
+        assert sh_exchanges, name
+        assert all("REPARTITION_BY_NUM" in line for line in sh_exchanges), (
+            name,
+            sh_exchanges,
+        )
+
+
+def test_graph_node_broadcasts_are_size_gated(spark, sf_dir):
+    """r15 (r14 verdict what's-wrong #1): the graph family's node-set
+    broadcast hints are gated on the part catalog's footer row count.
+    With auto-broadcast disabled (so the planner can't mask the hint):
+    the gate OPEN must still produce BroadcastHashJoins (the hint is
+    live), and the gate CLOSED must fall back to sort-merge — a node
+    catalog over the budget degrades to the shuffled plan instead of
+    OOMing on a hard hint. Rows identical either way."""
+    import contextlib
+    import io
+
+    from openaq_lcs_fetch_spark.plans import relational_adv as RA
+
+    def plan_and_df(name):
+        df = QUERIES[name].fn(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue().split("\n\n")[0], df
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    orig = RA._NODE_BCAST_MAX_ROWS
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tree_on, df_on = plan_and_df("degree_assortativity")
+        assert tree_on.count("BroadcastHashJoin") == 2, tree_on.count(
+            "BroadcastHashJoin"
+        )
+        RA._NODE_BCAST_MAX_ROWS = 0  # pretend the catalog outgrew the budget
+        tree_off, df_off = plan_and_df("degree_assortativity")
+        assert tree_off.count("BroadcastHashJoin") == 0
+        assert tree_off.count("SortMergeJoin") == 2
+        assert sorted(map(tuple, df_on.collect())) == sorted(
+            map(tuple, df_off.collect())
+        )
+    finally:
+        RA._NODE_BCAST_MAX_ROWS = orig
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
